@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship filtered-kNN on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+north-star extensions); each takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key, computing the
+identical values (all hash/distance arithmetic is plain int64/float64 math
+reproduced literally on both engines; every computed column is aliased to
+the same name on both sides).
 """
 
 from __future__ import annotations
@@ -12,27 +14,620 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kaer_spark.context import dense_ids
+from kaer_spark.filters import compile_filter, filter_to_sql
+from kaer_spark.functions.text import (
+    FINGERPRINT_BASE as PB,
+    FINGERPRINT_MOD as PM,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from kaer_spark.functions.vector import cosine_similarity
+from kaer_spark.operators.dedup import (
+    SIMHASH_BITS,
+    embedding_near_dups,
+    exact_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from kaer_spark.operators.knn import exact_knn, knn_join
+
+# ---------------------------------------------------------------------------
+# fixed fixture constants (identical literals on both engines)
+# ---------------------------------------------------------------------------
+QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]  # deterministic dim-64
+KNN_FILTER_EQ = {"lang": {"$eq": "de"}}
+KNN_FILTER_AND = {
+    "$and": [{"n_chars": {"$gt": 250}}, {"source": {"$in": ["src1", "src2", "src3"]}}]
+}
+FILTER_CASES = {
+    "filter_in": {"source": {"$in": ["src1", "src2", "src3"]}},
+    "filter_ne": {"lang": {"$ne": "en"}},
+    "filter_range": {"n_chars": {"$gte": 200, "$lt": 400}},
+    "filter_regex": {"text": {"$regex": "^the "}},
+    "filter_mod": {"n_chars": {"$mod": [7, 3]}},
+    "filter_or": {"$or": [{"lang": "zh"}, {"source": "src5"}]},
+    "filter_nor": {"$nor": [{"lang": "en"}, {"lang": "fr"}]},
+    "filter_not": {"lang": {"$not": {"$eq": "en"}}},
+}
+JACCARD_N = 8
+JACCARD_THRESHOLD = 0.4
+# rare-shingle cap: shingles present in more docs carry no dedup signal but
+# dominate the inverted join's sum(df²) pair work (561M → 5.7M at sf0.1)
+JACCARD_MAX_DF = 100
+# fixture embeddings are near-random (max within-label cosine ≈ 0.47), so the
+# "near-dup" threshold is set where the fixture actually has matching pairs
+COSINE_DUP_THRESHOLD = 0.35
 
 
+# ---------------------------------------------------------------------------
+# shared loaders
+# ---------------------------------------------------------------------------
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    # documents is the small fixed-size side in the fixtures, but embeddings
+    # is 1:1 with it — broadcast the narrower embedding table.
+    return docs.join(F.broadcast(embs), docs.doc_id == embs.vec_id, "inner").drop(
+        "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke, sf0.001)
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    corpus = _corpus(spark, "/root/testdata/sf0.001")
+    return exact_knn(
+        corpus,
+        QVEC,
+        k=10,
+        vec_col="embedding",
+        id_col="doc_id",
+        filter={"$and": [{"lang": {"$ne": "zh"}}, {"n_chars": {"$gt": 100}}]},
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+def _q_knn(filt, k):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return exact_knn(
+            _corpus(spark, sf_dir), QVEC, k, vec_col="embedding",
+            id_col="doc_id", filter=filt,
+        ).select("doc_id", "lang", "source", "n_chars")
+
+    return run
+
+
+def _q_filter(filt):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            _t(spark, sf_dir, "documents")
+            .filter(compile_filter(filt))
+            .select("doc_id", "lang", "source")
+        )
+
+    return run
+
+
+def _q_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference O6 (getNextID): intent = max id (its min/max bug fixed)
+    return _t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("max_id"))
+
+
+def _q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference O4 id assignment: dense contiguous ids in a requested order
+    out = dense_ids(
+        _t(spark, sf_dir, "documents").select("doc_id"), start=0, order_col="doc_id"
+    )
+    return out.select("doc_id", F.col("_m_id").alias("assigned_id"))
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return knn_join(
+        queries, _corpus(spark, sf_dir), k=5,
+        query_id_col="vec_id", corpus_id_col="doc_id", metric="l2sq",
+    ).select(F.col("vec_id").alias("query_id"), "doc_id", "rank")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_doc_freq=JACCARD_MAX_DF,
+    )
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=COSINE_DUP_THRESHOLD, block_col="label",
+    ).select("id_a", "id_b", "cosine")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("guess"))
+        .groupBy("guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / events analytics (extension surface: joins, aggs, windows,
+# JSON, sessionization — SURVEY.md §2.3 categories the reference lacks)
+#
+# Float determinism rule: every SUM/AVG over doubles goes through an exact
+# DECIMAL accumulation (associative, order-independent) and is cast back to
+# double only at the end — so Spark's partial aggregation order vs DuckDB's
+# single-threaded order cannot change the value. Scales are chosen so (a) the
+# fixture values (all exact 2-decimal numbers; products exact on a 4dp/6dp
+# grid) round-trip exactly, and (b) the decimal numerator stays below 2^53,
+# keeping the final decimal→double cast correctly rounded on both engines.
+# ---------------------------------------------------------------------------
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its ns-precision timestamp read as BIGINT nanos.
+
+    Spark rejects parquet TIMESTAMP(NANOS) outright; the supported route is
+    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable), keeping full
+    ns fidelity as int64 — all event-time logic below works in integer nanos.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 20)
+        .withColumn(
+            "running_spent",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .withColumn(
+            "order_rank",
+            F.row_number()
+            .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+            .cast("long"),
+        )
+        .select("o_custkey", "o_orderkey", "order_rank", "running_spent")
+    )
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # ts is BIGINT nanos; hour bucket as epoch-seconds (pure integer division
+    # — float division would wobble at exact-hour boundaries)
+    hour_epoch = F.expr("ts DIV 3600000000000") * 3600
+    return (
+        ev.groupBy(hour_epoch.alias("hour_epoch"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap per user —
+    lag + conditional cumsum windows (the standard Spark sessionize shape)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)  # integer nanos
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1_800_000_000_000), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "knn_topk": _q_knn(None, 10),
+        "knn_filtered_eq": _q_knn(KNN_FILTER_EQ, 5),
+        "knn_filtered_and": _q_knn(KNN_FILTER_AND, 5),
+        "knn_empty_filter": _q_knn({"n_chars": {"$gt": 10**9}}, 5),
+        "knn_join": _q_knn_join,
+        "max_id": _q_max_id,
+        "dense_ids": _q_dense_ids,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "simhash": _q_simhash,
+        "doc_fingerprint": _q_fingerprint,
+        "text_stats": _q_text_stats,
+        "lang_id_counts": _q_lang_id_counts,
+        "tpch_q1": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "window_running": _q_window_running,
+        "events_json": _q_events_json,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+    }
+    for name, filt in FILTER_CASES.items():
+        out[name] = _q_filter(filt)
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (identical arithmetic, generated from the same constants)
+# ---------------------------------------------------------------------------
+def _sql_l2sq_lit(vec: str, q: list[float]) -> str:
+    """64-term squared-L2 between a list<float> column and a literal vector,
+    in float64 — written as explicit (x-c)*(x-c) products (no pow(), whose
+    libm rounding isn't pinned)."""
+    return " + ".join(
+        f"(CAST({vec}[{i + 1}] AS DOUBLE) - ({v!r})) * (CAST({vec}[{i + 1}] AS DOUBLE) - ({v!r}))"
+        for i, v in enumerate(q)
+    )
+
+
+def _sql_l2sq_cols(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+
+
+def _sql_dot_cols(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, 65)
+    )
+
+
+def _sql_knn(filt, k) -> str:
+    return f"""
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE {filter_to_sql(filt)}
+        ORDER BY {_sql_l2sq_lit('e.embedding', QVEC)}, d.doc_id
+        LIMIT {k}
     """
-    return {}
+
+
+def _sql_filter(filt) -> str:
+    return f"SELECT doc_id, lang, source FROM documents WHERE {filter_to_sql(filt)}"
+
+
+#: polynomial char hash of a string expression (matches functions.text)
+def _sql_poly_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT)), "
+        f"(a, x) -> (a * {PB} + x) % {PM})"
+    )
+
+
+def _sql_simhash() -> str:
+    tok_hashes = (
+        "list_transform("
+        "  CASE WHEN trim(text) = '' THEN [] "
+        "       ELSE regexp_split_to_array(trim(text), '\\s+') END, "
+        f" t -> {_sql_poly_hash('t')})"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH th AS (SELECT doc_id AS id, {tok_hashes} AS th FROM documents)
+        SELECT id, ({bit_terms}) AS simhash FROM th
+    """
+
+
+def _sql_jaccard_pairs() -> str:
+    n = JACCARD_N
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                              i -> substr(text, i, {n}))) AS shingles
+          FROM documents WHERE length(text) >= {n}
+        ),
+        inv0 AS (SELECT id, unnest(shingles) AS g FROM sh),
+        keep AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {JACCARD_MAX_DF}),
+        inv AS (SELECT id, g FROM inv0 JOIN keep USING (g)),
+        sizes AS (SELECT id, count(*) AS sz FROM inv GROUP BY id),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM inv a JOIN inv b USING (g)
+          WHERE a.id < b.id GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.id = p.id_a
+        JOIN sizes sb ON sb.id = p.id_b
+        WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= {JACCARD_THRESHOLD!r}
+    """
+
+
+def _sql_embedding_dups() -> str:
+    # mirror the Spark plan: per-row norms precomputed once, pair stage is
+    # dot-product only (same expression tree → identical IEEE results)
+    dot = _sql_dot_cols("a.embedding", "b.embedding")
+    nrm = f"sqrt({_sql_dot_cols('embedding', 'embedding')})"
+    cos = f"(({dot}) / (a.nrm * b.nrm))"
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding, {nrm} AS nrm FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cos} >= {COSINE_DUP_THRESHOLD!r}
+    """
+
+
+def _sql_text_stats() -> str:
+    toks = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    stripped = "regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')"
+    pr = f"CASE WHEN length(text) > 0 THEN CAST(length(text) - length({stripped}) AS DOUBLE) / length(text) ELSE 0.0 END"
+    sw = "', '.join"  # placeholder removed below
+    del sw
+    stop = "['the','a','of','and','to','in','is','it','for','on']"
+    toks_arr = "CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    swr = (
+        f"CASE WHEN {toks} > 0 THEN CAST(len(list_filter({toks_arr}, "
+        f"t -> list_contains({stop}, lower(t)))) AS DOUBLE) / ({toks}) ELSE 0.0 END"
+    )
+    quality = (
+        f"(0.4 * least(CAST({toks} AS DOUBLE) / 64.0, 1.0) "
+        f"+ 0.3 * (1.0 - ({pr})) "
+        f"+ 0.3 * least(4.0 * ({swr}), 1.0))"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST({toks} AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS len_chars,
+               {pr} AS punct_ratio,
+               {quality} AS quality
+        FROM documents
+    """
+
+
+def _sql_lang_id_counts() -> str:
+    from kaer_spark.functions.text import LANG_MARKERS
+
+    toks = "list_transform(CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END, t -> lower(t))"
+    scores = {
+        lang: f"len(list_intersect({toks}, {[w for w in ws]!r}))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cjk = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
+    branches = " ".join(
+        f"WHEN ({scores[lang]}) = ({best}) THEN '{lang}'" for lang in sorted(scores)
+    )
+    guess = f"CASE WHEN {cjk} > 0 THEN 'zh' WHEN ({best}) <= 0 THEN 'und' {branches} END"
+    return f"""
+        SELECT {guess} AS guess, count(*) AS n FROM documents GROUP BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "knn_topk": _sql_knn(None, 10),
+        "knn_filtered_eq": _sql_knn(KNN_FILTER_EQ, 5),
+        "knn_filtered_and": _sql_knn(KNN_FILTER_AND, 5),
+        "knn_empty_filter": _sql_knn({"n_chars": {"$gt": 10**9}}, 5),
+        "knn_join": f"""
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.vec_id AS query_id, d.doc_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_l2sq_cols('d.embedding', 'q.embedding')}, d.doc_id
+                     ) AS rank
+              FROM q CROSS JOIN (
+                SELECT dd.doc_id, e.embedding
+                FROM documents dd JOIN embeddings e ON dd.doc_id = e.vec_id
+              ) d
+            )
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+            FROM scored WHERE rank <= 5
+        """,
+        "max_id": "SELECT max(doc_id) AS max_id FROM documents",
+        "dense_ids": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS assigned_id
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT text, min(doc_id) AS rep_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": _sql_jaccard_pairs(),
+        "dedup_embedding_cosine": _sql_embedding_dups(),
+        "simhash": _sql_simhash(),
+        "doc_fingerprint": f"SELECT doc_id, {_sql_poly_hash('text')} AS fp FROM documents",
+        "text_stats": _sql_text_stats(),
+        "lang_id_counts": _sql_lang_id_counts(),
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY total_spent DESC, c.c_custkey ASC
+            LIMIT 10
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER w AS BIGINT) AS order_rank,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS running_spent
+            FROM orders
+            WHERE o_custkey < 20
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "events_json": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+              SELECT user_id, event_id, ts,
+                     epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ),
+            sess AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM gaps
+            )
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id
+        """,
+    }
+    for name, filt in FILTER_CASES.items():
+        out[name] = _sql_filter(filt)
+    return out

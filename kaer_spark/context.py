@@ -1,0 +1,291 @@
+"""KaerContext + Collection — the reference's user-facing API, Spark-first.
+
+Reference surface being reproduced (citations into /root/reference):
+
+* ``CreateCollection`` / ``GetCollection`` / ``DropCollection``
+  (``db/kaer.go:28-76``) → collection = a parquet directory plus a JSON
+  catalog sidecar ``collection.json`` (schema, embedding dim/model, max id)
+  — replacing the reference's meta-collection checkpoint rows
+  (``db/meta.go``), which with atomic parquet commits are unnecessary.
+* ``Collection.Insert`` (``db/db.go:60-100``): validate, embed, stamp
+  ``_m_doc`` / dense ``_m_id`` / ``_m_embedding``, append. The reference's
+  id-recovery bug (min instead of max, ``db/db.go:145-174``) is fixed by
+  construction: ids are always allocated from the stored ``max(_m_id)``.
+* ``Collection.Query`` (``db/db.go:111-143``): metadata-pre-filtered kNN.
+  The reference pulls the ENTIRE filter-match set to the client, builds a
+  bitmap, then walks an in-RAM HNSW graph (approximate, ef=200). Here the
+  same declared semantics — "the k nearest neighbors among matching rows" —
+  compile to ``filter(pred).orderBy(l2sq, _m_id).limit(k)``: Catalyst pushes
+  the predicate into the parquet scan and plans the top-k as
+  ``TakeOrderedAndProject`` (per-partition heaps, no global sort, nothing
+  resident in memory). Exact instead of approximate: a strict quality
+  improvement with identical contract.
+
+Scale notes (100 TB): data is appended in id-blocks (one block per insert
+job, recorded in the catalog), so files are naturally clustered by ``_m_id``
+— parquet min/max stats prune id-range scans (index catch-up reads,
+``db/db.go:191-207``, become metadata-only). Dense id assignment uses
+partition-count offsets (two narrow jobs), never a single-partition window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from kaer_spark.embeddings import (
+    EmbeddingProvider,
+    HashingEmbedder,
+    embed_column,
+    embed_texts_local,
+)
+from kaer_spark.filters import compile_filter
+from kaer_spark.functions.vector import l2sq
+
+DOC_COL = "_m_doc"  # reference: db/db.go:18
+ID_COL = "_m_id"  # reference: db/db.go:19
+EMB_COL = "_m_embedding"  # reference: db/db.go:20
+
+
+class CollectionNotFound(KeyError):
+    """Reference: ErrCollectionNotFound, db/db.go:25 (raised db/kaer.go:53)."""
+
+
+class FieldLengthMismatch(ValueError):
+    """Reference: ErrFieldLengthMismatch, db/db.go:61-63."""
+
+
+def dense_ids(df: DataFrame, start: int = 0, order_col: str | None = None) -> DataFrame:
+    """Assign a dense, contiguous ``_m_id`` starting at ``start``.
+
+    Scalable shape: per-partition ``row_number`` (windows partitioned by
+    ``spark_partition_id`` run independently per partition — no global
+    shuffle) plus broadcast cumulative partition offsets. The reference
+    requires dense ids for its HNSW node addressing (``db/db.go:75-76``,
+    ``db/hnsw.go:17-20``); we keep the invariant because it makes id-range
+    pruning and stable tie-breaks free.
+
+    ``order_col``: optional column giving a deterministic global order
+    (ids then follow that order). Without it, order is partition-position —
+    dense and stable for a materialized input but not semantically ordered.
+    """
+    if order_col is not None:
+        # Deterministic global order requested: range-partition by the order
+        # column (a shuffle), then per-partition numbering + offsets.
+        df = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
+    tagged = df.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in tagged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offmap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("_pid").orderBy(order_col)
+        if order_col
+        else Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    )
+    return (
+        tagged.withColumn(
+            ID_COL,
+            (F.row_number().over(w) - 1 + offmap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+class Collection:
+    """One kaer collection = one parquet table + catalog sidecar."""
+
+    def __init__(self, ctx: "KaerContext", name: str, meta: dict[str, Any]):
+        self.ctx = ctx
+        self.name = name
+        self.meta = meta
+
+    # -- paths -----------------------------------------------------------
+    @property
+    def path(self) -> str:
+        return os.path.join(self.ctx.root, self.name)
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.path, "collection.json")
+
+    def _save_meta(self) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f, indent=2)
+        os.replace(tmp, self.meta_path)
+
+    # -- data access -----------------------------------------------------
+    def df(self) -> DataFrame:
+        if not self.meta.get("has_data"):
+            schema = T.StructType.fromJson(json.loads(self.meta["schema"])) if self.meta.get("schema") else None
+            if schema is None:
+                raise CollectionNotFound(f"collection {self.name} is empty and untyped")
+            return self.ctx.spark.createDataFrame([], schema)
+        return self.ctx.spark.read.parquet(self.data_path)
+
+    # -- ingest (reference O4, db/db.go:60-100) --------------------------
+    def insert(
+        self,
+        documents: Sequence[str],
+        metadatas: Sequence[Mapping[str, Any]] | None = None,
+    ) -> int:
+        """Embed + id-stamp + append a batch of documents.
+
+        Returns the first id assigned to this batch. Single-writer per
+        collection (the reference's model too: a process-local counter,
+        ``db/db.go:75``).
+        """
+        metadatas = metadatas if metadatas is not None else [{}] * len(documents)
+        if len(documents) != len(metadatas):
+            raise FieldLengthMismatch(
+                f"documents ({len(documents)}) != metadatas ({len(metadatas)})"
+            )
+        rows = [dict(m, **{DOC_COL: d}) for d, m in zip(documents, metadatas)]
+        df = self.ctx.spark.createDataFrame(rows)  # schema inferred at first insert
+        return self.insert_df(df)
+
+    def insert_df(self, df: DataFrame, text_col: str = DOC_COL) -> int:
+        next_id = int(self.meta.get("next_id", 0))
+        batch_n = df.count()
+        # ids first, embedding second: the id pass (partition-count collect)
+        # then never executes the expensive embedding stage, which runs
+        # exactly once inside the write job.
+        df = dense_ids(df, start=next_id)
+        if EMB_COL not in df.columns:
+            provider = self.ctx.provider_for(self.meta)
+            df = embed_column(df, text_col, provider, EMB_COL)
+        df.write.mode("append").parquet(self.data_path)
+        self.meta["next_id"] = next_id + batch_n
+        self.meta["has_data"] = True
+        if not self.meta.get("schema"):
+            self.meta["schema"] = json.dumps(
+                self.ctx.spark.read.parquet(self.data_path).schema.jsonValue()
+            )
+        self._save_meta()
+        return next_id
+
+    # -- query (reference O5, db/db.go:111-143) --------------------------
+    def query(
+        self,
+        document: str | None = None,
+        k: int = 10,
+        filter: Mapping[str, Any] | None = None,
+        query_vector: Sequence[float] | None = None,
+    ) -> DataFrame:
+        """Metadata-pre-filtered exact kNN.
+
+        Contract (SURVEY.md §3.3): the k nearest neighbors by squared-L2
+        among rows matching the filter, ascending distance, ties broken by
+        ``_m_id``. Accepts either a query ``document`` (embedded via the
+        collection's provider, mirroring ``db/db.go:131-134``) or a raw
+        ``query_vector``.
+        """
+        if query_vector is None:
+            if document is None:
+                raise ValueError("need document or query_vector")
+            provider = self.ctx.provider_for(self.meta)
+            query_vector = embed_texts_local([document], provider)[0]
+        pred: Column = compile_filter(filter)
+        df = self.df().filter(pred)
+        if k <= 0:
+            return df.limit(0)
+        return (
+            df.withColumn("_dist", l2sq(EMB_COL, list(query_vector)))
+            .orderBy(F.col("_dist").asc(), F.col(ID_COL).asc())
+            .limit(k)
+        )
+
+    def count(self) -> int:
+        return self.df().count() if self.meta.get("has_data") else 0
+
+
+class KaerContext:
+    """Top-level handle — the reference's ``Kaer`` (``db/kaer.go:15-26``)
+    minus the embedded-server ladder: a root directory + a SparkSession."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        default_provider: EmbeddingProvider | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.default_provider = default_provider or HashingEmbedder()
+        self._collections: dict[str, Collection] = {}
+
+    def provider_for(self, meta: dict[str, Any]) -> EmbeddingProvider:
+        if meta.get("embedder") == "hashing":
+            return HashingEmbedder(dim=int(meta.get("dim", 64)), seed=int(meta.get("seed", 42)))
+        return self.default_provider
+
+    # reference O1, db/kaer.go:28-40
+    def create_collection(self, name: str, dim: int | None = None) -> Collection:
+        path = os.path.join(self.root, name, "collection.json")
+        if os.path.exists(path):
+            raise ValueError(f"collection {name} already exists")
+        provider = self.default_provider
+        meta = {
+            "name": name,
+            "dim": dim or provider.dim,
+            "metric": "l2sq",
+            "embedder": "hashing" if isinstance(provider, HashingEmbedder) else "http",
+            "seed": getattr(provider, "seed", 42),
+            "next_id": 0,
+            "has_data": False,
+            "schema": None,
+        }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        coll = Collection(self, name, meta)
+        coll._save_meta()
+        self._collections[name] = coll
+        return coll
+
+    # reference O2, db/kaer.go:42-63
+    def get_collection(self, name: str) -> Collection:
+        if name in self._collections:
+            return self._collections[name]
+        path = os.path.join(self.root, name, "collection.json")
+        if not os.path.exists(path):
+            raise CollectionNotFound(name)
+        with open(path) as f:
+            meta = json.load(f)
+        coll = Collection(self, name, meta)
+        self._collections[name] = coll
+        return coll
+
+    # reference O3, db/kaer.go:65-76 (also removes data files — the
+    # reference leaks its .hnsw files; we do not)
+    def drop_collection(self, name: str) -> None:
+        self._collections.pop(name, None)
+        path = os.path.join(self.root, name)
+        if not os.path.isdir(path):
+            raise CollectionNotFound(name)
+        shutil.rmtree(path)
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, d, "collection.json"))
+        )

@@ -1,0 +1,156 @@
+"""Text-analysis expressions for the LLM-data-pipeline surface.
+
+All pure Catalyst expressions (split / transform / aggregate / sequence) —
+JVM-side, codegen-friendly, and exactly reproducible by a SQL oracle. Every
+function documents its oracle-SQL equivalent so the DuckDB correctness gate
+can replicate it bit-for-bit.
+
+Design notes for 100 TB: these are narrow per-row projections with no
+shuffle; they pipeline inside the parquet scan stage. The only wide ops in
+this module's consumers (dedup, similarity join) are documented there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kaer_spark.functions.vector import _as_col, ColumnOrName
+
+#: tiny per-language stopword lists for the n-gram/lexicon language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "que"],
+}
+# zh detection is script-based (CJK codepoints), not lexicon-based.
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+ENGLISH_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokenization; empty/blank text yields an empty array.
+
+    Oracle SQL: ``CASE WHEN trim(text)='' THEN [] ELSE
+    regexp_split_to_array(trim(text), '\\s+') END``.
+    """
+    t = F.trim(_as_col(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(c: ColumnOrName) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def char_shingles(c: ColumnOrName, n: int = 8, distinct: bool = True) -> Column:
+    """Character n-gram shingles (optionally distinct) of a string column.
+
+    Guarded so strings shorter than ``n`` produce an empty array (Spark's
+    ``sequence(1, 0)`` would otherwise count *down*).
+    """
+    col = _as_col(c)
+    idx = F.sequence(F.lit(1), F.length(col) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.substring(col, i, F.lit(n)))
+    grams = F.when(F.length(col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_shingles(c: ColumnOrName, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles joined with a single space."""
+    toks = tokens(c)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def punct_ratio(c: ColumnOrName) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    col = _as_col(c)
+    stripped = F.regexp_replace(col, r"[^A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(col) > 0,
+        (F.length(col) - F.length(stripped)).cast("double") / F.length(col),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: ColumnOrName, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or ENGLISH_STOPWORDS)])
+    toks = tokens(c)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(c: ColumnOrName) -> Column:
+    """Deterministic document-quality heuristic in [0, 1].
+
+    0.4 · min(tokens/64, 1)  — enough content
+    0.3 · (1 − punct_ratio)  — not symbol soup
+    0.3 · min(4·stopword_ratio, 1) — natural-language-ness
+
+    Pure per-row double arithmetic; identical IEEE ops on the oracle side.
+    """
+    tc = token_count(c).cast("double")
+    return (
+        F.lit(0.4) * F.least(tc / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(c))
+        + F.lit(0.3) * F.least(F.lit(4.0) * stopword_ratio(c), F.lit(1.0))
+    )
+
+
+def lang_id(c: ColumnOrName) -> Column:
+    """Lexicon/script language guesser over {en, de, es, fr, zh, und}.
+
+    CJK script share decides ``zh``; otherwise the language with the most
+    distinct stopword hits wins, ties broken by language-code order. A text
+    with zero evidence is ``und`` (undetermined).
+    """
+    col = _as_col(c)
+    toks = F.transform(tokens(col), F.lower)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
+    best = F.greatest(*scores.values())
+    expr = F.when(cjk > 0, F.lit("zh")).when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):  # deterministic tie-break: first max in order
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def doc_fingerprint(c: ColumnOrName) -> Column:
+    """Polynomial rolling-hash fingerprint of the full text.
+
+    ``fp = fold(chars, acc -> (acc*31 + codepoint) mod 1_000_000_007)`` —
+    pure int64 arithmetic (max intermediate ≈ 3.1e10), so a SQL oracle
+    reproduces it exactly:
+    ``list_reduce(list_transform(range(1, length(t)+1),
+    i -> ascii(substr(t, i, 1))), (a, x) -> (a*31 + x) % 1000000007)``
+    (DuckDB's reduce seeds with the first element, which equals our
+    ``(0*31 + c1) mod p`` first step).
+    """
+    col = _as_col(c)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substring(col, i, F.lit(1))).cast("long"),
+    )
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
+    )
+    return F.when(F.length(col) > 0, folded).otherwise(F.lit(0).cast("long"))

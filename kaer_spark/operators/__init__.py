@@ -1,0 +1,34 @@
+"""Distributed operators: kNN search/join, dedup family, similarity search.
+
+These are the engine's extension surface beyond the reference's
+insert/query core (SURVEY.md §2.3, §7.1 step 8) — each one a composition of
+built-in DataFrame ops (shuffle-aware, AQE-friendly), with pandas-UDF paths
+only where Spark genuinely lacks the primitive (partitioned ANN index build).
+"""
+
+from kaer_spark.operators.knn import exact_knn, knn_join
+from kaer_spark.operators.dedup import (
+    exact_dedup,
+    embedding_near_dups,
+    minhash_signatures,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from kaer_spark.operators.similarity import brute_force_topk, lsh_index, lsh_topk
+
+__all__ = [
+    "exact_knn",
+    "knn_join",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_near_dups",
+    "simhash",
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "brute_force_topk",
+    "lsh_index",
+    "lsh_topk",
+]

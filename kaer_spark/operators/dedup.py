@@ -1,0 +1,338 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine — the core LLM-training-data operators.
+
+None of these exist in the reference (SURVEY.md §2.3); they are the
+north-star extensions, built entirely from Catalyst-native expressions so
+every variant is reproducible by a SQL oracle (the hash functions are plain
+int64 polynomial arithmetic, not JVM murmur/xxhash, precisely so DuckDB can
+replay them bit-for-bit).
+
+Scale design (100 TB):
+
+* exact dedup — hash-aggregate on the key projection; map-side partial
+  aggregation makes the shuffle carry one row per distinct key per task.
+* n-gram Jaccard — inverted-index self-join on shingles. The
+  ``max_doc_freq`` cap drops ubiquitous shingles (stopword-grams), which is
+  what keeps the candidate-pair explosion bounded on web-scale corpora.
+* MinHash-LSH — fixed-width signatures (k hashes) + banding: candidate
+  pairs only for band collisions, then exact-Jaccard verification of the
+  candidates. Shuffle volume is O(docs × bands), independent of corpus
+  pair count.
+* SimHash — one 24-bit fingerprint per doc, banded by bytes; hamming
+  verification via bit_count(xor).
+* embedding near-dup — blocked all-pairs cosine; at scale the blocking
+  column comes from an LSH/IVF bucketer (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kaer_spark.functions.text import char_shingles, tokens
+from kaer_spark.functions.vector import dot, vector_norm
+
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+SIMHASH_BITS = 24
+
+
+def _poly_hash(str_col: Column) -> Column:
+    """Polynomial char hash of a (short) string column — same recurrence as
+    functions.text.doc_fingerprint; pure int64 arithmetic, oracle-replayable."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(str_col)),
+        lambda i: F.ascii(F.substring(str_col, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+    )
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    ``h_j(x) = (a_j·x + b_j) mod P`` — derived from the seed by a fixed
+    LCG so the oracle SQL can embed the identical constants."""
+    coeffs = []
+    state = seed * 2654435761 % HASH_MOD
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) % HASH_MOD
+        a = state | 1  # odd, non-zero
+        state = (state * 1103515245 + 12345) % HASH_MOD
+        b = state
+        coeffs.append((a, b))
+    return coeffs
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataFrame:
+    """One representative row id per distinct key group (deterministic:
+    min id), plus the group size. ``dropDuplicates`` keeps an arbitrary row;
+    this variant is stable and therefore oracle-checkable."""
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dedup (inverted-index self-join)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) whose distinct char-``n``-gram Jaccard ≥ threshold.
+
+    ``max_doc_freq`` drops shingles occurring in more than that many docs
+    before the join — the standard web-scale candidate-pruning knob. It
+    changes the semantics to "Jaccard over rare shingles": set sizes are
+    recomputed over the *kept* shingles so intersection and union agree.
+    (Ubiquitous shingles carry no dedup signal but dominate sum(df²), the
+    inverted-join's pair work — the cap is what bounds shuffle volume on a
+    web-scale corpus. Leave None for exact Jaccard.)
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, n=n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    inv = sh.select("id", F.explode("shingles").alias("g"))
+    if max_doc_freq is not None:
+        keep = inv.groupBy("g").count().filter(F.col("count") <= max_doc_freq)
+        inv = inv.join(keep.select("g"), "g")
+    # the inverted index feeds three consumers (sizes, both join sides);
+    # without a persist Spark recomputes the shingle expressions per consumer
+    inv = inv.persist()
+    sizes = inv.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>, shingles) — MinHash over distinct char n-grams.
+
+    Each signature slot j is ``min over shingles of (a_j·fp + b_j) mod P``
+    where fp is the polynomial shingle hash. All arithmetic stays below
+    2^60 (a, fp < 2^30), so int64-exact — and exactly reproducible in SQL.
+    """
+    coeffs = minhash_coeffs(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, n=n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    fps = F.transform(F.col("shingles"), _poly_hash)
+
+    def slot(a: int, b: int):
+        return F.array_min(F.transform(fps, lambda f: (f * a + b) % HASH_MOD))
+
+    sig = F.array(*[slot(a, b) for a, b in coeffs])
+    return sh.withColumn("sig", sig)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-banded MinHash near-dup pairs, verified by exact Jaccard.
+
+    Candidates: pairs agreeing on at least one band (rows/band =
+    num_hashes/bands). Verification computes true Jaccard on the distinct
+    shingle sets, so the output is exact *given* the candidate set —
+    identical to what the oracle computes with the same banding.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bi * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select("id", "shingles")
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) — ``bits``-wide SimHash over word tokens.
+
+    Token hash = polynomial char hash (< 2^30, so every bit test is exact
+    int arithmetic). Bit b of the fingerprint is set iff the sum over all
+    tokens (with multiplicity) of ±1 on that token-hash bit is > 0.
+    """
+    toks = tokens(text_col)
+    hashes = F.transform(toks, _poly_hash)
+    fp = F.lit(0).cast("long")
+
+    def bit_vote(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    for b in range(bits):
+        fp = fp + F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    bands: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidates: equality on any of ``bands`` contiguous bit-bands (a pair
+    within hamming ≤ bands−1 always collides on ≥1 band; wider distances
+    are best-effort, the standard SimHash-dedup trade-off). Verification:
+    ``bit_count(xor)``.
+    """
+    band_bits = bits // bands
+    sh = simhash(df, id_col, text_col, bits)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit(2**band_bits - 1))
+                        .alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine similarity ≥ threshold.
+
+    ``block_col`` restricts candidate pairs to equal blocking keys (label,
+    LSH bucket, IVF cell …) — at scale, feed this from
+    ``operators.similarity.lsh_index`` buckets; unblocked all-pairs is the
+    small-data / oracle path.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    # Precompute each row's norm ONCE before the pair join — the naive form
+    # recomputes both norms for every pair, tripling the quadratic-stage work.
+    base = df.select(*cols).withColumn("nrm", vector_norm("v"))
+    a, b = base.alias("a"), base.alias("b")
+    on = F.col("a.id") < F.col("b.id")
+    joined = a.join(b, on=(F.col("a.blk") == F.col("b.blk")) & on if block_col else on)
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(denom != 0.0, dot(F.col("a.v"), F.col("b.v")) / denom)
+    return (
+        joined.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("cosine")
+        )
+    )

@@ -1,0 +1,61 @@
+"""SparkSession construction tuned for this engine.
+
+The reference boots an embedded PostgreSQL + FerretDB proxy per process
+(``/root/reference/db/kaer.go:84-117``); here the entire ladder collapses to
+one SparkSession over a warehouse directory.
+
+Scale notes (100 TB design, tested on local[32]):
+
+* AQE on — runtime shuffle-partition coalescing and skew-join splitting mean
+  one static ``spark.sql.shuffle.partitions`` value survives a 1000× scale-up.
+* Arrow enabled — every pandas-UDF boundary (embedding provider, multimodal
+  decode) moves columnar batches, not pickled rows.
+* Session timezone pinned to UTC so results are reproducible against
+  timestamp-naive oracles (DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # local[32] on 128 GiB: single JVM, driver memory is the only knob.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "kaer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``); ``shuffle_partitions`` defaults to the core count so local
+    shuffles are neither over- nor under-parallelized.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

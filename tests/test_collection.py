@@ -1,0 +1,93 @@
+"""Collection lifecycle + the reference's own end-to-end example (F-Q1,
+/root/reference/main.go:29-52) + ingest invariants (F-Q5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kaer_spark.context import (
+    CollectionNotFound,
+    FieldLengthMismatch,
+    KaerContext,
+    dense_ids,
+)
+
+
+@pytest.fixture()
+def ctx(spark, tmp_path):
+    return KaerContext(spark, str(tmp_path / "kaer"))
+
+
+def test_fq1_reference_example(ctx):
+    """create "test" → insert 2 docs → query("h, world", 1, {attr1:{$eq:1}})
+    → exactly the attr1=1 "hello world" row (filter admits one candidate, so
+    top-1 is embedding-independent)."""
+    coll = ctx.create_collection("test")
+    coll.insert(
+        ["hello world", "nihao, shijie"],
+        [{"attr1": 1, "attr2": "str1"}, {"attr1": 200, "attr2": "str2"}],
+    )
+    rows = coll.query("h, world", k=1, filter={"attr1": {"$eq": 1}}).collect()
+    assert len(rows) == 1
+    assert rows[0]["_m_doc"] == "hello world"
+    assert rows[0]["attr1"] == 1
+
+
+def test_ddl_lifecycle(ctx):
+    ctx.create_collection("c1")
+    assert ctx.list_collections() == ["c1"]
+    with pytest.raises(ValueError):
+        ctx.create_collection("c1")
+    assert ctx.get_collection("c1") is not None
+    ctx.drop_collection("c1")
+    assert ctx.list_collections() == []
+    with pytest.raises(CollectionNotFound):
+        ctx.get_collection("c1")
+    with pytest.raises(CollectionNotFound):
+        ctx.drop_collection("c1")
+
+
+def test_insert_validation(ctx):
+    coll = ctx.create_collection("v")
+    with pytest.raises(FieldLengthMismatch):
+        coll.insert(["a", "b"], [{"x": 1}])
+
+
+def test_fq5_ingest_invariants(ctx, spark):
+    """Dense strictly-increasing ids across sequential inserts; counts
+    survive re-open in a fresh context (the intent of the reference's
+    id-recovery path db/db.go:145-174, with its min/max bug fixed)."""
+    coll = ctx.create_collection("inv")
+    coll.insert([f"doc {i} alpha beta" for i in range(7)], [{"b": 0}] * 7)
+    coll.insert([f"doc {i} gamma delta" for i in range(5)], [{"b": 1}] * 5)
+    ids = sorted(r[0] for r in coll.df().select("_m_id").collect())
+    assert ids == list(range(12))
+    b1 = {r[0] for r in coll.df().filter("b = 1").select("_m_id").collect()}
+    assert b1 == set(range(7, 12))  # second batch strictly after the first
+
+    reopened = KaerContext(spark, ctx.root).get_collection("inv")
+    assert reopened.count() == 12
+    assert reopened.meta["next_id"] == 12
+    reopened.insert(["late arrival"], [{"b": 2}])
+    ids2 = sorted(r[0] for r in reopened.df().select("_m_id").collect())
+    assert ids2 == list(range(13))
+
+
+def test_fq3_edge_cases(ctx):
+    coll = ctx.create_collection("edge")
+    coll.insert(["a b c", "d e f", "g h i"], [{"n": i} for i in range(3)])
+    # filter matches zero rows → empty, no error (db/db.go:113-141 returns nil)
+    assert coll.query("a", k=5, filter={"n": {"$gt": 99}}).count() == 0
+    # k > matching rows → all matches
+    assert coll.query("a", k=100, filter={"n": {"$lte": 1}}).count() == 2
+    # k = 0 → empty
+    assert coll.query("a", k=0).count() == 0
+
+
+def test_dense_ids_with_order(spark):
+    df = spark.range(100).selectExpr("id * 37 % 101 AS key")
+    out = dense_ids(df, start=10, order_col="key")
+    rows = out.orderBy("key").collect()
+    assert [r["_m_id"] for r in rows] == list(range(10, 110))
+    # ids follow the requested order
+    assert rows == sorted(rows, key=lambda r: r["_m_id"])

@@ -1,0 +1,119 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding
+cosine — determinism + cross-checks against brute-force Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kaer_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different content about spark shuffles and parquet"),
+        (4, "another unrelated sentence mentioning catalyst and tungsten"),
+        (5, base + " with a small suffix"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = {r["rep_id"]: r["dup_count"] for r in exact_dedup(dup_docs, ["text"]).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 6
+    assert len(out) == 5
+
+
+def _py_jaccard(a: str, b: str, n: int) -> float:
+    sa = {a[i : i + n] for i in range(len(a) - n + 1)}
+    sb = {b[i : i + n] for i in range(len(b) - n + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    rows = dup_docs.collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, n=5, threshold=0.4).collect()
+    }
+    # brute-force expectation
+    want = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = _py_jaccard(texts[i], texts[j], 5)
+                if jac >= 0.4:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(
+            dup_docs, n=5, num_hashes=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] == 1.0  # identical docs always collide
+    # verified jaccard values are the exact ones
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    for (a, b), jac in out.items():
+        assert abs(jac - _py_jaccard(texts[a], texts[b], 5)) < 1e-12
+    # nothing below threshold leaks through verification
+    assert all(j >= 0.4 for j in out.values())
+
+
+def test_minhash_signature_determinism(dup_docs):
+    s1 = {r["id"]: r["sig"] for r in minhash_signatures(dup_docs, n=5).collect()}
+    s2 = {r["id"]: r["sig"] for r in minhash_signatures(dup_docs, n=5).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text → identical signature
+    assert len(s1[0]) == 16
+
+
+def test_simhash(dup_docs):
+    out = {r["id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+    assert out[0] == out[1]
+    assert all(0 <= v < 2**24 for v in out.values())
+    near = simhash_near_dups(dup_docs, max_hamming=6).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in near}
+    assert (0, 1) in pairs
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in near}
+    assert hams[(0, 1)] == 0
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),   # near dup of 0
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0], 1),    # same dir as 0, different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert got == {(0, 1), (0, 3), (1, 3)}
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold=0.95, block_col="label").collect()
+    }
+    assert blocked == {(0, 1)}

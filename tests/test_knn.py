@@ -1,0 +1,121 @@
+"""Exact kNN (F-Q2 matrix) vs DuckDB, kNN join, and plan-shape checks."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from kaer_spark.filters import filter_to_sql
+from kaer_spark.functions.vector import cosine_similarity, dot, l2sq
+from kaer_spark.operators.knn import exact_knn, knn_join
+
+# deterministic fixture query vector (dim 64), literal in both engines
+QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _duck_l2sq(vec_expr: str, q: list[float]) -> str:
+    terms = " + ".join(
+        f"(CAST({vec_expr}[{i + 1}] AS DOUBLE) - ({v!r}))^2" for i, v in enumerate(q)
+    )
+    return f"({terms})"
+
+
+FILTERS = [
+    ({}, [1, 5, 50]),
+    ({"lang": {"$eq": "de"}}, [1, 5, 50]),
+    ({"source": {"$in": ["src1", "src2", "src3"]}}, [5]),
+    ({"n_chars": {"$gt": 250}}, [5]),
+    ({"$and": [{"lang": "en"}, {"n_chars": {"$lte": 300}}]}, [5]),
+    ({"$or": [{"lang": "zh"}, {"source": "src5"}]}, [5]),
+    ({"lang": {"$ne": "en"}}, [5]),
+]
+
+
+@pytest.mark.parametrize(
+    "filt,ks", FILTERS, ids=[str(f)[:40] for f, _ in FILTERS]
+)
+def test_fq2_filtered_knn_vs_duckdb(corpus, sf_dir, filt, ks):
+    for k in ks:
+        got = [
+            r[0]
+            for r in exact_knn(
+                corpus, QVEC, k, vec_col="embedding", id_col="doc_id", filter=filt
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"""
+                SELECT d.doc_id
+                FROM '{sf_dir}/documents.parquet' d
+                JOIN '{sf_dir}/embeddings.parquet' e ON d.doc_id = e.vec_id
+                WHERE {filter_to_sql(filt)}
+                ORDER BY {_duck_l2sq('e.embedding', QVEC)}, d.doc_id
+                LIMIT {k}
+                """
+            ).fetchall()
+        ]
+        assert got == want, f"filter={filt} k={k}"
+
+
+def test_vector_functions_vs_numpy(embeddings):
+    import numpy as np
+
+    rows = (
+        embeddings.withColumn("d", l2sq("embedding", QVEC))
+        .withColumn("dp", dot("embedding", QVEC))
+        .withColumn("cos", cosine_similarity("embedding", QVEC))
+        .select("embedding", "d", "dp", "cos")
+        .limit(20)
+        .collect()
+    )
+    q = np.array(QVEC)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert abs(r["d"] - float(((v - q) ** 2).sum())) < 1e-9
+        assert abs(r["dp"] - float(v @ q)) < 1e-9
+        expect_cos = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r["cos"] - expect_cos) < 1e-9
+
+
+def test_knn_join_matches_per_query_exact(corpus, embeddings):
+    queries = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") < 3)
+    out = knn_join(
+        queries,
+        corpus,
+        k=4,
+        query_id_col="vec_id",
+        corpus_id_col="doc_id",
+        metric="l2sq",
+    )
+    got = {
+        (r["vec_id"], r["rank"]): r["doc_id"] for r in out.collect()
+    }
+    for qid in range(3):
+        qvec = (
+            embeddings.filter(F.col("vec_id") == qid).select("embedding").collect()
+        )[0][0]
+        expected = [
+            r[0]
+            for r in exact_knn(
+                corpus, list(qvec), 4, vec_col="embedding", id_col="doc_id"
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        assert [got[(qid, rank)] for rank in range(1, 5)] == expected
+    # rank 1 of each query is the query row itself (distance 0)
+    for qid in range(3):
+        assert got[(qid, 1)] == qid
+
+
+def test_knn_plan_is_top_k_not_global_sort(corpus):
+    plan = exact_knn(
+        corpus, QVEC, 5, vec_col="embedding", id_col="doc_id", filter={"lang": "en"}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
