@@ -61,6 +61,8 @@ JACCARD_THRESHOLD = 0.4
 # rare-shingle cap: shingles present in more docs carry no dedup signal but
 # dominate the inverted join's sum(df²) pair work (561M → 5.7M at sf0.1)
 JACCARD_MAX_DF = 100
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
 # fixture embeddings are near-random (max within-label cosine ≈ 0.47), so the
 # "near-dup" threshold is set where the fixture actually has matching pairs
 COSINE_DUP_THRESHOLD = 0.35
@@ -335,6 +337,96 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# further extension operators: set ops, rollup, pivot, as-of join, minhash,
+# multimodal feature extraction
+# ---------------------------------------------------------------------------
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_buyers = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    negative = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return building.intersect(big_buyers).union(negative).distinct().exceptAll(
+        orders.filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+def _q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+def _q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+def _q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaer_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    return asof_join(clicks, signups, on="ts", by="user_id").select(
+        "event_id", "user_id", "signup_event"
+    )
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaer_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+        seed=42,
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaer_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, digest="md5")
+    # histogram serialized to CSV: array-typed outputs don't hash portably
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        F.array_join(
+            F.transform("byte_histogram", lambda x: x.cast("string")), ","
+        ).alias("hist_csv"),
+        "content_digest",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_topk": _q_knn(None, 10),
@@ -358,6 +450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "set_ops": _q_set_ops,
+        "rollup_agg": _q_rollup_agg,
+        "pivot_agg": _q_pivot_agg,
+        "asof_signup": _q_asof_signup,
+        "dedup_minhash": _q_dedup_minhash,
+        "multimodal_features": _q_multimodal_features,
     }
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
@@ -519,6 +617,71 @@ def _sql_lang_id_counts() -> str:
     """
 
 
+def _sql_minhash() -> str:
+    from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
+
+    n = JACCARD_N
+    coeffs = minhash_coeffs(MINHASH_HASHES, 42)
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    slots = ", ".join(
+        f"list_min(list_transform(fps, f -> (f * {a} + {b}) % {HASH_MOD})) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, "
+        + " || ',' || ".join(
+            f"CAST(s{bi * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS key FROM sigs"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                              i -> substr(text, i, {n}))) AS shingles
+          FROM documents WHERE length(text) >= {n}
+        ),
+        fps AS (SELECT id, shingles,
+                       list_transform(shingles, s -> {_sql_poly_hash('s')}) AS fps
+                FROM sh),
+        sigs AS (SELECT id, shingles, {slots} FROM fps),
+        banded AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b USING (band, key)
+          WHERE a.id < b.id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              >= {JACCARD_THRESHOLD!r}
+    """
+
+
+def _sql_multimodal() -> str:
+    # documents.text is pure ASCII in the fixtures (verified), so UTF-8 bytes
+    # == codepoints and the oracle can replay byte features from characters
+    codes = "list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)))"
+    hist_csv = " || ',' || ".join(
+        f"CAST(len(list_filter({codes}, c -> c // 16 = {b})) AS VARCHAR)"
+        for b in range(16)
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(list_sum({codes}) AS DOUBLE) / length(text) AS byte_mean,
+               {hist_csv} AS hist_csv,
+               md5(text) AS content_digest
+        FROM documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "knn_topk": _sql_knn(None, 10),
@@ -627,6 +790,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id
         """,
+        "set_ops": """
+            SELECT custkey FROM (
+              SELECT custkey FROM (
+                SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                INTERSECT
+                SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+              )
+              UNION
+              SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+            )
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_agg": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O'
+                            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+                   CAST(sum(CASE WHEN l_linestatus = 'F'
+                            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_signup": """
+            WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type
+                       FROM events)
+            SELECT c.event_id, c.user_id, s.event_id AS signup_event
+            FROM (SELECT * FROM e WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id AND c.ts >= s.ts
+        """,
+        "dedup_minhash": _sql_minhash(),
+        "multimodal_features": _sql_multimodal(),
     }
     for name, filt in FILTER_CASES.items():
         out[name] = _sql_filter(filt)

@@ -1,0 +1,101 @@
+"""As-of join — for each left row, the latest right row with
+``right.ts <= left.ts`` per key. Spark has no native as-of join; this is
+the scalable union-merge formulation:
+
+1. tag both sides and union them (schema-aligned),
+2. one shuffle: window partitioned by key, ordered by (ts, side),
+3. ``last_value(right payload, ignorenulls)`` carries the most recent
+   right-side row forward onto every left row.
+
+Cost: a single hash shuffle by key + per-partition sort — no range
+explosion, no per-key driver loop, skew handled by AQE. This beats the
+join-then-filter formulation (which materializes |left|×|right-per-key|
+candidates) and is the standard large-scale shape; ``pd.merge_asof`` inside
+``applyInPandas`` is the fallback for exotic tolerances.
+
+Tie rule: right rows at exactly ``ts`` count (<=); among equal-ts right
+rows the one with the greatest tiebreak column wins (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each ``left`` row: columns of the latest ``right`` row with
+    ``right[on] <= left[on]`` and equal ``by`` key (NULL if none).
+
+    ``on`` must be an orderable numeric/timestamp column present in both;
+    ``tolerance`` (same units as ``on``) drops matches older than
+    ``left[on] - tolerance``.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+
+    l_tagged = left.withColumn("__side", F.lit(1))
+    r_payload = F.struct(
+        F.col(on).alias("__r_on"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r_tagged = (
+        right.select(
+            F.col(by),
+            F.col(on),
+            r_payload.alias("__r"),
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    # align schemas for the union: left carries a null payload
+    l_aligned = l_tagged.select(
+        F.col(by),
+        F.col(on),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        "__side",
+        *[c for c in left.columns if c not in (by, on)],
+    )
+    r_aligned = r_tagged.select(
+        by,
+        on,
+        "__r",
+        "__side",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (by, on)],
+    )
+    unioned = l_aligned.unionByName(r_aligned)
+
+    # right rows sort before left rows at equal ts (side 0 < 1) so a
+    # same-instant right row is visible to the left row (<= semantics)
+    # the trailing __r sort makes the winner among equal-ts right rows
+    # deterministic (struct comparison: __r_on, then right_cols in order)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__r").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn(
+        "__match", F.last(F.col("__r"), ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col(f"__match.__r_on") >= F.col(on) - F.lit(tolerance),
+                F.col("__match"),
+            ),
+        )
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__match.__r_on").alias(f"{on}{suffix}"))
+    out_cols.extend(F.col(f"__match.{c}").alias(f"{c}{suffix}") if c in left.columns
+                    else F.col(f"__match.{c}").alias(c) for c in right_cols)
+    return matched.select(*out_cols)

@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample stages as
+Arrow-batched ``mapInPandas`` operators.
+
+The container has no image/audio codecs, so the *decode* step is stubbed:
+``decode=\"real\"`` raises ``NotImplementedError`` unless PIL/soundfile are
+importable, and the default ``decode=\"fake\"`` derives deterministic
+pseudo-features from the raw bytes. Everything Spark-side — schema,
+partition flow, UDF signatures, Arrow batch shapes — is real and tested;
+swapping the fake for a codec is a one-function change.
+
+Scale notes (100 TB of media):
+
+* media bytes stay in executor-side Arrow buffers; nothing but the
+  extracted features ever shuffles. Feature extraction is a narrow map.
+* batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  — set it low (e.g. 64) for multi-MB media values.
+* the blob column should be stored LAST in parquet files and pruned unless
+  needed (column pruning means metadata-only queries never touch bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kaer_spark.embeddings import _ensure_package_shipped
+
+#: typed metadata carried beside every media blob
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text", media_col: str = "media") -> DataFrame:
+    """Deterministically synthesize a media blob per row (UTF-8 bytes of the
+    text — a stand-in payload) plus typed metadata. Pure Catalyst exprs."""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(blob).cast("long")
+    meta = F.struct(
+        F.lit("application/x-fake").alias("mime"),
+        n.alias("n_bytes"),
+        (F.pmod(n, F.lit(640)) + 1).cast("int").alias("width"),
+        (F.pmod(n * 7, F.lit(480)) + 1).cast("int").alias("height"),
+        (n * 40).alias("duration_ms"),
+    )
+    return df.withColumn(media_col, blob).withColumn(f"{media_col}_meta", meta)
+
+
+FEATURE_DIM = 16
+
+_FEATURE_FIELDS = [
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("byte_mean", T.DoubleType(), False),
+    T.StructField("byte_histogram", T.ArrayType(T.LongType()), False),
+    T.StructField("content_digest", T.StringType(), False),
+]
+
+
+def extract_media_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+    digest: str = "blake2b",
+) -> DataFrame:
+    """Per-blob feature extraction over ``mapInPandas`` (Arrow batches).
+
+    ``decode="real"`` would hand bytes to a codec — unavailable in this
+    container, so it raises ``NotImplementedError``. ``decode="fake"``
+    computes deterministic byte-level features (length, mean, 16-bucket
+    histogram, blake2b digest): real plumbing, fake optics.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "no image/audio codecs in this environment; use decode='fake' "
+            "(swap this branch for PIL/soundfile on a real cluster)"
+        )
+    if decode != "fake":
+        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
+
+    _ensure_package_shipped(df.sparkSession)
+    out_schema = T.StructType(
+        [df.schema[id_col]] + _FEATURE_FIELDS
+    )
+    dim = FEATURE_DIM
+    if digest == "blake2b":
+        digest_fn = lambda b: hashlib.blake2b(b, digest_size=8).hexdigest()  # noqa: E731
+    elif digest == "md5":  # md5 exists in common SQL oracles (cross-checkable)
+        digest_fn = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
+    else:
+        raise ValueError(f"unknown digest {digest!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(arr // (256 // dim), minlength=dim)
+                rows.append(
+                    {
+                        id_col: rid,
+                        "n_bytes": int(arr.size),
+                        "byte_mean": float(arr.mean()) if arr.size else 0.0,
+                        "byte_histogram": hist.astype(np.int64).tolist(),
+                        "content_digest": digest_fn(bytes(blob)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame, media_col: str = "media", width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize stage — decode-dependent, so stubbed in this container."""
+    raise NotImplementedError(
+        "resize requires an image codec (PIL) not present in this container; "
+        "the mapInPandas plumbing mirrors extract_media_features"
+    )
+
+
+def sample_frames(
+    df: DataFrame, media_col: str = "media", every_ms: int = 1000
+) -> DataFrame:
+    """Video frame sampling — decode-dependent; deterministic *frame index*
+    computation is real (from metadata), frame decode is stubbed."""
+    meta = f"{media_col}_meta"
+    if meta not in df.columns:
+        raise ValueError(f"missing {meta} column (see attach_fake_media)")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.col(f"{meta}.duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return df.withColumn("frame_offsets_ms", idx)

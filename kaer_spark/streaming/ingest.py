@@ -1,0 +1,102 @@
+"""Structured-Streaming surface: streaming ingest into a collection and
+event-time windowed aggregation.
+
+The reference's closest analogue is incremental insert + every-1000-ids
+index checkpoint (``/root/reference/db/db.go:91-97``) and
+catch-up-from-last-id recovery (``db/db.go:191-207``). Here both collapse
+onto Spark's own mechanics: ``foreachBatch`` gives exactly-once batch
+appends, and the streaming checkpoint directory *is* the recovery cursor —
+no bespoke meta rows.
+
+Scale notes: the insert path is the batch insert path (same dense-id
+allocation, same embedding stage) applied per micro-batch; state for
+windowed aggs is bounded by the watermark, and ``session_window`` handles
+gap-based sessionization without custom state code.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kaer_spark.context import Collection
+
+
+def stream_insert(
+    collection: Collection,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    text_col: str = "_m_doc",
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Continuously ingest a streaming DataFrame into a collection.
+
+    Each micro-batch runs the normal insert path (dense ids continue from
+    the collection's catalog cursor; single-writer semantics, matching the
+    reference's process-local id counter, ``db/db.go:75``).
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collection.insert_df(batch_df, text_col=text_col)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Event-time tumbling-window counts/sums; works identically on a batch
+    or streaming DataFrame (the batch run is the correctness oracle for the
+    streaming one — tested in tests/test_streaming.py)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows (native ``session_window`` — the streaming
+    twin of the batch lag+cumsum sessionization in ``__spark_entry__``)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -1,0 +1,91 @@
+"""As-of join vs DuckDB's native ASOF JOIN (the oracle) + edge cases."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from kaer_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 100, 10.0), (2, "A", 205, 11.0), (3, "A", 300, 12.0),
+         (4, "B", 150, 20.0), (5, "B", 90, 21.0), (6, "C", 500, 30.0)],
+        "trade_id long, sym string, ts long, price double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 90, 9.9), ("A", 100, 10.1), ("A", 200, 10.9), ("A", 205, 11.1),
+         ("B", 100, 19.9), ("B", 160, 20.9)],
+        "sym string, ts long, quote double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_vs_duckdb(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="sym").orderBy("trade_id")
+    got = [
+        (r["trade_id"], r["ts_right"], r["quote"]) for r in out.collect()
+    ]
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    want = [
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT t.trade_id, q.ts, q.quote
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.sym = q.sym AND t.ts >= q.ts
+            ORDER BY t.trade_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    # semantic spot-checks: <= inclusive; no match → NULL; key isolation
+    d = {t: (ts, q) for t, ts, q in got}
+    assert d[2] == (205, 11.1)   # equal-ts right row matches (<=)
+    assert d[5] == (None, None)  # before any quote
+    assert d[6] == (None, None)  # key with no right rows
+
+
+def test_asof_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="sym", tolerance=10)
+    d = {r["trade_id"]: r["quote"] for r in out.collect()}
+    assert d[1] == 10.1          # exact-age 0 match kept
+    assert d[3] is None          # quote at 205 is 95 old > 10
+    assert d[4] is None          # quote at 100 is 50 old
+
+
+def test_asof_events_scale(spark, sf_dir):
+    """As-of on the events fixture: each click matched to the user's most
+    recent signup — cross-checked against DuckDB ASOF JOIN."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(clicks, signups, on="ts", by="user_id")
+    got = {r["event_id"]: r["signup_event"] for r in out.collect()}
+
+    want = dict(
+        duckdb.sql(
+            f"""
+            WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type
+                       FROM read_parquet('{sf_dir}/events.parquet'))
+            SELECT c.event_id, s.event_id
+            FROM (SELECT * FROM e WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id AND c.ts >= s.ts
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 100

@@ -1,0 +1,64 @@
+"""Approximate similarity paths (MLlib LSH, IVF) validated by recall@k
+against the exact brute-force oracle — never by hash match (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kaer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_fit,
+    ivf_topk,
+    lsh_index,
+    lsh_topk,
+    recall_at_k,
+)
+
+QVEC = [((i * 29) % 17 - 8) / 8.0 for i in range(64)]
+
+
+def test_brute_force_topk_deterministic(embeddings):
+    a = [r["vec_id"] for r in brute_force_topk(embeddings, QVEC, 10, metric="l2sq").collect()]
+    b = [r["vec_id"] for r in brute_force_topk(embeddings, QVEC, 10, metric="l2sq").collect()]
+    assert a == b and len(a) == 10
+
+
+def test_lsh_recall(embeddings):
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    model, indexed = lsh_index(embeddings, bucket_length=5.0, num_hash_tables=4)
+    approx = lsh_topk(model, indexed, QVEC, 10)
+    r = recall_at_k(approx, exact, "vec_id")
+    assert r >= 0.5, f"LSH recall@10 too low: {r}"
+
+
+def test_ivf_recall_and_pruning(embeddings):
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    model = ivf_fit(embeddings, cells=8)
+    assigned = ivf_assign(model, embeddings).persist()
+    # probing all cells must equal exact
+    full = ivf_topk(model, assigned, QVEC, 10, nprobe=8)
+    assert recall_at_k(full, exact, "vec_id") == 1.0
+    # probing fewer cells trades recall for touched data
+    part = ivf_topk(model, assigned, QVEC, 10, nprobe=3)
+    r = recall_at_k(part, exact, "vec_id")
+    assert r >= 0.3, f"IVF nprobe=3 recall@10: {r}"
+    # pruning really prunes: candidate set smaller than corpus
+    probed = ivf_topk(model, assigned, QVEC, 500, nprobe=3).count()
+    assert probed < embeddings.count()
+
+
+def test_lsh_similarity_join(embeddings):
+    from kaer_spark.operators.similarity import lsh_similarity_join
+
+    model, indexed = lsh_index(embeddings, bucket_length=5.0, num_hash_tables=4)
+    left = indexed.filter(F.col("vec_id") < 20)
+    out = lsh_similarity_join(model, left, indexed, threshold=8.0)
+    pairs = out.select(
+        F.col("datasetA.vec_id").alias("a"), F.col("datasetB.vec_id").alias("b"), "dist"
+    ).collect()
+    # self-pairs at distance 0 must be present
+    selfs = {r["a"] for r in pairs if r["a"] == r["b"] and r["dist"] == 0.0}
+    assert selfs == set(range(20))

@@ -1,0 +1,132 @@
+"""Structured-Streaming surface: streaming ingest (ids dense across
+micro-batches), and stream-vs-batch answer equivalence for windowed aggs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kaer_spark.context import KaerContext
+from kaer_spark.streaming.ingest import (
+    sessionized_counts,
+    stream_insert,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir, tmp_path_factory):
+    """events fixture rewritten as µs timestamps in several files (Spark
+    can't read the ns-precision original directly; see __spark_entry__)."""
+    import duckdb
+
+    out = str(tmp_path_factory.mktemp("events_us"))
+    duckdb.sql(
+        f"""
+        COPY (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                     event_type, value, props
+              FROM read_parquet('{sf_dir}/events.parquet'))
+        TO '{out}' (FORMAT PARQUET, PER_THREAD_OUTPUT TRUE)
+        """
+    )
+    return out
+
+
+def _run_stream(df_stream, transform, tmp_path, name):
+    q = (
+        transform(df_stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_stream_equals_batch_windowed(spark, events_batch, tmp_path):
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(events_batch)
+    )
+    name = _run_stream(stream, windowed_event_counts, tmp_path, "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = spark.read.parquet(events_batch)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(batch).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_equals_batch_sessionized(spark, events_batch, tmp_path):
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_batch)
+    )
+    name = _run_stream(stream, sessionized_counts, tmp_path, "sess_counts")
+    got = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = spark.read.parquet(events_batch)
+    want = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in sessionized_counts(batch).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_insert_dense_ids(spark, tmp_path):
+    """Streaming ingest: ids stay dense and strictly increasing across
+    micro-batches (the reference's incremental-insert invariant)."""
+    src = tmp_path / "src"
+    os.makedirs(src)
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("stream")
+
+    schema = "batch INT, _m_doc STRING"
+    spark.createDataFrame([(0, f"doc a{i}") for i in range(5)], schema).write.parquet(
+        f"{src}/b0"
+    )
+    stream = (
+        spark.readStream.schema("batch INT, _m_doc STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_insert(coll, stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    spark.createDataFrame([(1, f"doc b{i}") for i in range(3)], schema).write.parquet(
+        f"{src}/b1"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = coll.df().select("batch", "_m_id").collect()
+    ids = sorted(r["_m_id"] for r in rows)
+    assert ids == list(range(8))
+    b0 = {r["_m_id"] for r in rows if r["batch"] == 0}
+    assert b0 == set(range(5))  # second batch strictly after the first
+    assert coll.meta["next_id"] == 8
