@@ -185,6 +185,28 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaer_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("quality", quality_score("text"))
+        .filter((F.col("quality") >= 0.8) & (F.col("n_chars") >= 100))
+        .select("doc_id", "lang", "quality")
+    )
+
+
 def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -443,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "text_stats": _q_text_stats,
         "lang_id_counts": _q_lang_id_counts,
+        "top_tokens": _q_top_tokens,
+        "quality_filter": _q_quality_filter,
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
@@ -571,12 +595,12 @@ def _sql_embedding_dups() -> str:
     """
 
 
-def _sql_text_stats() -> str:
+def _sql_quality_parts() -> tuple[str, str, str]:
+    """(token_count, punct_ratio, quality) SQL expressions over ``text`` —
+    the literal DuckDB replay of functions.text.quality_score."""
     toks = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
     stripped = "regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')"
     pr = f"CASE WHEN length(text) > 0 THEN CAST(length(text) - length({stripped}) AS DOUBLE) / length(text) ELSE 0.0 END"
-    sw = "', '.join"  # placeholder removed below
-    del sw
     stop = "['the','a','of','and','to','in','is','it','for','on']"
     toks_arr = "CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
     swr = (
@@ -588,6 +612,11 @@ def _sql_text_stats() -> str:
         f"+ 0.3 * (1.0 - ({pr})) "
         f"+ 0.3 * least(4.0 * ({swr}), 1.0))"
     )
+    return toks, pr, quality
+
+
+def _sql_text_stats() -> str:
+    toks, pr, quality = _sql_quality_parts()
     return f"""
         SELECT doc_id,
                CAST({toks} AS BIGINT) AS n_tokens,
@@ -720,6 +749,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"SELECT doc_id, {_sql_poly_hash('text')} AS fp FROM documents",
         "text_stats": _sql_text_stats(),
         "lang_id_counts": _sql_lang_id_counts(),
+        "top_tokens": """
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "quality_filter": f"""
+            SELECT doc_id, lang, {_sql_quality_parts()[2]} AS quality
+            FROM documents
+            WHERE {_sql_quality_parts()[2]} >= 0.8 AND n_chars >= 100
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from kaer_spark.functions.text import char_shingles, tokens
 from kaer_spark.functions.vector import dot, vector_norm
+from kaer_spark.operators.util import ensure_parallelism
 
 HASH_MOD = 1_000_000_007
 HASH_BASE = 31
@@ -99,7 +100,7 @@ def ngram_jaccard_pairs(
     inverted-join's pair work — the cap is what bounds shuffle volume on a
     web-scale corpus. Leave None for exact Jaccard.)
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), char_shingles(text_col, n=n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     inv = sh.select("id", F.explode("shingles").alias("g"))
@@ -150,7 +151,7 @@ def minhash_signatures(
     2^60 (a, fp < 2^30), so int64-exact — and exactly reproducible in SQL.
     """
     coeffs = minhash_coeffs(num_hashes, seed)
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), char_shingles(text_col, n=n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     fps = F.transform(F.col("shingles"), _poly_hash)
@@ -235,6 +236,7 @@ def simhash(
     int arithmetic). Bit b of the fingerprint is set iff the sum over all
     tokens (with multiplicity) of ±1 on that token-hash bit is > 0.
     """
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     hashes = F.transform(toks, _poly_hash)
     fp = F.lit(0).cast("long")
@@ -323,7 +325,7 @@ def embedding_near_dups(
         cols.append(F.col(block_col).alias("blk"))
     # Precompute each row's norm ONCE before the pair join — the naive form
     # recomputes both norms for every pair, tripling the quadratic-stage work.
-    base = df.select(*cols).withColumn("nrm", vector_norm("v"))
+    base = ensure_parallelism(df.select(*cols)).withColumn("nrm", vector_norm("v"))
     a, b = base.alias("a"), base.alias("b")
     on = F.col("a.id") < F.col("b.id")
     joined = a.join(b, on=(F.col("a.blk") == F.col("b.blk")) & on if block_col else on)

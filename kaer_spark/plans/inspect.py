@@ -1,0 +1,60 @@
+"""Physical-plan inspection helpers.
+
+The engine's performance contract is expressed as plan-shape assertions
+(tests/test_plans.py): filters reach the parquet scan (``PushedFilters``),
+projections prune the read schema, small dimensions broadcast, top-k plans
+as ``TakeOrderedAndProject``, and hot expressions stay inside whole-stage
+codegen. These helpers turn ``.explain`` output into checkable values, so a
+plan regression fails CI instead of silently costing 10× at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The final (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_summary(df: DataFrame) -> dict[str, object]:
+    """Digest of the physical plan: operators, exchanges, codegen spans."""
+    plan = executed_plan(df)
+    return {
+        "n_exchanges": plan.count("Exchange"),
+        "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+        "n_sortmerge_joins": plan.count("SortMergeJoin"),
+        "has_take_ordered": "TakeOrderedAndProject" in plan,
+        "wholestage_spans": len(re.findall(r"\*\(\d+\)", plan)),
+        "pushed_filters": pushed_filters(df),
+    }
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters pushed into the parquet scan (empty list = nothing pushed)."""
+    plan = executed_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schema_columns(df: DataFrame) -> list[set[str]]:
+    """Column sets actually read by each parquet scan (pruning check)."""
+    plan = executed_plan(df)
+    out = []
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        out.append({c.split(":")[0].strip() for c in m.split(",") if c.strip()})
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df)
+
+
+def has_exchange_before(df: DataFrame, operator: str) -> bool:
+    """True if an Exchange appears above (before, in text order) the first
+    occurrence of ``operator`` in the executed plan."""
+    plan = executed_plan(df)
+    idx = plan.find(operator)
+    return idx >= 0 and "Exchange" in plan[:idx]

@@ -1,0 +1,15 @@
+from kaer_spark.sources.files import (
+    read_csv,
+    read_json,
+    read_jsonl,
+    read_parquet,
+    write_partitioned,
+)
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_jsonl",
+    "write_partitioned",
+]
