@@ -20,8 +20,10 @@ from pyspark.sql.window import Window
 from kaer_spark.context import dense_ids
 from kaer_spark.filters import compile_filter, filter_to_sql
 from kaer_spark.functions.text import (
+    BPE_PATTERN,
     FINGERPRINT_BASE as PB,
     FINGERPRINT_MOD as PM,
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     punct_ratio,
@@ -207,6 +209,37 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells, nprobe pruning) top-k — the batch MLlib index
+    path. Approximate: no SQL oracle; the driver records a rows-only check
+    and tests/test_similarity.py gates recall@k against the exact oracle."""
+    from kaer_spark.operators.similarity import ivf_assign, ivf_fit, ivf_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    model = ivf_fit(embs, cells=8, seed=42)
+    assigned = ivf_assign(model, embs)
+    return ivf_topk(model, assigned, QVEC, k=10, nprobe=4).select(
+        "vec_id", F.col("_cell").alias("cell"), F.col("_score").alias("l2sq")
+    )
+
+
+def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxNearestNeighbors — same
+    rows-only contract as ivf_knn (approximate path)."""
+    from kaer_spark.operators.similarity import lsh_index, lsh_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    model, indexed = lsh_index(embs, bucket_length=2.0, num_hash_tables=3, seed=42)
+    return lsh_topk(model, indexed, QVEC, k=10).select(
+        "vec_id", F.col("distCol").alias("dist")
+    )
+
+
 def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -254,6 +287,86 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (SURVEY §2.3: reference has no range joins): for each
+    'view' event, how many 'click' events by the same user in the preceding
+    10 minutes. Equi-join on user_id with the time band as join-level filter
+    — one hash shuffle, never a cross product."""
+    from kaer_spark.operators.interval import interval_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    ten_min_ns = 600_000_000_000
+    j = interval_join(
+        views, clicks, ["user_id"], "ts", "ts", -ten_min_ns, 0, how="left"
+    )
+    return (
+        j.groupBy(F.col("l.event_id").alias("event_id"), F.col("l.user_id").alias("user_id"))
+        .agg(F.count(F.col("r.ts")).alias("n_clicks_10m"))
+    )
+
+
+def _q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape (shipping-priority); fixture orders has no
+    # o_shippriority, so the grouping is (l_orderkey, o_orderdate).
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 (forecast revenue change): pure scan-filter-agg; the filters
+    # all push into the parquet scan.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
         )
     )
 
@@ -467,7 +580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _q_lang_id_counts,
         "top_tokens": _q_top_tokens,
         "quality_filter": _q_quality_filter,
+        "bpe_token_count": _q_bpe_tokens,
+        "ivf_knn": _q_ivf_knn,
+        "lsh_knn": _q_lsh_knn,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
         "window_running": _q_window_running,
@@ -476,8 +594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "set_ops": _q_set_ops,
         "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
         "pivot_agg": _q_pivot_agg,
         "asof_signup": _q_asof_signup,
+        "range_join_clicks": _q_range_join,
         "dedup_minhash": _q_dedup_minhash,
         "multimodal_features": _q_multimodal_features,
     }
@@ -760,6 +880,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {_sql_quality_parts()[2]} >= 0.8 AND n_chars >= 100
         """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -847,6 +997,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "range_join_clicks": """
+            SELECT l.event_id, l.user_id, count(r.ts) AS n_clicks_10m
+            FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+            LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND epoch_ns(r.ts) >= epoch_ns(l.ts) - 600000000000
+             AND epoch_ns(r.ts) < epoch_ns(l.ts)
+            GROUP BY l.event_id, l.user_id
         """,
         "pivot_agg": """
             SELECT l_returnflag,

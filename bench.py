@@ -19,12 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "revenue_by_nation",
     "top_customers",
     "window_running",
     "events_json",
     "events_hourly",
     "events_sessionize",
+    "range_join_clicks",
     "knn_topk",
     "knn_filtered_and",
     "knn_join",

@@ -48,6 +48,27 @@ def token_count(c: ColumnOrName) -> Column:
     return F.size(tokens(c)).cast("long")
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs whose meaning
+#: is identical in Java regex (Spark) and RE2 (DuckDB): English contractions,
+#: optional-space letter runs, digit runs, and non-alphanumeric runs. This is
+#: the "BPE-ish" token accounting used for per-document token budgeting —
+#: the subword merge step is model-specific and out of scope.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_tokens(c: ColumnOrName) -> Column:
+    """BPE-style pre-tokens (contractions / word / number / punct runs).
+
+    Oracle SQL: ``regexp_extract_all(text, <BPE_PATTERN>)``.
+    """
+    return F.regexp_extract_all(_as_col(c), F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(c: ColumnOrName) -> Column:
+    """Number of BPE-style pre-tokens — the per-doc training-token estimate."""
+    return F.size(bpe_tokens(c)).cast("long")
+
+
 def char_shingles(c: ColumnOrName, n: int = 8, distinct: bool = True) -> Column:
     """Character n-gram shingles (optionally distinct) of a string column.
 

@@ -99,17 +99,28 @@ def ngram_jaccard_pairs(
     (Ubiquitous shingles carry no dedup signal but dominate sum(df²), the
     inverted-join's pair work — the cap is what bounds shuffle volume on a
     web-scale corpus. Leave None for exact Jaccard.)
+
+    Plan shape: over-the-cap shingles are by construction *few distinct
+    values* (each needs > max_doc_freq postings), so the cap is applied as a
+    broadcast ANTI join against that heavy-hitter set — the full inverted
+    index is never shuffled just to filter it, and the skewed join keys are
+    gone before the self-join. The shingle arrays are persisted pre-explode
+    (MEMORY_AND_DISK) because three consumers need them; at cluster scale
+    this spills, which is still far cheaper than re-evaluating the shingle
+    expressions per consumer.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), char_shingles(text_col, n=n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.size("shingles") > 0).persist()
     inv = sh.select("id", F.explode("shingles").alias("g"))
     if max_doc_freq is not None:
-        keep = inv.groupBy("g").count().filter(F.col("count") <= max_doc_freq)
-        inv = inv.join(keep.select("g"), "g")
-    # the inverted index feeds three consumers (sizes, both join sides);
-    # without a persist Spark recomputes the shingle expressions per consumer
-    inv = inv.persist()
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("g")
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
     sizes = inv.groupBy("id").agg(F.count("*").alias("sz"))
     pairs = (
         inv.alias("a")

@@ -125,13 +125,72 @@ def extract_media_features(
 
 
 def resize_images(
-    df: DataFrame, media_col: str = "media", width: int = 224, height: int = 224
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+    decode: str = "fake",
 ) -> DataFrame:
-    """Image resize stage — decode-dependent, so stubbed in this container."""
-    raise NotImplementedError(
-        "resize requires an image codec (PIL) not present in this container; "
-        "the mapInPandas plumbing mirrors extract_media_features"
+    """Image resize stage: blob → fixed ``width × height`` grayscale blob.
+
+    The Spark plumbing (Arrow batches in, binary column out, blobs never
+    shuffle) is real; only the pixel *decode* is environment-gated:
+    ``decode="real"`` uses PIL if importable and raises
+    ``NotImplementedError`` otherwise, ``decode="fake"`` (default) treats
+    the raw bytes as a pixel stream and nearest-neighbor-resamples them to
+    exactly ``width × height`` bytes — deterministic, codec-free.
+    """
+    use_pil = False
+    if decode == "real":
+        try:
+            import PIL.Image  # noqa: F401
+
+            use_pil = True
+        except ImportError:
+            raise NotImplementedError(
+                "decode='real' requires PIL, not present in this container; "
+                "use decode='fake' (identical plumbing, byte-level resample)"
+            )
+    elif decode != "fake":
+        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
+
+    _ensure_package_shipped(df.sparkSession)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("resized", T.BinaryType(), False),
+            T.StructField("out_width", T.IntegerType(), False),
+            T.StructField("out_height", T.IntegerType(), False),
+        ]
     )
+    w, h = int(width), int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(blob)
+                if use_pil:
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(raw)).convert("L").resize((w, h))
+                    out = img.tobytes()
+                else:
+                    src = np.frombuffer(raw, dtype=np.uint8)
+                    if src.size == 0:
+                        src = np.zeros(1, dtype=np.uint8)
+                    # nearest-neighbor resample of the byte stream to w*h
+                    idx = (np.arange(w * h) * src.size) // (w * h)
+                    out = src[idx].tobytes()
+                rows.append(
+                    {id_col: rid, "resized": out, "out_width": w, "out_height": h}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(

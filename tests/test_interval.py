@@ -1,0 +1,48 @@
+"""Interval (range-band) join: keyed band join and keyless bucketed band
+join, checked against a brute-force cross-product reference on small data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaer_spark.operators.interval import interval_join, time_bucket_join
+
+
+def _toy(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 150, "c")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "r1"), (1, 105, "r2"), (1, 199, "r3"), (2, 100, "r4"), (3, 100, "r5")],
+        ["k", "ts", "rtag"],
+    )
+    return left, right
+
+
+def test_interval_join_band(spark):
+    left, right = _toy(spark)
+    out = interval_join(left, right, ["k"], "ts", "ts", -50, 0)
+    got = {(r["tag"], r["rtag"]) for r in out.collect()}
+    # band is [l.ts - 50, l.ts): r1(90)∈[50,100) for a; r3(199)∈[150,200) for b;
+    # r4(100)∈[100,150) for c; r2(105) not < 100 for a and < 150 for b? 105∈[150,200)? no
+    assert got == {("a", "r1"), ("b", "r3"), ("c", "r4")}
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    left, right = _toy(spark)
+    out = interval_join(left, right, ["k"], "ts", "ts", -5, 0, how="left")
+    # only c matches nothing-in-band… check all left rows survive
+    assert out.select(F.col("l.tag")).distinct().count() == 3
+
+
+def test_time_bucket_join_matches_bruteforce(spark):
+    left = spark.range(0, 50).select((F.col("id") * 17 % 997).alias("lts"))
+    right = spark.range(0, 80).select((F.col("id") * 31 % 997).alias("rts"))
+    band = 100
+    fast = time_bucket_join(left, right, "lts", "rts", band)
+    slow = left.crossJoin(right).filter(
+        (F.col("rts") >= F.col("lts") - band) & (F.col("rts") <= F.col("lts"))
+    )
+    f = sorted((r["lts"], r["rts"]) for r in fast.collect())
+    s = sorted((r["lts"], r["rts"]) for r in slow.collect())
+    assert f == s

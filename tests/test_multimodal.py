@@ -58,8 +58,24 @@ def test_feature_determinism(media_df):
 def test_real_decode_is_stubbed(media_df):
     with pytest.raises(NotImplementedError):
         extract_media_features(media_df, decode="real")
-    with pytest.raises(NotImplementedError):
-        resize_images(media_df)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            resize_images(media_df, decode="real")
+
+
+def test_resize_fake_decode(media_df):
+    out = resize_images(media_df, width=16, height=8)
+    rows = out.collect()
+    assert len(rows) == media_df.count()
+    for r in rows:
+        assert len(r["resized"]) == 16 * 8
+        assert r["out_width"] == 16 and r["out_height"] == 8
+    # deterministic: same input → same bytes
+    again = {r["doc_id"]: r["resized"] for r in resize_images(media_df, width=16, height=8).collect()}
+    for r in rows:
+        assert bytes(r["resized"]) == bytes(again[r["doc_id"]])
 
 
 def test_frame_sampling_offsets(media_df):
