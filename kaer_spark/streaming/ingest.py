@@ -80,6 +80,60 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """First-seen-wins exact dedup across micro-batches — the custom
+    stateful operator (``applyInPandasWithState``) the built-in streaming
+    ops can't express: ``dropDuplicates`` on a stream keys state the same
+    way, but can't pick a *deterministic* representative inside a batch;
+    here the min-``id_col`` row of the first batch containing a fingerprint
+    is emitted and every later arrival is dropped.
+
+    State = one empty marker row per distinct fingerprint (the grouping key
+    itself carries the value). At 100 TB-of-stream scale the state store is
+    the bound — set ``ttl_minutes`` so fingerprints expire once re-arrivals
+    stop being possible (the dedup analogue of a watermark); RocksDB state
+    store + changelog checkpointing on a real cluster.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    fields = [f.name for f in out_schema.fields]
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        state.update((1,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield batch.sort_values(id_col).head(1)[fields]
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream_df.groupBy(fp_col).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="seen INT",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def sessionized_counts(
     events: DataFrame,
     gap: str = "30 minutes",

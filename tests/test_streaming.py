@@ -14,6 +14,7 @@ from kaer_spark.context import KaerContext
 from kaer_spark.streaming.ingest import (
     sessionized_counts,
     stream_insert,
+    streaming_dedup,
     windowed_event_counts,
 )
 
@@ -97,6 +98,40 @@ def test_stream_equals_batch_sessionized(spark, events_batch, tmp_path):
         for r in sessionized_counts(batch).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    """applyInPandasWithState dedup: exactly one row per fingerprint across
+    micro-batches; within the first batch containing it, the min-id row."""
+    src = tmp_path / "dsrc"
+    os.makedirs(src)
+    schema = "id LONG, fp LONG, payload STRING"
+    # batch 0: fps 1,1,2 (min ids 10, 12); batch 1: fps 2,3 (2 is a re-arrival)
+    spark.createDataFrame(
+        [(11, 1, "b0-dup"), (10, 1, "b0-first"), (12, 2, "b0-two")], schema
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(
+        [(20, 2, "b1-re"), (21, 3, "b1-three")], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    )
+    q = (
+        streaming_dedup(stream, fp_col="fp", id_col="id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["fp"]: (r["id"], r["payload"]) for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == (10, "b0-first")  # min id within the batch, not arrival order
+    assert rows[3] == (21, "b1-three")
+    assert rows[2][0] in (12, 20)  # whichever file triggered first
 
 
 def test_stream_insert_dense_ids(spark, tmp_path):
