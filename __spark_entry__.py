@@ -209,6 +209,18 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM pipeline (lang-ID → quality filter → exact dedup →
+    token accounting) as one plan; stats use only order-independent
+    aggregates so the distributed answer is exact."""
+    from kaer_spark.pipelines import corpus_stats, prepare_training_corpus
+
+    corpus = prepare_training_corpus(
+        _t(spark, sf_dir, "documents"), min_quality=0.5, min_tokens=10
+    )
+    return corpus_stats(corpus)
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
@@ -581,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "quality_filter": _q_quality_filter,
         "bpe_token_count": _q_bpe_tokens,
+        "training_corpus_stats": _q_training_corpus,
         "ivf_knn": _q_ivf_knn,
         "lsh_knn": _q_lsh_knn,
         "tpch_q1": _q_tpch_q1,
@@ -747,7 +760,8 @@ def _sql_text_stats() -> str:
     """
 
 
-def _sql_lang_id_counts() -> str:
+def _sql_lang_guess() -> str:
+    """DuckDB expression replaying functions.text.lang_id over ``text``."""
     from kaer_spark.functions.text import LANG_MARKERS
 
     toks = "list_transform(CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END, t -> lower(t))"
@@ -760,9 +774,12 @@ def _sql_lang_id_counts() -> str:
     branches = " ".join(
         f"WHEN ({scores[lang]}) = ({best}) THEN '{lang}'" for lang in sorted(scores)
     )
-    guess = f"CASE WHEN {cjk} > 0 THEN 'zh' WHEN ({best}) <= 0 THEN 'und' {branches} END"
+    return f"CASE WHEN {cjk} > 0 THEN 'zh' WHEN ({best}) <= 0 THEN 'und' {branches} END"
+
+
+def _sql_lang_id_counts() -> str:
     return f"""
-        SELECT {guess} AS guess, count(*) AS n FROM documents GROUP BY 1
+        SELECT {_sql_lang_guess()} AS guess, count(*) AS n FROM documents GROUP BY 1
     """
 
 
@@ -885,6 +902,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "training_corpus_stats": f"""
+            WITH enriched AS (
+              SELECT doc_id,
+                     {_sql_lang_guess()} AS lang_guess,
+                     {_sql_quality_parts()[2]} AS quality,
+                     CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+                         AS n_tokens,
+                     {_sql_poly_hash('text')} AS fp
+              FROM documents
+            ),
+            kept AS (
+              SELECT * FROM enriched WHERE quality >= 0.5 AND n_tokens >= 10
+            ),
+            dedup AS (
+              SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM kept
+            )
+            SELECT lang_guess, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   min(quality) AS min_quality, max(quality) AS max_quality
+            FROM dedup WHERE rn = 1 GROUP BY lang_guess
         """,
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,

@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash",
     "doc_fingerprint",
     "text_stats",
+    "training_corpus_stats",
 ]
 
 

@@ -251,4 +251,14 @@ def _sql_op(field: str, op: str, v: Any) -> str:
         return f"(regexp_matches({field}, {_sql_lit(v)}))"
     if op == "$mod":
         return f"(({field} % {_sql_lit(v[0])} + {_sql_lit(v[0])}) % {_sql_lit(v[0])} = {_sql_lit(v[1])})"
+    if op == "$size":
+        return f"(len({field}) = {int(v)})"
+    if op == "$all":
+        if not v:
+            return "TRUE"
+        items = ", ".join(_sql_lit(x) for x in v)
+        return f"(COALESCE(list_has_all({field}, [{items}]), FALSE))"
+    if op == "$elemMatch":
+        inner = " AND ".join(_sql_op("x", o, operand) for o, operand in v.items())
+        return f"(COALESCE(len(list_filter({field}, x -> {inner})) > 0, FALSE))"
     raise FilterError(f"no SQL rendering for operator {op}")

@@ -248,20 +248,24 @@ def simhash(
     tokens (with multiplicity) of ±1 on that token-hash bit is > 0.
     """
     df = ensure_parallelism(df)
-    toks = tokens(text_col)
-    hashes = F.transform(toks, _poly_hash)
+    # materialize the token-hash array as its own projection so the ``bits``
+    # bit-vote aggregates share one evaluation (subexpression elimination
+    # applies to a named column; inlined, the poly hash would run 24×)
+    base = df.select(
+        F.col(id_col).alias("id"), F.transform(tokens(text_col), _poly_hash).alias("_h")
+    )
     fp = F.lit(0).cast("long")
 
     def bit_vote(b: int):
         return F.aggregate(
-            hashes,
+            F.col("_h"),
             F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
         )
 
     for b in range(bits):
         fp = fp + F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    return base.select("id", fp.alias("simhash"))
 
 
 def simhash_near_dups(

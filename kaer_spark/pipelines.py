@@ -1,0 +1,73 @@
+"""Composed LLM-training-data pipeline: language-ID → quality filter →
+exact dedup → token accounting, as one declarative DataFrame program.
+
+This is the end-to-end story the individual operators exist for: at 100 TB
+the pipeline is a single Catalyst plan — the per-row enrichments (lang,
+quality, tokens, fingerprint) pipeline inside the parquet scan stage, the
+quality/language filter drops rows *before* the only shuffle (hash by
+fingerprint for dedup), and the representative-per-duplicate-group choice
+is deterministic (min id), so reruns and the DuckDB oracle agree exactly.
+
+Aggregate stats stick to order-independent reductions (count, int64 sum,
+min/max) so distributed partial aggregation cannot change the values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kaer_spark.functions.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_tokens: int = 0,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Filter + dedup a raw document table into a training corpus.
+
+    Returns one row per kept document: (id, text, lang_guess, quality,
+    n_tokens, fp). Stage order is chosen for scan-stage pipelining: all
+    enrichments are narrow projections, the filters cut the corpus before
+    the fingerprint shuffle, and exact dedup keeps the min-id row per
+    fingerprint (deterministic representative).
+    """
+    enriched = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_id(text_col).alias("lang_guess"),
+        quality_score(text_col).alias("quality"),
+        bpe_token_count(text_col).alias("n_tokens"),
+        doc_fingerprint(text_col).alias("fp"),
+    )
+    pred = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    if langs:
+        pred = pred & F.col("lang_guess").isin(list(langs))
+    kept = enriched.filter(pred)
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def corpus_stats(corpus: DataFrame) -> DataFrame:
+    """Per-detected-language corpus accounting (all order-independent
+    aggregates: exact at any parallelism)."""
+    return corpus.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )

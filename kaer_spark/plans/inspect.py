@@ -20,6 +20,15 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def formatted_plan(df: DataFrame) -> str:
+    """``explain("formatted")`` as a string — unlike the compact tree,
+    scan details (PushedFilters / ReadSchema) are never truncated here."""
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def explain_summary(df: DataFrame) -> dict[str, object]:
     """Digest of the physical plan: operators, exchanges, codegen spans."""
     plan = executed_plan(df)
@@ -35,13 +44,13 @@ def explain_summary(df: DataFrame) -> dict[str, object]:
 
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters pushed into the parquet scan (empty list = nothing pushed)."""
-    plan = executed_plan(df)
+    plan = formatted_plan(df)
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
 def read_schema_columns(df: DataFrame) -> list[set[str]]:
     """Column sets actually read by each parquet scan (pruning check)."""
-    plan = executed_plan(df)
+    plan = formatted_plan(df)
     out = []
     for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         out.append({c.split(":")[0].strip() for c in m.split(",") if c.strip()})

@@ -56,6 +56,51 @@ def test_small_dim_joins_broadcast(spark, sf_dir):
     assert has_broadcast_join(j)
 
 
+def test_interval_join_is_equijoin_not_cartesian(spark):
+    """The band predicate must ride on the user_id equi-join — a plan that
+    degenerates to a nested-loop cross product would be quadratic at scale."""
+    from kaer_spark.operators.interval import interval_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), (F.col("id") * 2).alias("ts")
+    )
+    plan = executed_plan(interval_join(left, right, ["k"], "ts", "ts", -10, 0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_pushdown(spark, sf_dir):
+    """Q6 is scan-filter-agg; every filter must reach the parquet scan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q6"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "LessThan(l_quantity,24" in pushed
+    assert "l_discount" in pushed
+
+
+def test_tpch_q3_broadcasts_dimension(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q3"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    s = explain_summary(df)
+    assert s["has_take_ordered"], "top-10 must plan as TakeOrderedAndProject"
+
+
+def test_jaccard_df_cap_is_broadcast_anti(documents):
+    from kaer_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(documents, max_doc_freq=50)
+    plan = executed_plan(df)
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_metadata_only_scan_skips_embeddings(corpus):
     """Projecting only metadata must not read the (wide) embedding column."""
     df = corpus.filter(F.col("lang") == "en").select("doc_id", "lang")
