@@ -126,6 +126,13 @@ def _q_filter(filt):
     return run
 
 
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_knn(
+        _corpus(spark, sf_dir), QVEC, 10, vec_col="embedding", id_col="doc_id",
+        metric="cosine", dist_col="cosine", keep_dist=True,
+    ).select("doc_id", "lang", "cosine")
+
+
 def _q_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference O6 (getNextID): intent = max id (its min/max bug fixed)
     return _t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("max_id"))
@@ -252,10 +259,31 @@ def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approxSimilarityJoin through LSH buckets (self-join, distance < 6):
+    the shuffle-bounded replacement for an all-pairs distance join —
+    rows-only contract (bucketing is model-dependent)."""
+    from kaer_spark.operators.similarity import lsh_index, lsh_similarity_join
+
+    embs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    model, indexed = lsh_index(embs, bucket_length=2.0, num_hash_tables=3, seed=42)
+    joined = lsh_similarity_join(model, indexed, indexed, threshold=6.0)
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.col("dist"),
+        )
+    )
+
+
 def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaer_spark.functions.text import with_lang_guess
+
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(lang_id("text").alias("guess"))
+        with_lang_guess(d.select("text"), out_col="guess")
         .groupBy("guess")
         .agg(F.count("*").alias("n"))
     )
@@ -580,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_eq": _q_knn(KNN_FILTER_EQ, 5),
         "knn_filtered_and": _q_knn(KNN_FILTER_AND, 5),
         "knn_empty_filter": _q_knn({"n_chars": {"$gt": 10**9}}, 5),
+        "knn_cosine": _q_knn_cosine,
         "knn_join": _q_knn_join,
         "max_id": _q_max_id,
         "dense_ids": _q_dense_ids,
@@ -596,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_stats": _q_training_corpus,
         "ivf_knn": _q_ivf_knn,
         "lsh_knn": _q_lsh_knn,
+        "lsh_similarity_join": _q_lsh_simjoin,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
@@ -643,6 +673,18 @@ def _sql_dot_cols(a: str, b: str) -> str:
     return " + ".join(
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, 65)
     )
+
+
+def _sql_cosine_lit(vec: str, q: list[float]) -> str:
+    """Cosine similarity against a literal vector — replays
+    functions.vector.cosine_similarity's exact IEEE op tree: left-assoc dot,
+    sqrt(self-dot) norm, the query norm folded to one Python float64."""
+    qnorm = sum(float(x) * float(x) for x in q) ** 0.5
+    dot_lit = " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * ({v!r})" for i, v in enumerate(q)
+    )
+    denom = f"(sqrt({_sql_dot_cols(vec, vec)}) * ({qnorm!r}))"
+    return f"(CASE WHEN {denom} <> 0.0 THEN ({dot_lit}) / {denom} END)"
 
 
 def _sql_knn(filt, k) -> str:
@@ -854,6 +896,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_filtered_eq": _sql_knn(KNN_FILTER_EQ, 5),
         "knn_filtered_and": _sql_knn(KNN_FILTER_AND, 5),
         "knn_empty_filter": _sql_knn({"n_chars": {"$gt": 10**9}}, 5),
+        "knn_cosine": f"""
+            SELECT d.doc_id, d.lang, {_sql_cosine_lit('e.embedding', QVEC)} AS cosine
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ORDER BY cosine DESC, d.doc_id ASC
+            LIMIT 10
+        """,
         "knn_join": f"""
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
             scored AS (

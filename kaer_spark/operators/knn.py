@@ -40,19 +40,29 @@ def exact_knn(
     pred: Column | None = None,
     dist_col: str = "_dist",
     keep_dist: bool = False,
+    metric: str = "l2sq",
 ) -> DataFrame:
-    """Top-k rows by squared-L2 distance to ``query_vector`` among rows
-    matching the (Mongo-style or Column) predicate; ties broken by id."""
+    """Top-k rows nearest to ``query_vector`` among rows matching the
+    (Mongo-style or Column) predicate; ties broken by id.
+
+    ``metric="l2sq"`` ranks ascending squared-L2 (the reference's metric);
+    ``metric="cosine"`` ranks descending cosine similarity.
+    """
     if filter is not None:
         pred = compile_filter(filter) if pred is None else pred & compile_filter(filter)
     if pred is not None:
         df = df.filter(pred)
     if k <= 0:
         return df.limit(0)
-    ranked = df.withColumn(dist_col, l2sq(vec_col, list(query_vector))).orderBy(
-        F.col(dist_col).asc(), F.col(id_col).asc()
-    )
-    out = ranked.limit(k)
+    if metric == "cosine":
+        score = cosine_similarity(vec_col, list(query_vector))
+        order = [F.col(dist_col).desc(), F.col(id_col).asc()]
+    elif metric == "l2sq":
+        score = l2sq(vec_col, list(query_vector))
+        order = [F.col(dist_col).asc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(f"metric must be 'l2sq' or 'cosine', got {metric!r}")
+    out = df.withColumn(dist_col, score).orderBy(*order).limit(k)
     return out if keep_dist else out.drop(dist_col)
 
 

@@ -21,8 +21,8 @@ from pyspark.sql.window import Window
 from kaer_spark.functions.text import (
     bpe_token_count,
     doc_fingerprint,
-    lang_id,
     quality_score,
+    with_lang_guess,
 )
 
 
@@ -42,13 +42,15 @@ def prepare_training_corpus(
     the fingerprint shuffle, and exact dedup keeps the min-id row per
     fingerprint (deterministic representative).
     """
-    enriched = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        lang_id(text_col).alias("lang_guess"),
-        quality_score(text_col).alias("quality"),
-        bpe_token_count(text_col).alias("n_tokens"),
-        doc_fingerprint(text_col).alias("fp"),
+    enriched = with_lang_guess(
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            quality_score(text_col).alias("quality"),
+            bpe_token_count(text_col).alias("n_tokens"),
+            doc_fingerprint(text_col).alias("fp"),
+        ),
+        text_col=text_col,
     )
     pred = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     if langs:

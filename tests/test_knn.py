@@ -119,3 +119,28 @@ def test_knn_plan_is_top_k_not_global_sort(corpus):
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_exact_knn_cosine_metric(corpus):
+    """Cosine ranks descending-similarity; verify against a NumPy oracle."""
+    import numpy as np
+
+    from kaer_spark.operators.knn import exact_knn
+
+    q = [0.1] * 64
+    out = exact_knn(
+        corpus, q, 5, vec_col="embedding", id_col="doc_id",
+        metric="cosine", dist_col="cos", keep_dist=True,
+    ).select("doc_id", "cos").collect()
+    rows = corpus.select("doc_id", "embedding").collect()
+    qv = np.array(q)
+    sims = sorted(
+        (
+            float(np.dot(r["embedding"], qv) / (np.linalg.norm(r["embedding"]) * np.linalg.norm(qv))),
+            -r["doc_id"],
+        )
+        for r in rows
+    )
+    want = [-i for _, i in [s for s in reversed(sims)][:5]]
+    assert [r["doc_id"] for r in out] == want
+    assert all(out[i]["cos"] >= out[i + 1]["cos"] for i in range(len(out) - 1))
