@@ -3,6 +3,7 @@ from kaer_spark.sources.files import (
     read_json,
     read_jsonl,
     read_parquet,
+    write_bucketed,
     write_partitioned,
 )
 
@@ -12,4 +13,5 @@ __all__ = [
     "read_json",
     "read_jsonl",
     "write_partitioned",
+    "write_bucketed",
 ]

@@ -85,6 +85,32 @@ def write_partitioned(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table — the co-located-join
+    layout: two tables bucketed the same way on the join key join WITHOUT a
+    shuffle (verified in tests/test_sources.py), which at 100 TB turns the
+    recurring fact-fact join from the dominant cost into a map-side merge.
+    ``sort_by`` additionally orders rows inside each bucket file, giving
+    min/max-pruned point lookups on the sort key (the z-order-lite layout
+    for the hot filter column).
+
+    Bucketing requires the catalog (``saveAsTable``) — plain ``.save(path)``
+    silently drops bucket metadata.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     """Lakehouse-format reader, gated on the jars being present."""
     if fmt in ("delta", "iceberg", "hudi"):

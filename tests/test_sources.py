@@ -60,3 +60,31 @@ def test_partitioned_write_layout(spark, small, tmp_path):
 def test_lakehouse_formats_gated(spark, tmp_path):
     with pytest.raises(NotImplementedError):
         open_table(spark, "delta", str(tmp_path / "nope"))
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed identically on the join key must join without an
+    Exchange on either side — the co-located-join layout for 100 TB
+    fact-fact joins."""
+    from kaer_spark.plans import executed_plan
+    from kaer_spark.sources.files import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    try:
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        j = bl.join(
+            bo.hint("merge"), bl.l_orderkey == bo.o_orderkey
+        ).groupBy("o_orderstatus").count()
+        plan = executed_plan(j)
+        join_part = plan.split("SortMergeJoin")[-0] if "SortMergeJoin" in plan else plan
+        # no shuffle below the join: the only allowed Exchange is the one
+        # ABOVE it for the final groupBy
+        assert "SortMergeJoin" in plan
+        below = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in below
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
