@@ -351,6 +351,40 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (orders with no lineitems) — SURVEY §2.3 'no semi/anti
+    SQL surface' in the reference."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_empty_orders"))
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one returned lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+def _q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def _q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -638,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "rollup_agg": _q_rollup_agg,
         "cube_agg": _q_cube_agg,
+        "anti_join_empty_orders": _q_anti_join,
+        "semi_join_returned": _q_semi_join,
+        "distinct_agg": _q_distinct_agg,
         "pivot_agg": _q_pivot_agg,
         "asof_signup": _q_asof_signup,
         "range_join_clicks": _q_range_join,
@@ -1089,6 +1126,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "distinct_agg": """
+            SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "anti_join_empty_orders": """
+            SELECT o_orderstatus, count(*) AS n_empty_orders
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            GROUP BY o_orderstatus
+        """,
+        "semi_join_returned": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
         "range_join_clicks": """
             SELECT l.event_id, l.user_id, count(r.ts) AS n_clicks_10m
