@@ -1,0 +1,138 @@
+"""Materialized vector-index tables: the Spark-native replacement for the
+reference's HNSW save/load/catch-up cycle.
+
+Reference parity (SURVEY.md §2.1): kaer checkpoints its in-RAM graph to
+``{dir}/index/{collection}_{id}.hnsw`` plus a meta row ``(collection,
+file, last_id, size)`` (``/root/reference/db/db.go:102-109``,
+``db/meta.go:11-28``), and on reopen replays vectors with
+``_m_id > checkpoint`` into the graph (``db/db.go:191-207``). Here the
+"index" is an IVF layout on disk:
+
+* **build** — fit a k-means coarse quantizer (MLlib), assign every vector
+  to its nearest centroid *with a pure Catalyst argmin* (array of (dist,
+  cell) structs → ``array_min``; narrow, no shuffle), write parquet
+  partitioned by cell, record ``{centroids, cells, dim, seed, max_id}`` in
+  an ``index.json`` sidecar (the meta row).
+* **search** — pick the ``nprobe`` nearest cells driver-side from the tiny
+  sidecar centroids, scan only those cell partitions (directory-level
+  partition pruning — verified in tests), exact-rank inside.
+* **refresh** — the catch-up scan: append vectors with ``id > meta.max_id``
+  to their cells using the *stored* centroids (no refit), update the
+  sidecar. Incremental, idempotent per id high-water mark.
+
+At 100 TB the cell count scales up (√N cells is the usual rule); build is
+one narrow pass + a partitioned write, search touches ``nprobe/cells`` of
+the data, refresh touches only the id-range tail (which id-block file
+clustering makes a file-pruned scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaer_spark.functions.vector import l2sq
+
+META_FILE = "index.json"
+DATA_DIR = "data"
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid id per row as a narrow expression: build the
+    (distance, cell) struct array and take ``array_min`` (struct ordering
+    compares distance first, then cell — deterministic ties)."""
+    pairs = F.array(
+        *[
+            F.struct(l2sq(vec_col, c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("_cell", F.array_min(pairs)["c"])
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Build the index table at ``path`` and return its meta dict."""
+    from kaer_spark.operators.similarity import ivf_fit
+
+    model = ivf_fit(corpus, vec_col=vec_col, cells=cells, seed=seed)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = _assign_cells(corpus, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(
+        os.path.join(path, DATA_DIR)
+    )
+    max_id = corpus.agg(F.max(id_col)).collect()[0][0]
+    meta = {
+        "cells": cells,
+        "dim": len(centroids[0]),
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "max_id": int(max_id) if max_id is not None else -1,
+        "centroids": centroids,
+    }
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_index_meta(path: str) -> dict:
+    with open(os.path.join(path, META_FILE)) as f:
+        return json.load(f)
+
+
+def refresh_ivf_index(corpus: DataFrame, path: str) -> dict:
+    """Catch-up (reference O8, ``updateIndexFromLastId``): append vectors
+    with ``id > meta.max_id`` to their cells using the stored centroids."""
+    meta = read_index_meta(path)
+    tail = corpus.filter(F.col(meta["id_col"]) > meta["max_id"])
+    new_max = tail.agg(F.max(meta["id_col"])).collect()[0][0]
+    if new_max is None:
+        return meta  # nothing to replay
+    assigned = _assign_cells(tail, meta["centroids"], meta["vec_col"])
+    assigned.write.mode("append").partitionBy("_cell").parquet(
+        os.path.join(path, DATA_DIR)
+    )
+    meta["max_id"] = int(new_max)
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vector: Sequence[float],
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search the materialized index: prune to the ``nprobe`` nearest cell
+    partitions, exact-rank inside them (ascending l2sq, id tie-break)."""
+    meta = read_index_meta(path)
+    q = [float(x) for x in query_vector]
+    dists = [
+        (i, sum((a - b) * (a - b) for a, b in zip(c, q)))
+        for i, c in enumerate(meta["centroids"])
+    ]
+    probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:nprobe]]
+    df = spark.read.parquet(os.path.join(path, DATA_DIR))
+    pruned = df.filter(F.col("_cell").isin(probe))
+    return (
+        pruned.withColumn("_score", l2sq(meta["vec_col"], q))
+        .orderBy(F.col("_score").asc(), F.col(meta["id_col"]).asc())
+        .limit(k)
+    )

@@ -1,0 +1,55 @@
+"""Materialized IVF index table: build / partition-pruned search /
+incremental refresh (the reference's save / search / catch-up cycle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaer_spark.operators.index_store import (
+    build_ivf_index,
+    ivf_index_topk,
+    read_index_meta,
+    refresh_ivf_index,
+)
+from kaer_spark.operators.similarity import brute_force_topk, recall_at_k
+from kaer_spark.plans.inspect import formatted_plan
+
+QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def test_build_search_recall(spark, embeddings, tmp_path):
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(embeddings, path, cells=8, seed=42)
+    assert meta["dim"] == 64 and len(meta["centroids"]) == 8
+    approx = ivf_index_topk(spark, path, QVEC, k=10, nprobe=4)
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    assert approx.count() == 10
+    assert recall_at_k(approx, exact, "vec_id") >= 0.5  # nprobe=4 of 8 cells
+
+
+def test_search_prunes_partitions(spark, embeddings, tmp_path):
+    """nprobe pruning must happen at the DIRECTORY level (PartitionFilters),
+    not as a post-scan filter — that's what makes it an index."""
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, cells=8, seed=42)
+    df = ivf_index_topk(spark, path, QVEC, k=5, nprobe=2)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "_cell IN (" in plan or "_cell#" in plan  # pushed to partition level
+
+
+def test_refresh_catches_up_from_max_id(spark, embeddings, tmp_path):
+    path = str(tmp_path / "ivf")
+    old = embeddings.filter(F.col("vec_id") < 300)
+    build_ivf_index(old, path, cells=4, seed=42)
+    assert read_index_meta(path)["max_id"] == 299
+
+    meta = refresh_ivf_index(embeddings, path)
+    assert meta["max_id"] == embeddings.agg(F.max("vec_id")).collect()[0][0]
+    indexed = spark.read.parquet(f"{path}/data")
+    assert indexed.count() == embeddings.count()
+    # no duplicates: each id exactly once
+    assert indexed.select("vec_id").distinct().count() == embeddings.count()
+    # idempotent: second refresh appends nothing
+    refresh_ivf_index(embeddings, path)
+    assert spark.read.parquet(f"{path}/data").count() == embeddings.count()
