@@ -127,6 +127,10 @@ class Collection:
     def meta_path(self) -> str:
         return os.path.join(self.path, "collection.json")
 
+    @property
+    def index_path(self) -> str:
+        return os.path.join(self.path, "index")
+
     def _save_meta(self) -> None:
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -181,7 +185,31 @@ class Collection:
                 self.ctx.spark.read.parquet(self.data_path).schema.jsonValue()
             )
         self._save_meta()
+        if self.meta.get("has_index"):
+            # the reference adds every inserted vector to its index inline
+            # (db/db.go:87-89); here the catch-up is an id-range append job
+            self.refresh_index()
         return next_id
+
+    # -- index artifact (reference O7/O8/O10/O14, db/db.go:102-109,176-207)
+    def build_index(self, cells: int = 16, seed: int = 42) -> dict:
+        """Materialize the IVF index table for this collection (replaces
+        the reference's HNSW checkpoint file + meta row)."""
+        from kaer_spark.operators.index_store import build_ivf_index
+
+        meta = build_ivf_index(
+            self.df(), self.index_path, vec_col=EMB_COL, id_col=ID_COL,
+            cells=cells, seed=seed,
+        )
+        self.meta["has_index"] = True
+        self._save_meta()
+        return meta
+
+    def refresh_index(self) -> dict:
+        """Catch-up: index vectors inserted after the last build/refresh."""
+        from kaer_spark.operators.index_store import refresh_ivf_index
+
+        return refresh_ivf_index(self.df(), self.index_path)
 
     # -- query (reference O5, db/db.go:111-143) --------------------------
     def query(
@@ -190,14 +218,22 @@ class Collection:
         k: int = 10,
         filter: Mapping[str, Any] | None = None,
         query_vector: Sequence[float] | None = None,
+        approximate: bool = False,
+        nprobe: int = 4,
     ) -> DataFrame:
-        """Metadata-pre-filtered exact kNN.
+        """Metadata-pre-filtered kNN.
 
         Contract (SURVEY.md §3.3): the k nearest neighbors by squared-L2
         among rows matching the filter, ascending distance, ties broken by
         ``_m_id``. Accepts either a query ``document`` (embedded via the
         collection's provider, mirroring ``db/db.go:131-134``) or a raw
         ``query_vector``.
+
+        ``approximate=True`` searches the materialized IVF index (requires
+        ``build_index()``): only the ``nprobe`` nearest cell partitions are
+        scanned — the scale path, trading recall for a pruned scan, like
+        the reference's HNSW ef/k trade (``db/db.go:137``). Default stays
+        exact (the stronger contract).
         """
         if query_vector is None:
             if document is None:
@@ -205,9 +241,20 @@ class Collection:
             provider = self.ctx.provider_for(self.meta)
             query_vector = embed_texts_local([document], provider)[0]
         pred: Column = compile_filter(filter)
-        df = self.df().filter(pred)
         if k <= 0:
-            return df.limit(0)
+            return self.df().filter(pred).limit(0)
+        if approximate:
+            if not self.meta.get("has_index"):
+                raise CollectionNotFound(
+                    f"collection {self.name} has no index; call build_index()"
+                )
+            from kaer_spark.operators.index_store import ivf_index_topk
+
+            return ivf_index_topk(
+                self.ctx.spark, self.index_path, list(query_vector), k,
+                nprobe=nprobe, pred=pred,
+            ).withColumnRenamed("_score", "_dist").drop("_cell")
+        df = self.df().filter(pred)
         return (
             df.withColumn("_dist", l2sq(EMB_COL, list(query_vector)))
             .orderBy(F.col("_dist").asc(), F.col(ID_COL).asc())

@@ -119,9 +119,13 @@ def ivf_index_topk(
     query_vector: Sequence[float],
     k: int,
     nprobe: int = 4,
+    pred=None,
 ) -> DataFrame:
     """Search the materialized index: prune to the ``nprobe`` nearest cell
-    partitions, exact-rank inside them (ascending l2sq, id tie-break)."""
+    partitions, exact-rank inside them (ascending l2sq, id tie-break).
+    ``pred`` (a boolean Column) applies the metadata pre-filter inside the
+    probed cells — the reference's filtered-ANN semantics restricted to the
+    probe set."""
     meta = read_index_meta(path)
     q = [float(x) for x in query_vector]
     dists = [
@@ -131,6 +135,8 @@ def ivf_index_topk(
     probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:nprobe]]
     df = spark.read.parquet(os.path.join(path, DATA_DIR))
     pruned = df.filter(F.col("_cell").isin(probe))
+    if pred is not None:
+        pruned = pruned.filter(pred)
     return (
         pruned.withColumn("_score", l2sq(meta["vec_col"], q))
         .orderBy(F.col("_score").asc(), F.col(meta["id_col"]).asc())

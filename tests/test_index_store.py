@@ -53,3 +53,36 @@ def test_refresh_catches_up_from_max_id(spark, embeddings, tmp_path):
     # idempotent: second refresh appends nothing
     refresh_ivf_index(embeddings, path)
     assert spark.read.parquet(f"{path}/data").count() == embeddings.count()
+
+
+def test_collection_index_lifecycle(spark, tmp_path):
+    """Collection-level parity: build_index, approximate query through the
+    probed cells, and insert-triggered catch-up (reference O4's inline
+    index.Add becomes an id-range refresh job)."""
+    import pytest
+
+    from kaer_spark.context import CollectionNotFound, KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("idx")
+    coll.insert([f"document number {i} about topic {i % 5}" for i in range(40)],
+                [{"topic": i % 5} for i in range(40)])
+
+    with pytest.raises(CollectionNotFound):
+        coll.query("topic 3", k=3, approximate=True)
+
+    coll.build_index(cells=4, seed=42)
+    exact = coll.query("topic 3", k=3).select("_m_id").collect()
+    approx = coll.query("topic 3", k=3, approximate=True, nprobe=4)  # all cells
+    assert [r["_m_id"] for r in approx.select("_m_id").collect()] == [
+        r["_m_id"] for r in exact
+    ]  # nprobe == cells → identical to exact
+
+    # filtered approximate query respects the metadata pre-filter
+    filtered = coll.query("topic 3", k=5, filter={"topic": 2}, approximate=True, nprobe=4)
+    assert {r["topic"] for r in filtered.collect()} == {2}
+
+    # insert auto-refreshes the index (catch-up from max_id)
+    coll.insert(["a brand new document"], [{"topic": 9}])
+    indexed = spark.read.parquet(f"{coll.index_path}/data")
+    assert indexed.count() == 41
