@@ -20,9 +20,47 @@ materialization of the filter-match set (the reference's central scalability
 flaw, ``db/db.go:113-120``).
 """
 
-from kaer_spark.context import Collection, KaerContext
-from kaer_spark.filters import compile_filter
+from kaer_spark.context import Collection, KaerContext, dense_ids
+from kaer_spark.embeddings import EmbeddingProvider, HashingEmbedder, HTTPEmbedder
+from kaer_spark.filters import compile_filter, filter_to_sql
+from kaer_spark.operators.asof import asof_join
+from kaer_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from kaer_spark.operators.interval import interval_join, time_bucket_join
+from kaer_spark.operators.knn import exact_knn, knn_join
+from kaer_spark.operators.skew import salted_join
+from kaer_spark.pipelines import corpus_stats, prepare_training_corpus
 from kaer_spark.session import get_spark
 
-__all__ = ["KaerContext", "Collection", "compile_filter", "get_spark"]
+__all__ = [
+    "KaerContext",
+    "Collection",
+    "dense_ids",
+    "compile_filter",
+    "filter_to_sql",
+    "get_spark",
+    "EmbeddingProvider",
+    "HashingEmbedder",
+    "HTTPEmbedder",
+    "exact_knn",
+    "knn_join",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_near_dups",
+    "simhash",
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "asof_join",
+    "interval_join",
+    "time_bucket_join",
+    "salted_join",
+    "prepare_training_corpus",
+    "corpus_stats",
+]
 __version__ = "0.1.0"

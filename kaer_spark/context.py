@@ -58,6 +58,13 @@ class CollectionNotFound(KeyError):
     """Reference: ErrCollectionNotFound, db/db.go:25 (raised db/kaer.go:53)."""
 
 
+class FieldTypeConflict(TypeError):
+    """A metadata field arrives with a different type than previously
+    stored. The reference's document store would accept it (BSON is
+    untyped); a columnar store cannot read mixed-type parquet columns, so
+    the conflict is rejected at write time with the offending fields."""
+
+
 class FieldLengthMismatch(ValueError):
     """Reference: ErrFieldLengthMismatch, db/db.go:61-63."""
 
@@ -144,7 +151,12 @@ class Collection:
             if schema is None:
                 raise CollectionNotFound(f"collection {self.name} is empty and untyped")
             return self.ctx.spark.createDataFrame([], schema)
-        return self.ctx.spark.read.parquet(self.data_path)
+        # mergeSchema: inserts may add metadata fields over time (the
+        # schemaless-metadata contract, SURVEY §1.1); without it Spark picks
+        # one file's schema and silently DROPS the other files' columns.
+        # Type conflicts are rejected at insert time (FieldTypeConflict),
+        # so the merge here always succeeds.
+        return self.ctx.spark.read.option("mergeSchema", "true").parquet(self.data_path)
 
     # -- ingest (reference O4, db/db.go:60-100) --------------------------
     def insert(
@@ -163,13 +175,37 @@ class Collection:
             raise FieldLengthMismatch(
                 f"documents ({len(documents)}) != metadatas ({len(metadatas)})"
             )
+        if not documents:
+            return int(self.meta.get("next_id", 0))  # no-op, ids unchanged
         rows = [dict(m, **{DOC_COL: d}) for d, m in zip(documents, metadatas)]
         df = self.ctx.spark.createDataFrame(rows)  # schema inferred at first insert
         return self.insert_df(df)
 
+    def _check_types(self, incoming: T.StructType) -> None:
+        """Reject fields whose type conflicts with the stored schema —
+        mixed-type parquet columns are unreadable; new fields are fine
+        (they merge as NULL for older rows)."""
+        if not self.meta.get("schema"):
+            return
+        stored = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(self.meta["schema"])).fields
+        }
+        conflicts = [
+            f"{f.name}: stored {stored[f.name].simpleString()}, "
+            f"got {f.dataType.simpleString()}"
+            for f in incoming.fields
+            if f.name in stored and f.dataType != stored[f.name]
+        ]
+        if conflicts:
+            raise FieldTypeConflict("; ".join(conflicts))
+
     def insert_df(self, df: DataFrame, text_col: str = DOC_COL) -> int:
+        self._check_types(df.schema)
         next_id = int(self.meta.get("next_id", 0))
         batch_n = df.count()
+        if batch_n == 0:
+            return next_id
         # ids first, embedding second: the id pass (partition-count collect)
         # then never executes the expensive embedding stage, which runs
         # exactly once inside the write job.
@@ -180,10 +216,8 @@ class Collection:
         df.write.mode("append").parquet(self.data_path)
         self.meta["next_id"] = next_id + batch_n
         self.meta["has_data"] = True
-        if not self.meta.get("schema"):
-            self.meta["schema"] = json.dumps(
-                self.ctx.spark.read.parquet(self.data_path).schema.jsonValue()
-            )
+        # keep the catalog schema = the MERGED schema (inserts may add fields)
+        self.meta["schema"] = json.dumps(self.df().schema.jsonValue())
         self._save_meta()
         if self.meta.get("has_index"):
             # the reference adds every inserted vector to its index inline

@@ -91,3 +91,45 @@ def test_dense_ids_with_order(spark):
     assert [r["_m_id"] for r in rows] == list(range(10, 110))
     # ids follow the requested order
     assert rows == sorted(rows, key=lambda r: r["_m_id"])
+
+
+def test_insert_schema_evolution_merges(spark, tmp_path):
+    """New metadata fields in later inserts must MERGE (older rows read
+    NULL), never silently drop earlier columns."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    c = ctx.create_collection("evolve")
+    c.insert(["first"], [{"x": 1}])
+    c.insert(["second"], [{"y": "s"}])
+    rows = {r["_m_doc"]: r for r in c.df().collect()}
+    assert set(c.df().columns) >= {"_m_doc", "_m_id", "_m_embedding", "x", "y"}
+    assert rows["first"]["x"] == 1 and rows["first"]["y"] is None
+    assert rows["second"]["x"] is None and rows["second"]["y"] == "s"
+    # reopened collection sees the merged schema too
+    c2 = KaerContext(spark, str(tmp_path / "kaer")).get_collection("evolve")
+    assert set(c2.df().columns) == set(c.df().columns)
+
+
+def test_insert_type_conflict_rejected(spark, tmp_path):
+    import pytest
+
+    from kaer_spark.context import FieldTypeConflict, KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    c = ctx.create_collection("conflict")
+    c.insert(["first"], [{"x": 1}])
+    with pytest.raises(FieldTypeConflict, match="x"):
+        c.insert(["second"], [{"x": "now a string"}])
+    # nothing was written by the failed insert
+    assert c.count() == 1
+
+
+def test_empty_insert_is_noop(spark, tmp_path):
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    c = ctx.create_collection("empty")
+    first = c.insert(["only doc"], [{"x": 1}])
+    assert c.insert([], []) == first + 1  # returns next id, writes nothing
+    assert c.count() == 1
