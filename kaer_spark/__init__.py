@@ -20,6 +20,7 @@ materialization of the filter-match set (the reference's central scalability
 flaw, ``db/db.go:113-120``).
 """
 
+from kaer_spark.config import KaerConfig, context_from_config, parse_config
 from kaer_spark.context import Collection, KaerContext, dense_ids
 from kaer_spark.embeddings import EmbeddingProvider, HashingEmbedder, HTTPEmbedder
 from kaer_spark.filters import compile_filter, filter_to_sql
@@ -40,6 +41,9 @@ from kaer_spark.session import get_spark
 
 __all__ = [
     "KaerContext",
+    "KaerConfig",
+    "parse_config",
+    "context_from_config",
     "Collection",
     "dense_ids",
     "compile_filter",

@@ -133,3 +133,40 @@ def test_empty_insert_is_noop(spark, tmp_path):
     first = c.insert(["only doc"], [{"x": 1}])
     assert c.insert([], []) == first + 1  # returns next id, writes nothing
     assert c.count() == 1
+
+
+def test_config_parses_reference_style_toml(spark, tmp_path):
+    """A reference config file (config/config.go sections) parses
+    unchanged; server-only knobs are ignored."""
+    from kaer_spark.config import context_from_config, parse_config
+
+    cfg_file = tmp_path / "kaer.toml"
+    cfg_file.write_text(
+        """
+[cohere]
+api_key = ""
+model = "multilingual-22-12"
+
+[db]
+persist_dir = "%s"
+postgres_username = "postgres"
+postgres_port = 5432
+ferretdb_tcp = "localhost:8080"
+
+[hnsw]
+m = 8
+ef_construction = 400
+"""
+        % (tmp_path / "warehouse")
+    )
+    cfg = parse_config(str(cfg_file))
+    assert cfg.persist_dir.endswith("warehouse")
+    assert cfg.dim == 768  # model map, config/config.go:59
+    assert cfg.index_cells == 8  # [hnsw] m honored as the index knob
+    assert not cfg.uses_http_provider
+
+    ctx = context_from_config(spark, cfg)
+    c = ctx.create_collection("from_cfg")
+    c.insert(["hello world"], [{"a": 1}])
+    assert c.query("hello", k=1).count() == 1
+    assert len(c.df().collect()[0]["_m_embedding"]) == 768
