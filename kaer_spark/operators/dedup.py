@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kaer_spark.functions.text import char_shingles, tokens
+from kaer_spark.functions.text import char_shingles, tokens, word_shingles
 from kaer_spark.functions.vector import dot, vector_norm
 from kaer_spark.operators.util import ensure_parallelism
 
@@ -82,6 +82,14 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataF
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dedup (inverted-index self-join)
 # ---------------------------------------------------------------------------
+def _shingle_expr(text_col: str, n: int, unit: str) -> Column:
+    if unit == "char":
+        return char_shingles(text_col, n=n)
+    if unit == "word":
+        return word_shingles(text_col, n=n)
+    raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,8 +97,11 @@ def ngram_jaccard_pairs(
     n: int = 8,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    unit: str = "char",
 ) -> DataFrame:
-    """Pairs (id_a < id_b) whose distinct char-``n``-gram Jaccard ≥ threshold.
+    """Pairs (id_a < id_b) whose distinct ``n``-gram Jaccard ≥ threshold;
+    ``unit`` selects char shingles (robust to tokenization, the web-dedup
+    default) or word shingles (coarser, ~10× fewer postings per doc).
 
     ``max_doc_freq`` drops shingles occurring in more than that many docs
     before the join — the standard web-scale candidate-pruning knob. It
@@ -110,7 +121,7 @@ def ngram_jaccard_pairs(
     expressions per consumer.
     """
     sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), char_shingles(text_col, n=n).alias("shingles")
+        F.col(id_col).alias("id"), _shingle_expr(text_col, n, unit).alias("shingles")
     ).filter(F.size("shingles") > 0).persist()
     inv = sh.select("id", F.explode("shingles").alias("g"))
     if max_doc_freq is not None:
@@ -154,8 +165,9 @@ def minhash_signatures(
     n: int = 8,
     num_hashes: int = 16,
     seed: int = 42,
+    unit: str = "char",
 ) -> DataFrame:
-    """(id, sig array<long>, shingles) — MinHash over distinct char n-grams.
+    """(id, sig array<long>, shingles) — MinHash over distinct n-grams.
 
     Each signature slot j is ``min over shingles of (a_j·fp + b_j) mod P``
     where fp is the polynomial shingle hash. All arithmetic stays below
@@ -163,7 +175,7 @@ def minhash_signatures(
     """
     coeffs = minhash_coeffs(num_hashes, seed)
     sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), char_shingles(text_col, n=n).alias("shingles")
+        F.col(id_col).alias("id"), _shingle_expr(text_col, n, unit).alias("shingles")
     ).filter(F.size("shingles") > 0)
     fps = F.transform(F.col("shingles"), _poly_hash)
 
@@ -183,6 +195,7 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.5,
     seed: int = 42,
+    unit: str = "char",
 ) -> DataFrame:
     """LSH-banded MinHash near-dup pairs, verified by exact Jaccard.
 
@@ -192,7 +205,7 @@ def minhash_near_dups(
     identical to what the oracle computes with the same banding.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit).persist()
     banded = sigs.select(
         "id",
         F.explode(

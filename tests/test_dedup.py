@@ -117,3 +117,22 @@ def test_embedding_near_dups(spark):
         for r in embedding_near_dups(df, threshold=0.95, block_col="label").collect()
     }
     assert blocked == {(0, 1)}
+
+
+def test_word_unit_jaccard(spark):
+    """unit='word' shingles: duplicate word sequences pair up even when
+    char-level formatting differs slightly is NOT claimed — only exact
+    word-trigram overlap counts."""
+    from kaer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence with other words entirely here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9, unit="word").collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
