@@ -54,7 +54,7 @@ def main() -> int:
     # warm the JVM/session so the first measured query doesn't pay startup
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -23,10 +23,13 @@ where meaningful: model ``multilingual-22-12``, dir ``/tmp/kaer``.
 from __future__ import annotations
 
 import tomllib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-#: reference model→dimension map, config/config.go:59
-COHERE_MODEL_DIMS = {"multilingual-22-12": 768, "small": 1024, "large": 4096}
+from kaer_spark.embeddings import HTTPEmbedder
+
+#: reference model→dimension map, config/config.go:59 — single source of
+#: truth lives on the provider (embeddings.HTTPEmbedder.MODEL_DIMS)
+COHERE_MODEL_DIMS = HTTPEmbedder.MODEL_DIMS
 
 
 @dataclass
@@ -34,9 +37,13 @@ class KaerConfig:
     persist_dir: str = "/tmp/kaer"  # config/config.go:38
     model: str = "multilingual-22-12"  # config/config.go:35
     api_key: str = ""
-    dim: int = field(default=768)
+    dim: int | None = None  # derived from model unless set explicitly
     index_cells: int = 16
     nprobe: int = 4
+
+    def __post_init__(self) -> None:
+        if self.dim is None:
+            self.dim = COHERE_MODEL_DIMS.get(self.model, 1024)
 
     @property
     def uses_http_provider(self) -> bool:
@@ -51,12 +58,10 @@ def parse_config(path: str) -> KaerConfig:
     cohere = raw.get("cohere", {})
     db = raw.get("db", {})
     index = raw.get("index", raw.get("hnsw", {}))
-    model = cohere.get("model", "multilingual-22-12")
     return KaerConfig(
         persist_dir=db.get("persist_dir", "/tmp/kaer"),
-        model=model,
+        model=cohere.get("model", "multilingual-22-12"),
         api_key=cohere.get("api_key", ""),
-        dim=COHERE_MODEL_DIMS.get(model, 1024),
         index_cells=int(index.get("cells", index.get("m", 16))),
         nprobe=int(index.get("nprobe", 4)),
     )

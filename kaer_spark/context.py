@@ -191,11 +191,14 @@ class Collection:
             f.name: f.dataType
             for f in T.StructType.fromJson(json.loads(self.meta["schema"])).fields
         }
+        # compare on simpleString: nullability (containsNull / nullable)
+        # differences merge fine in parquet and must not be rejected
         conflicts = [
             f"{f.name}: stored {stored[f.name].simpleString()}, "
             f"got {f.dataType.simpleString()}"
             for f in incoming.fields
-            if f.name in stored and f.dataType != stored[f.name]
+            if f.name in stored
+            and f.dataType.simpleString() != stored[f.name].simpleString()
         ]
         if conflicts:
             raise FieldTypeConflict("; ".join(conflicts))
@@ -216,8 +219,17 @@ class Collection:
         df.write.mode("append").parquet(self.data_path)
         self.meta["next_id"] = next_id + batch_n
         self.meta["has_data"] = True
-        # keep the catalog schema = the MERGED schema (inserts may add fields)
-        self.meta["schema"] = json.dumps(self.df().schema.jsonValue())
+        # merge the batch's schema into the catalog schema in Python — a
+        # re-read of every parquet footer per insert would make insert cost
+        # grow with collection size
+        stored = (
+            T.StructType.fromJson(json.loads(self.meta["schema"])).fields
+            if self.meta.get("schema")
+            else []
+        )
+        seen = {f.name for f in stored}
+        merged = list(stored) + [f for f in df.schema.fields if f.name not in seen]
+        self.meta["schema"] = json.dumps(T.StructType(merged).jsonValue())
         self._save_meta()
         if self.meta.get("has_index"):
             # the reference adds every inserted vector to its index inline

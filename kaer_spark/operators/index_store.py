@@ -133,7 +133,11 @@ def ivf_index_topk(
         for i, c in enumerate(meta["centroids"])
     ]
     probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:nprobe]]
-    df = spark.read.parquet(os.path.join(path, DATA_DIR))
+    # mergeSchema: refresh appends after collection schema evolution may
+    # carry fields the original build files lack (same reason Collection.df
+    # merges); without it a filtered approximate query can fail to resolve
+    # the predicate column or read it inconsistently.
+    df = spark.read.option("mergeSchema", "true").parquet(os.path.join(path, DATA_DIR))
     pruned = df.filter(F.col("_cell").isin(probe))
     if pred is not None:
         pruned = pruned.filter(pred)

@@ -53,15 +53,20 @@ def time_bucket_join(
     left_ts: str,
     right_ts: str,
     band: int,
-    how: str = "inner",
 ) -> DataFrame:
-    """Band join with NO equality key: bucket time by the band width and
-    equi-join on bucket id (left probes its own and the previous bucket, so
-    every pair within ``[left_ts - band, left_ts]`` meets exactly once).
+    """INNER band join with NO equality key: bucket time by the band width
+    and equi-join on bucket id (left probes its own and the previous
+    bucket, so every pair within ``[left_ts - band, left_ts]`` meets
+    exactly once).
+
+    Inner-only by construction: each left row is exploded into two bucket
+    probes before the join, so an outer join would null-extend the probe
+    copies and emit duplicate / spurious unmatched rows.
 
     This is the scale path for global time-band joins: shuffle is keyed on
     time buckets (bounded fan-out of 2), not a cross product.
     """
+    how = "inner"
     lb = left.withColumn(
         "_bkt", F.explode(F.array(F.floor(F.col(left_ts) / band), F.floor(F.col(left_ts) / band) - 1))
     )

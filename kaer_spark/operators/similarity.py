@@ -144,7 +144,9 @@ def ivf_topk(
 
     q = np.asarray([float(x) for x in query_vector])
     dists = [(i, float(((c - q) ** 2).sum())) for i, c in enumerate(model.clusterCenters())]
-    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    # (dist, cell-id) sort: same deterministic tie-break as the materialized
+    # index path (operators.index_store.ivf_index_topk)
+    probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:nprobe]]
     pruned = assigned_corpus.filter(F.col("_cell").isin(probe))
     return (
         pruned.withColumn("_score", l2sq(vec_col, list(query_vector)))

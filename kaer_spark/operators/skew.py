@@ -37,6 +37,10 @@ def salted_join(
     """
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        # right/full would emit each unmatched small-side row once per salt
+        # replica — wrong multiplicities by construction
+        raise ValueError(f"salted_join supports inner/left/left_semi/left_anti, got {how!r}")
     sk = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
     )

@@ -111,7 +111,12 @@ def streaming_dedup(
             state.remove()
             return
         if state.exists:
-            return  # fingerprint already emitted in an earlier batch
+            # already emitted — but Spark clears the timeout every time the
+            # function runs for a key, so re-ARM it or a single re-arrival
+            # would make this fingerprint's state immortal
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            return
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return

@@ -86,3 +86,23 @@ def test_collection_index_lifecycle(spark, tmp_path):
     coll.insert(["a brand new document"], [{"topic": 9}])
     indexed = spark.read.parquet(f"{coll.index_path}/data")
     assert indexed.count() == 41
+
+
+def test_indexed_collection_survives_schema_evolution(spark, tmp_path):
+    """Insert-triggered refresh after a schema-evolving insert must leave
+    the index queryable with filters on the NEW field (mergeSchema on the
+    index read path)."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    c = ctx.create_collection("evolving_idx")
+    c.insert([f"base doc {i}" for i in range(10)], [{"a": i} for i in range(10)])
+    c.build_index(cells=2, seed=42)
+    c.insert(["fresh doc"], [{"a": 99, "b": "tagged"}])  # evolves schema + refreshes
+
+    hit = c.query("fresh doc", k=3, filter={"b": "tagged"}, approximate=True, nprobe=2)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["b"] == "tagged"
+    # old rows remain queryable too, reading b as NULL
+    allq = c.query("base doc", k=11, approximate=True, nprobe=2)
+    assert allq.count() == 11
