@@ -310,6 +310,45 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _t(spark, sf_dir, "events")
+def _q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of events_hourly, run as a bounded stream
+    (file source → watermarked tumbling window → memory sink, drained with
+    processAllAvailable). The aggregation is exact in complete mode, so the
+    result is oracle-checkable against the same SQL as the batch query —
+    the stream ≡ batch contract, enforced by the driver gate itself."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob-filter it down to events
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withColumn("hour_epoch", F.expr("ts DIV 3600000000000") * 3600)
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -668,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": _q_window_running,
         "events_json": _q_events_json,
         "events_hourly": _q_events_hourly,
+        "streaming_events_hourly": _q_streaming_hourly,
         "events_sessionize": _q_events_sessionize,
         "set_ops": _q_set_ops,
         "rollup_agg": _q_rollup_agg,
@@ -1080,6 +1120,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "events_hourly": """
+            SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_events_hourly": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,
                    event_type, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
