@@ -655,6 +655,32 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the fake media column — offsets are
+    pure Catalyst (sequence over duration metadata), so oracle-checkable."""
+    from kaer_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    out = sample_frames(media, every_ms=1000)
+    return out.select(
+        "doc_id",
+        F.size("frame_offsets_ms").cast("long").alias("n_frames"),
+        F.concat_ws(",", F.col("frame_offsets_ms")).alias("offsets_csv"),
+    )
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-resample resize — rows-only (the resample loop is
+    not SQL-expressible); digests pin determinism across runs."""
+    from kaer_spark.operators.multimodal import attach_fake_media, resize_images
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    out = resize_images(media, width=32, height=16)
+    return out.select(
+        "doc_id", "out_width", "out_height", F.md5("resized").alias("digest")
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaer_spark.operators.multimodal import (
         attach_fake_media,
@@ -720,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_clicks": _q_range_join,
         "dedup_minhash": _q_dedup_minhash,
         "multimodal_features": _q_multimodal_features,
+        "media_frame_offsets": _q_frame_offsets,
+        "media_resize": _q_media_resize,
     }
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
@@ -1219,6 +1247,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _sql_minhash(),
         "multimodal_features": _sql_multimodal(),
+        "media_frame_offsets": """
+            SELECT doc_id,
+                   CAST(len(generate_series(0, greatest(octet_length(encode(text)) * 40 - 1, 0), 1000)) AS BIGINT)
+                       AS n_frames,
+                   array_to_string(generate_series(0, greatest(octet_length(encode(text)) * 40 - 1, 0), 1000), ',')
+                       AS offsets_csv
+            FROM documents
+        """,
     }
     for name, filt in FILTER_CASES.items():
         out[name] = _sql_filter(filt)
