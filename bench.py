@@ -23,6 +23,8 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
     "revenue_by_nation",
     "top_customers",
     "window_running",
