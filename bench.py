@@ -22,6 +22,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
     "tpch_q14",
     "tpch_q19",
