@@ -541,6 +541,61 @@ def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): filtered LEFT OUTER join then two
+    stacked aggregations. The orders-side predicate must sit on the right
+    input (not the join output) to preserve outer-join semantics — customers
+    whose only orders are urgent still count with c_count = 0. Fixtures have
+    no o_comment, so the exclusion predicate is the analogous NOT LIKE on
+    o_orderpriority."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("1-%")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): group-HAVING over the fact table
+    feeding a semi-filter on orders. The HAVING comparison stays in DECIMAL
+    (exact) so the qualifying set is engine-independent; the qualifying keys
+    are joined back as an inner join that AQE converts to broadcast once the
+    aggregate side turns out small — the same plan shape that works at
+    100 TB, where the >threshold set is tiny relative to lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+        .select("l_orderkey", F.col("sum_qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
 def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): conditional aggregation over a
     lineitem⋈part join. Part is broadcast (2k rows at sf0.01; at 100 TB it
@@ -908,7 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
@@ -1303,6 +1360,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+              FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum_qty_dec AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT 100
         """,
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

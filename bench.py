@@ -24,7 +24,9 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q7",
     "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q18",
     "tpch_q19",
     "revenue_by_nation",
     "top_customers",
