@@ -564,6 +564,64 @@ def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): revenue-per-supplier aggregate, then the
+    max taken with a rank() window over the (tiny) aggregate — one pass,
+    no re-scan of lineitem the way the spec's correlated MAX subquery
+    implies. Ties on the exact double revenue all surface, so the result
+    is deterministic without an arbitrary pick."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    ranked = per_supp.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+    ).filter(F.col("rk") == 1)
+    return (
+        ranked.join(F.broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): scalar-subquery threshold
+    (broadcast single-row cross join — no recompute per row) feeding an
+    anti join against orders. The average replays exactly: DECIMAL sum
+    cast to double, divided by the count, on both engines. Fixtures have
+    no c_phone, so the grouping key is c_mktsegment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    acct_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(acct_dec).cast("double") / F.count("*")).alias("avg_bal")
+        )
+    )
+    candidates = (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        candidates.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(acct_dec).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): group-HAVING over the fact table
     feeding a semi-filter on orders. The HAVING comparison stays in DECIMAL
@@ -965,7 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
         "tpch_q19": _q_tpch_q19,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
@@ -1372,6 +1432,37 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH per_supp AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+                         AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            ),
+            ranked AS (
+              SELECT *, rank() OVER (ORDER BY total_revenue DESC) AS rk
+              FROM per_supp
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rk = 1
+        """,
+        "tpch_q22": """
+            WITH thr AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                         AS avg_bal
+              FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c_mktsegment, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer, thr
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
         """,
         "tpch_q18": """
             WITH big AS (

@@ -26,7 +26,9 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
     "tpch_q18",
+    "tpch_q22",
     "tpch_q19",
     "revenue_by_nation",
     "top_customers",
