@@ -830,14 +830,19 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum_k/max_k are coalesced to 0/-1 sentinels: a nullable BIGINT column
+    # promotes to float64 (NaN) on some fetch paths (pandas/Arrow) while a
+    # NULL-free one stays int64, so eliminating NULLs pins one canonical
+    # representation on both engines. (DuckDB's sum(BIGINT) is HUGEINT —
+    # the oracle pins it back with CAST AS BIGINT for the same reason.)
     ev = _events(spark, sf_dir)
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.max("k").alias("max_k"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+            F.coalesce(F.max("k"), F.lit(-1)).cast("long").alias("max_k"),
         )
     )
 
@@ -1572,8 +1577,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+                   CAST(COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
+                   CAST(COALESCE(max(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
         """,
         "events_hourly": """
