@@ -1160,10 +1160,13 @@ def _sql_filter(filt) -> str:
 
 #: polynomial char hash of a string expression (matches functions.text)
 def _sql_poly_hash(expr: str) -> str:
+    # DuckDB's list_reduce raises on an empty list, so empty text is guarded
+    # to the fold's init value 0 — matching the Spark aggregate's result.
     return (
+        f"(CASE WHEN length({expr}) = 0 THEN 0 ELSE "
         f"list_reduce(list_transform(range(1, length({expr}) + 1), "
         f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT)), "
-        f"(a, x) -> (a * {PB} + x) % {PM})"
+        f"(a, x) -> (a * {PB} + x) % {PM}) END)"
     )
 
 
@@ -1217,7 +1220,10 @@ def _sql_embedding_dups() -> str:
     # dot-product only (same expression tree → identical IEEE results)
     dot = _sql_dot_cols("a.embedding", "b.embedding")
     nrm = f"sqrt({_sql_dot_cols('embedding', 'embedding')})"
-    cos = f"(({dot}) / (a.nrm * b.nrm))"
+    # zero-norm guard mirrors the Spark side's NULL-safe cosine (a NULL
+    # never passes the >= filter); without it DuckDB yields NaN, which
+    # DuckDB orders above every number and so WOULD pass the threshold
+    cos = f"(CASE WHEN a.nrm * b.nrm <> 0.0 THEN ({dot}) / (a.nrm * b.nrm) END)"
     return f"""
         WITH e AS (SELECT vec_id, label, embedding, {nrm} AS nrm FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine

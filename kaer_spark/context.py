@@ -87,7 +87,15 @@ def dense_ids(df: DataFrame, start: int = 0, order_col: str | None = None) -> Da
         # Deterministic global order requested: range-partition by the order
         # column (a shuffle), then per-partition numbering + offsets.
         df = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
-    tagged = df.withColumn("_pid", F.spark_partition_id())
+    # Freeze partition membership before the two dependent jobs: the offset
+    # collect below and the consumer's numbering action must see IDENTICAL
+    # partitions, but an unpersisted repartitionByRange re-samples its range
+    # boundaries per execution, so rows can migrate between the jobs —
+    # duplicate or gapped ids that silently corrupt a collection.
+    # localCheckpoint materializes the partitions once (lineage truncated,
+    # blocks reclaimed by the ContextCleaner when the frame is GC'd) and
+    # fails loudly on block loss instead of renumbering differently.
+    tagged = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     counts = {
         r["_pid"]: r["cnt"]
         for r in tagged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -157,7 +157,9 @@ def _compile_op(field: str, col: Column, op: str, v: Any) -> Column:
     if op == "$mod":
         if not isinstance(v, (list, tuple)) or len(v) != 2:
             raise FilterError("$mod takes [divisor, remainder]")
-        return F.pmod(col, F.lit(v[0])) == F.lit(v[1])
+        # Mongo's $mod uses truncated-division remainder (sign follows the
+        # dividend) — Spark's % operator, not pmod (always non-negative)
+        return (col % F.lit(v[0])) == F.lit(v[1])
     if op == "$size":
         return F.size(col) == F.lit(int(v))
     if op == "$all":
@@ -250,7 +252,8 @@ def _sql_op(field: str, op: str, v: Any) -> str:
     if op == "$regex":
         return f"(regexp_matches({field}, {_sql_lit(v)}))"
     if op == "$mod":
-        return f"(({field} % {_sql_lit(v[0])} + {_sql_lit(v[0])}) % {_sql_lit(v[0])} = {_sql_lit(v[1])})"
+        # DuckDB % is truncated-division remainder too — matches Mongo/Spark
+        return f"({field} % {_sql_lit(v[0])} = {_sql_lit(v[1])})"
     if op == "$size":
         return f"(len({field}) = {int(v)})"
     if op == "$all":

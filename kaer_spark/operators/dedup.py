@@ -120,9 +120,13 @@ def ngram_jaccard_pairs(
     this spills, which is still far cheaper than re-evaluating the shingle
     expressions per consumer.
     """
+    # localCheckpoint, not persist(): three consumers need the shingle
+    # arrays, but a plain persist is never unpersisted (the consumer is a
+    # lazy DataFrame we return) and leaks cache until session end;
+    # localCheckpoint blocks are reclaimed by the ContextCleaner on GC.
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _shingle_expr(text_col, n, unit).alias("shingles")
-    ).filter(F.size("shingles") > 0).persist()
+    ).filter(F.size("shingles") > 0).localCheckpoint()
     inv = sh.select("id", F.explode("shingles").alias("g"))
     if max_doc_freq is not None:
         hot = (
@@ -205,7 +209,10 @@ def minhash_near_dups(
     identical to what the oracle computes with the same banding.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit).persist()
+    # localCheckpoint for the same reason as ngram_jaccard_pairs: two
+    # consumers (banding + verification), no unpersist point for a lazily
+    # returned result — checkpoint blocks are GC-reclaimed instead.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit).localCheckpoint()
     banded = sigs.select(
         "id",
         F.explode(

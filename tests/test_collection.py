@@ -93,6 +93,32 @@ def test_dense_ids_with_order(spark):
     assert rows == sorted(rows, key=lambda r: r["_m_id"])
 
 
+def test_dense_ids_large_multipartition_no_collisions(spark):
+    """Allocator correctness across jobs: the offset-collect and the
+    numbering action both execute the repartitionByRange plan; without the
+    checkpoint in dense_ids, per-job boundary re-sampling can migrate rows
+    between partitions → duplicate/gapped ids. A many-partition batch with
+    a high-cardinality order column exercises exactly that path, and the
+    result must be a perfect permutation-free dense range no matter how
+    many times the output is re-executed."""
+    n = 200_000
+    df = (
+        spark.range(n)
+        .repartition(32)
+        .selectExpr("id", "CAST(hash(id) AS BIGINT) AS key")
+    )
+    out = dense_ids(df, start=0, order_col="key")
+    # execute the numbering job twice: both runs must agree exactly
+    for _ in range(2):
+        ids = [r["_m_id"] for r in out.select("_m_id").collect()]
+        assert len(ids) == n
+        assert len(set(ids)) == n, "duplicate _m_id assigned"
+        assert min(ids) == 0 and max(ids) == n - 1, "gapped _m_id range"
+    # ids follow the key order globally
+    sample = out.orderBy("key").limit(1000).collect()
+    assert [r["_m_id"] for r in sample] == sorted(r["_m_id"] for r in sample)
+
+
 def test_insert_schema_evolution_merges(spark, tmp_path):
     """New metadata fields in later inserts must MERGE (older rows read
     NULL), never silently drop earlier columns."""
