@@ -58,6 +58,24 @@ FILTER_CASES = {
     "filter_nor": {"$nor": [{"lang": "en"}, {"lang": "fr"}]},
     "filter_not": {"lang": {"$not": {"$eq": "en"}}},
 }
+# schemaless metadata (kaer_spark.filters_json): ragged JSON built
+# deterministically from documents — `src` present on 1/3 of rows, `flag`
+# null on 1/5 and true on another 1/5, missing elsewhere. Exercises
+# missing-vs-null, $exists, $type and type-bracketed comparisons end to end.
+SCHEMALESS_CASES = {
+    "schemaless_exists": {
+        "src": {"$exists": True},
+        "n": {"$gt": 500},
+        "flag": {"$ne": True},
+    },
+    "schemaless_types": {
+        "$or": [
+            {"flag": {"$type": "null"}},
+            {"$and": [{"src": {"$exists": False}}, {"n": {"$mod": [7, 3]}}]},
+        ],
+        "lang": {"$in": ["en", "de", "fr"]},
+    },
+}
 JACCARD_N = 8
 JACCARD_THRESHOLD = 0.4
 # rare-shingle cap: shingles present in more docs carry no dedup signal but
@@ -123,6 +141,45 @@ def _q_filter(filt):
             _t(spark, sf_dir, "documents")
             .filter(compile_filter(filt))
             .select("doc_id", "lang", "source")
+        )
+
+    return run
+
+
+def _ragged_meta(docs: DataFrame) -> DataFrame:
+    """Ragged JSON metadata column built from the documents fixture — the
+    same byte-for-byte text the oracle constructs in SQL, so both engines
+    parse identical documents."""
+    meta = F.concat(
+        F.lit('{"lang":"'),
+        F.col("lang"),
+        F.lit('","n":'),
+        F.col("n_chars").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(',"src":"'), F.col("source"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(',"flag":null'))
+        .when(F.col("doc_id") % 5 == 1, F.lit(',"flag":true'))
+        .otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return docs.withColumn("_m_meta", meta)
+
+
+def _q_schemaless(filt):
+    """Schemaless-metadata filter (reference's raw-bson contract,
+    db/db.go:44-47): Mongo filter compiled against a JSON column via
+    Spark VARIANT — missing key ≠ present null, type-bracketed equality."""
+    from kaer_spark.filters_json import compile_filter_json
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        m = _ragged_meta(_t(spark, sf_dir, "documents"))
+        v = F.parse_json(F.col("_m_meta"))
+        return m.filter(compile_filter_json(filt)).select(
+            "doc_id",
+            F.try_variant_get(v, "$.src", "string").alias("src"),
+            F.try_variant_get(v, "$.n", "bigint").alias("n"),
         )
 
     return run
@@ -1042,6 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_offsets": _q_frame_offsets,
         "media_resize": _q_media_resize,
     }
+    # -- new this round: schemaless-metadata (variant) filter dialect --
+    for name, filt in SCHEMALESS_CASES.items():
+        out[name] = _q_schemaless(filt)
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
     out.update(
@@ -1085,10 +1145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semi_join_returned": _q_semi_join,
             "distinct_agg": _q_distinct_agg,
             "pivot_agg": _q_pivot_agg,
-            "asof_signup": _q_asof_signup,
-            "range_join_clicks": _q_range_join,
             # -- beyond the 50-row driver window this round: green in BOTH
             #    r01 and r02; covered by selfcheck + tests every commit --
+            "asof_signup": _q_asof_signup,
+            "range_join_clicks": _q_range_join,
             "knn_topk": _q_knn(None, 10),
             "knn_filtered_eq": _q_knn(KNN_FILTER_EQ, 5),
             "knn_filtered_and": _q_knn(KNN_FILTER_AND, 5),
@@ -1159,6 +1219,32 @@ def _sql_filter(filt) -> str:
 
 
 #: polynomial char hash of a string expression (matches functions.text)
+def _sql_schemaless(filt) -> str:
+    """Oracle twin of _q_schemaless: the SAME ragged JSON text constructed
+    in SQL, filtered through filters_json.filter_json_to_sql (the DuckDB
+    json_type/json_extract rendering of the variant semantics)."""
+    from kaer_spark.filters_json import filter_json_to_sql
+
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 '{{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ',"src":"' || source || '"' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ',"flag":null'
+                         WHEN doc_id % 5 = 1 THEN ',"flag":true'
+                         ELSE '' END
+                 || '}}' AS _m_meta
+          FROM documents
+        )
+        SELECT doc_id,
+               json_extract_string(_m_meta, '$.src') AS src,
+               TRY_CAST(json_extract_string(_m_meta, '$.n') AS BIGINT) AS n
+        FROM m
+        WHERE {filter_json_to_sql(filt)}
+    """
+
+
 def _sql_poly_hash(expr: str) -> str:
     # DuckDB's list_reduce raises on an empty list, so empty text is guarded
     # to the fold's init value 0 — matching the Spark aggregate's result.
@@ -1752,4 +1838,6 @@ def oracle_sql() -> dict[str, str]:
     }
     for name, filt in FILTER_CASES.items():
         out[name] = _sql_filter(filt)
+    for name, filt in SCHEMALESS_CASES.items():
+        out[name] = _sql_schemaless(filt)
     return out

@@ -47,11 +47,13 @@ from kaer_spark.embeddings import (
     embed_texts_local,
 )
 from kaer_spark.filters import compile_filter
+from kaer_spark.filters_json import compile_filter_json
 from kaer_spark.functions.vector import l2sq
 
 DOC_COL = "_m_doc"  # reference: db/db.go:18
 ID_COL = "_m_id"  # reference: db/db.go:19
 EMB_COL = "_m_embedding"  # reference: db/db.go:20
+META_COL = "_m_meta"  # schemaless mode: the whole metadata doc as JSON
 
 
 class CollectionNotFound(KeyError):
@@ -185,8 +187,22 @@ class Collection:
             )
         if not documents:
             return int(self.meta.get("next_id", 0))  # no-op, ids unchanged
-        rows = [dict(m, **{DOC_COL: d}) for d, m in zip(documents, metadatas)]
-        df = self.ctx.spark.createDataFrame(rows)  # schema inferred at first insert
+        if self.meta.get("schemaless"):
+            # the reference's true data model: any row, any keys, any types
+            # (db/db.go:44-47, metadatas []bson.M). One canonical-JSON
+            # column instead of typed columns — no FieldTypeConflict, ragged
+            # keys welcome; filters compile via the variant path
+            # (kaer_spark.filters_json).
+            rows = [
+                {DOC_COL: d, META_COL: json.dumps(m, sort_keys=True, separators=(",", ":"))}
+                for d, m in zip(documents, metadatas)
+            ]
+            df = self.ctx.spark.createDataFrame(
+                rows, f"{DOC_COL} string, {META_COL} string"
+            )
+        else:
+            rows = [dict(m, **{DOC_COL: d}) for d, m in zip(documents, metadatas)]
+            df = self.ctx.spark.createDataFrame(rows)  # schema inferred at first insert
         return self.insert_df(df)
 
     def _check_types(self, incoming: T.StructType) -> None:
@@ -294,7 +310,11 @@ class Collection:
                 raise ValueError("need document or query_vector")
             provider = self.ctx.provider_for(self.meta)
             query_vector = embed_texts_local([document], provider)[0]
-        pred: Column = compile_filter(filter)
+        pred: Column = (
+            compile_filter_json(filter, META_COL)
+            if self.meta.get("schemaless")
+            else compile_filter(filter)
+        )
         if k <= 0:
             return self.df().filter(pred).limit(0)
         if approximate:
@@ -341,7 +361,14 @@ class KaerContext:
         return self.default_provider
 
     # reference O1, db/kaer.go:28-40
-    def create_collection(self, name: str, dim: int | None = None) -> Collection:
+    def create_collection(
+        self, name: str, dim: int | None = None, schemaless: bool = False
+    ) -> Collection:
+        """``schemaless=True`` reproduces the reference's raw-BSON metadata
+        contract: rows may carry arbitrary ragged/nested keys, stored as one
+        JSON column and filtered through the variant compiler. The typed
+        default remains the scale path (parquet predicate pushdown on real
+        columns); schemaless is the long-tail escape hatch."""
         path = os.path.join(self.root, name, "collection.json")
         if os.path.exists(path):
             raise ValueError(f"collection {name} already exists")
@@ -355,6 +382,7 @@ class KaerContext:
             "next_id": 0,
             "has_data": False,
             "schema": None,
+            "schemaless": bool(schemaless),
         }
         os.makedirs(os.path.dirname(path), exist_ok=True)
         coll = Collection(self, name, meta)
