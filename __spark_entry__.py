@@ -306,6 +306,41 @@ def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs nprobe for the IVF path: the recall/latency trade the
+    reference exposes via HNSW ef (db/hnsw.go ef=200), quantified for our
+    index. One k-means fit + assign, then each nprobe probes a growing cell
+    subset; recall is measured against the exact top-10 for 3 deterministic
+    query vectors. Rows-only contract (k-means is not SQL-expressible);
+    recall must be non-decreasing in nprobe and 1.0 at nprobe=cells —
+    asserted in tests/test_similarity.py."""
+    from kaer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    model = ivf_fit(embs, cells=8, seed=42)
+    assigned = ivf_assign(model, embs).persist()
+    try:
+        # 3 deterministic probes: QVEC plus two phase-shifted variants
+        qvecs = [QVEC, QVEC[32:] + QVEC[:32], [-x for x in QVEC]]
+        rows = []
+        for nprobe in (1, 2, 4, 8):
+            total = 0.0
+            for qv in qvecs:
+                exact = brute_force_topk(embs, qv, k=10)
+                approx = ivf_topk(model, assigned, qv, k=10, nprobe=nprobe)
+                total += recall_at_k(approx, exact, "vec_id")
+            rows.append((nprobe, round(total / len(qvecs), 4), len(qvecs)))
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(rows, "nprobe long, recall double, n_queries long")
+
+
 def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approxNearestNeighbors — same
     rows-only contract as ivf_knn (approximate path)."""
@@ -644,6 +679,91 @@ def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the 8-way join, following the q5
+    template. The type-filtered part (1/5 of rows) and the pre-joined
+    supplier⋈nation dims broadcast so lineitem prunes early and shuffles
+    once (on l_orderkey); customers are pre-filtered to the ASIA region
+    BEFORE touching the fact side (the q7 lesson — region cuts 4/5 of
+    customers), and the customer join itself is left to AQE: broadcast at
+    toy SF, shuffle at 100 TB. Both DECIMAL volume sums divide as doubles
+    once per year group, so the share replays bit-exact on the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n1 = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = _t(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n1.join(region, n1.n_regionkey == region.r_regionkey).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_5", vol
+    ).otherwise(F.lit(0).cast("decimal(28,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(supp.join(n2, supp.s_nationkey == F.col("s_nkey"))),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nation_vol).cast("double").alias("nation_vol"),
+            F.sum(vol).cast("double").alias("total_vol"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), fixture-adapted: the spec
+    filters on p_container, which the fixture lacks, so the part predicate
+    is p_brand + p_size (same selectivity role; the tested shape — a
+    correlated per-part average subquery — is unchanged). Spark-first: the
+    correlated avg becomes ONE window over l_partkey after the broadcast
+    part prune, not a second scan+join of lineitem. The threshold compare
+    runs in exact DECIMAL integer arithmetic (l_quantity is integral:
+    qty < 0.2·avg ⟺ 5·qty·cnt < sum), so no float boundary can diverge
+    between engines."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    )
+    pruned = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    stats = pruned.withColumn("sum_qty", F.sum(qty_dec).over(w)).withColumn(
+        "cnt_qty", F.count("*").over(w)
+    )
+    small = stats.filter(qty_dec * 5 * F.col("cnt_qty") < F.col("sum_qty"))
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
 def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): revenue-per-supplier aggregate, then the
     max taken with a rank() window over the (tiny) aggregate — one pass,
@@ -950,6 +1070,17 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style 15-min time_bucket rollup (operators/rollup.py):
+    integer-nanos bucket floor, one shuffle, DECIMAL-accumulated sum. The
+    same operator backs materialize/refresh_rollup (incremental day-partition
+    rebuild, tests/test_rollup.py); the driver row checks the bucket+agg
+    arithmetic."""
+    from kaer_spark.operators.rollup import rollup
+
+    return rollup(_events(spark, sf_dir), 900 * 1_000_000_000, dims=["event_type"])
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap per user —
     lag + conditional cumsum windows (the standard Spark sessionize shape)."""
@@ -1099,9 +1230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_offsets": _q_frame_offsets,
         "media_resize": _q_media_resize,
     }
-    # -- new this round: schemaless-metadata (variant) filter dialect --
+    # -- new this round: schemaless-metadata (variant) filter dialect,
+    #    time_bucket rollup --
     for name, filt in SCHEMALESS_CASES.items():
         out[name] = _q_schemaless(filt)
+    out["time_bucket_rollup"] = _q_time_bucket_rollup
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
     out.update(
@@ -1113,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_knn": _q_ivf_knn,
             "lsh_knn": _q_lsh_knn,
             "lsh_similarity_join": _q_lsh_simjoin,
+            "ivf_recall_sweep": _q_ivf_recall_sweep,
             # -- previously green, still inside the 50-row window --
             "dedup_ngram_jaccard": _q_dedup_jaccard,
             "dedup_embedding_cosine": _q_dedup_embedding,
@@ -1131,6 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q15": _q_tpch_q15,
             "tpch_q18": _q_tpch_q18,
             "tpch_q19": _q_tpch_q19,
+            # -- new this round: q8 market share, q17 fixture-adapted --
+            "tpch_q8": _q_tpch_q8,
+            "tpch_q17": _q_tpch_q17,
             "revenue_by_nation": _q_revenue_by_nation,
             "top_customers": _q_top_customers,
             "window_running": _q_window_running,
@@ -1141,12 +1278,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "set_ops": _q_set_ops,
             "rollup_agg": _q_rollup_agg,
             "cube_agg": _q_cube_agg,
+            # -- beyond the 50-row driver window this round: green in BOTH
+            #    r01 and r02; covered by selfcheck + tests every commit --
             "anti_join_empty_orders": _q_anti_join,
             "semi_join_returned": _q_semi_join,
             "distinct_agg": _q_distinct_agg,
             "pivot_agg": _q_pivot_agg,
-            # -- beyond the 50-row driver window this round: green in BOTH
-            #    r01 and r02; covered by selfcheck + tests every commit --
             "asof_signup": _q_asof_signup,
             "range_join_clicks": _q_range_join,
             "knn_topk": _q_knn(None, 10),
@@ -1580,6 +1717,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
         """,
+        "tpch_q8": """
+            WITH cust_asia AS (
+              SELECT c_custkey
+              FROM customer, nation, region
+              WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+            )
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+                                 ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+                       AS mkt_share
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cust_asia ON o_custkey = c_custkey
+            WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q17": """
+            WITH pruned AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#1' AND p_size < 15
+            ), stats AS (
+              SELECT l_quantity, l_extendedprice,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS sum_qty,
+                     count(*) OVER (PARTITION BY l_partkey) AS cnt_qty
+              FROM pruned
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0
+                       AS avg_yearly
+            FROM stats
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty
+        """,
         "tpch_q15": """
             WITH per_supp AS (
               SELECT l_suppkey,
@@ -1726,6 +1901,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
                    CAST(COALESCE(max(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "time_bucket_rollup": """
+            SELECT (epoch_ns(ts) // 900000000000) * 900 AS bucket_epoch,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "events_hourly": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,

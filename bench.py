@@ -35,6 +35,7 @@ HEADLINE = [
     "window_running",
     "events_json",
     "events_hourly",
+    "time_bucket_rollup",
     "events_sessionize",
     "range_join_clicks",
     "knn_topk",
@@ -47,6 +48,7 @@ HEADLINE = [
     "doc_fingerprint",
     "text_stats",
     "training_corpus_stats",
+    "schemaless_exists",
 ]
 
 

@@ -62,3 +62,24 @@ def test_lsh_similarity_join(embeddings):
     # self-pairs at distance 0 must be present
     selfs = {r["a"] for r in pairs if r["a"] == r["b"] and r["dist"] == 0.0}
     assert selfs == set(range(20))
+
+
+def test_ivf_recall_sweep_monotone(spark, embeddings, sf_dir):
+    """The driver's ivf_recall_sweep entry: recall@10 must be non-decreasing
+    in nprobe and exactly 1.0 when every cell is probed (nprobe = cells ⇒
+    the IVF result IS the exact result)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = sorted(
+        (r["nprobe"], r["recall"])
+        for r in mod.queries()["ivf_recall_sweep"](spark, sf_dir).collect()
+    )
+    assert [n for n, _ in rows] == [1, 2, 4, 8]
+    recalls = [r for _, r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0  # nprobe == cells: exhaustive

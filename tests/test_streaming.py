@@ -165,3 +165,62 @@ def test_stream_insert_dense_ids(spark, tmp_path):
     b0 = {r["_m_id"] for r in rows if r["batch"] == 0}
     assert b0 == set(range(5))  # second batch strictly after the first
     assert coll.meta["next_id"] == 8
+
+
+def test_watermark_late_data_semantics(spark, tmp_path):
+    """Append-mode watermark contract: a late row arriving while its window
+    is still open (event time above the current watermark) is aggregated;
+    the same row arriving after the watermark passed its window end is
+    DROPPED. Batch boundaries are forced with sequential writes +
+    processAllAvailable, so the watermark advance between arrivals is
+    deterministic (watermark updates at end-of-batch from that batch's max
+    event time)."""
+    from datetime import datetime
+
+    src = tmp_path / "wsrc"
+    os.makedirs(src)
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def ev(h, m):
+        return (datetime(2024, 1, 1, h, m), "click", 1.0)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    # batch 0: on-time rows at 01:30, 02:30 → watermark becomes 00:30
+    spark.createDataFrame([ev(1, 30), ev(2, 30)], schema).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    q.processAllAvailable()
+    # batch 1: 01:45 is LATE but above the 00:30 watermark → must be
+    # aggregated; 10:30 then advances the watermark to 08:30, finalizing
+    # (and emitting) the 01:00 and 02:00 windows
+    spark.createDataFrame([ev(1, 45), ev(10, 30)], schema).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    q.processAllAvailable()
+    # batch 2: 01:50 is now BELOW the 08:30 watermark (window closed) →
+    # must be dropped; 11:30 keeps the stream advancing
+    spark.createDataFrame([ev(1, 50), ev(11, 30)], schema).coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["window_start"]: r["n"] for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    # emitted finalized windows: 01:00 holds the on-time row AND the
+    # accepted late row but NOT the dropped one; 02:00 holds its single row
+    assert got == {
+        datetime(2024, 1, 1, 1, 0): 2,
+        datetime(2024, 1, 1, 2, 0): 1,
+    }
