@@ -2,7 +2,9 @@ from kaer_spark.sources.files import (
     read_csv,
     read_json,
     read_jsonl,
+    read_orc,
     read_parquet,
+    read_text,
     write_bucketed,
     write_partitioned,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_jsonl",
+    "read_orc",
+    "read_text",
     "write_partitioned",
     "write_bucketed",
 ]

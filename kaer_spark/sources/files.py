@@ -49,6 +49,25 @@ def read_jsonl(
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC — Spark-native columnar alternative; same pushdown/pruning
+    contract as parquet (predicate + column pruning reach the scan)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text: one row per line (``value`` column), or one row per file
+    (``wholetext`` — the ingestion shape for document corpora where a file
+    IS a document). ``wholetext`` is a reader-method parameter, not a
+    string option (the option spelling is silently ignored)."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 # spark.read.json IS jsonl; multiline json is the odd one out
 def read_json(
     spark: SparkSession, path: str, schema: T.StructType | str, multiline: bool = False

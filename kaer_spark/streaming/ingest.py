@@ -159,3 +159,38 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming twin of
+    ``operators.interval.interval_join``): right rows within
+    ``[left_ts + lower_s, left_ts + upper_s)`` seconds, equi-keyed.
+
+    Both sides are watermarked and the band is expressed as event-time
+    INTERVAL arithmetic, which is the exact form Spark's streaming planner
+    needs to derive state-eviction bounds — each side's join state is
+    purged once the watermark passes the farthest point the band can still
+    match, so state is O(watermark × rate), not unbounded. On batch
+    DataFrames the same function degrades to a plain band join, which is
+    the oracle the stream run is tested against (stream ≡ batch,
+    tests/test_streaming.py).
+    """
+    lsrc = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rsrc = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l, r = lsrc.alias("l"), rsrc.alias("r")
+    cond = F.expr(
+        f"r.{right_ts} >= l.{left_ts} + INTERVAL {int(lower_s)} SECOND"
+    ) & F.expr(f"r.{right_ts} < l.{left_ts} + INTERVAL {int(upper_s)} SECOND")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    return l.join(r, cond, how)

@@ -88,3 +88,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_orc_roundtrip_and_pushdown(spark, small, tmp_path):
+    from kaer_spark.sources.files import read_orc
+
+    p = str(tmp_path / "orc")
+    small.write.orc(p)
+    back = read_orc(spark, p, columns=["id", "grp"])
+    assert sorted(r["id"] for r in back.collect()) == list(range(40))
+    plan = (
+        read_orc(spark, p).filter(F.col("id") > 30)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    # predicate reaches the ORC scan, projection prunes columns
+    assert "PushedFilters" in plan and "GreaterThan(id,30)" in plan
+
+
+def test_text_reader_lines_and_wholefile(spark, tmp_path):
+    from kaer_spark.sources.files import read_text
+
+    d = tmp_path / "txt"
+    os.makedirs(d)
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(d))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two", "solo",
+    ]
+    docs = read_text(spark, str(d), whole_file=True)
+    assert docs.count() == 2
+    assert any("line one\nline two" in r["value"] for r in docs.collect())

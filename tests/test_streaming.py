@@ -224,3 +224,59 @@ def test_watermark_late_data_semantics(spark, tmp_path):
         datetime(2024, 1, 1, 1, 0): 2,
         datetime(2024, 1, 1, 2, 0): 1,
     }
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join ≡ the same function run on
+    batch frames: every impression×click pair with the click 0-30 min
+    after the impression, same user."""
+    from datetime import datetime, timedelta
+
+    from kaer_spark.streaming.ingest import stream_interval_join
+
+    base = datetime(2024, 3, 1, 0, 0)
+    imps = [
+        (i, (i % 7), base + timedelta(minutes=3 * i)) for i in range(60)
+    ]
+    clicks = [
+        (100 + i, (i % 5), base + timedelta(minutes=3 * i + (i % 11)))
+        for i in range(60)
+    ]
+    imp_schema = "imp_id LONG, user_id LONG, ts TIMESTAMP"
+    clk_schema = "click_id LONG, user_id LONG, cts TIMESTAMP"
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    # two files per side → several micro-batches interleave
+    spark.createDataFrame(imps[:30], imp_schema).coalesce(1).write.parquet(f"{imp_dir}/a")
+    spark.createDataFrame(imps[30:], imp_schema).coalesce(1).write.parquet(f"{imp_dir}/b")
+    spark.createDataFrame(clicks[:30], clk_schema).coalesce(1).write.parquet(f"{clk_dir}/a")
+    spark.createDataFrame(clicks[30:], clk_schema).coalesce(1).write.parquet(f"{clk_dir}/b")
+
+    def join(l, r):
+        return stream_interval_join(
+            l, r, keys=["user_id"], left_ts="ts", right_ts="cts",
+            lower_s=0, upper_s=1800, watermark="1 hour",
+        ).select("l.imp_id", "r.click_id")
+
+    li = spark.readStream.schema(imp_schema).option("maxFilesPerTrigger", 1).parquet(f"{imp_dir}/*")
+    ri = spark.readStream.schema(clk_schema).option("maxFilesPerTrigger", 1).parquet(f"{clk_dir}/*")
+    q = (
+        join(li, ri)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["imp_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    )
+    want = sorted(
+        (r["imp_id"], r["click_id"])
+        for r in join(
+            spark.read.parquet(f"{imp_dir}/*"), spark.read.parquet(f"{clk_dir}/*")
+        ).collect()
+    )
+    assert got == want and len(want) > 0
