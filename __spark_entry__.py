@@ -1170,6 +1170,25 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash near-dup pairs: connected
+    components via iterative min-label propagation (operators.dedup.
+    dedup_clusters), labeled by the component's min id. Oracle: the same
+    closure as a DuckDB recursive CTE — the fixpoint IS SQL-expressible
+    for the oracle even though the Spark side must iterate."""
+    from kaer_spark.operators.dedup import dedup_clusters, minhash_near_dups
+
+    pairs = minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+        seed=42,
+    )
+    return dedup_clusters(pairs)
+
+
 def _q_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over the fake media column — offsets are
     pure Catalyst (sequence over duration metadata), so oracle-checkable."""
@@ -1231,10 +1250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
     }
     # -- new this round: schemaless-metadata (variant) filter dialect,
-    #    time_bucket rollup --
+    #    time_bucket rollup, dedup connected components --
     for name, filt in SCHEMALESS_CASES.items():
         out[name] = _q_schemaless(filt)
     out["time_bucket_rollup"] = _q_time_bucket_rollup
+    out["dedup_cluster_assign"] = _q_dedup_cluster_assign
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
     out.update(
@@ -1277,9 +1297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_sessionize": _q_events_sessionize,
             "set_ops": _q_set_ops,
             "rollup_agg": _q_rollup_agg,
-            "cube_agg": _q_cube_agg,
             # -- beyond the 50-row driver window this round: green in BOTH
             #    r01 and r02; covered by selfcheck + tests every commit --
+            "cube_agg": _q_cube_agg,
             "anti_join_empty_orders": _q_anti_join,
             "semi_join_returned": _q_semi_join,
             "distinct_agg": _q_distinct_agg,
@@ -2007,6 +2027,23 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = s.user_id AND c.ts >= s.ts
         """,
         "dedup_minhash": _sql_minhash(),
+        "dedup_cluster_assign": f"""
+            WITH RECURSIVE mh_pairs AS (
+              SELECT id_a, id_b FROM ({_sql_minhash()}) mh
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM mh_pairs WHERE id_a <> id_b
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        """,
         "multimodal_features": _sql_multimodal(),
         "media_frame_offsets": """
             SELECT doc_id,

@@ -373,3 +373,93 @@ def embedding_near_dups(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("cosine")
         )
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS → one cluster id per doc.
+
+    The pair operators above (Jaccard / MinHash / SimHash / cosine) emit
+    edges; a training-corpus dedup needs the transitive closure — if A~B
+    and B~C, all three are one duplicate group even when A~C was never a
+    candidate pair. Output: ``(id, cluster_id)`` for every id appearing in
+    a pair, where ``cluster_id`` is the MINIMUM id in the component (so
+    the cluster id is itself the deterministic representative to keep).
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    connected-components shape — HashToMin): each round every node adopts
+    the smallest label among itself and its neighbors; converges in
+    O(diameter) rounds. Dedup components are near-cliques from banded
+    candidate generation, so diameter is tiny (2-3 hops); the loop exits
+    as soon as a round changes nothing. Per round: one shuffle
+    (groupBy node), with the edge list localCheckpointed once up front —
+    iterative lineage is truncated so round N's plan does not replay
+    rounds 1..N-1 (the classic iterative-DataFrame blowup).
+
+    Non-relational by nature (a fixpoint), so driver checks are rows-only;
+    tests verify against a Python union-find on the collected edge list.
+    """
+    edges = (
+        pairs.select(
+            F.col(left_col).cast("long").alias("src"),
+            F.col(right_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # undirected: propagate labels both ways each round
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    def label_sum(frame: DataFrame) -> int:
+        return frame.agg(F.sum("label")).collect()[0][0] or 0
+
+    # labels move monotonically DOWN under min-propagation, so the label
+    # sum strictly decreases every round until the fixpoint — a one-column
+    # agg on the already-materialized checkpoint detects convergence
+    # without a join-and-compare pass.
+    prev_sum = label_sum(labels)
+    for _ in range(max_iterations):
+        # each node's next label: min over its own and all neighbors' labels
+        neighbor_labels = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        labels = (
+            labels.select("id", "label")
+            .union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's representative (the
+    min id). Docs that never appeared in a pair keep themselves. This is
+    the final stage of a near-dedup pipeline: pairs → components →
+    filtered corpus."""
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("_drop_id")
+    )
+    return df.join(
+        drop, df[id_col] == F.col("_drop_id"), "left_anti"
+    )

@@ -136,3 +136,63 @@ def test_word_unit_jaccard(spark):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9, unit="word").collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["jaccard"] == 1.0
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A~B, B~C, D~E: components {A,B,C} and {D,E}, labeled by min id —
+    including the A-C edge that was never a candidate pair."""
+    from kaer_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 2)],  # dup + reversed edges welcome
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_matches_union_find(spark, documents):
+    """Spark label propagation ≡ a Python union-find on the same edges,
+    over the real minhash pair output."""
+    from kaer_spark.operators.dedup import dedup_clusters, minhash_near_dups
+
+    pairs = minhash_near_dups(documents, threshold=0.3)
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()]
+    if not edges:
+        import pytest
+
+        pytest.skip("fixture produced no near-dup pairs at this SF")
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_representatives_keeps_min_and_unpaired(spark):
+    from kaer_spark.operators.dedup import dedup_clusters, dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = dedup_representatives(docs, dedup_clusters(pairs))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 99]
