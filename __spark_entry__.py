@@ -1170,6 +1170,17 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language profile of documents.n_chars: exact percentiles +
+    decimal-accumulated mean (pipelines.numeric_profile) — the pre/post
+    stage-health check of a training-data pipeline."""
+    from kaer_spark.pipelines import numeric_profile
+
+    return numeric_profile(
+        _t(spark, sf_dir, "documents"), "n_chars", group_col="lang"
+    )
+
+
 def _q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash near-dup pairs: connected
     components via iterative min-label propagation (operators.dedup.
@@ -1255,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _q_schemaless(filt)
     out["time_bucket_rollup"] = _q_time_bucket_rollup
     out["dedup_cluster_assign"] = _q_dedup_cluster_assign
+    out["corpus_profile"] = _q_corpus_profile
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
     out.update(
@@ -1296,9 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_events_hourly": _q_streaming_hourly,
             "events_sessionize": _q_events_sessionize,
             "set_ops": _q_set_ops,
-            "rollup_agg": _q_rollup_agg,
             # -- beyond the 50-row driver window this round: green in BOTH
             #    r01 and r02; covered by selfcheck + tests every commit --
+            "rollup_agg": _q_rollup_agg,
             "cube_agg": _q_cube_agg,
             "anti_join_empty_orders": _q_anti_join,
             "semi_join_returned": _q_semi_join,
@@ -1921,6 +1933,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
                    CAST(COALESCE(max(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "corpus_profile": """
+            SELECT lang,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   min(n_chars) AS min_val,
+                   max(n_chars) AS max_val,
+                   CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50,
+                   CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90,
+                   CAST(sum(CAST(n_chars AS DECIMAL(28,2))) AS DOUBLE) / count(*)
+                       AS mean_val
+            FROM documents GROUP BY lang
         """,
         "time_bucket_rollup": """
             SELECT (epoch_ns(ts) // 900000000000) * 900 AS bucket_epoch,

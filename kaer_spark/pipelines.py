@@ -73,3 +73,32 @@ def corpus_stats(corpus: DataFrame) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+def numeric_profile(df: DataFrame, col: str, group_col: str | None = None) -> DataFrame:
+    """One-pass column profile: count / nulls / min / max / EXACT
+    percentiles (p25/p50/p90, linear interpolation) / decimal-accumulated
+    mean — the table-health snapshot a pipeline runs before and after each
+    transformation stage.
+
+    Exact ``percentile`` needs a per-group sort of the column values; for a
+    quick look at petabyte scale swap in ``percentile_approx`` (t-digest,
+    one pass, no sort) — the exact form is kept here because it is
+    oracle-checkable bit-for-bit (DuckDB ``quantile_cont`` shares the
+    interpolation definition).
+    """
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+        F.min(col).alias("min_val"),
+        F.max(col).alias("max_val"),
+        F.expr(f"percentile({col}, 0.25)").alias("p25"),
+        F.expr(f"percentile({col}, 0.5)").alias("p50"),
+        F.expr(f"percentile({col}, 0.9)").alias("p90"),
+        (
+            F.sum(F.col(col).cast("decimal(28,2)")).cast("double") / F.count("*")
+        ).alias("mean_val"),
+    ]
+    if group_col:
+        return df.groupBy(group_col).agg(*aggs)
+    return df.agg(*aggs)
