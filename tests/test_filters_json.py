@@ -179,3 +179,38 @@ def test_schemaless_collection_roundtrip(spark, tmp_path):
     assert c2.count() == 4
     hits = c2.query("beta doc", k=1, filter={"tag": {"$in": ["x", "y"]}}).collect()
     assert len(hits) == 1
+
+
+def test_schemaless_approximate_query_with_filter(spark, tmp_path):
+    """Schemaless + IVF integration: the index table carries _m_meta (all
+    corpus columns partition by cell), so variant-compiled filters apply
+    inside the probed cells exactly as on the exact path."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("ragged_ivf", schemaless=True)
+    coll.insert(
+        [f"doc number {i}" for i in range(40)],
+        [
+            {"grp": "a" if i % 2 == 0 else "b", "rank": i}
+            if i % 3 != 0
+            else {"grp": "a" if i % 2 == 0 else "b"}  # rank missing on 1/3
+            for i in range(40)
+        ],
+    )
+    coll.build_index(cells=4)
+    exact = coll.query("doc number 7", k=5, filter={"grp": "a", "rank": {"$exists": True}})
+    approx = coll.query(
+        "doc number 7", k=5, filter={"grp": "a", "rank": {"$exists": True}},
+        approximate=True, nprobe=4,
+    )
+    # nprobe == cells ⇒ identical result set (and the filter held: all grp=a)
+    e = [r["_m_id"] for r in exact.collect()]
+    a = [r["_m_id"] for r in approx.collect()]
+    assert e == a and len(e) == 5
+    import json as _json
+
+    metas = [
+        _json.loads(r["_m_meta"]) for r in approx.collect()
+    ]
+    assert all(m["grp"] == "a" and "rank" in m for m in metas)
