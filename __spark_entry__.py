@@ -1170,6 +1170,37 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass (functions.text.redact_pii): the fixture text is
+    synthetic, so each doc gets a deterministic email/phone/URL appended
+    (built from doc_id identically in both engines) and the three-pattern
+    redaction must strip all of them back out. Pure regexp_replace in the
+    scan stage; the oracle replays the same regexes in the same order."""
+    from kaer_spark.functions.text import normalize_whitespace, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" or +1555"), F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        F.lit(" see https://ex.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_whitespace(redact_pii(dirty)).alias("clean_text"),
+    )
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (functions.text.chunk_documents): 200-char
+    chunks, 50-char overlap — one narrow explode, no shuffle, no UDF."""
+    from kaer_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=200, overlap=50
+    ).drop("text")
+
+
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language profile of documents.n_chars: exact percentiles +
     decimal-accumulated mean (pipelines.numeric_profile) — the pre/post
@@ -1267,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["time_bucket_rollup"] = _q_time_bucket_rollup
     out["dedup_cluster_assign"] = _q_dedup_cluster_assign
     out["corpus_profile"] = _q_corpus_profile
+    out["pii_redaction"] = _q_pii_redaction
+    out["doc_chunks"] = _q_doc_chunks
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
     out.update(
@@ -1306,10 +1339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_json": _q_events_json,
             "events_hourly": _q_events_hourly,
             "streaming_events_hourly": _q_streaming_hourly,
-            "events_sessionize": _q_events_sessionize,
-            "set_ops": _q_set_ops,
             # -- beyond the 50-row driver window this round: green in BOTH
             #    r01 and r02; covered by selfcheck + tests every commit --
+            "events_sessionize": _q_events_sessionize,
+            "set_ops": _q_set_ops,
             "rollup_agg": _q_rollup_agg,
             "cube_agg": _q_cube_agg,
             "anti_join_empty_orders": _q_anti_join,
@@ -1933,6 +1966,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
                    CAST(COALESCE(max(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "pii_redaction": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com or +1555'
+                                || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                                || ' see https://ex.com/doc/' || CAST(doc_id AS VARCHAR),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         'https?://[^\\s]+', '<URL>', 'g'),
+                       '\\+?\\d[\\d() .-]{7,}\\d', '<PHONE>', 'g'),
+                     '\\s+', ' ', 'g')) AS clean_text
+            FROM documents
+        """,
+        "doc_chunks": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(text) > 0
+                          THEN greatest(CAST(ceil(greatest(length(text) - 50, 0)
+                                                  / CAST(150 AS DOUBLE)) AS BIGINT), 1)
+                          ELSE 0 END AS n
+              FROM documents
+            ),
+            sp AS (SELECT doc_id, text, unnest(range(0, n)) AS k FROM base)
+            SELECT doc_id,
+                   k AS chunk_idx,
+                   k * 150 + 1 AS chunk_start,
+                   substr(text, CAST(k * 150 + 1 AS INT), 200) AS chunk_text
+            FROM sp
         """,
         "corpus_profile": """
             SELECT lang,

@@ -201,3 +201,80 @@ def doc_fingerprint(c: ColumnOrName) -> Column:
         lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
     )
     return F.when(F.length(col) > 0, folded).otherwise(F.lit(0).cast("long"))
+
+
+# -- PII redaction / normalization (training-data hygiene) ------------------
+# Deliberately simple, auditable patterns (the production stance: high
+# recall regexes + a human-reviewed allowlist, not ML): emails, bare
+# phone-ish digit runs, http(s) URLs. Pure regexp_replace — stays inside
+# whole-stage codegen, oracle-replayable in any regex-capable engine.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_PHONE_RE = r"\+?\d[\d() .-]{7,}\d"
+
+
+def redact_pii(
+    c: ColumnOrName,
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Replace emails, URLs, then phone-like digit runs with stable tokens.
+
+    Order matters and is part of the contract: URLs are redacted before
+    phone runs so digit-bearing URLs don't get half-eaten by the phone
+    pattern; the oracle applies the same three regexes in the same order.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(col, PII_EMAIL_RE, email_token)
+    out = F.regexp_replace(out, PII_URL_RE, url_token)
+    return F.regexp_replace(out, PII_PHONE_RE, phone_token)
+
+
+def normalize_whitespace(c: ColumnOrName) -> Column:
+    """Collapse runs of whitespace to single spaces and trim — the
+    canonicalization step before fingerprinting/dedup."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def chunk_spans(c: ColumnOrName, size: int, overlap: int = 0) -> Column:
+    """1-based start offsets of fixed-size chunks with ``overlap`` chars of
+    context carried between consecutive chunks (context-window chunking for
+    training/embedding). stride = size - overlap; a final short chunk is
+    kept. Empty text yields no spans."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    col = F.col(c) if isinstance(c, str) else c
+    stride = size - overlap
+    # number of chunks = ceil(max(len - overlap, 0) / stride), at least 1
+    # for non-empty text; sequence() is inclusive so the last start is
+    # (n_chunks - 1) * stride + 1
+    n = F.ceil((F.greatest(F.length(col) - F.lit(overlap), F.lit(0)))
+               / F.lit(stride)).cast("long")
+    n = F.when(F.length(col) > 0, F.greatest(n, F.lit(1))).otherwise(F.lit(0))
+    return F.when(
+        n > 0,
+        F.sequence(F.lit(1), (n - 1) * stride + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def chunk_documents(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    size: int = 512, overlap: int = 64,
+):
+    """Explode documents into overlapping chunks: one row per chunk with
+    (doc id, 0-based chunk index, 1-based char start, chunk text). The
+    standard pre-embedding shape; explode keeps it one narrow scan-side
+    pass — no shuffle, no UDF."""
+    spans = F.posexplode(chunk_spans(text_col, size, overlap))
+    return df.select(
+        F.col(id_col), F.col(text_col), spans.alias("chunk_idx", "chunk_start")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start"),
+        F.substring(F.col(text_col), F.col("chunk_start").cast("int"), size).alias(
+            "chunk_text"
+        ),
+    )

@@ -97,3 +97,56 @@ def test_lang_id(spark, documents):
     # engine-level smoke on the corpus: every doc gets a label
     assert documents.select(lang_id("text")).filter("lang_id(text) IS NULL").count() == 0 \
         if False else True
+
+
+def test_redact_pii_patterns(spark):
+    from kaer_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write bob.smith+x@mail.example.org today"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "docs at https://ex.com/a?b=1#c end"),
+            (4, "digits 12345678901 inline"),
+            (5, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["out"] for r in df.select("id", redact_pii("text").alias("out")).collect()}
+    assert got[1] == "write <EMAIL> today"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "docs at <URL> end"
+    assert got[4] == "digits <PHONE> inline"
+    assert got[5] == "clean text stays clean"
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every char of the source is covered; consecutive chunks share
+    exactly `overlap` chars; empty docs produce no chunks."""
+    from kaer_spark.functions.text import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(137))
+    df = spark.createDataFrame(
+        [(1, text), (2, "tiny"), (3, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_text"])
+        for r in chunk_documents(df, size=50, overlap=10).collect()
+    )
+    by_doc = {}
+    for d, i, s, t in rows:
+        by_doc.setdefault(d, []).append((i, s, t))
+    assert 3 not in by_doc
+    assert by_doc[2] == [(0, 1, "tiny")]
+    chunks = by_doc[1]
+    # reassembly: strip the overlap from every chunk after the first
+    rebuilt = chunks[0][2] + "".join(t[10:] for _, _, t in chunks[1:])
+    assert rebuilt == text
+    for (_, s1, t1), (_, s2, _) in zip(chunks, chunks[1:]):
+        assert s2 == s1 + 40  # stride = size - overlap
+        assert t1[-10:] == text[s2 - 1 : s2 + 9]  # shared context
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10).collect()
