@@ -532,6 +532,9 @@ def _q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3 shape (shipping-priority); fixture orders has no
     # o_shippriority, so the grouping is (l_orderkey, o_orderdate).
+    # Customer (even segment-filtered) is O(SF) — no forced broadcast;
+    # AQE broadcasts at toy SF and shuffle-joins at the 100 TB point,
+    # same stance as q5/q7.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -541,7 +544,7 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             orders.o_custkey == cust.c_custkey,
         )
         .filter(
