@@ -335,6 +335,53 @@ class Collection:
             .limit(k)
         )
 
+    def delete(self, filter: Mapping[str, Any]) -> int:
+        """Delete every document matching the filter; returns the count
+        removed.
+
+        The reference has no row delete (collections are insert-only,
+        dropped whole — ``db/kaer.go:65-76``); a real training-data store
+        needs one (GDPR/takedown/contamination removal), so this is a
+        deliberate extension. Parquet files are immutable, so delete =
+        anti-filter rewrite committed atomically by directory swap
+        (single-writer model, same as insert). Ids of surviving rows are
+        unchanged and ``next_id`` does not regress, so id-stability
+        invariants (index addressing, id-range pruning) hold; a dense-id
+        HOLE is fine — the allocator only ever moves forward. The IVF
+        index, if any, is rebuilt (cells reference deleted ids otherwise).
+        """
+        if not self.meta.get("has_data"):
+            return 0
+        pred = (
+            compile_filter_json(filter, META_COL)
+            if self.meta.get("schemaless")
+            else compile_filter(filter)
+        )
+        df = self.df()
+        total = df.count()
+        keep = df.filter(~F.coalesce(pred, F.lit(False)))
+        tmp = self.data_path + ".rewrite"
+        keep.write.mode("overwrite").parquet(tmp)
+        kept_n = self.ctx.spark.read.parquet(tmp).count()
+        old = self.data_path + ".old"
+        os.rename(self.data_path, old)
+        os.rename(tmp, self.data_path)
+        shutil.rmtree(old)
+        if kept_n == 0:
+            self.meta["has_data"] = False
+        self._save_meta()
+        if self.meta.get("has_index"):
+            if kept_n == 0:
+                shutil.rmtree(self.index_path, ignore_errors=True)
+                self.meta["has_index"] = False
+                self._save_meta()
+            else:
+                from kaer_spark.operators.index_store import read_index_meta
+
+                cells = int(read_index_meta(self.index_path).get("cells", 16))
+                self.build_index(cells=min(cells, kept_n))
+        return total - kept_n
+
     def count(self) -> int:
         return self.df().count() if self.meta.get("has_data") else 0
 

@@ -194,3 +194,41 @@ def stream_interval_join(
     for k in keys:
         cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
     return l.join(r, cond, how)
+
+
+def stream_refresh_rollup(
+    stream_df: DataFrame,
+    source_path: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Continuous aggregate: keep a materialized time_bucket rollup fresh
+    as new event files land.
+
+    The stream is only the CHANGE SIGNAL — each micro-batch triggers
+    ``refresh_rollup`` against the full batch view of the source, which
+    recomputes exactly the day partitions at/after the rollup's high-water
+    mark (minus its lateness allowance) and overwrites them atomically.
+    This is the TimescaleDB continuous-aggregate refresh model on Spark
+    mechanics: foreachBatch gives exactly-once refresh scheduling via the
+    streaming checkpoint, and the refresh itself is idempotent (dynamic
+    partition overwrite), so a replayed batch re-writes the same bytes.
+    Requires the rollup to exist (``materialize_rollup``).
+    """
+    from kaer_spark.operators.rollup import refresh_rollup
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        refresh_rollup(spark.read.parquet(source_path), rollup_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

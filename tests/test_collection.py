@@ -196,3 +196,56 @@ ef_construction = 400
     c.insert(["hello world"], [{"a": 1}])
     assert c.query("hello", k=1).count() == 1
     assert len(c.df().collect()[0]["_m_embedding"]) == 768
+
+
+def test_delete_by_filter(spark, tmp_path):
+    """Filter-delete: matching rows gone, surviving ids UNCHANGED (holes
+    allowed), next_id does not regress, reopen sees the same state."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("d")
+    coll.insert(
+        [f"doc {i}" for i in range(10)],
+        [{"grp": "a" if i % 2 == 0 else "b", "rank": i} for i in range(10)],
+    )
+    removed = coll.delete({"grp": "a", "rank": {"$lt": 7}})
+    assert removed == 4  # ranks 0,2,4,6
+    left = sorted(r["_m_id"] for r in coll.df().select("_m_id").collect())
+    assert left == [1, 3, 5, 7, 8, 9]  # survivors keep their ids
+    assert coll.meta["next_id"] == 10  # allocator never regresses
+    nxt = coll.insert(["doc 10"], [{"grp": "c", "rank": 10}])
+    assert nxt == 10
+    # reopen: state persisted
+    c2 = KaerContext(spark, str(tmp_path / "kaer")).get_collection("d")
+    assert c2.count() == 7
+    assert c2.delete({"grp": {"$in": ["a", "b", "c"]}}) == 7
+    assert c2.count() == 0
+
+
+def test_delete_rebuilds_index(spark, tmp_path):
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("di")
+    coll.insert([f"doc number {i}" for i in range(30)], [{"k": i} for i in range(30)])
+    coll.build_index(cells=4)
+    coll.delete({"k": {"$gte": 20}})
+    # approximate search must not surface deleted ids
+    hits = coll.query("doc number 5", k=30, approximate=True, nprobe=4).collect()
+    ids = {r["_m_id"] for r in hits}
+    assert ids and all(i < 20 for i in ids)
+
+
+def test_delete_schemaless_filter(spark, tmp_path):
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("ds", schemaless=True)
+    coll.insert(
+        ["a", "b", "c"],
+        [{"keep": True}, {"keep": False}, {}],  # ragged: key missing on c
+    )
+    # {keep: {$ne: true}} matches false AND missing — Mongo semantics
+    assert coll.delete({"keep": {"$ne": True}}) == 2
+    assert [r["_m_id"] for r in coll.df().collect()] == [0]
