@@ -341,6 +341,21 @@ def _q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "nprobe long, recall double, n_queries long")
 
 
+def _q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators.similarity.pq_fit/encode/
+    pq_topk): 64 floats → 8 one-byte codes (32× compression), query-time
+    scoring = m table lookups per row as a pure Catalyst zip_with/aggregate
+    — the memory-compression scale path for billion-vector ANN. Rows-only
+    contract (k-means codebooks are not SQL-expressible); exactness of the
+    ADC arithmetic and recall floors are gated in tests/test_similarity.py."""
+    from kaer_spark.operators.similarity import pq_encode, pq_fit, pq_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(embs, m=4, k=16, seed=42, max_iter=8)
+    enc = pq_encode(embs, books)
+    return pq_topk(enc, books, QVEC, k=10)
+
+
 def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approxNearestNeighbors — same
     rows-only contract as ivf_knn (approximate path)."""
@@ -1315,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_knn": _q_lsh_knn,
             "lsh_similarity_join": _q_lsh_simjoin,
             "ivf_recall_sweep": _q_ivf_recall_sweep,
+            "pq_knn": _q_pq_knn,
             # -- previously green, still inside the 50-row window --
             "dedup_ngram_jaccard": _q_dedup_jaccard,
             "dedup_embedding_cosine": _q_dedup_embedding,
@@ -1338,7 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q17": _q_tpch_q17,
             "revenue_by_nation": _q_revenue_by_nation,
             "top_customers": _q_top_customers,
-            "window_running": _q_window_running,
             "events_json": _q_events_json,
             "events_hourly": _q_events_hourly,
             "streaming_events_hourly": _q_streaming_hourly,
@@ -1347,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_sessionize": _q_events_sessionize,
             "set_ops": _q_set_ops,
             "rollup_agg": _q_rollup_agg,
+            "window_running": _q_window_running,
             "cube_agg": _q_cube_agg,
             "anti_join_empty_orders": _q_anti_join,
             "semi_join_returned": _q_semi_join,

@@ -160,3 +160,138 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str) -> float:
     a = {r[0] for r in approx.select(id_col).collect()}
     e = {r[0] for r in exact.select(id_col).collect()}
     return len(a & e) / max(len(e), 1)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Fit ``m`` subspace codebooks of ``k`` centroids each (classic PQ,
+    Jégou et al. 2011): the vector is split into m contiguous slices and
+    each slice is k-means-quantized independently. A dim-64 float32 vector
+    compresses 64×4 bytes → m=8 single-byte codes (32×), which is what
+    makes billion-vector ANN fit a cluster's memory at all.
+
+    Returns codebooks[j][c] = centroid c of subspace j (plain lists — tiny,
+    driver-resident, shipped to executors as literals).
+
+    ``sample_fraction``: codebooks converge on a sample — at 100 TB fit on
+    ~1M sampled vectors (seeded, deterministic), never the full corpus;
+    encoding then streams over everything once."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    books = []
+    arr = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        arr = arr.sample(fraction=sample_fraction, seed=seed)
+    # one materialization feeds all m fits — without it every fit rescans
+    # and re-slices the corpus
+    arr = arr.localCheckpoint()
+    for j in range(m):
+        sl = arr.select(
+            array_to_vector(F.slice("v", j * d + 1, d)).alias("_vec")
+        )
+        km = KMeans(
+            k=k, seed=seed + j, featuresCol="_vec", predictionCol="_c",
+            maxIter=max_iter,
+        )
+        model = km.fit(sl)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the m-byte PQ code: per subspace, the argmin-distance
+    centroid index. Arrow-batched ``mapInPandas`` (numpy argmin over the
+    k×d codebook per batch — same slow-path budget as the embedding
+    stage); at rest only the codes need to be stored/shuffled."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    books = [np.asarray(b) for b in codebooks]  # m × k × d
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(code_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((mat.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                sl = mat[:, j * d : (j + 1) * d]  # batch × d
+                # ||x - c||² argmin via the expanded form; batch × k
+                d2 = (
+                    (sl * sl).sum(axis=1, keepdims=True)
+                    - 2.0 * sl @ books[j].T
+                    + (books[j] * books[j]).sum(axis=1)
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            pdf[code_col] = [row.tolist() for row in codes]
+            yield pdf
+
+    return df.mapInPandas(encode, schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vector: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is NOT
+    quantized — per subspace the exact distances from the query slice to
+    all centroids are precomputed on the driver (an m×k table of floats),
+    and each row's approximate distance is m table lookups + adds, executed
+    as a pure Catalyst expression (zip_with + aggregate) inside codegen.
+    No vector column is read at query time: the scan touches only the
+    id + m-int code columns."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q = [float(x) for x in query_vector]
+    tables = [
+        [
+            sum((q[j * d + i] - c[i]) ** 2 for i in range(d))
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    tables_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in tables]
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col(code_col), tables_lit, lambda c, t: t[c]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.withColumn("_score", dist)
+        .orderBy(F.col("_score").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "_score")
+    )
