@@ -1219,6 +1219,24 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
 
 
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8/1/1 train/val/test split, stratified by language
+    (pipelines.stratified_split): id-ranked round-robin dealing, exact per
+    stratum, reproducible — no random(). Output = per-(lang, split)
+    counts so the driver row checks both the dealing arithmetic and the
+    stratum exactness."""
+    from kaer_spark.pipelines import stratified_split
+
+    assigned = stratified_split(
+        _t(spark, sf_dir, "documents"), strata_col="lang", id_col="doc_id"
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language profile of documents.n_chars: exact percentiles +
     decimal-accumulated mean (pipelines.numeric_profile) — the pre/post
@@ -1318,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_profile"] = _q_corpus_profile
     out["pii_redaction"] = _q_pii_redaction
     out["doc_chunks"] = _q_doc_chunks
+    out["stratified_split"] = _q_stratified_split
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
     out.update(
@@ -1344,7 +1363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dense_ids": _q_dense_ids,
             "tpch_q5": _q_tpch_q5,
             "tpch_q7": _q_tpch_q7,
-            "tpch_q13": _q_tpch_q13,
             "tpch_q14": _q_tpch_q14,
             "tpch_q15": _q_tpch_q15,
             "tpch_q18": _q_tpch_q18,
@@ -1363,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "set_ops": _q_set_ops,
             "rollup_agg": _q_rollup_agg,
             "window_running": _q_window_running,
+            "tpch_q13": _q_tpch_q13,
             "cube_agg": _q_cube_agg,
             "anti_join_empty_orders": _q_anti_join,
             "semi_join_returned": _q_semi_join,
@@ -2017,6 +2036,22 @@ def oracle_sql() -> dict[str, str]:
                    k * 150 + 1 AS chunk_start,
                    substr(text, CAST(k * 150 + 1 AS INT), 200) AS chunk_text
             FROM sp
+        """,
+        "stratified_split": """
+            WITH dealt AS (
+              SELECT lang, doc_id,
+                     (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 10
+                         AS slot
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN slot < 8 THEN 'train'
+                        WHEN slot < 9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM dealt GROUP BY 1, 2
         """,
         "corpus_profile": """
             SELECT lang,

@@ -102,3 +102,32 @@ def numeric_profile(df: DataFrame, col: str, group_col: str | None = None) -> Da
     if group_col:
         return df.groupBy(group_col).agg(*aggs)
     return df.agg(*aggs)
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: within each
+    stratum, rows are ranked by id and dealt round-robin into buckets
+    sized by integer ``weights`` (default 8/1/1). Id-ranked dealing — not
+    random() — so the split is reproducible across runs/engines/retries
+    and EXACT per stratum (a hash-mod split only approximates fractions);
+    the cost is one window shuffle on the stratum key.
+
+    Returns the input plus a ``split`` column. For a new-data-append
+    workflow, re-running reassigns only via rank, so keep splits frozen by
+    materializing the assignment once (the usual practice).
+    """
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    total = sum(weights.values())
+    w = Window.partitionBy(strata_col).orderBy(id_col)
+    slot = (F.row_number().over(w) - 1) % total
+    expr = F.when(F.lit(False), F.lit(""))
+    lo = 0
+    for name, n in weights.items():
+        expr = expr.when((slot >= lo) & (slot < lo + n), F.lit(name))
+        lo += n
+    return df.withColumn("split", expr)

@@ -34,3 +34,30 @@ def test_pipeline_lang_restriction(documents):
     corpus = prepare_training_corpus(documents.limit(200), min_quality=0.0, langs=["en"])
     langs = {r["lang_guess"] for r in corpus.select("lang_guess").distinct().collect()}
     assert langs <= {"en"}
+
+
+def test_stratified_split_exact_and_deterministic(spark, documents):
+    from kaer_spark.pipelines import stratified_split
+
+    out = stratified_split(documents, strata_col="lang", id_col="doc_id")
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").count().withColumnRenamed("count", "n").collect()
+    }
+    langs = {l for l, _ in counts}
+    for lang in langs:
+        tr = counts.get((lang, "train"), 0)
+        va = counts.get((lang, "val"), 0)
+        te = counts.get((lang, "test"), 0)
+        n = tr + va + te
+        # exact round-robin dealing: train gets 8 of every full 10, and the
+        # partial last round fills train first, then val, then test
+        full, rem = divmod(n, 10)
+        assert tr == full * 8 + min(rem, 8)
+        assert va == full + min(max(rem - 8, 0), 1)
+        assert te == full + max(rem - 9, 0)
+    # deterministic: same assignment on re-run
+    a = sorted((r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect())
+    b = sorted((r["doc_id"], r["split"]) for r in
+               stratified_split(documents, "lang", "doc_id").select("doc_id", "split").collect())
+    assert a == b
