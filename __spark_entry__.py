@@ -1248,6 +1248,63 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word ratio,
+    longest same-word run, top-bigram share. Pure per-row Catalyst folds
+    (functions.text) — zero shuffle; pipelines inside the scan. Every
+    metric ends in a single int/int IEEE division so the DuckDB oracle
+    (gaps-and-islands + group-by, an independent algorithm) matches
+    bit-for-bit."""
+    from kaer_spark.functions.text import (
+        distinct_word_ratio,
+        max_word_run,
+        top_ngram_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        distinct_word_ratio("text").alias("distinct_word_ratio"),
+        max_word_run("text").alias("max_word_run"),
+        top_ngram_fraction("text", n=2).alias("top_bigram_fraction"),
+    )
+
+
+#: deterministic fixture split: every 97th doc plays the "benchmark suite"
+CONTAM_TEST_MOD = 97
+CONTAM_N = 3  # word n-gram size; 3 collides usefully on the tiny-vocab fixture
+
+
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word 3-gram with
+    the held-out "benchmark" slice (doc_id % 97 == 0). The test gram set is
+    broadcast; the corpus-side probe is scan-shaped (operators.
+    contamination)."""
+    from kaer_spark.operators.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % CONTAM_TEST_MOD == 0)
+    train = docs.filter(F.col("doc_id") % CONTAM_TEST_MOD != 0)
+    return contamination_report(train, test, n=CONTAM_N, unit="word")
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_GAP_NS = 24 * 3600 * 1_000_000_000  # each step within 24h of the last
+
+
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view→click→purchase with a 24h per-step window:
+    one shuffle (groupBy user) + an O(events) array fold (operators.funnel).
+    Oracle: the chained-min CTE formulation — provably the same greedy
+    anchoring."""
+    from kaer_spark.operators.funnel import funnel
+
+    return funnel(
+        _events(spark, sf_dir), FUNNEL_STEPS, max_gap=FUNNEL_GAP_NS
+    )
+
+
 def _q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash near-dup pairs: connected
     components via iterative min-label propagation (operators.dedup.
@@ -1337,6 +1394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pii_redaction"] = _q_pii_redaction
     out["doc_chunks"] = _q_doc_chunks
     out["stratified_split"] = _q_stratified_split
+    # -- new in round 3 (late): repetition metrics, decontamination, funnel --
+    out["repetition_profile"] = _q_repetition_profile
+    out["contamination_report"] = _q_contamination_report
+    out["funnel_steps"] = _q_funnel_steps
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
     out.update(
@@ -1355,9 +1416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine": _q_dedup_embedding,
             "simhash": _q_simhash,
             "doc_fingerprint": _q_fingerprint,
-            "text_stats": _q_text_stats,
-            "lang_id_counts": _q_lang_id_counts,
-            "top_tokens": _q_top_tokens,
             "quality_filter": _q_quality_filter,
             "bpe_token_count": _q_bpe_tokens,
             "dense_ids": _q_dense_ids,
@@ -1377,6 +1435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_events_hourly": _q_streaming_hourly,
             # -- beyond the 50-row driver window this round: green in BOTH
             #    r01 and r02; covered by selfcheck + tests every commit --
+            "text_stats": _q_text_stats,
+            "lang_id_counts": _q_lang_id_counts,
+            "top_tokens": _q_top_tokens,
             "events_sessionize": _q_events_sessionize,
             "set_ops": _q_set_ops,
             "rollup_agg": _q_rollup_agg,
@@ -2052,6 +2113,94 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id,
                    max(doc_id) AS max_id
             FROM dealt GROUP BY 1, 2
+        """,
+        # repetition metrics: independent algorithms (gaps-and-islands for the
+        # run length, GROUP BY for the bigram mode) replaying the same final
+        # int/int divisions as the Spark array folds — bit-exact doubles.
+        "repetition_profile": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ),
+            ex AS (
+              SELECT doc_id, unnest(ws) AS wd, unnest(range(1, len(ws) + 1)) AS i
+              FROM w
+            ),
+            isl AS (
+              SELECT doc_id, wd, i,
+                     i - row_number() OVER (PARTITION BY doc_id, wd ORDER BY i) AS grp
+              FROM ex
+            ),
+            runs AS (
+              SELECT doc_id, max(cnt) AS max_run FROM (
+                SELECT doc_id, count(*) AS cnt FROM isl GROUP BY doc_id, wd, grp
+              ) GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(range(1, len(ws)),
+                                              i -> ws[i] || ' ' || ws[i + 1])
+                          ELSE [] END AS gs
+              FROM w
+            ),
+            bcnt AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(gs) AS g FROM bg) GROUP BY doc_id, g
+            ),
+            tbf AS (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS tbf
+              FROM bcnt GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CASE WHEN len(ws) > 0
+                        THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                   END AS distinct_word_ratio,
+                   CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_word_run,
+                   t.tbf AS top_bigram_fraction
+            FROM w LEFT JOIN runs r USING (doc_id) LEFT JOIN tbf t USING (doc_id)
+        """,
+        "contamination_report": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                     ELSE [] END) AS grams
+              FROM w
+            ),
+            te AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0),
+            tr AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0)
+            SELECT tr.doc_id, count(*) AS hits
+            FROM tr JOIN te USING (g)
+            GROUP BY tr.doc_id
+        """,
+        # chained-min formulation of the greedy strict-order funnel — provably
+        # the same anchoring as the Spark single-pass fold (operators.funnel)
+        "funnel_steps": """
+            WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+                   WHERE event_type = 'click'
+                     AND t > t1 AND t <= t1 + 86400000000000 GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase'
+                     AND t > t2 AND t <= t2 + 86400000000000 GROUP BY e.user_id)
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'view',     (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+              (CAST(2 AS BIGINT), 'click',    (SELECT CAST(count(*) AS BIGINT) FROM s2)),
+              (CAST(3 AS BIGINT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+            ) AS v(step_idx, step_name, users)
         """,
         "corpus_profile": """
             SELECT lang,

@@ -385,6 +385,53 @@ class Collection:
     def count(self) -> int:
         return self.df().count() if self.meta.get("has_data") else 0
 
+    #: compaction target: ~128 MB parquet files, the HDFS/S3 sweet spot
+    COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+    def data_files(self) -> list[str]:
+        """The collection's parquet data files (for maintenance/tests)."""
+        if not self.meta.get("has_data"):
+            return []
+        return sorted(
+            os.path.join(self.data_path, f)
+            for f in os.listdir(self.data_path)
+            if f.endswith(".parquet")
+        )
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Rewrite the data directory into ``target_files`` right-sized
+        parquet files; returns the new file count.
+
+        Every small ``insert`` batch appends its own file(s), so an
+        insert-heavy collection degrades into thousands of tiny files —
+        the classic small-files problem (scan tasks, open() overhead, and
+        footer reads all scale with file count, not bytes). ``compact``
+        is the maintenance op the reference cannot have (its store is a
+        remote FerretDB); here it is a **coalesce** rewrite — no shuffle,
+        executors just concatenate input splits — committed by the same
+        atomic directory swap as ``delete``. Rows, ids, and the index are
+        all unchanged (the index addresses ids, not files).
+
+        ``target_files`` defaults to the current on-disk bytes divided by
+        ~128 MB (min 1), so callers can just run ``compact()`` after a
+        burst of small inserts.
+        """
+        if not self.meta.get("has_data"):
+            return 0
+        files = self.data_files()
+        if target_files is None:
+            total = sum(os.path.getsize(f) for f in files)
+            target_files = max(1, -(-total // self.COMPACT_TARGET_BYTES))
+        if target_files >= len(files):
+            return len(files)  # already at least this compact
+        tmp = self.data_path + ".rewrite"
+        self.df().coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
+        old = self.data_path + ".old"
+        os.rename(self.data_path, old)
+        os.rename(tmp, self.data_path)
+        shutil.rmtree(old)
+        return len(self.data_files())
+
 
 class KaerContext:
     """Top-level handle — the reference's ``Kaer`` (``db/kaer.go:15-26``)

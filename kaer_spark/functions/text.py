@@ -278,3 +278,74 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style "repetitive document" signals)
+# ---------------------------------------------------------------------------
+def distinct_word_ratio(c: ColumnOrName) -> Column:
+    """|distinct words| / |words| — 1.0 means no repeated word, → 0 for
+    highly repetitive text. NULL (not NaN) for empty/blank text.
+
+    Oracle SQL: ``len(list_distinct(ws))::DOUBLE / len(ws)`` over the same
+    whitespace tokenization (a single int/int IEEE division, bit-exact
+    across engines).
+    """
+    toks = tokens(c)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    )
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal consecutive elements of a string array — a
+    single O(len) fold (struct state: previous element, current run, best
+    run), no explode, no shuffle. Empty array -> 0."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def max_word_run(c: ColumnOrName) -> Column:
+    """Longest run of the *same word* repeated consecutively ("go go go go"
+    -> 4). The classic stutter/boilerplate signal. 0 for empty text.
+
+    Oracle SQL: gaps-and-islands over ``unnest(ws) WITH ORDINALITY``
+    (an independent algorithm — cross-checks the fold).
+    """
+    return _max_run(tokens(c))
+
+
+def top_ngram_fraction(c: ColumnOrName, n: int = 2) -> Column:
+    """Share of all word n-grams taken by the single most frequent n-gram
+    (Gopher repetition rule: high -> boilerplate/spam). NULL when the text
+    has fewer than ``n`` words.
+
+    Computed as a sort + run-length fold over the *non-distinct* shingle
+    array: O(L log L) per row, no explode, no shuffle — survives any corpus
+    size because cost is per-document, and documents are bounded by
+    upstream chunking ([[doc_chunks]]).
+
+    Oracle SQL: per-doc ``max(cnt)::DOUBLE / sum(cnt)`` over
+    ``GROUP BY doc, gram`` (independent algorithm, same single division).
+    """
+    grams = word_shingles(c, n=n, distinct=False)
+    return F.when(
+        F.size(grams) > 0,
+        _max_run(F.array_sort(grams)).cast("double") / F.size(grams),
+    )

@@ -249,3 +249,45 @@ def test_delete_schemaless_filter(spark, tmp_path):
     # {keep: {$ne: true}} matches false AND missing — Mongo semantics
     assert coll.delete({"keep": {"$ne": True}}) == 2
     assert [r["_m_id"] for r in coll.df().collect()] == [0]
+
+
+def test_compact_preserves_rows_ids_and_index(spark, tmp_path):
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("cp")
+    # 6 small insert batches -> many tiny files
+    for b in range(6):
+        coll.insert(
+            [f"doc {b} {i}" for i in range(5)], [{"b": b}] * 5
+        )
+    coll.build_index(cells=3)
+    before_files = coll.data_files()
+    assert len(before_files) > 2
+    before = sorted(
+        (r["_m_id"], r["_m_doc"]) for r in coll.df().collect()
+    )
+
+    n = coll.compact(target_files=2)
+    assert n == 2 and len(coll.data_files()) == 2
+    after = sorted((r["_m_id"], r["_m_doc"]) for r in coll.df().collect())
+    assert after == before  # same rows, same ids
+    # index still valid (addresses ids, not files); approximate query works
+    assert coll.query("doc 3 1", k=5, approximate=True, nprobe=3).count() == 5
+    # inserts keep working post-swap and the allocator never regressed
+    coll.insert(["late doc"], [{"b": 99}])
+    assert coll.count() == 31
+
+    # default sizing: tiny collection -> 1 file target; no-op when already compact
+    coll2 = ctx.create_collection("cp2")
+    coll2.insert(["a"], [{}])
+    assert coll2.compact() == 1
+    assert coll2.compact(target_files=50) == 1  # never explodes files
+
+
+def test_compact_empty_collection_noop(spark, tmp_path):
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer2"))
+    coll = ctx.create_collection("empty")
+    assert coll.compact() == 0

@@ -4,6 +4,7 @@ DuckDB oracle replays of the fingerprint arithmetic."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -150,3 +151,47 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, size=10, overlap=10).collect()
+
+
+def test_repetition_metrics(spark):
+    from kaer_spark.functions.text import (
+        distinct_word_ratio,
+        max_word_run,
+        top_ngram_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "go go go go stop"),   # run 4; bigrams 3×"go go" of 4
+            (2, "a b c d"),            # all distinct
+            (3, ""),                   # empty -> NULL ratios, run 0
+            (4, "x y x y x y"),        # alternation: run 1, "x y" 3 of 5
+            (5, "w"),                  # single word: no bigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            distinct_word_ratio("text").alias("dwr"),
+            max_word_run("text").alias("run"),
+            top_ngram_fraction("text", n=2).alias("tbf"),
+        ).collect()
+    }
+    assert rows[1]["dwr"] == pytest.approx(0.4) and rows[1]["run"] == 4
+    assert rows[1]["tbf"] == pytest.approx(0.75)
+    assert rows[2]["dwr"] == 1.0 and rows[2]["run"] == 1
+    assert rows[3]["dwr"] is None and rows[3]["run"] == 0 and rows[3]["tbf"] is None
+    assert rows[4]["run"] == 1 and rows[4]["tbf"] == pytest.approx(0.6)
+    assert rows[5]["tbf"] is None
+
+
+def test_repetition_is_scan_only(spark, documents):
+    from kaer_spark.functions.text import top_ngram_fraction
+
+    plan = (
+        documents.select("doc_id", top_ngram_fraction("text").alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
