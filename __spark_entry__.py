@@ -356,6 +356,20 @@ def _q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(enc, books, QVEC, k=10)
 
 
+def _q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization top-k (operators.similarity.sq_fit/encode/
+    sq_topk): 4× compression, asymmetric decode-and-score as a Catalyst
+    fold. UNLIKE the other compressed paths this one is fully
+    oracle-checked: the fit is exact per-dim min/max, so the DuckDB twin
+    recomputes the identical codes and distances bit-for-bit."""
+    from kaer_spark.operators.similarity import sq_encode, sq_fit, sq_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    mins, maxs = sq_fit(embs)
+    enc = sq_encode(embs, mins, maxs)
+    return sq_topk(enc, mins, maxs, QVEC, k=10)
+
+
 def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approxNearestNeighbors — same
     rows-only contract as ivf_knn (approximate path)."""
@@ -1411,11 +1425,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_similarity_join": _q_lsh_simjoin,
             "ivf_recall_sweep": _q_ivf_recall_sweep,
             "pq_knn": _q_pq_knn,
+            # -- int8 scalar quantization: FULLY oracle-checked ANN --
+            "sq_knn": _q_sq_knn,
             # -- previously green, still inside the 50-row window --
             "dedup_ngram_jaccard": _q_dedup_jaccard,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "simhash": _q_simhash,
-            "doc_fingerprint": _q_fingerprint,
             "quality_filter": _q_quality_filter,
             "bpe_token_count": _q_bpe_tokens,
             "dense_ids": _q_dense_ids,
@@ -1436,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # -- beyond the 50-row driver window this round: green in BOTH
             #    r01 and r02; covered by selfcheck + tests every commit --
             "text_stats": _q_text_stats,
+            "doc_fingerprint": _q_fingerprint,
             "lang_id_counts": _q_lang_id_counts,
             "top_tokens": _q_top_tokens,
             "events_sessionize": _q_events_sessionize,
@@ -1478,6 +1494,41 @@ def _sql_l2sq_lit(vec: str, q: list[float]) -> str:
         f"(CAST({vec}[{i + 1}] AS DOUBLE) - ({v!r})) * (CAST({vec}[{i + 1}] AS DOUBLE) - ({v!r}))"
         for i, v in enumerate(q)
     )
+
+
+def _sql_sq_knn(dim: int = 64, k: int = 10) -> str:
+    """Replays the whole SQ path (operators.similarity.sq_fit/sq_encode/
+    sq_topk) bit-for-bit: exact per-dim min/max CTE, int8 codes through the
+    identical ``(v-min)·(255/(max-min))`` op tree (round() operands are
+    non-negative, so half-up and half-away agree), then the same
+    left-associated decoded-L2 sum with explicit products (no pow)."""
+    mm = ", ".join(
+        f"min(CAST(embedding[{i}] AS DOUBLE)) AS m{i}, "
+        f"max(CAST(embedding[{i}] AS DOUBLE)) AS x{i}"
+        for i in range(1, dim + 1)
+    )
+    codes = ", ".join(
+        f"LEAST(255, GREATEST(0, CAST(round((CAST(embedding[{i}] AS DOUBLE)"
+        f" - b.m{i}) * (255.0 / (b.x{i} - b.m{i}))) AS INTEGER))) AS c{i}"
+        for i in range(1, dim + 1)
+    )
+    term = (
+        "((({q}) - b.m{i}) - CAST(e.c{i} AS DOUBLE) * ((b.x{i} - b.m{i}) / 255.0))"
+    )
+    terms = " + ".join(
+        term.format(q=repr(QVEC[i - 1]), i=i)
+        + " * "
+        + term.format(q=repr(QVEC[i - 1]), i=i)
+        for i in range(1, dim + 1)
+    )
+    return f"""
+        WITH b AS (SELECT {mm} FROM embeddings),
+        enc AS (SELECT vec_id, {codes} FROM embeddings, b)
+        SELECT e.vec_id, {terms} AS _score
+        FROM enc e, b
+        ORDER BY _score ASC, vec_id ASC
+        LIMIT {k}
+    """
 
 
 def _sql_l2sq_cols(a: str, b: str) -> str:
@@ -1778,6 +1829,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT text, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        "sq_knn": _sql_sq_knn(),
         "dedup_ngram_jaccard": _sql_jaccard_pairs(),
         "dedup_embedding_cosine": _sql_embedding_dups(),
         "simhash": _sql_simhash(),

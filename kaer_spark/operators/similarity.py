@@ -295,3 +295,109 @@ def pq_topk(
         .limit(k)
         .select(id_col, "_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ, int8) — the oracle-checkable compression path
+# ---------------------------------------------------------------------------
+def sq_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) ranges for uniform int8 quantization.
+
+    One global aggregation of 2·dim partial-aggregatable min/max
+    expressions: a single map-side-combined pass, NO shuffle of vectors,
+    no explode — this is the scan-shaped way to get per-dim ranges at
+    100 TB (``posexplode + groupBy(dim)`` would shuffle rows×dim postings).
+    Exact min/max (not quantiles), so results are deterministic and a SQL
+    oracle recomputes identical bits.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    arr = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        arr = arr.sample(fraction=sample_fraction, seed=seed)
+    aggs = []
+    for i in range(1, dim + 1):
+        aggs.append(F.min(F.element_at("v", i)).alias(f"m{i}"))
+        aggs.append(F.max(F.element_at("v", i)).alias(f"M{i}"))
+    row = arr.agg(*aggs).first()
+    mins = [float(row[f"m{i}"]) for i in range(1, dim + 1)]
+    maxs = [float(row[f"M{i}"]) for i in range(1, dim + 1)]
+    return mins, maxs
+
+
+def _sq_scales(mins: Sequence[float], maxs: Sequence[float]) -> list[float]:
+    # degenerate dims (constant value) quantize to code 0 / decode to min
+    return [
+        (255.0 / (M - m)) if M > m else 0.0 for m, M in zip(mins, maxs)
+    ]
+
+
+def sq_encode(
+    corpus: DataFrame,
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """(id, code array<int>) — ``code[i] = round((v[i]-min[i])·scale[i])``
+    clamped to [0, 255]: 4 bytes/dim → 1, done as a pure Catalyst
+    ``transform`` in the scan stage. Clamping only fires for vectors
+    outside the fitted range (e.g. out-of-sample inserts)."""
+    mins_l = F.array(*[F.lit(float(m)) for m in mins])
+    scales_l = F.array(*[F.lit(s) for s in _sq_scales(mins, maxs)])
+    code = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (x - F.element_at(mins_l, i + 1))
+                    * F.element_at(scales_l, i + 1)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return corpus.select(F.col(id_col), code.alias(code_col))
+
+
+def sq_topk(
+    encoded: DataFrame,
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    query_vector: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Asymmetric L2 top-k over int8 codes: each code decodes to
+    ``min[i] + code[i]·step[i]`` and the exact query is compared against
+    the decoded point — a transform+aggregate fold in codegen, scan reads
+    only (id, code). Deterministic (``_score``, id) ordering, so with the
+    fit ranges pinned the whole path is exactly replayable by the DuckDB
+    oracle — unlike PQ, whose k-means fit is MLlib-internal."""
+    steps = [
+        ((M - m) / 255.0) if M > m else 0.0 for m, M in zip(mins, maxs)
+    ]
+    a = [float(q) - float(m) for q, m in zip(query_vector, mins)]
+    a_l = F.array(*[F.lit(v) for v in a])
+    steps_l = F.array(*[F.lit(s) for s in steps])
+    terms = F.transform(
+        F.col(code_col),
+        lambda c, i: (
+            (F.element_at(a_l, i + 1) - c.cast("double") * F.element_at(steps_l, i + 1))
+            * (F.element_at(a_l, i + 1) - c.cast("double") * F.element_at(steps_l, i + 1))
+        ),
+    )
+    dist = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        encoded.withColumn("_score", dist)
+        .orderBy(F.col("_score").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "_score")
+    )

@@ -147,3 +147,77 @@ def test_pq_perfect_on_clustered_data(spark):
     enc = pq_encode(df, books)
     got = {r["vec_id"] for r in pq_topk(enc, books, templates[2], k=20).collect()}
     assert got == {i for i in range(100) if i % 5 == 2}
+
+
+def test_sq_roundtrip_error_bound_and_recall(spark, embeddings):
+    """int8 SQ: codes in [0,255]; per-dim decode error <= step/2; recall@10
+    vs exact is ~1.0 on the fixture (8-bit is fine-grained vs the data's
+    distance spread)."""
+    from kaer_spark.operators.similarity import (
+        brute_force_topk,
+        sq_encode,
+        sq_fit,
+        sq_topk,
+    )
+
+    mins, maxs = sq_fit(embeddings)
+    assert len(mins) == len(maxs) == 64 and all(
+        M > m for m, M in zip(mins, maxs)
+    )
+    enc = sq_encode(embeddings, mins, maxs)
+    bounds = enc.select(
+        F.min(F.array_min("sq_code")).alias("lo"),
+        F.max(F.array_max("sq_code")).alias("hi"),
+    ).first()
+    assert bounds["lo"] >= 0 and bounds["hi"] <= 255
+
+    # decode error bound: |v - decode(code)| <= step/2 per dim (+ eps)
+    row = embeddings.select("vec_id", "embedding").first()
+    code = enc.filter(F.col("vec_id") == row["vec_id"]).first()["sq_code"]
+    for i, (v, c) in enumerate(zip(row["embedding"], code)):
+        step = (maxs[i] - mins[i]) / 255.0
+        assert abs(float(v) - (mins[i] + c * step)) <= step / 2 + 1e-9
+
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    approx = [r["vec_id"] for r in sq_topk(enc, mins, maxs, q, 10).collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, q, 10).collect()]
+    assert len(set(approx) & set(exact)) >= 9
+
+
+def test_sq_degenerate_dim_and_clamp(spark):
+    """Constant dims quantize to code 0 / decode to min (no div-by-zero);
+    out-of-fit-range vectors clamp into [0, 255]."""
+    from kaer_spark.operators.similarity import sq_encode, sq_fit, sq_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [0.0, 7.0]), (3, [0.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = sq_fit(df)
+    assert mins[0] == maxs[0] == 0.0
+    enc = sq_encode(df, mins, maxs)
+    codes = {r["vec_id"]: r["sq_code"] for r in enc.collect()}
+    assert all(c[0] == 0 for c in codes.values())
+    assert codes[1][1] == 0 and codes[2][1] == 255
+
+    # out-of-range vector (not in the fitted corpus) clamps, not wraps
+    out = spark.createDataFrame(
+        [(9, [100.0, -100.0])], "vec_id long, embedding array<float>"
+    )
+    oc = sq_encode(out, mins, maxs).first()["sq_code"]
+    assert oc == [0, 0]  # dim0 degenerate->0; dim1 below min -> clamped 0
+
+    top = sq_topk(enc, mins, maxs, [0.0, 5.0], 2).collect()
+    assert [r["vec_id"] for r in top] == [1, 3]
+
+
+def test_sq_scan_reads_only_codes(spark, embeddings):
+    """The scoring scan must not touch the float vector column."""
+    from kaer_spark.operators.similarity import sq_encode, sq_fit, sq_topk
+
+    mins, maxs = sq_fit(embeddings)
+    enc = sq_encode(embeddings, mins, maxs).localCheckpoint()
+    q = [0.0] * 64
+    plan = sq_topk(enc, mins, maxs, q, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    assert "embedding" not in plan
