@@ -30,6 +30,14 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q22",
     "tpch_q19",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "revenue_by_nation",
     "top_customers",
     "window_running",
