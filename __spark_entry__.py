@@ -34,6 +34,7 @@ from kaer_spark.functions.vector import cosine_similarity
 from kaer_spark.operators.dedup import (
     SIMHASH_BITS,
     embedding_near_dups,
+    embedding_near_dups_lsh,
     exact_dedup,
     ngram_jaccard_pairs,
     simhash,
@@ -86,6 +87,13 @@ MINHASH_BANDS = 4
 # fixture embeddings are near-random (max within-label cosine ≈ 0.47), so the
 # "near-dup" threshold is set where the fixture actually has matching pairs
 COSINE_DUP_THRESHOLD = 0.35
+# sign-LSH banding for the cosine dedup candidates: OR-of-ANDs over
+# deterministic Rademacher planes; 2^bits buckets per band bounds per-bucket
+# quadratic work at any corpus size (vs the old low-cardinality `label`
+# blocking, which was O((N/10)²) at scale)
+COSINE_LSH_BANDS = 4
+COSINE_LSH_BITS = 4
+COSINE_LSH_SEED = 7
 
 
 # ---------------------------------------------------------------------------
@@ -226,9 +234,14 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dups(
+    """Cosine near-dups with banded sign-LSH candidate generation — the
+    scale-safe blocking (high-cardinality band keys, not `label`); the
+    oracle replays the identical seeded planes + IEEE fold."""
+    return embedding_near_dups_lsh(
         _t(spark, sf_dir, "embeddings"),
-        threshold=COSINE_DUP_THRESHOLD, block_col="label",
+        threshold=COSINE_DUP_THRESHOLD,
+        bands=COSINE_LSH_BANDS, bits_per_band=COSINE_LSH_BITS,
+        seed=COSINE_LSH_SEED,
     ).select("id_a", "id_b", "cosine")
 
 
@@ -434,14 +447,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 nanos), vs TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ —
     so normalize whatever shows up. The session timezone is pinned UTC
     (kaer_spark.session), making the NTZ→instant cast lossless; the
-    conversion is a pure projection folded into the scan stage."""
+    conversion is a pure projection folded into the scan stage. The cast
+    itself lives in kaer_spark.functions.time — ONE definition shared by
+    the entry, the rollup/streaming operators, and the tests, so a fixture
+    type flip cannot split the engine from its library again."""
+    from kaer_spark.functions.time import normalize_epoch_ns
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = _t(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] != "bigint":
-        df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
-    return df
+    return normalize_epoch_ns(_t(spark, sf_dir, "events"))
 def _q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming twin of events_hourly, run as a bounded stream
     (file source → watermarked tumbling window → memory sink, drained with
@@ -459,10 +472,9 @@ def _q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] != "bigint":  # micros fixture → epoch nanos
-        stream = stream.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
+    from kaer_spark.functions.time import normalize_epoch_ns
+
+    stream = normalize_epoch_ns(stream)  # micros fixture → epoch nanos
     agg = (
         stream.withColumn("hour_epoch", F.expr("ts DIV 3600000000000") * 3600)
         .groupBy("hour_epoch", "event_type")
@@ -1972,19 +1984,50 @@ def _sql_jaccard_pairs() -> str:
 
 
 def _sql_embedding_dups() -> str:
-    # mirror the Spark plan: per-row norms precomputed once, pair stage is
-    # dot-product only (same expression tree → identical IEEE results)
-    dot = _sql_dot_cols("a.embedding", "b.embedding")
+    # Replay of dedup.embedding_near_dups_lsh: the same seeded Rademacher
+    # planes as SQL literals, the same left-assoc float64 dot fold (so every
+    # sign bit — hence every band key — matches Spark bit-for-bit), the same
+    # OR-of-ANDs candidate union + exact-cosine verify.
+    from kaer_spark.operators.dedup import signlsh_planes
+
+    planes = signlsh_planes(64, COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED)
+
+    def dot_plane(vec: str, plane: list[float]) -> str:
+        return " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * ({c!r})" for i, c in enumerate(plane)
+        )
+
+    def band_key(vec: str, band: int) -> str:
+        bits = [
+            f"(CASE WHEN ({dot_plane(vec, planes[band * COSINE_LSH_BITS + j])}) >= 0.0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(COSINE_LSH_BITS)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    inv = "\n          UNION ALL ".join(
+        f"SELECT vec_id AS id, {b} AS band, {band_key('embedding', b)} AS key FROM e"
+        for b in range(COSINE_LSH_BANDS)
+    )
+    dot = _sql_dot_cols("ea.embedding", "eb.embedding")
     nrm = f"sqrt({_sql_dot_cols('embedding', 'embedding')})"
     # zero-norm guard mirrors the Spark side's NULL-safe cosine (a NULL
     # never passes the >= filter); without it DuckDB yields NaN, which
     # DuckDB orders above every number and so WOULD pass the threshold
-    cos = f"(CASE WHEN a.nrm * b.nrm <> 0.0 THEN ({dot}) / (a.nrm * b.nrm) END)"
+    cos = f"(CASE WHEN ea.nrm * eb.nrm <> 0.0 THEN ({dot}) / (ea.nrm * eb.nrm) END)"
     return f"""
-        WITH e AS (SELECT vec_id, label, embedding, {nrm} AS nrm FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
-        FROM e a JOIN e b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        WITH e AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+        inv AS (
+          {inv}
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM inv a JOIN inv b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        )
+        SELECT c.id_a, c.id_b, {cos} AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
         WHERE {cos} >= {COSINE_DUP_THRESHOLD!r}
     """
 

@@ -375,6 +375,120 @@ def embedding_near_dups(
     )
 
 
+def signlsh_planes(
+    dim: int, n_planes: int, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes for sign-LSH.
+
+    Derived from the seed by the same fixed LCG family as
+    :func:`minhash_coeffs`, so an oracle can embed the identical literals.
+    ±1 coefficients keep the plane dot product an exact sign-flipped sum of
+    the (float64-widened) vector entries — no rounding surprises between
+    engines.
+    """
+    planes: list[list[float]] = []
+    state = (seed * 2654435761 + 0x9E3779B9) % HASH_MOD
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % HASH_MOD
+            row.append(1.0 if (state >> 7) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def signlsh_band_key(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """One band's bucket key: ``sum_j 2^j * [dot(v, plane_j) >= 0]``.
+
+    The dot is the engine-wide left-associative float64 fold
+    (functions.vector.dot), identical to the oracle's unrolled sum, so the
+    sign decision — and therefore the bucket id — replays bit-for-bit.
+    """
+    key = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        bit = F.when(dot(vec_col, plane) >= 0.0, F.lit(1 << j)).otherwise(F.lit(0))
+        key = key + bit.cast("long")
+    return key
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold, candidates generated by
+    banded sign-LSH instead of a low-cardinality blocking column.
+
+    Scale shape (the fix for blocking on something like ``label``, which is
+    quadratic within block): each vector gets ``bands`` bucket keys, each
+    ``bits_per_band`` sign bits of deterministic Rademacher projections —
+    a pair is a candidate iff it collides in AT LEAST one band (the classic
+    LSH OR-of-ANDs), then candidates are verified with the exact cosine.
+    Shuffle volume is O(rows × bands) for the inverted index plus the
+    collision pairs; bucket cardinality grows as ``2^bits_per_band`` per
+    band, so raising ``bits_per_band`` bounds per-bucket quadratic work at
+    any corpus size. Recall for a pair at angle θ is
+    ``1 - (1 - p^bits)^bands`` with ``p = 1 - θ/π`` — tune bands/bits to
+    the threshold. Deterministic and oracle-replayable end-to-end: the
+    planes are seeded literals and the dot folds match IEEE-exactly.
+    """
+    all_planes = signlsh_planes(
+        _vec_dim(df, vec_col), bands * bits_per_band, seed
+    )
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).withColumn("nrm", vector_norm("v"))
+    keys = [
+        signlsh_band_key("v", all_planes[b * bits_per_band : (b + 1) * bits_per_band])
+        for b in range(bands)
+    ]
+    inv = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), k.alias("key"))
+                    for b, k in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ea = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom != 0.0, dot(F.col("va"), F.col("vb")) / denom)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row (bounded driver lookup)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dimension of empty/null {vec_col!r}")
+    return int(row["d"])
+
+
 def dedup_clusters(
     pairs: DataFrame,
     left_col: str = "id_a",

@@ -12,9 +12,10 @@ Physical plans (verified via ``.explain``):
   shuffle, no global sort, O(k) memory above the scan.
 * ``knn_join``: broadcast the query side (queries ≪ corpus), evaluate
   distances in the scan stage, then one shuffle on query id for the
-  per-query top-k window. At 1000 executors the corpus never moves; only
-  (n_queries × k)-bounded candidates shuffle when ``prune_candidates`` is
-  set (per-partition pre-top-k before the exchange).
+  per-query top-k window. At 1000 executors the corpus never moves; with
+  ``prune_candidates`` (the default) each partition pre-folds to its local
+  per-query top-k before the exchange, so only
+  (n_partitions × n_queries × k)-bounded candidates shuffle.
 """
 
 from __future__ import annotations
@@ -75,6 +76,7 @@ def knn_join(
     query_id_col: str = "query_id",
     corpus_id_col: str = "doc_id",
     metric: str = "l2sq",
+    prune_candidates: bool = True,
 ) -> DataFrame:
     """For every query row, the k nearest corpus rows.
 
@@ -82,13 +84,23 @@ def knn_join(
     for l2sq, descending similarity for cosine; ties by corpus id).
 
     Shape: broadcast-nested-loop of the (small) query side against the
-    corpus — the corpus stays put; a single shuffle by ``query_id`` ranks
-    candidates. For huge query sides, chunk the queries and union.
+    corpus — the corpus stays put; distances are evaluated JVM-side in the
+    scan stage. With ``prune_candidates`` (default), each input partition
+    folds its scored pairs down to a per-query bounded top-k BEFORE the
+    exchange (an Arrow ``mapInPandas`` over the narrow
+    ``(qid, doc_id, score)`` triple — no vectors cross into Python and no
+    unpruned row crosses the network), so the ``query_id`` shuffle carries
+    at most ``n_partitions × n_queries × k`` rows instead of
+    ``n_corpus × n_queries``; the final window then ranks exactly. The
+    local fold keeps a superset of every global top-k (each partition's
+    best k per query), so results are bit-identical to the unpruned plan.
+    For huge query sides, chunk the queries and union.
     """
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
     )
     joined = corpus.crossJoin(F.broadcast(q))
+    ascending = metric == "l2sq"
     if metric == "l2sq":
         score = l2sq(F.col(corpus_vec_col), F.col("__qvec"))
         order = [F.col("__score").asc(), F.col(corpus_id_col).asc()]
@@ -97,10 +109,16 @@ def knn_join(
         order = [F.col("__score").desc(), F.col(corpus_id_col).asc()]
     else:
         raise ValueError(f"unknown metric {metric}")
+    scored = joined.withColumn("__score", score.cast("double")).select(
+        "__qid", corpus_id_col, "__score"
+    )
+    if prune_candidates:
+        scored = scored.mapInPandas(
+            _local_topk_fold(k, corpus_id_col, ascending), scored.schema
+        )
     w = Window.partitionBy("__qid").orderBy(*order)
     return (
-        joined.withColumn("__score", score)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("__qid").alias(query_id_col),
@@ -108,3 +126,29 @@ def knn_join(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _local_topk_fold(k: int, id_col: str, ascending: bool):
+    """Per-partition bounded top-k fold for :func:`knn_join`.
+
+    Maintains at most ``k`` rows per query id across the partition's Arrow
+    batches (state never exceeds ``n_qids_seen × k`` rows — that bound, not
+    the partition size, is the executor memory cost). Ties are broken by
+    ascending ``id_col`` exactly like the final window, so pruning can
+    never drop a row the global rank would keep.
+    """
+
+    def fold(batches):
+        import pandas as pd
+
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if state is None else pd.concat((state, pdf), ignore_index=True)
+            cur = cur.sort_values(
+                ["__qid", "__score", id_col], ascending=[True, ascending, True]
+            )
+            state = cur.groupby("__qid", sort=False).head(k)
+        if state is not None and len(state):
+            yield state
+
+    return fold

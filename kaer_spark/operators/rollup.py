@@ -35,8 +35,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-NS_PER_SECOND = 1_000_000_000
-NS_PER_DAY = 86_400 * NS_PER_SECOND
+from kaer_spark.functions.time import NS_PER_DAY, NS_PER_SECOND, normalize_epoch_ns
 
 SPEC_FILE = "_rollup_spec.json"
 
@@ -68,7 +67,13 @@ def rollup(
     aggs: Mapping[str, str] = DEFAULT_AGGS,
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Bucketed aggregate: one shuffle on (bucket, dims), partials map-side."""
+    """Bucketed aggregate: one shuffle on (bucket, dims), partials map-side.
+
+    ``ts_col`` may be BIGINT epoch-nanos or any timestamp type — normalized
+    through :func:`kaer_spark.functions.time.normalize_epoch_ns` (the single
+    engine-wide definition) before bucketing.
+    """
+    df = normalize_epoch_ns(df, ts_col)
     exprs = [F.expr(sql).alias(name) for name, sql in aggs.items()]
     return df.groupBy(
         time_bucket(ts_col, width_ns).alias("bucket_epoch"), *dims
@@ -99,6 +104,7 @@ def materialize_rollup(
     """
     if NS_PER_DAY % width_ns != 0 and width_ns % NS_PER_DAY != 0:
         raise ValueError(f"width_ns {width_ns} must align with day boundaries")
+    df = normalize_epoch_ns(df, ts_col)
     out = _with_bucket_day(rollup(df, width_ns, dims, aggs, ts_col))
     out.write.mode("overwrite").partitionBy("bucket_day").parquet(path)
     high_water = df.agg(F.max(F.col(ts_col).cast("long"))).collect()[0][0] or 0
@@ -128,6 +134,7 @@ def refresh_rollup(df: DataFrame, path: str) -> dict:
     with open(os.path.join(path, SPEC_FILE)) as f:
         spec = json.load(f)
     ts_col = spec["ts_col"]
+    df = normalize_epoch_ns(df, ts_col)
     refresh_from = max(0, spec["high_water_ns"] - spec["lateness_ns"])
     # snap to the containing day boundary: whole-day replacement
     refresh_day_start = refresh_from - (refresh_from % NS_PER_DAY)

@@ -196,3 +196,46 @@ def test_dedup_representatives_keeps_min_and_unpaired(spark):
     pairs = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "id_a long, id_b long")
     kept = dedup_representatives(docs, dedup_clusters(pairs))
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 99]
+
+
+def test_embedding_near_dups_lsh(spark, sf_dir):
+    """Banded sign-LSH candidates: every reported pair is a true pair of the
+    unblocked all-pairs result (precision 1 by exact verify), recall on the
+    fixture's actual near-dup pairs is high, and band keys are
+    high-cardinality (the scale fix vs label-blocking)."""
+    from kaer_spark.operators.dedup import (
+        embedding_near_dups_lsh,
+        signlsh_band_key,
+        signlsh_planes,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.35  # where the near-random fixture actually has pairs
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(
+            embs, threshold=thr, bands=4, bits_per_band=4
+        ).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(embs, threshold=thr).collect()
+    }
+    assert got <= truth               # exact verify: no false positives
+    assert len(got) >= 0.3 * len(truth) and len(got) > 0
+    # determinism: same seed → same pairs
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(
+            embs, threshold=thr, bands=4, bits_per_band=4
+        ).collect()
+    }
+    assert got == again
+    # the blocking key space is the full 2^bits per band, not ~10 labels
+    planes = signlsh_planes(64, 4)
+    n_keys = (
+        embs.select(signlsh_band_key("embedding", planes).alias("k"))
+        .distinct()
+        .count()
+    )
+    assert n_keys > 10

@@ -144,3 +144,39 @@ def test_exact_knn_cosine_metric(corpus):
     want = [-i for _, i in [s for s in reversed(sims)][:5]]
     assert [r["doc_id"] for r in out] == want
     assert all(out[i]["cos"] >= out[i + 1]["cos"] for i in range(len(out) - 1))
+
+
+def test_knn_join_pruned_equals_unpruned(corpus, embeddings):
+    """Candidate pruning is a pure optimization: bit-identical results."""
+    queries = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") < 3)
+    kw = dict(query_id_col="vec_id", corpus_id_col="doc_id")
+    for metric in ("l2sq", "cosine"):
+        pruned = knn_join(queries, corpus, k=4, metric=metric, **kw)
+        full = knn_join(
+            queries, corpus, k=4, metric=metric, prune_candidates=False, **kw
+        )
+        snap = lambda df: sorted(tuple(r) for r in df.collect())
+        assert snap(pruned) == snap(full)
+
+
+def test_knn_join_prunes_before_exchange(corpus, embeddings):
+    """The per-partition top-k fold (MapInPandas) must sit BELOW the qid
+    Exchange in the physical plan — i.e. run before the shuffle — so the
+    exchange input is bounded by n_partitions x n_queries x k, not the full
+    corpus x queries cross product. Plans print top-down (later stages
+    first), so Exchange must appear before MapInPandas in the string."""
+    queries = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") < 3)
+    plan = (
+        knn_join(queries, corpus, k=4, query_id_col="vec_id", corpus_id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    exchanges = [
+        i for i in range(len(plan)) if plan.startswith("Exchange hashpartitioning", i)
+    ]
+    # exactly one hash exchange (the qid window), and it consumes the
+    # pruned output: printed above (before) the MapInPandas node
+    assert len(exchanges) == 1
+    assert exchanges[0] < plan.index("MapInPandas")

@@ -8,6 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from kaer_spark.functions.time import read_events
 from kaer_spark.operators.rollup import (
     DEFAULT_AGGS,
     NS_PER_SECOND,
@@ -23,8 +24,9 @@ HOUR_NS = 3_600 * NS_PER_SECOND
 
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the engine-wide ts normalization — whatever physical type the fixture
+    # has this round, tests see BIGINT epoch-nanos like every operator does
+    return read_events(spark, sf_dir)
 
 
 def _snapshot(df):
