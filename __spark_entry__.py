@@ -1250,7 +1250,7 @@ def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (potential part promotion), fixture-adapted: the spec
     keeps suppliers whose ps_availqty exceeds half the quantity they
     shipped of brand-matching parts in a year; without partsupp, the
-    inner condition becomes "shipped more than 100 units of some matching
+    inner condition becomes "shipped more than 40 units of some matching
     part in 1997" (same nested shape: part-filtered per-(part,supplier)
     aggregate HAVING a threshold, semi-joining up to nation-filtered
     suppliers); the 40-unit threshold is tuned so the

@@ -30,6 +30,8 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q22",
     "tpch_q19",
+    "tpch_q8",
+    "tpch_q17",
     "tpch_q2",
     "tpch_q4",
     "tpch_q9",

@@ -74,3 +74,31 @@ def test_q4_semi_join_not_aggregate_exists(spark, sf_dir):
     plan = executed_plan(entrymod.queries()["tpch_q4"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_branch_non_vacuous_at_gate_sf(spark):
+    """Q16's supplier-exclusion (s_acctbal < 0) matches zero suppliers at
+    sf0.001, so the anti-join path is only exercised at sf0.01 — run the
+    full oracle compare THERE, and assert the excluded set is non-empty, per
+    the repo's own '0==0 green proves nothing' rule."""
+    import duckdb as ddb
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    sf01 = "/root/testdata/sf0.01"
+    excluded = (
+        spark.read.parquet(f"{sf01}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .count()
+    )
+    assert excluded > 0, "exclusion branch vacuous at sf0.01 too"
+    con = ddb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf01}/{t}.parquet')"
+        )
+    sdf = canon(entrymod.queries()["tpch_q16"](spark, sf01).toPandas())
+    ddf = canon(con.sql(entrymod.oracle_sql()["tpch_q16"]).df())
+    ok, why = values_equal(sdf, ddf)
+    assert ok, f"tpch_q16 @ sf0.01: {why}"
