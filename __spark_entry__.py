@@ -1563,7 +1563,8 @@ def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaer_spark.pipelines import stratified_split
 
     assigned = stratified_split(
-        _t(spark, sf_dir, "documents"), strata_col="lang", id_col="doc_id"
+        _t(spark, sf_dir, "documents"), strata_col="lang", id_col="doc_id",
+        sub_strata=32,  # scale path: a mega-stratum ranks on 32 reducers
     )
     return assigned.groupBy("lang", "split").agg(
         F.count("*").alias("n"),
@@ -1674,14 +1675,19 @@ def _q_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched byte-resample resize — rows-only (the resample loop is
-    not SQL-expressible); digests pin determinism across runs."""
+    """Arrow-batched byte-resample resize, now FULLY oracle-checked: the
+    fake decode is ``out[i] = src[(i*n)//(w*h)]`` over the blob's bytes, a
+    pure indexing formula DuckDB replays with generate_series + per-byte
+    hex slicing. The compared digest is md5 over the HEX of the resized
+    blob (not the raw bytes) because DuckDB's md5 only takes VARCHAR —
+    same uppercase hex alphabet on both engines."""
     from kaer_spark.operators.multimodal import attach_fake_media, resize_images
 
     media = attach_fake_media(_t(spark, sf_dir, "documents"))
     out = resize_images(media, width=32, height=16)
     return out.select(
-        "doc_id", "out_width", "out_height", F.md5("resized").alias("digest")
+        "doc_id", "out_width", "out_height",
+        F.md5(F.hex(F.col("resized"))).alias("digest"),
     )
 
 
@@ -2649,12 +2655,27 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(k * 150 + 1 AS INT), 200) AS chunk_text
             FROM sp
         """,
+        # two-level dealing replay (pipelines.stratified_split sub_strata=32):
+        # rank within (lang, doc_id % 32), re-base by cumulative counts of
+        # earlier subs, deal the composed rank round-robin
         "stratified_split": """
-            WITH dealt AS (
-              SELECT lang, doc_id,
-                     (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 10
-                         AS slot
-              FROM documents
+            WITH s AS (SELECT lang, doc_id, doc_id % 32 AS sub FROM documents),
+            r AS (
+              SELECT lang, doc_id, sub,
+                     row_number() OVER (PARTITION BY lang, sub ORDER BY doc_id)
+                         AS subrank
+              FROM s
+            ),
+            c AS (SELECT lang, sub, count(*) AS cnt FROM s GROUP BY 1, 2),
+            o AS (
+              SELECT lang, sub,
+                     COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY sub
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ofs
+              FROM c
+            ),
+            dealt AS (
+              SELECT r.lang, r.doc_id, (o.ofs + r.subrank - 1) % 10 AS slot
+              FROM r JOIN o ON r.lang = o.lang AND r.sub = o.sub
             )
             SELECT lang,
                    CASE WHEN slot < 8 THEN 'train'
@@ -2890,6 +2911,27 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY src
         """,
         "multimodal_features": _sql_multimodal(),
+        # replay of operators.multimodal.resize_images(decode='fake'):
+        # out[i] = src[(i*n) // (w*h)] for i in 0..w*h-1, empty blob → one
+        # zero byte; the digest is md5 over the resized blob's UPPERCASE hex
+        # (both engines' hex alphabet), since DuckDB md5 is VARCHAR-only
+        "media_resize": """
+            WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN octet_length(blob) = 0 THEN '00' ELSE hex(blob) END AS hx,
+                     CASE WHEN octet_length(blob) = 0 THEN 1 ELSE octet_length(blob) END AS n
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id,
+                     string_agg(substr(hx, 2 * ((i * n) // 512) + 1, 2), '' ORDER BY i) AS rhex
+              FROM b, generate_series(0, 511) AS t(i)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, 32 AS out_width, 16 AS out_height, md5(rhex) AS digest
+            FROM r
+        """,
         "media_frame_offsets": """
             SELECT doc_id,
                    CAST(len(generate_series(0, greatest(octet_length(encode(text)) * 40 - 1, 0), 1000)) AS BIGINT)

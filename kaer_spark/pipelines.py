@@ -14,7 +14,7 @@ min/max) so distributed partial aggregation cannot change the values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -109,13 +109,25 @@ def stratified_split(
     strata_col: str,
     id_col: str,
     weights: dict[str, int] | None = None,
+    sub_strata: int = 1,
 ) -> DataFrame:
     """Deterministic stratified train/val/test assignment: within each
-    stratum, rows are ranked by id and dealt round-robin into buckets
-    sized by integer ``weights`` (default 8/1/1). Id-ranked dealing — not
-    random() — so the split is reproducible across runs/engines/retries
-    and EXACT per stratum (a hash-mod split only approximates fractions);
-    the cost is one window shuffle on the stratum key.
+    stratum, rows are ranked and dealt round-robin into buckets sized by
+    integer ``weights`` (default 8/1/1). Id-ranked dealing — not random()
+    — so the split is reproducible across runs/engines/retries and EXACT
+    per stratum (a hash-mod split only approximates fractions).
+
+    ``sub_strata=1`` ranks each stratum in ONE window partition — a
+    mega-stratum serializes on a single reducer at 100 TB. ``sub_strata=S``
+    is the scale path: each stratum is sharded into S deterministic
+    sub-partitions (``id mod S`` — numeric ids; replayable by any SQL
+    oracle), ranked in parallel, and the per-sub ranks are re-based by the
+    cumulative counts of earlier subs (a tiny strata×S aggregate, broadcast
+    back). The composed rank is a permutation of 1..N within the stratum,
+    so every split's PER-STRATUM COUNT is identical to the single-window
+    deal — exactness survives; only which id lands in which bucket differs
+    (it's rank-within-sub order rather than global id order — equally
+    deterministic).
 
     Returns the input plus a ``split`` column. For a new-data-append
     workflow, re-running reassigns only via rank, so keep splits frozen by
@@ -123,11 +135,36 @@ def stratified_split(
     """
     weights = weights or {"train": 8, "val": 1, "test": 1}
     total = sum(weights.values())
-    w = Window.partitionBy(strata_col).orderBy(id_col)
-    slot = (F.row_number().over(w) - 1) % total
+    if sub_strata <= 1:
+        w = Window.partitionBy(strata_col).orderBy(id_col)
+        slot = (F.row_number().over(w) - 1) % total
+        return df.withColumn("split", _deal(slot, weights))
+    sub = F.pmod(F.col(id_col).cast("long"), F.lit(int(sub_strata)))
+    sharded = df.withColumn("__sub", sub)
+    w = Window.partitionBy(strata_col, "__sub").orderBy(id_col)
+    ranked = sharded.withColumn("__subrank", F.row_number().over(w))
+    counts = sharded.groupBy(strata_col, "__sub").agg(F.count("*").alias("__cnt"))
+    wofs = (
+        Window.partitionBy(strata_col)
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__ofs", F.coalesce(F.sum("__cnt").over(wofs), F.lit(0))
+    ).drop("__cnt")
+    slot = (F.col("__ofs") + F.col("__subrank") - 1) % total
+    return (
+        ranked.join(F.broadcast(offsets), [strata_col, "__sub"])
+        .withColumn("split", _deal(slot, weights))
+        .drop("__sub", "__subrank", "__ofs")
+    )
+
+
+def _deal(slot: Column, weights: dict[str, int]) -> Column:
+    """slot (0..total-1) → split name by contiguous weight ranges."""
     expr = F.when(F.lit(False), F.lit(""))
     lo = 0
     for name, n in weights.items():
         expr = expr.when((slot >= lo) & (slot < lo + n), F.lit(name))
         lo += n
-    return df.withColumn("split", expr)
+    return expr

@@ -61,3 +61,34 @@ def test_stratified_split_exact_and_deterministic(spark, documents):
     b = sorted((r["doc_id"], r["split"]) for r in
                stratified_split(documents, "lang", "doc_id").select("doc_id", "split").collect())
     assert a == b
+
+
+def test_stratified_split_two_level_exact_counts(spark, documents):
+    """sub_strata=S spreads a mega-stratum over S window partitions but must
+    keep EXACT per-(stratum, split) counts — the composed rank is a
+    permutation of 1..N within each stratum."""
+    from kaer_spark.pipelines import stratified_split
+
+    def counts(df):
+        return {
+            (r["lang"], r["split"]): r["n"]
+            for r in df.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+        }
+
+    single = counts(stratified_split(documents, "lang", "doc_id"))
+    sharded = counts(stratified_split(documents, "lang", "doc_id", sub_strata=32))
+    assert sharded == single
+    # deterministic: same assignment on re-run
+    a = sorted(
+        (r["doc_id"], r["split"])
+        for r in stratified_split(documents, "lang", "doc_id", sub_strata=32)
+        .select("doc_id", "split")
+        .collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in stratified_split(documents, "lang", "doc_id", sub_strata=32)
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert a == b
