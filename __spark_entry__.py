@@ -1711,6 +1711,77 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 training-pipeline additions: ranking, sampling, packing, cohort
+# ---------------------------------------------------------------------------
+BM25_TERMS = ["join", "hash", "scan"]  # high-df fixture vocabulary
+PACK_MAX_TOKENS = 2_048
+PACK_SHARDS = 8
+QUOTA_PER_SOURCE = 10
+SAMPLE_RATE_PERMILLE = 100  # ~10%
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 over the fixture vocabulary (operators.ranking):
+    one corpus-stats aggregate broadcast back into a scan-shaped score
+    projection; every op is IEEE double +,*,/ in pinned association order,
+    so the oracle replays the exact bits (no ln — see module docstring)."""
+    from kaer_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: LCG-hash bucket filter, zero
+    shuffle, identical selection on every run/engine/retry (the rand()
+    pitfall — task retries resample — engineered out)."""
+    from kaer_spark.operators.sampling import hash_sample, sample_bucket
+
+    kept = hash_sample(
+        _t(spark, sf_dir, "documents"), rate_permille=SAMPLE_RATE_PERMILLE
+    )
+    return kept.select("doc_id", "source", sample_bucket("doc_id").alias("bucket"))
+
+
+def _q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (operators.sampling.quota_per_group): keep the
+    10 smallest doc_ids per source via the two-level pre-cap path; reported
+    as per-source kept-count + id range so the oracle checks the cap AND
+    the deterministic representative choice."""
+    from kaer_spark.operators.sampling import quota_per_group
+
+    kept = quota_per_group(
+        _t(spark, sf_dir, "documents"), "source", "doc_id",
+        quota=QUOTA_PER_SOURCE, sub_shards=4,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators.packing): sharded
+    window cumsum → integer DIV pack index → per-pack fill stats."""
+    from kaer_spark.operators.packing import pack_sequences, pack_stats
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        max_tokens=PACK_MAX_TOKENS, shards=PACK_SHARDS,
+    )
+    return pack_stats(packed)
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events (operators.cohort):
+    first-seen window + distinct (user, offset) count, integer epoch-nanos
+    arithmetic end-to-end."""
+    from kaer_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory. ORDER MATTERS: the driver's correctness
     harness checks the FIRST 50 entries per round, so queries that have
@@ -1814,6 +1885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_json": _q_events_json,
             "events_hourly": _q_events_hourly,
             "streaming_events_hourly": _q_streaming_hourly,
+            "bm25_scores": _q_bm25_scores,
+            "hash_sample": _q_hash_sample,
+            "domain_quota": _q_domain_quota,
+            "pack_sequences": _q_pack_sequences,
+            "cohort_retention": _q_cohort_retention,
         }
     )
     return out
@@ -2137,6 +2213,55 @@ def _sql_minhash() -> str:
         WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                  / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
               >= {JACCARD_THRESHOLD!r}
+    """
+
+
+def _sql_bm25() -> str:
+    """Replay of operators.ranking.bm25_scores: same tokenization, same
+    rational idf, same pinned association order — bit-exact doubles."""
+    from kaer_spark.operators.ranking import B_DEFAULT, K1_DEFAULT
+
+    k1, b = K1_DEFAULT, B_DEFAULT
+    toks = (
+        "CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+    )
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    norm = f"(CAST(base.dl AS DOUBLE) / {avgdl})"
+    terms = []
+    for i in range(len(BM25_TERMS)):
+        idf = (
+            f"(((CAST(s.n AS DOUBLE) - CAST(s.df{i} AS DOUBLE)) + 0.5)"
+            f" / (CAST(s.df{i} AS DOUBLE) + 0.5))"
+        )
+        num = f"(CAST(base.tf{i} AS DOUBLE) * ({k1 + 1.0!r}))"
+        denom = (
+            f"(CAST(base.tf{i} AS DOUBLE)"
+            f" + ({k1!r} * (({1.0 - b!r}) + ({b!r} * {norm}))))"
+        )
+        terms.append(f"(({idf} * {num}) / {denom})")
+    score = terms[0]
+    for t in terms[1:]:
+        score = f"({score} + {t})"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols}
+          FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS sumdl, {df_cols}
+          FROM base
+        )
+        SELECT base.doc_id, {score} AS bm25 FROM base, s
     """
 
 
@@ -2911,6 +3036,61 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY src
         """,
         "multimodal_features": _sql_multimodal(),
+        "bm25_scores": _sql_bm25(),
+        "hash_sample": f"""
+            SELECT doc_id, source,
+                   ((doc_id * 2654435761 + 40503) % 1000000007) % 1000 AS bucket
+            FROM documents
+            WHERE ((doc_id * 2654435761 + 40503) % 1000000007) % 1000
+                  < {SAMPLE_RATE_PERMILLE}
+        """,
+        # single-level replay of the two-level quota cap (result-equivalent
+        # by construction — the pre-cap only bounds the exchange)
+        "domain_quota": f"""
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM r WHERE rn <= {QUOTA_PER_SOURCE} GROUP BY source
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+              FROM t
+            )
+            SELECT shard, CAST(excl // {PACK_MAX_TOKENS} AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY 1, 2
+        """,
+        "cohort_retention": f"""
+            WITH e AS (
+              SELECT user_id, epoch_ns(ts) // {7 * 86_400 * 1_000_000_000} AS period
+              FROM events
+            ),
+            a AS (
+              SELECT DISTINCT user_id, period,
+                     min(period) OVER (PARTITION BY user_id) AS cohort
+              FROM e
+            )
+            SELECT cohort AS cohort_period,
+                   period - cohort AS period_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM a GROUP BY 1, 2
+        """,
         # replay of operators.multimodal.resize_images(decode='fake'):
         # out[i] = src[(i*n) // (w*h)] for i in 0..w*h-1, empty blob → one
         # zero byte; the digest is md5 over the resized blob's UPPERCASE hex

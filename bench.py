@@ -59,6 +59,9 @@ HEADLINE = [
     "text_stats",
     "training_corpus_stats",
     "schemaless_exists",
+    "bm25_scores",
+    "pack_sequences",
+    "cohort_retention",
 ]
 
 

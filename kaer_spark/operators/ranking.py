@@ -1,0 +1,98 @@
+"""Corpus-statistics ranking: BM25 scoring as pure Catalyst expressions.
+
+The reference has no lexical ranking surface; this is part of the engine's
+LLM-data-pipeline extension (SURVEY §2.3) — scoring documents against a
+term set is the standard retrieval/quality-mix primitive (e.g. selecting
+pretraining documents matching a target distribution).
+
+Scale shape (100 TB): per-document token/term-frequency columns are narrow
+projections evaluated in the scan stage; the corpus statistics (N, Σdl,
+per-term document frequency) are ONE aggregate producing a single row that
+is broadcast back — so the whole score is scan → tiny agg → broadcast →
+scan-shaped projection. No per-term shuffle, no inverted index needed for
+a fixed query term set.
+
+Determinism note: the classic BM25 idf is ``ln((N-df+0.5)/(df+0.5))``.
+``ln`` is a transcendental whose last-ulp behavior differs across libm
+implementations, which would break this repo's bit-exact oracle contract —
+so ``bm25_scores`` uses the RATIONAL idf ``(N-df+0.5)/(df+0.5)`` (the
+argument of the ln, a strictly monotone transform of it per term). Every
+operation is then IEEE-754 double +,*,/ in a fixed association order,
+replayable bit-for-bit by any SQL engine. Set ``log_idf=True`` for
+textbook BM25 when cross-engine hashing is not required.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kaer_spark.functions.text import tokens
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Score every document against ``terms`` → ``(id_col, bm25)``.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b + b·|d|/avgdl))
+
+    with idf(t) = (N - df(t) + 0.5)/(df(t) + 0.5) (rational form; see
+    module docstring). Tokenization is the engine-wide whitespace split,
+    lowercased. Terms are summed in the given order (fixed left-assoc
+    association so an oracle replays the exact IEEE result).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = [t.lower() for t in terms]
+    toks = F.transform(tokens(text_col), F.lower)
+
+    def term_freq(t: str):
+        # NB: the predicate lambda must take exactly ONE arg — a two-arg
+        # lambda would make F.filter pass the array INDEX as the second
+        return F.size(F.filter("__toks", lambda x: x == F.lit(t))).cast("long")
+
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.size("__toks").cast("long").alias("__dl"),
+        *[term_freq(t).alias(f"__tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    norm = F.col("__dl").cast("double") / avgdl
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        df_t = F.col(f"__df{i}").cast("double")
+        n = F.col("__n").cast("double")
+        idf = (
+            F.log((n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+            if log_idf
+            else (n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        num = tf * F.lit(float(k1) + 1.0)
+        denom = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b)) + F.lit(float(b)) * norm
+        )
+        term_score = (idf * num) / denom
+        score = term_score if score is None else score + term_score
+    return joined.select(F.col(id_col), score.alias("bm25"))

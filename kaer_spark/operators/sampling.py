@@ -1,0 +1,85 @@
+"""Deterministic sampling operators for training-corpus construction.
+
+A 100 TB corpus pipeline samples constantly — rate-downsampling a source,
+capping any one domain's share, carving held-out slices — and at scale the
+sample must be (a) a narrow scan-stage filter, not a shuffle, and (b)
+DETERMINISTIC: re-running the job, retrying a failed stage, or replaying
+on another engine must select the identical rows. ``rand()`` fails (b)
+(Spark re-evaluates it per task retry); these operators use pure integer
+arithmetic on the row id instead, the same reproducibility discipline as
+``pipelines.stratified_split`` and the MinHash family.
+
+* ``hash_sample`` — keep a ~rate fraction by LCG-hash threshold on the id.
+  Zero shuffle: a scan-stage filter that composes with predicate pushdown.
+* ``quota_per_group`` — cap each group's row count at ``quota``, keeping
+  the ``quota`` smallest ids (deterministic representatives). One window
+  shuffle on the group key; for mega-groups at 100 TB note that only the
+  kept ``quota`` rows survive the stage, so skew cost is bounded by the
+  scan, and a two-level pre-cap (cap each sub-shard at ``quota`` first,
+  exactly like ``knn_join``'s pre-top-k) keeps the exchange bounded too —
+  enable with ``sub_shards``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# same modulus family as operators.dedup (oracle-replayable int64 math)
+SAMPLE_MOD = 1_000_000_007
+SAMPLE_A = 2_654_435_761  # Knuth multiplicative constant
+SAMPLE_C = 40_503
+
+
+def sample_bucket(id_col: str | F.Column, buckets: int = 1000) -> F.Column:
+    """The row's deterministic sample bucket in [0, buckets): LCG hash of
+    the integer id, pure int64 arithmetic (no overflow for ids < 3.4e9
+    against INT64_MAX; at larger id spaces pre-mod the id)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.pmod(c.cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_C), F.lit(SAMPLE_MOD)),
+        F.lit(buckets),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate_permille: int = 100,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Keep rows whose sample bucket < ``rate_permille`` (≈ rate/1000).
+
+    A pure filter: survives predicate pushdown, costs no shuffle, selects
+    the same rows on every run/engine/retry.
+    """
+    return df.filter(sample_bucket(id_col, buckets) < F.lit(int(rate_permille)))
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    sub_shards: int = 1,
+) -> DataFrame:
+    """At most ``quota`` rows per group — the ``quota`` smallest ids.
+
+    ``sub_shards=S`` first caps each (group, id mod S) sub-shard at
+    ``quota`` in parallel, then applies the exact global cap over the
+    ≤ S·quota survivors — same result, bounded exchange (the two-level
+    pattern shared with ``stratified_split``/``knn_join``).
+    """
+    if sub_shards > 1:
+        sub = F.pmod(F.col(id_col).cast("long"), F.lit(int(sub_shards)))
+        wpre = Window.partitionBy(group_col, sub).orderBy(id_col)
+        df = df.withColumn("__prerank", F.row_number().over(wpre)).filter(
+            F.col("__prerank") <= quota
+        ).drop("__prerank")
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= quota)
+        .drop("__rank")
+    )

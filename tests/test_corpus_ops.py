@@ -1,0 +1,133 @@
+"""Round-5 training-pipeline operators: BM25 ranking, deterministic
+sampling/quota, sequence packing, cohort retention — each checked against
+an independent Python reimplementation on the real fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaer_spark.operators.cohort import NS_PER_WEEK, cohort_retention
+from kaer_spark.operators.packing import pack_sequences, pack_stats
+from kaer_spark.operators.ranking import bm25_scores
+from kaer_spark.operators.sampling import (
+    SAMPLE_A,
+    SAMPLE_C,
+    SAMPLE_MOD,
+    hash_sample,
+    quota_per_group,
+)
+
+TERMS = ["join", "hash", "scan"]
+
+
+def test_bm25_matches_python_reference(documents):
+    rows = documents.select("doc_id", "text").collect()
+    docs = {r["doc_id"]: r["text"].strip().lower().split() for r in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / float(n)
+    dfs = {t: sum(1 for toks in docs.values() if t in toks) for t in TERMS}
+    k1, b = 1.2, 0.75
+
+    def score(toks):
+        s = 0.0
+        for t in TERMS:
+            tf = float(toks.count(t))
+            idf = ((n - dfs[t]) + 0.5) / (dfs[t] + 0.5)
+            s += (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + b * (len(toks) / avgdl))
+            )
+        return s
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(documents, TERMS).collect()
+    }
+    assert set(got) == set(docs)
+    for did, toks in docs.items():
+        assert got[did] == pytest.approx(score(toks), rel=1e-12)
+    # docs containing all three common terms outscore an empty-match doc
+    assert max(got.values()) > 0.0
+
+
+def test_bm25_empty_terms_rejected(documents):
+    with pytest.raises(ValueError):
+        bm25_scores(documents, [])
+
+
+def test_hash_sample_deterministic_and_exact(documents):
+    kept = {r["doc_id"] for r in hash_sample(documents, rate_permille=100).collect()}
+    ids = [r["doc_id"] for r in documents.select("doc_id").collect()]
+    want = {
+        i for i in ids if ((i * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD) % 1000 < 100
+    }
+    assert kept == want
+    assert 0 < len(kept) < len(ids)
+    again = {r["doc_id"] for r in hash_sample(documents, rate_permille=100).collect()}
+    assert kept == again
+
+
+def test_quota_per_group_two_level_equals_single(documents):
+    single = {
+        (r["source"], r["doc_id"])
+        for r in quota_per_group(documents, "source", "doc_id", 7).collect()
+    }
+    sharded = {
+        (r["source"], r["doc_id"])
+        for r in quota_per_group(
+            documents, "source", "doc_id", 7, sub_shards=4
+        ).collect()
+    }
+    assert sharded == single
+    per_src = {}
+    for src, _ in single:
+        per_src[src] = per_src.get(src, 0) + 1
+    assert all(v <= 7 for v in per_src.values())
+    # keeps the SMALLEST ids per group
+    all_rows = documents.select("source", "doc_id").collect()
+    for src in per_src:
+        src_ids = sorted(r["doc_id"] for r in all_rows if r["source"] == src)
+        assert {i for s, i in single if s == src} == set(src_ids[:7])
+
+
+def test_pack_sequences_matches_python_cumsum(documents):
+    packed = pack_sequences(documents, max_tokens=1024, shards=4).collect()
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["shard"], r["pack_id"]) for r in packed
+    )
+    by_shard: dict[int, int] = {}
+    for did, ntok, shard, pack in rows:
+        assert shard == did % 4
+        excl = by_shard.get(shard, 0)
+        assert pack == excl // 1024, (did, excl, pack)
+        by_shard[shard] = excl + ntok
+    stats = pack_stats(
+        pack_sequences(documents, max_tokens=1024, shards=4)
+    ).collect()
+    assert sum(r["n_docs"] for r in stats) == len(rows)
+    # every pack's doc range is contiguous in id order within its shard
+    for r in stats:
+        assert r["first_doc"] <= r["last_doc"]
+
+
+def test_cohort_retention_matches_python(spark, sf_dir):
+    from kaer_spark.functions.time import read_events
+
+    ev = read_events(spark, sf_dir)
+    mat = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    rows = ev.select("user_id", "ts").collect()
+    first: dict = {}
+    for r in rows:
+        wk = r["ts"] // NS_PER_WEEK
+        first[r["user_id"]] = min(first.get(r["user_id"], wk), wk)
+    want: dict = {}
+    for r in rows:
+        wk = r["ts"] // NS_PER_WEEK
+        key = (first[r["user_id"]], wk - first[r["user_id"]])
+        want.setdefault(key, set()).add(r["user_id"])
+    assert mat == {k: len(v) for k, v in want.items()}
+    # offset-0 row exists for every cohort (cohort sizes derivable)
+    assert all((c, 0) in mat for c, _ in mat)
