@@ -497,6 +497,54 @@ def _q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of events_sessionize: the native
+    ``session_window`` (streaming.ingest.sessionized_counts) over a bounded
+    file stream, complete mode, drained to a memory sink, then folded to
+    per-user (n_sessions, n_events). session_window's half-open merge rule
+    — a new session starts when the gap is ≥ 30 min — is replayed by the
+    oracle's lag+cumsum with ``>=`` (the batch query's ``>`` differs only
+    on exact-boundary gaps, absent from the fixture but pinned correctly
+    here). Event time is micros-exact: ts DIV 1000 is lossless because the
+    engine-wide nanos normalization produces micros*1000."""
+    import uuid
+
+    from kaer_spark.functions.time import normalize_epoch_ns
+    from kaer_spark.streaming.ingest import sessionized_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_epoch_ns(stream).withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    sess = sessionized_counts(stream, gap="30 minutes", ts_col="ts_ts")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -1885,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_json": _q_events_json,
             "events_hourly": _q_events_hourly,
             "streaming_events_hourly": _q_streaming_hourly,
+            "streaming_sessionize": _q_streaming_sessionize,
             "bm25_scores": _q_bm25_scores,
             "hash_sample": _q_hash_sample,
             "domain_quota": _q_domain_quota,
@@ -3075,6 +3124,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM c GROUP BY 1, 2
+        """,
+        # session_window merge rule: new session iff gap >= 30 min (half-open
+        # windows), hence the `>=` here vs events_sessionize's `>`
+        "streaming_sessionize": """
+            WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+            g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= 1800000000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g
+            )
+            SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id
         """,
         "cohort_retention": f"""
             WITH e AS (

@@ -102,3 +102,18 @@ def test_q16_exclusion_branch_non_vacuous_at_gate_sf(spark):
     ddf = canon(con.sql(entrymod.oracle_sql()["tpch_q16"]).df())
     ok, why = values_equal(sdf, ddf)
     assert ok, f"tpch_q16 @ sf0.01: {why}"
+
+
+def test_q2_one_window_dims_broadcast(spark, sf_dir):
+    """Q2's correlated MIN must compile to ONE window over the price list
+    (not a second aggregate + self-join), with dim tables broadcast."""
+    import __spark_entry__ as entrymod
+    from kaer_spark.plans import executed_plan, has_broadcast_join
+
+    df = entrymod.queries()["tpch_q2"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    # lineitem (the price-list fact) is scanned exactly once
+    assert plan.count("lineitem.parquet") == 1
