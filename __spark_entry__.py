@@ -1767,6 +1767,10 @@ PACK_MAX_TOKENS = 2_048
 PACK_SHARDS = 8
 QUOTA_PER_SOURCE = 10
 SAMPLE_RATE_PERMILLE = 100  # ~10%
+# domain-reweighting mix: named sources keep these permille rates, the
+# long tail keeps MIX_DEFAULT_PERMILLE
+MIX_RATES = {"src0": 500, "src1": 250, "src2": 125}
+MIX_DEFAULT_PERMILLE = 50
 
 
 def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,6 +1805,24 @@ def _q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = quota_per_group(
         _t(spark, sf_dir, "documents"), "source", "doc_id",
         quota=QUOTA_PER_SOURCE, sub_shards=4,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi/Pile-style source reweighting (operators.sampling
+    weighted_mix): per-source keep rates folded into one scan-stage CASE
+    predicate over the deterministic LCG bucket — no join, no shuffle
+    until the reporting agg; monotone in the rate so re-mixes nest."""
+    from kaer_spark.operators.sampling import weighted_mix
+
+    kept = weighted_mix(
+        _t(spark, sf_dir, "documents"), "source", MIX_RATES,
+        default_permille=MIX_DEFAULT_PERMILLE,
     )
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),
@@ -1937,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_scores": _q_bm25_scores,
             "hash_sample": _q_hash_sample,
             "domain_quota": _q_domain_quota,
+            "weighted_mix": _q_weighted_mix,
             "pack_sequences": _q_pack_sequences,
             "cohort_retention": _q_cohort_retention,
         }
@@ -3104,6 +3127,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM r WHERE rn <= {QUOTA_PER_SOURCE} GROUP BY source
+        """,
+        "weighted_mix": f"""
+            WITH b AS (
+              SELECT source, doc_id,
+                     ((doc_id * 2654435761 + 40503) % 1000000007) % 1000 AS bucket
+              FROM documents
+            ),
+            k AS (
+              SELECT * FROM b
+              WHERE bucket < CASE source
+                  WHEN 'src0' THEN {MIX_RATES["src0"]}
+                  WHEN 'src1' THEN {MIX_RATES["src1"]}
+                  WHEN 'src2' THEN {MIX_RATES["src2"]}
+                  ELSE {MIX_DEFAULT_PERMILLE} END
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM k GROUP BY source
         """,
         "pack_sequences": f"""
             WITH t AS (

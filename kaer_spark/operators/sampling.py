@@ -57,6 +57,32 @@ def hash_sample(
     return df.filter(sample_bucket(id_col, buckets) < F.lit(int(rate_permille)))
 
 
+def weighted_mix(
+    df: DataFrame,
+    group_col: str,
+    rates_permille: dict[str, int],
+    id_col: str = "doc_id",
+    default_permille: int = 0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Domain-reweighted corpus mix: keep each group at its own sampling
+    rate (DoReMi/Pile-style source reweighting).
+
+    ``rates_permille`` maps group value → keep-rate in ‰; groups absent
+    from the map use ``default_permille`` (0 = drop). Selection reuses the
+    deterministic LCG bucket, so the mix is stable across runs/engines and
+    — crucially — MONOTONE in the rate: raising a group's rate only ADDS
+    rows to its sample (bucket < rate is a nested family), which keeps
+    incremental re-mixes consistent with earlier ones. Still a pure
+    scan-stage filter; the rate table folds into the predicate as a
+    literal CASE (no join at any scale).
+    """
+    rate = F.lit(int(default_permille))
+    for g, r in sorted(rates_permille.items()):
+        rate = F.when(F.col(group_col) == F.lit(g), F.lit(int(r))).otherwise(rate)
+    return df.filter(sample_bucket(id_col, buckets) < rate)
+
+
 def quota_per_group(
     df: DataFrame,
     group_col: str,

@@ -131,3 +131,31 @@ def test_cohort_retention_matches_python(spark, sf_dir):
     assert mat == {k: len(v) for k, v in want.items()}
     # offset-0 row exists for every cohort (cohort sizes derivable)
     assert all((c, 0) in mat for c, _ in mat)
+
+
+def test_weighted_mix_rates_and_monotonicity(documents):
+    from kaer_spark.operators.sampling import weighted_mix
+
+    rates = {"src0": 500, "src1": 250}
+    kept = {
+        r["doc_id"]: r["source"]
+        for r in weighted_mix(
+            documents, "source", rates, default_permille=50
+        ).collect()
+    }
+    ids = {
+        r["doc_id"]: r["source"]
+        for r in documents.select("doc_id", "source").collect()
+    }
+    for did, src in ids.items():
+        rate = rates.get(src, 50)
+        bucket = ((did * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD) % 1000
+        assert (did in kept) == (bucket < rate), (did, src, bucket, rate)
+    # monotone: raising a rate only ADDS rows (nested bucket family)
+    bigger = {
+        r["doc_id"]
+        for r in weighted_mix(
+            documents, "source", {"src0": 800, "src1": 250}, default_permille=50
+        ).collect()
+    }
+    assert set(kept) <= bigger
