@@ -319,6 +319,34 @@ def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF top-k (similarity.ivf_topk_deterministic): the
+    ORACLE-CHECKED approximate path. Centroids are the 8 smallest-id
+    vectors (sample fit, zero Lloyd iterations — iterated means can't
+    replay bit-exactly), assignment is argmin over (dist, cell) structs,
+    probe = 3 nearest cells to QVEC, exact rank within. The SQL twin
+    re-derives assignment AND probe selection relationally."""
+    from kaer_spark.operators.similarity import ivf_topk_deterministic
+
+    return ivf_topk_deterministic(
+        _t(spark, sf_dir, "embeddings"), QVEC, k=10, cells=8, nprobe=3
+    ).select("vec_id", F.col("_cell").alias("cell"), F.col("_score").alias("l2sq"))
+
+
+def _q_lsh_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-k (similarity.signlsh_topk): candidates share ≥1
+    Rademacher band key with the query, exact-cosine-ranked — the second
+    fully oracle-checked approximate path (the dedup family's machinery
+    turned into a search probe)."""
+    from kaer_spark.operators.similarity import signlsh_topk
+
+    return signlsh_topk(
+        _t(spark, sf_dir, "embeddings"), QVEC, k=10,
+        bands=COSINE_LSH_BANDS, bits_per_band=COSINE_LSH_BITS,
+        seed=COSINE_LSH_SEED,
+    ).select("vec_id", F.col("_score").alias("cosine"))
+
+
 def _q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 vs nprobe for the IVF path: the recall/latency trade the
     reference exposes via HNSW ef (db/hnsw.go ef=200), quantified for our
@@ -1931,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # -- rows-only by declared contract (approximate ANN) --
             "ivf_knn": _q_ivf_knn,
             "lsh_knn": _q_lsh_knn,
+            "ivf_knn_det": _q_ivf_knn_det,
+            "lsh_knn_det": _q_lsh_knn_det,
             "lsh_similarity_join": _q_lsh_simjoin,
             "ivf_recall_sweep": _q_ivf_recall_sweep,
             "pq_knn": _q_pq_knn,
@@ -2137,27 +2167,56 @@ def _sql_jaccard_pairs() -> str:
     """
 
 
-def _sql_embedding_dups() -> str:
-    # Replay of dedup.embedding_near_dups_lsh: the same seeded Rademacher
-    # planes as SQL literals, the same left-assoc float64 dot fold (so every
-    # sign bit — hence every band key — matches Spark bit-for-bit), the same
-    # OR-of-ANDs candidate union + exact-cosine verify.
-    from kaer_spark.operators.dedup import signlsh_planes
+def _sql_signlsh_band_key(vec: str, band_planes: list[list[float]]) -> str:
+    """One sign-LSH band key as SQL: the same ±1-plane dots (left-assoc
+    float64, so each sign bit replays Spark's fold bit-for-bit) packed into
+    the bucket integer. Shared by the dedup and top-k oracle builders."""
 
-    planes = signlsh_planes(64, COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED)
-
-    def dot_plane(vec: str, plane: list[float]) -> str:
+    def dot_plane(plane: list[float]) -> str:
         return " + ".join(
             f"CAST({vec}[{i + 1}] AS DOUBLE) * ({c!r})" for i, c in enumerate(plane)
         )
 
+    bits = [
+        f"(CASE WHEN ({dot_plane(p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(band_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_lsh_knn_det() -> str:
+    """Replay of similarity.signlsh_topk: same seeded planes, same band
+    keys, same literal query keys (computed once, shared by both plans)."""
+    from kaer_spark.operators.dedup import signlsh_planes
+    from kaer_spark.operators.similarity import signlsh_query_keys
+
+    planes = signlsh_planes(64, COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED)
+    qkeys = signlsh_query_keys(QVEC, planes, COSINE_LSH_BANDS, COSINE_LSH_BITS)
+    conds = " OR ".join(
+        f"({_sql_signlsh_band_key('embedding', planes[b * COSINE_LSH_BITS:(b + 1) * COSINE_LSH_BITS])} = {qkeys[b]})"
+        for b in range(COSINE_LSH_BANDS)
+    )
+    return f"""
+        SELECT vec_id, {_sql_cosine_lit('embedding', QVEC)} AS cosine
+        FROM embeddings
+        WHERE {conds}
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _sql_embedding_dups() -> str:
+    # Replay of dedup.embedding_near_dups_lsh: the same seeded Rademacher
+    # planes as SQL literals, the same band keys, the same OR-of-ANDs
+    # candidate union + exact-cosine verify.
+    from kaer_spark.operators.dedup import signlsh_planes
+
+    planes = signlsh_planes(64, COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED)
+
     def band_key(vec: str, band: int) -> str:
-        bits = [
-            f"(CASE WHEN ({dot_plane(vec, planes[band * COSINE_LSH_BITS + j])}) >= 0.0"
-            f" THEN {1 << j} ELSE 0 END)"
-            for j in range(COSINE_LSH_BITS)
-        ]
-        return "(" + " + ".join(bits) + ")"
+        return _sql_signlsh_band_key(
+            vec, planes[band * COSINE_LSH_BITS : (band + 1) * COSINE_LSH_BITS]
+        )
 
     inv = "\n          UNION ALL ".join(
         f"SELECT vec_id AS id, {b} AS band, {band_key('embedding', b)} AS key FROM e"
@@ -3128,6 +3187,38 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM r WHERE rn <= {QUOTA_PER_SOURCE} GROUP BY source
         """,
+        # deterministic IVF, fully relational replay: centroids = vec_id<8
+        # rows, assignment re-derived by (dist, j) rank, probe cells ranked
+        # by literal-query distance — every float the same IEEE tree
+        "ivf_knn_det": f"""
+            WITH c AS (SELECT vec_id AS j, embedding AS cvec FROM embeddings
+                       WHERE vec_id < 8),
+            cd AS (
+              SELECT d.vec_id, c.j,
+                     {_sql_l2sq_cols('d.embedding', 'c.cvec')} AS dist
+              FROM embeddings d CROSS JOIN c
+            ),
+            a AS (
+              SELECT vec_id, j,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+              FROM cd
+            ),
+            assigned AS (SELECT vec_id, j AS cell FROM a WHERE rn = 1),
+            p AS (
+              SELECT j, row_number() OVER (
+                ORDER BY {_sql_l2sq_lit('cvec', QVEC)}, j) AS pr
+              FROM c
+            )
+            SELECT e.vec_id, CAST(assigned.cell AS INTEGER) AS cell,
+                   {_sql_l2sq_lit('e.embedding', QVEC)} AS l2sq
+            FROM embeddings e
+            JOIN assigned ON assigned.vec_id = e.vec_id
+            JOIN p ON p.j = assigned.cell
+            WHERE p.pr <= 3
+            ORDER BY l2sq ASC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "lsh_knn_det": _sql_lsh_knn_det(),
         "weighted_mix": f"""
             WITH b AS (
               SELECT source, doc_id,

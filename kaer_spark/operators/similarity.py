@@ -155,6 +155,148 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic IVF: the fully ORACLE-CHECKABLE approximate path
+# ---------------------------------------------------------------------------
+def ivf_fit_deterministic(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 8,
+) -> list[list[float]]:
+    """Centroids = the ``cells`` smallest-id vectors (deterministic sample
+    fit — the degenerate k-means with zero Lloyd iterations).
+
+    Why no iterations: iterated means sum floats in engine-dependent order,
+    so a k-means centroid can never replay bit-exactly in a SQL oracle. The
+    IVF *contract* — assign every row to its nearest centroid, probe the
+    ``nprobe`` nearest cells, exact-rank within them — doesn't depend on
+    centroid quality, only on both engines agreeing on the assignment; so
+    this variant trades some cell balance for END-TO-END bit-exact
+    verifiability (the same trade ``sq_fit`` makes vs ``pq_fit``). Use
+    ``ivf_fit`` (MLlib k-means) when recall matters more than replay.
+    """
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(cells).collect()
+    if len(rows) < cells:
+        raise ValueError(f"corpus has {len(rows)} rows < cells={cells}")
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_assign_deterministic(
+    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Tag rows with argmin-distance cell (ties → smaller cell id).
+
+    ``array_min`` over (distance, cell-id) structs: lexicographic struct
+    ordering IS the (dist, j) tie-break, evaluated wholly in codegen.
+    """
+    arr = F.array(
+        *[
+            F.struct(l2sq(vec_col, c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return corpus.withColumn("_cell", F.array_min(arr)["j"])
+
+
+def py_l2sq(a: Sequence[float], b: Sequence[float]) -> float:
+    """Pure-Python left-associative squared L2 — the same IEEE op order as
+    functions.vector.l2sq's fold and the oracle's unrolled sum, so probe
+    selection computed driver-side agrees with both engines bit-for-bit."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s = s + d * d
+    return s
+
+
+def ivf_probe_cells(
+    centroids: list[list[float]], query_vector: Sequence[float], nprobe: int
+) -> list[int]:
+    dists = [(py_l2sq(c, query_vector), j) for j, c in enumerate(centroids)]
+    return [j for _, j in sorted(dists)[:nprobe]]
+
+
+def ivf_topk_deterministic(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    cells: int = 8,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end deterministic IVF search: fit → assign → probe → exact
+    rank inside the probed cells (TakeOrderedAndProject). Every stage is
+    replayable in ANSI SQL, so unlike the k-means path this approximate
+    query carries a full value-level oracle."""
+    cents = ivf_fit_deterministic(corpus, vec_col, id_col, cells)
+    assigned = ivf_assign_deterministic(corpus, cents, vec_col)
+    probe = ivf_probe_cells(cents, query_vector, nprobe)
+    return (
+        assigned.filter(F.col("_cell").isin(probe))
+        .withColumn("_score", l2sq(vec_col, list(query_vector)))
+        .orderBy(F.col("_score").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH top-k: banded Rademacher probing, also fully oracle-checkable
+# ---------------------------------------------------------------------------
+def signlsh_topk(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = rows sharing ≥1 sign-LSH band
+    key with the query (the dedup family's deterministic Rademacher planes
+    — operators.dedup.signlsh_*), exact-cosine-ranked. The query's band
+    keys are computed driver-side with the same left-assoc IEEE fold, so
+    the whole plan — candidate predicate included — replays in SQL."""
+    from kaer_spark.operators.dedup import signlsh_band_key, signlsh_planes
+
+    planes = signlsh_planes(len(list(query_vector)), bands * bits_per_band, seed)
+    qkeys = signlsh_query_keys(query_vector, planes, bands, bits_per_band)
+    cond = None
+    for b in range(bands):
+        band_planes = planes[b * bits_per_band : (b + 1) * bits_per_band]
+        eq = signlsh_band_key(vec_col, band_planes) == F.lit(qkeys[b])
+        cond = eq if cond is None else cond | eq
+    return (
+        corpus.filter(cond)
+        .withColumn("_score", cosine_similarity(vec_col, list(query_vector)))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def signlsh_query_keys(
+    query_vector: Sequence[float],
+    planes: list[list[float]],
+    bands: int,
+    bits_per_band: int,
+) -> list[int]:
+    """The query's per-band bucket keys, left-assoc float64 like the fold."""
+    keys = []
+    for b in range(bands):
+        key = 0
+        for j in range(bits_per_band):
+            p = planes[b * bits_per_band + j]
+            s = 0.0
+            for x, c in zip(query_vector, p):
+                s = s + float(x) * c
+            if s >= 0.0:
+                key += 1 << j
+        keys.append(key)
+    return keys
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str) -> float:
     """|approx ∩ exact| / |exact| on the id column (validation metric)."""
     a = {r[0] for r in approx.select(id_col).collect()}

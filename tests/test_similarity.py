@@ -221,3 +221,55 @@ def test_sq_scan_reads_only_codes(spark, embeddings):
     plan = sq_topk(enc, mins, maxs, q, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, not global sort
     assert "embedding" not in plan
+
+
+def test_ivf_deterministic_recall_and_full_probe_exact(spark, sf_dir):
+    """Deterministic IVF: nprobe=cells must equal the exact top-k; partial
+    probes trade recall, measured against brute force."""
+    from kaer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_deterministic,
+        recall_at_k,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    exact = brute_force_topk(embs, q, 10, metric="l2sq")
+    full = ivf_topk_deterministic(embs, q, 10, cells=8, nprobe=8)
+    assert recall_at_k(full, exact, "vec_id") == 1.0
+    part = ivf_topk_deterministic(embs, q, 10, cells=8, nprobe=3)
+    assert part.count() == 10
+    assert recall_at_k(part, exact, "vec_id") >= 0.2
+    # the ranking stage is a top-k heap, not a global sort
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_signlsh_topk_candidates_and_scores(spark, sf_dir):
+    """Sign-LSH top-k: results are real corpus rows scored by exact cosine,
+    every result shares >= 1 band key with the query, and the probe is
+    deterministic across runs."""
+    from kaer_spark.operators.dedup import signlsh_band_key, signlsh_planes
+    from kaer_spark.operators.similarity import signlsh_query_keys, signlsh_topk
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    out = signlsh_topk(embs, q, 10, bands=4, bits_per_band=4).collect()
+    assert 0 < len(out) <= 10
+    planes = signlsh_planes(64, 16)
+    qkeys = signlsh_query_keys(q, planes, 4, 4)
+    ids = [r["vec_id"] for r in out]
+    keyed = embs.filter(F.col("vec_id").isin(ids)).select(
+        "vec_id",
+        *[
+            signlsh_band_key("embedding", planes[b * 4 : (b + 1) * 4]).alias(f"k{b}")
+            for b in range(4)
+        ],
+    ).collect()
+    for r in keyed:
+        assert any(r[f"k{b}"] == qkeys[b] for b in range(4)), r
+    scores = [r["_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    again = [r["vec_id"] for r in signlsh_topk(embs, q, 10, bands=4, bits_per_band=4).collect()]
+    assert ids == again
