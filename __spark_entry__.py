@@ -347,6 +347,19 @@ def _q_lsh_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("_score").alias("cosine"))
 
 
+def _q_pq_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-PQ ADC top-k (similarity.pq_topk_deterministic):
+    codebooks = slices of the 16 smallest-id vectors, Catalyst argmin
+    encode, ADC lookup tables computed with the engine-shared left-assoc
+    fold — the compression family's fully oracle-checked member (pq_knn
+    keeps the k-means fit as the recall-first alternative)."""
+    from kaer_spark.operators.similarity import pq_topk_deterministic
+
+    return pq_topk_deterministic(
+        _t(spark, sf_dir, "embeddings"), QVEC, topk=10, m=8, k=16
+    ).select("vec_id", F.col("_score").alias("adc_l2sq"))
+
+
 def _q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 vs nprobe for the IVF path: the recall/latency trade the
     reference exposes via HNSW ef (db/hnsw.go ef=200), quantified for our
@@ -1961,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_knn": _q_lsh_knn,
             "ivf_knn_det": _q_ivf_knn_det,
             "lsh_knn_det": _q_lsh_knn_det,
+            "pq_knn_det": _q_pq_knn_det,
             "lsh_similarity_join": _q_lsh_simjoin,
             "ivf_recall_sweep": _q_ivf_recall_sweep,
             "pq_knn": _q_pq_knn,
@@ -2201,6 +2215,70 @@ def _sql_lsh_knn_det() -> str:
         FROM embeddings
         WHERE {conds}
         ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _sql_pq_knn_det() -> str:
+    """Replay of similarity.pq_topk_deterministic: codebooks re-derived
+    relationally (slices of vec_id<16 rows), encode = per-subspace
+    (dist, cid) rank, ADC = per-subspace literal-query slice distances,
+    summed in the SAME fixed association order as Spark's fold (eight
+    joins + explicit parens, NOT a float SUM() whose order would drift)."""
+    m, k, d = 8, 16, 8
+
+    def slice_dist(a: str, b: str, s: int) -> str:
+        # (x-c)^2 left-assoc over subspace s's 8 dims, both array columns
+        return " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            for i in range(s * d + 1, s * d + d + 1)
+        )
+
+    def slice_dist_lit(vec: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) - ({QVEC[i]!r}))"
+            f" * (CAST({vec}[{i + 1}] AS DOUBLE) - ({QVEC[i]!r}))"
+            for i in range(s * d, s * d + d)
+        )
+
+    cd = "\n          UNION ALL ".join(
+        f"SELECT e.vec_id, c.cid, {s} AS s, {slice_dist('e.embedding', 'c.cvec', s)} AS dist"
+        f" FROM embeddings e CROSS JOIN cb c"
+        for s in range(m)
+    )
+    adc = "\n          UNION ALL ".join(
+        f"SELECT cid, {s} AS s, {slice_dist_lit('cvec', s)} AS dist FROM cb"
+        for s in range(m)
+    )
+    enc_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m)
+    )
+    joins = "\n            ".join(
+        f"JOIN adc a{s} ON a{s}.s = {s} AND a{s}.cid = enc.c{s}" for s in range(m)
+    )
+    score = "a0.dist"
+    for s in range(1, m):
+        score = f"({score} + a{s}.dist)"
+    return f"""
+        WITH cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                    WHERE vec_id < {k}),
+        cd AS (
+          {cd}
+        ),
+        r AS (
+          SELECT vec_id, s, cid,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+          FROM cd
+        ),
+        enc AS (SELECT vec_id, {enc_cols} FROM r WHERE rn = 1 GROUP BY vec_id),
+        adc AS (
+          {adc}
+        )
+        SELECT enc.vec_id, {score} AS adc_l2sq
+        FROM enc
+            {joins}
+        ORDER BY adc_l2sq ASC, enc.vec_id ASC
         LIMIT 10
     """
 
@@ -3219,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "lsh_knn_det": _sql_lsh_knn_det(),
+        "pq_knn_det": _sql_pq_knn_det(),
         "weighted_mix": f"""
             WITH b AS (
               SELECT source, doc_id,

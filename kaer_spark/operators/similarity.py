@@ -440,6 +440,96 @@ def pq_topk(
 
 
 # ---------------------------------------------------------------------------
+# Deterministic PQ: sample-fit codebooks, Catalyst argmin encode — the
+# product-quantization twin of ivf_*_deterministic, fully oracle-checkable
+# ---------------------------------------------------------------------------
+def pq_fit_deterministic(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+) -> list[list[list[float]]]:
+    """Codebooks = slices of the ``k`` smallest-id vectors (deterministic
+    sample fit, zero Lloyd iterations — same verifiability trade as
+    ``ivf_fit_deterministic``; use ``pq_fit`` when recall > replay)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"corpus has {len(rows)} rows < k={k}")
+    dim = len(rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return [
+        [[float(x) for x in r[vec_col][j * d : (j + 1) * d]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode_deterministic(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the m-byte code as a pure Catalyst expression: per subspace,
+    ``array_min`` over (distance, centroid) structs — the same direct
+    (x-c)² left-assoc fold the oracle unrolls (NOT the numpy expanded form
+    ``x·x - 2x·c + c·c``, whose different rounding could flip an argmin).
+    Stays in codegen; nothing leaves the JVM."""
+    m, d = len(codebooks), len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j in range(m):
+        sl = F.slice(v, j * d + 1, d)
+        arr = F.array(
+            *[
+                F.struct(l2sq(sl, c).alias("d"), F.lit(ci).alias("c"))
+                for ci, c in enumerate(codebooks[j])
+            ]
+        )
+        codes.append(F.array_min(arr)["c"])
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk_deterministic(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    topk: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic-PQ ADC top-k: fit → Catalyst encode → m table lookups
+    + adds per row (the tables are driver-computed with the same left-assoc
+    fold — ``py_l2sq`` — as every engine-side distance). For a codebook row
+    itself the ADC distance is the true slice-grouped l2sq (codes hit
+    distance-0 centroids) — bit-equal to the same Python fold, and equal to
+    the flat 64-term l2sq only within last-ulp association error, which is
+    why the oracle replays the SLICE grouping, not a flat sum."""
+    books = pq_fit_deterministic(corpus, vec_col, id_col, m, k)
+    d = len(books[0][0])
+    q = [float(x) for x in query_vector]
+    tables = [
+        [py_l2sq(q[j * d : (j + 1) * d], c) for c in books[j]] for j in range(m)
+    ]
+    encoded = pq_encode_deterministic(corpus, books, vec_col)
+    tables_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    dist = F.aggregate(
+        F.zip_with(F.col("pq_code"), tables_lit, lambda c, t: t[c]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.withColumn("_score", dist)
+        .orderBy(F.col("_score").asc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(id_col, "_score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # scalar quantization (SQ, int8) — the oracle-checkable compression path
 # ---------------------------------------------------------------------------
 def sq_fit(

@@ -109,3 +109,33 @@ def test_metadata_only_scan_skips_embeddings(corpus):
         # documents projection must not include the vector bytes
         if "embedding" in cols:
             assert cols == {"embedding", "vec_id"}  # join key + value only
+
+
+def test_sampling_is_scan_stage_no_shuffle(documents):
+    """hash_sample and weighted_mix must be pure scan-stage filters —
+    zero exchanges at any corpus size."""
+    from kaer_spark.operators.sampling import hash_sample, weighted_mix
+
+    for df in (
+        hash_sample(documents, rate_permille=100),
+        weighted_mix(documents, "source", {"src0": 500}, default_permille=50),
+    ):
+        assert "Exchange" not in executed_plan(df)
+
+
+def test_pack_sequences_single_exchange(documents):
+    """Packing = one shard-keyed window shuffle, nothing else."""
+    from kaer_spark.operators.packing import pack_sequences
+
+    plan = executed_plan(pack_sequences(documents, max_tokens=1024, shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_no_python_and_bounded_exchanges(documents):
+    """BM25 stays JVM-side (no Python eval operators) and shuffles only
+    for the single corpus-stats aggregate (+ its broadcast back)."""
+    from kaer_spark.operators.ranking import bm25_scores
+
+    plan = executed_plan(bm25_scores(documents, ["join", "hash"]))
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    assert plan.count("Exchange hashpartitioning") == 0  # agg is global, not keyed

@@ -273,3 +273,34 @@ def test_signlsh_topk_candidates_and_scores(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     again = [r["vec_id"] for r in signlsh_topk(embs, q, 10, bands=4, bits_per_band=4).collect()]
     assert ids == again
+
+
+def test_pq_deterministic_adc_self_exactness(spark, sf_dir):
+    """A codebook row encodes to itself (distance-0 centroids), so its ADC
+    distance is the true slice-grouped l2sq to the query — bit-exact
+    against the same Python fold (NOT the flat 64-term fold, whose
+    different association rounds differently in the last ulp); and equal to
+    the exact distance within float tolerance."""
+    from kaer_spark.operators.similarity import pq_topk_deterministic, py_l2sq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    out = pq_topk_deterministic(embs, q, topk=500, m=8, k=16).collect()
+    assert len(out) == embs.count()
+    adc = {r["vec_id"]: r["_score"] for r in out}
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embs.filter(F.col("vec_id") < 16).collect()
+    }
+    for vid, v in vecs.items():
+        want = 0.0
+        for j in range(8):
+            want = want + py_l2sq(q[j * 8 : (j + 1) * 8], v[j * 8 : (j + 1) * 8])
+        assert adc[vid] == want, (vid, adc[vid], want)
+        assert adc[vid] == pytest.approx(py_l2sq(q, v), rel=1e-12)
+    # deterministic on re-run
+    again = {
+        r["vec_id"]: r["_score"]
+        for r in pq_topk_deterministic(embs, q, topk=500, m=8, k=16).collect()
+    }
+    assert adc == again
