@@ -51,6 +51,8 @@ HEADLINE = [
     "knn_topk",
     "knn_filtered_and",
     "knn_join",
+    "ivf_knn_det",
+    "lsh_knn_det",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
