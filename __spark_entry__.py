@@ -1884,6 +1884,40 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed)
 
 
+def _q_histogram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range integer histogram of n_chars (pipelines.histogram):
+    all-integer bucketing (DIV, clamp) — no float boundary wobble; one
+    map-side-combined aggregate."""
+    from kaer_spark.pipelines import histogram
+
+    return histogram(_t(spark, sf_dir, "documents"), "n_chars", bins=16, lo=0, hi=640)
+
+
+def _q_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-25% quality cut (pipelines.top_quality_fraction):
+    integer rank cut, ties by id; reported per (lang) as kept-count +
+    quality range so the oracle checks the cut AND the ordering."""
+    from kaer_spark.pipelines import top_quality_fraction
+
+    kept = top_quality_fraction(
+        _t(spark, sf_dir, "documents"), keep_permille=250, by="lang"
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("quality").alias("min_quality"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+def _q_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day sliding daily rollup (operators.rollup.sliding_rollup):
+    daily agg then a RANGE window over the integer day index; the moving
+    value sum re-accumulates in DECIMAL (order-free, hence replayable)."""
+    from kaer_spark.operators.rollup import sliding_rollup
+
+    return sliding_rollup(_events(spark, sf_dir), width_days=7)
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events (operators.cohort):
     first-seen window + distinct (user, offset) count, integer epoch-nanos
@@ -2006,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weighted_mix": _q_weighted_mix,
             "pack_sequences": _q_pack_sequences,
             "cohort_retention": _q_cohort_retention,
+            "histogram_chars": _q_histogram_chars,
+            "top_quality_docs": _q_top_quality,
+            "sliding_7d": _q_sliding_7d,
         }
     )
     return out
@@ -2471,6 +2508,26 @@ def _sql_bm25() -> str:
           FROM base
         )
         SELECT base.doc_id, {score} AS bm25 FROM base, s
+    """
+
+
+def _sql_top_quality() -> str:
+    """Replay of pipelines.top_quality_fraction(keep_permille=250, by=lang):
+    same quality expression, same (quality DESC, doc_id) rank, same integer
+    cut — then the per-lang report."""
+    _, _, quality = _sql_quality_parts()
+    return f"""
+        WITH q AS (SELECT lang, doc_id, {quality} AS quality FROM documents),
+        r AS (
+          SELECT lang, doc_id, quality,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM q
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               min(quality) AS min_quality, min(doc_id) AS min_id
+        FROM r WHERE rn <= (n * 250) // 1000 GROUP BY lang
     """
 
 
@@ -3356,6 +3413,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "histogram_chars": """
+            SELECT CAST(least(15, greatest(0, ((n_chars - 0) * 16) // 640))
+                       AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "top_quality_docs": _sql_top_quality(),
+        "sliding_7d": f"""
+            WITH daily AS (
+              SELECT epoch_ns(ts) // {86_400 * 1_000_000_000} AS day, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+              FROM events GROUP BY 1, 2
+            )
+            SELECT day, event_type,
+                   CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+                   CAST(SUM(sum_dec) OVER w AS DOUBLE) AS sum_value_7d
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "cohort_retention": f"""
             WITH e AS (

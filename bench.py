@@ -64,6 +64,8 @@ HEADLINE = [
     "bm25_scores",
     "pack_sequences",
     "cohort_retention",
+    "sliding_7d",
+    "top_quality_docs",
 ]
 
 

@@ -34,6 +34,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kaer_spark.functions.time import NS_PER_DAY, NS_PER_SECOND, normalize_epoch_ns
 
@@ -154,6 +155,42 @@ def refresh_rollup(df: DataFrame, path: str) -> dict:
         json.dump(spec, f, indent=2)
     os.replace(tmp, os.path.join(path, SPEC_FILE))
     return spec
+
+
+def sliding_rollup(
+    df: DataFrame,
+    width_days: int = 7,
+    dims: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window daily aggregate: per (day, dims), the trailing
+    ``width_days``-day event count and value sum.
+
+    Two stages: the usual one-shuffle daily rollup, then a RANGE window
+    over the integer day index (``[day - width + 1, day]``) per dims — the
+    window input is one row per (day, dims), so the second stage is
+    measured in days, not events, at any corpus size. The value sum is
+    re-accumulated in DECIMAL inside the frame (exact, order-free: a
+    double moving sum would depend on the engine's frame iteration order).
+    """
+    df = normalize_epoch_ns(df, ts_col)
+    daily = df.groupBy(
+        F.expr(f"{ts_col} DIV {NS_PER_DAY}").alias("day"), *dims
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum_dec"),
+    )
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy("day")
+        .rangeBetween(-(int(width_days) - 1), 0)
+    )
+    return daily.select(
+        "day",
+        *dims,
+        F.sum("n").over(w).alias(f"n_{width_days}d"),
+        F.sum("__sum_dec").over(w).cast("double").alias(f"sum_value_{width_days}d"),
+    )
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:

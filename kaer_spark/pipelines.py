@@ -160,6 +160,59 @@ def stratified_split(
     )
 
 
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Fixed-range integer histogram: ``(bin, n)`` with
+    ``bin = clamp((x - lo) * bins DIV (hi - lo), 0, bins-1)``.
+
+    All-integer bucketing (no float division → no boundary wobble between
+    engines); out-of-range values clamp into the edge bins so the counts
+    always sum to the row count. One map-side-combined aggregate — the
+    scan-shaped way to profile a 100 TB column.
+    """
+    if hi <= lo or bins <= 0:
+        raise ValueError("need hi > lo and bins > 0")
+    raw = F.expr(f"(({col} - {int(lo)}) * {int(bins)}) DIV {int(hi - lo)}")
+    bin_ = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    return df.groupBy(bin_.alias("bin")).agg(F.count("*").alias("n"))
+
+
+def top_quality_fraction(
+    df: DataFrame,
+    keep_permille: int,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep each group's best ``keep_permille``‰ documents by quality score
+    (functions.text.quality_score), ties broken by id — the percentile
+    quality cut every corpus pipeline applies per language/domain.
+
+    Exact integer cut: kept = rank ≤ (n·keep) DIV 1000 per group, so the
+    kept count is deterministic (a percent_rank threshold would wobble on
+    ties). One window shuffle on the group key.
+    """
+    q = quality_score(text_col)
+    w = Window.partitionBy(by).orderBy(F.col("__q").desc(), F.col(id_col).asc())
+    wn = Window.partitionBy(by)
+    return (
+        df.withColumn("__q", q)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(
+            F.col("__rn")
+            <= F.expr(f"(__n * {int(keep_permille)}) DIV 1000")
+        )
+        .drop("__rn", "__n")
+        .withColumnRenamed("__q", "quality")
+    )
+
+
 def _deal(slot: Column, weights: dict[str, int]) -> Column:
     """slot (0..total-1) → split name by contiguous weight ranges."""
     expr = F.when(F.lit(False), F.lit(""))

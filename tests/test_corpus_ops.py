@@ -159,3 +159,68 @@ def test_weighted_mix_rates_and_monotonicity(documents):
         ).collect()
     }
     assert set(kept) <= bigger
+
+
+def test_histogram_clamps_and_totals(documents):
+    from kaer_spark.pipelines import histogram
+
+    out = {r["bin"]: r["n"] for r in histogram(documents, "n_chars", 8, 0, 400).collect()}
+    assert sum(out.values()) == documents.count()
+    assert all(0 <= b < 8 for b in out)
+    # out-of-range rows land in the edge bin, not dropped
+    n_over = documents.filter(F.col("n_chars") >= 400).count()
+    if n_over:
+        manual_top = documents.filter(
+            (F.col("n_chars") * 8 / 400 >= 7) | (F.col("n_chars") >= 400)
+        ).count()
+        assert out[7] == manual_top
+    with pytest.raises(ValueError):
+        histogram(documents, "n_chars", 0, 0, 400)
+
+
+def test_top_quality_fraction_exact_cut(documents):
+    from kaer_spark.functions.text import quality_score
+    from kaer_spark.pipelines import top_quality_fraction
+
+    kept = top_quality_fraction(documents, keep_permille=250, by="lang").collect()
+    scored = documents.withColumn("q", quality_score("text")).select(
+        "lang", "doc_id", "q"
+    ).collect()
+    by_lang: dict = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append((-r["q"], r["doc_id"]))
+    want = set()
+    for lang, rows in by_lang.items():
+        take = (len(rows) * 250) // 1000
+        for _, did in sorted(rows)[:take]:
+            want.add((lang, did))
+    assert {(r["lang"], r["doc_id"]) for r in kept} == want
+
+
+def test_sliding_rollup_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    from kaer_spark.functions.time import NS_PER_DAY, read_events
+    from kaer_spark.operators.rollup import sliding_rollup
+
+    ev = read_events(spark, sf_dir)
+    got = {
+        (r["day"], r["event_type"]): (r["n_7d"], r["sum_value_7d"])
+        for r in sliding_rollup(ev, width_days=7).collect()
+    }
+    rows = ev.select("ts", "event_type", "value").collect()
+    daily: dict = {}
+    for r in rows:
+        key = (r["ts"] // NS_PER_DAY, r["event_type"])
+        n, s = daily.get(key, (0, Decimal(0)))
+        daily[key] = (n + 1, s + Decimal(str(round(r["value"], 2))))
+    want = {}
+    for (day, et), _ in daily.items():
+        n7, s7 = 0, Decimal(0)
+        for d in range(day - 6, day + 1):
+            if (d, et) in daily:
+                dn, ds = daily[(d, et)]
+                n7 += dn
+                s7 += ds
+        want[(day, et)] = (n7, float(s7))
+    assert got == want
