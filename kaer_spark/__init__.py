@@ -25,8 +25,11 @@ from kaer_spark.context import Collection, KaerContext, dense_ids
 from kaer_spark.embeddings import EmbeddingProvider, HashingEmbedder, HTTPEmbedder
 from kaer_spark.filters import compile_filter, filter_to_sql
 from kaer_spark.operators.asof import asof_join
+from kaer_spark.operators.cohort import cohort_retention
 from kaer_spark.operators.dedup import (
+    dedup_clusters,
     embedding_near_dups,
+    embedding_near_dups_lsh,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -35,8 +38,17 @@ from kaer_spark.operators.dedup import (
 )
 from kaer_spark.operators.interval import interval_join, time_bucket_join
 from kaer_spark.operators.knn import exact_knn, knn_join
+from kaer_spark.operators.packing import pack_sequences, pack_stats
+from kaer_spark.operators.ranking import bm25_scores
+from kaer_spark.operators.sampling import hash_sample, quota_per_group, weighted_mix
 from kaer_spark.operators.skew import salted_join
-from kaer_spark.pipelines import corpus_stats, prepare_training_corpus
+from kaer_spark.pipelines import (
+    corpus_stats,
+    histogram,
+    prepare_training_corpus,
+    stratified_split,
+    top_quality_fraction,
+)
 from kaer_spark.session import get_spark
 
 __all__ = [
@@ -66,5 +78,17 @@ __all__ = [
     "salted_join",
     "prepare_training_corpus",
     "corpus_stats",
+    "embedding_near_dups_lsh",
+    "dedup_clusters",
+    "cohort_retention",
+    "pack_sequences",
+    "pack_stats",
+    "bm25_scores",
+    "hash_sample",
+    "quota_per_group",
+    "weighted_mix",
+    "histogram",
+    "stratified_split",
+    "top_quality_fraction",
 ]
 __version__ = "0.1.0"

@@ -16,9 +16,19 @@ from kaer_spark.operators.dedup import (
     simhash,
     simhash_near_dups,
 )
-from kaer_spark.operators.similarity import brute_force_topk, lsh_index, lsh_topk
+from kaer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk_deterministic,
+    lsh_index,
+    lsh_topk,
+    pq_topk_deterministic,
+    signlsh_topk,
+)
 
 __all__ = [
+    "ivf_topk_deterministic",
+    "pq_topk_deterministic",
+    "signlsh_topk",
     "exact_knn",
     "knn_join",
     "exact_dedup",
