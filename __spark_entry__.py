@@ -586,6 +586,40 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming first-seen dedup (streaming.streaming_dedup,
+    applyInPandasWithState) over a bounded document stream — ORACLE-CHECKED
+    via the stream ≡ batch contract: the fixture is one parquet file, so
+    one micro-batch, and the emitted min-doc_id-per-text representatives
+    equal the batch window rank. A multi-file stream would emit first-seen
+    (arrival order) instead — that path is semantics-tested in
+    tests/test_streaming.py."""
+    import uuid
+
+    from kaer_spark.streaming.ingest import streaming_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = streaming_dedup(stream, fp_col="text", id_col="doc_id")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("doc_id", "lang", "source")
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -2034,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_hourly": _q_events_hourly,
             "streaming_events_hourly": _q_streaming_hourly,
             "streaming_sessionize": _q_streaming_sessionize,
+            "streaming_dedup": _q_streaming_dedup,
             "bm25_scores": _q_bm25_scores,
             "hash_sample": _q_hash_sample,
             "domain_quota": _q_domain_quota,
@@ -3413,6 +3448,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        # stream ≡ batch: single-file bounded stream → one micro-batch →
+        # the first-seen representative IS the min-doc_id per text
+        "streaming_dedup": """
+            WITH r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id, lang, source FROM r WHERE rn = 1
         """,
         "histogram_chars": """
             SELECT CAST(least(15, greatest(0, ((n_chars - 0) * 16) // 640))
