@@ -1952,6 +1952,20 @@ def _q_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_rollup(_events(spark, sf_dir), width_days=7)
 
 
+def _q_training_mix_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-construction pipeline
+    (pipelines.training_mix_pipeline): reweighted mix → per-lang quality
+    cut → exact dedup → sequence packing, one Catalyst plan; the oracle
+    chains the four stages' already-verified SQL replays."""
+    from kaer_spark.pipelines import training_mix_pipeline
+
+    return training_mix_pipeline(
+        _t(spark, sf_dir, "documents"),
+        rates_permille=MIX_RATES, default_permille=MIX_DEFAULT_PERMILLE,
+        keep_permille=500, max_tokens=PACK_MAX_TOKENS, shards=PACK_SHARDS,
+    )
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events (operators.cohort):
     first-seen window + distinct (user, offset) count, integer epoch-nanos
@@ -2076,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pack_sequences": _q_pack_sequences,
             "cohort_retention": _q_cohort_retention,
             "histogram_chars": _q_histogram_chars,
+            "training_mix_packed": _q_training_mix_packed,
             "top_quality_docs": _q_top_quality,
             "sliding_7d": _q_sliding_7d,
         }
@@ -2543,6 +2558,59 @@ def _sql_bm25() -> str:
           FROM base
         )
         SELECT base.doc_id, {score} AS bm25 FROM base, s
+    """
+
+
+def _sql_training_mix_packed() -> str:
+    """Chained replay of pipelines.training_mix_pipeline: the weighted_mix
+    CASE bucket filter → the quality rank cut (counts over the MIXED
+    subset) → min-id-per-text dedup → the sharded packing cumsum, each the
+    independently-verified oracle of its stage."""
+    _, _, quality = _sql_quality_parts()
+    return f"""
+        WITH mix AS (
+          SELECT doc_id, lang, text FROM documents
+          WHERE ((doc_id * 2654435761 + 40503) % 1000000007) % 1000
+                < CASE source
+                    WHEN 'src0' THEN {MIX_RATES["src0"]}
+                    WHEN 'src1' THEN {MIX_RATES["src1"]}
+                    WHEN 'src2' THEN {MIX_RATES["src2"]}
+                    ELSE {MIX_DEFAULT_PERMILLE} END
+        ),
+        q AS (SELECT doc_id, lang, text, {quality} AS quality FROM mix),
+        r AS (
+          SELECT doc_id, lang, text, quality,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM q
+        ),
+        kept AS (SELECT doc_id, text FROM r WHERE rn <= (n * 500) // 1000),
+        uniq AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS drn
+            FROM kept
+          ) WHERE drn = 1
+        ),
+        t AS (
+          SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM uniq
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+          FROM t
+        )
+        SELECT shard, CAST(excl // {PACK_MAX_TOKENS} AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2
     """
 
 
@@ -3466,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "top_quality_docs": _sql_top_quality(),
+        "training_mix_packed": _sql_training_mix_packed(),
         "sliding_7d": f"""
             WITH daily AS (
               SELECT epoch_ns(ts) // {86_400 * 1_000_000_000} AS day, event_type,

@@ -66,6 +66,7 @@ HEADLINE = [
     "cohort_retention",
     "sliding_7d",
     "top_quality_docs",
+    "training_mix_packed",
 ]
 
 

@@ -213,6 +213,45 @@ def top_quality_fraction(
     )
 
 
+def training_mix_pipeline(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    keep_permille: int,
+    max_tokens: int,
+    shards: int,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed corpus-construction pipeline, end to end in ONE
+    Catalyst plan: source-reweighted mix (scan filter) → per-language
+    quality percentile cut (one window) → exact dedup keeping min-id
+    representatives (one window) → sequence packing (sharded cumsum) →
+    per-pack fill stats. Every stage is the deterministic operator already
+    verified on its own; composing them adds no Python, no extra scan, and
+    only the windows' shuffles — the plan a 100 TB corpus build would run
+    nightly.
+    """
+    from kaer_spark.operators.packing import pack_sequences, pack_stats
+    from kaer_spark.operators.sampling import weighted_mix
+
+    mixed = weighted_mix(
+        docs, source_col, rates_permille, id_col, default_permille
+    )
+    kept = top_quality_fraction(mixed, keep_permille, lang_col, id_col, text_col)
+    wdup = Window.partitionBy(text_col).orderBy(id_col)
+    unique = (
+        kept.withColumn("__dup_rn", F.row_number().over(wdup))
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
+    )
+    return pack_stats(
+        pack_sequences(unique, max_tokens, id_col, text_col, shards)
+    )
+
+
 def _deal(slot: Column, weights: dict[str, int]) -> Column:
     """slot (0..total-1) → split name by contiguous weight ranges."""
     expr = F.when(F.lit(False), F.lit(""))

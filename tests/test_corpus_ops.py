@@ -224,3 +224,31 @@ def test_sliding_rollup_matches_python(spark, sf_dir):
                 s7 += ds
         want[(day, et)] = (n7, float(s7))
     assert got == want
+
+
+def test_training_mix_pipeline_equals_stagewise(documents):
+    """The fused pipeline must equal applying the verified stages one at a
+    time (mix -> quality cut -> dedup -> pack stats)."""
+    from pyspark.sql.window import Window
+
+    from kaer_spark.operators.packing import pack_sequences, pack_stats
+    from kaer_spark.operators.sampling import weighted_mix
+    from kaer_spark.pipelines import top_quality_fraction, training_mix_pipeline
+
+    rates = {"src0": 500, "src1": 250}
+    fused = training_mix_pipeline(
+        documents, rates, default_permille=100, keep_permille=500,
+        max_tokens=1024, shards=4,
+    )
+    staged = weighted_mix(documents, "source", rates, default_permille=100)
+    staged = top_quality_fraction(staged, 500, "lang")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    staged = (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    staged = pack_stats(pack_sequences(staged, 1024, shards=4))
+    snap = lambda df: sorted(tuple(r) for r in df.collect())
+    assert snap(fused) == snap(staged)
+    assert fused.count() > 0
