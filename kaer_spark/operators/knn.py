@@ -12,10 +12,16 @@ Physical plans (verified via ``.explain``):
   shuffle, no global sort, O(k) memory above the scan.
 * ``knn_join``: broadcast the query side (queries ≪ corpus), evaluate
   distances in the scan stage, then one shuffle on query id for the
-  per-query top-k window. At 1000 executors the corpus never moves; with
-  ``prune_candidates`` (the default) each partition pre-folds to its local
-  per-query top-k before the exchange, so only
-  (n_partitions × n_queries × k)-bounded candidates shuffle.
+  per-query top-k window. At 1000 executors the corpus never moves, and
+  the exchange input is bounded WITHOUT any Python stage: Spark ≥ 3.5
+  rewrites ``row_number() <= k`` into a ``WindowGroupLimit`` pair
+  (SPARK-37099) whose *Partial* node runs map-side, below the exchange —
+  each input partition forwards at most its local per-query top-k, so the
+  shuffle carries ≤ n_partitions × n_queries × k rows instead of
+  corpus × queries. Plan-asserted in ``tests/test_knn.py``. The legacy
+  Arrow ``mapInPandas`` fold (``prune_candidates=True``) is kept only as
+  an opt-in fallback for engines without the rewrite; it is bit-identical
+  but pays a Python crossing in the widest stage.
 """
 
 from __future__ import annotations
@@ -76,7 +82,7 @@ def knn_join(
     query_id_col: str = "query_id",
     corpus_id_col: str = "doc_id",
     metric: str = "l2sq",
-    prune_candidates: bool = True,
+    prune_candidates: bool = False,
 ) -> DataFrame:
     """For every query row, the k nearest corpus rows.
 
@@ -85,16 +91,19 @@ def knn_join(
 
     Shape: broadcast-nested-loop of the (small) query side against the
     corpus — the corpus stays put; distances are evaluated JVM-side in the
-    scan stage. With ``prune_candidates`` (default), each input partition
-    folds its scored pairs down to a per-query bounded top-k BEFORE the
-    exchange (an Arrow ``mapInPandas`` over the narrow
-    ``(qid, doc_id, score)`` triple — no vectors cross into Python and no
-    unpruned row crosses the network), so the ``query_id`` shuffle carries
-    at most ``n_partitions × n_queries × k`` rows instead of
-    ``n_corpus × n_queries``; the final window then ranks exactly. The
-    local fold keeps a superset of every global top-k (each partition's
-    best k per query), so results are bit-identical to the unpruned plan.
-    For huge query sides, chunk the queries and union.
+    scan stage; one exchange on query id for the exact per-query rank.
+    The exchange input is already bounded by Catalyst: the
+    ``row_number() <= k`` filter triggers the WindowGroupLimit rewrite
+    (Spark ≥ 3.5), whose Partial node folds each input partition to its
+    local per-query top-k map-side, below the exchange — the shuffle
+    carries at most ``n_partitions × n_queries × k`` rows instead of
+    ``n_corpus × n_queries``, entirely JVM-side (plan-asserted in
+    ``tests/test_knn.py``). ``prune_candidates=True`` opts into the legacy
+    explicit fold (Arrow ``mapInPandas`` over the narrow
+    ``(qid, doc_id, score)`` triple) for engines without the rewrite; the
+    fold keeps a superset of every global top-k with window-identical tie
+    breaks, so both modes are bit-identical. For huge query sides, chunk
+    the queries and union.
     """
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")

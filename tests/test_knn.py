@@ -159,15 +159,42 @@ def test_knn_join_pruned_equals_unpruned(corpus, embeddings):
         assert snap(pruned) == snap(full)
 
 
-def test_knn_join_prunes_before_exchange(corpus, embeddings):
-    """The per-partition top-k fold (MapInPandas) must sit BELOW the qid
-    Exchange in the physical plan — i.e. run before the shuffle — so the
-    exchange input is bounded by n_partitions x n_queries x k, not the full
-    corpus x queries cross product. Plans print top-down (later stages
-    first), so Exchange must appear before MapInPandas in the string."""
+def test_knn_join_prunes_before_exchange_jvm(corpus, embeddings):
+    """Default plan: the pre-exchange bound comes from Catalyst's
+    WindowGroupLimit rewrite (SPARK-37099) — a Partial group-limit node
+    must sit BELOW the qid Exchange (plans print top-down, so Exchange
+    appears before the Partial node in the string), and the whole plan
+    must be Python-free: no Arrow/pandas stage anywhere."""
     queries = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") < 3)
     plan = (
         knn_join(queries, corpus, k=4, query_id_col="vec_id", corpus_id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for python_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert python_node not in plan, python_node
+    partial = plan.index("WindowGroupLimit")
+    assert "Partial" in plan[partial:], plan
+    exchanges = [
+        i for i in range(len(plan)) if plan.startswith("Exchange hashpartitioning", i)
+    ]
+    # exactly one hash exchange (the qid window), consuming the output of
+    # the map-side Partial WindowGroupLimit printed below it
+    assert len(exchanges) == 1
+    partial_node = plan.index(", Partial")
+    assert exchanges[0] < partial_node
+
+
+def test_knn_join_legacy_fold_prunes_before_exchange(corpus, embeddings):
+    """Opt-in legacy fold (prune_candidates=True): the MapInPandas fold
+    must still sit below the qid Exchange."""
+    queries = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") < 3)
+    plan = (
+        knn_join(
+            queries, corpus, k=4, query_id_col="vec_id", corpus_id_col="doc_id",
+            prune_candidates=True,
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -176,7 +203,5 @@ def test_knn_join_prunes_before_exchange(corpus, embeddings):
     exchanges = [
         i for i in range(len(plan)) if plan.startswith("Exchange hashpartitioning", i)
     ]
-    # exactly one hash exchange (the qid window), and it consumes the
-    # pruned output: printed above (before) the MapInPandas node
     assert len(exchanges) == 1
     assert exchanges[0] < plan.index("MapInPandas")
