@@ -35,7 +35,7 @@ import os
 import shutil
 from typing import Any, Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -73,6 +73,20 @@ class FieldLengthMismatch(ValueError):
 
 def dense_ids(df: DataFrame, start: int = 0, order_col: str | None = None) -> DataFrame:
     """Assign a dense, contiguous ``_m_id`` starting at ``start``.
+
+    See :func:`dense_ids_with_count`; this is the same pass, discarding the
+    batch total.
+    """
+    return dense_ids_with_count(df, start=start, order_col=order_col)[0]
+
+
+def dense_ids_with_count(
+    df: DataFrame, start: int = 0, order_col: str | None = None
+) -> tuple[DataFrame, int]:
+    """Assign a dense, contiguous ``_m_id`` starting at ``start``; also
+    return the batch row count (summed from the per-partition counts the
+    pass collects anyway, so callers that need the total — e.g. the insert
+    path advancing ``next_id`` — do not pay a second full scan).
 
     Scalable shape: per-partition ``row_number`` (windows partitioned by
     ``spark_partition_id`` run independently per partition — no global
@@ -114,13 +128,14 @@ def dense_ids(df: DataFrame, start: int = 0, order_col: str | None = None) -> Da
         if order_col
         else Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
     )
-    return (
+    out = (
         tagged.withColumn(
             ID_COL,
             (F.row_number().over(w) - 1 + offmap[F.col("_pid")]).cast("long"),
         )
         .drop("_pid")
     )
+    return out, acc - start
 
 
 class Collection:
@@ -230,13 +245,13 @@ class Collection:
     def insert_df(self, df: DataFrame, text_col: str = DOC_COL) -> int:
         self._check_types(df.schema)
         next_id = int(self.meta.get("next_id", 0))
-        batch_n = df.count()
-        if batch_n == 0:
-            return next_id
         # ids first, embedding second: the id pass (partition-count collect)
         # then never executes the expensive embedding stage, which runs
-        # exactly once inside the write job.
-        df = dense_ids(df, start=next_id)
+        # exactly once inside the write job. The same partition counts give
+        # the batch total — no separate count() scan per ingest batch.
+        df, batch_n = dense_ids_with_count(df, start=next_id)
+        if batch_n == 0:
+            return next_id
         if EMB_COL not in df.columns:
             provider = self.ctx.provider_for(self.meta)
             df = embed_column(df, text_col, provider, EMB_COL)
@@ -357,11 +372,16 @@ class Collection:
             if self.meta.get("schemaless")
             else compile_filter(filter)
         )
-        df = self.df()
-        total = df.count()
+        # The pre-delete total rides the rewrite job as an Observation
+        # (CollectMetrics over the un-filtered scan) instead of a separate
+        # count() scan — one job computes both the surviving rows and the
+        # total they were filtered from.
+        obs = Observation()
+        df = self.df().observe(obs, F.count(F.lit(1)).alias("total"))
         keep = df.filter(~F.coalesce(pred, F.lit(False)))
         tmp = self.data_path + ".rewrite"
         keep.write.mode("overwrite").parquet(tmp)
+        total = int(obs.get["total"])
         kept_n = self.ctx.spark.read.parquet(tmp).count()
         old = self.data_path + ".old"
         os.rename(self.data_path, old)

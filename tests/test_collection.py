@@ -291,3 +291,29 @@ def test_compact_empty_collection_noop(spark, tmp_path):
     ctx = KaerContext(spark, str(tmp_path / "kaer2"))
     coll = ctx.create_collection("empty")
     assert coll.compact() == 0
+
+
+def test_ingest_job_budget(spark, tmp_path):
+    """Insert and delete each run a bounded number of Spark jobs — the
+    batch total must ride existing jobs (dense-id partition counts for
+    insert, an Observation on the rewrite for delete), never a separate
+    full-scan count(). Budget measured after the r6 fix: insert = 5
+    (checkpoint, partition-count collect, embed+write, plus two Spark
+    bookkeeping jobs), delete = 5 (rewrite write + committed re-read).
+    A regression that reintroduces a per-batch count() pushes either
+    number up and fails this test."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer_jobs"))
+    coll = ctx.create_collection("jb")
+    coll.insert(["warm up"], [{}])  # warm lazy session paths
+    tracker = spark.sparkContext.statusTracker()
+
+    before = len(tracker.getJobIdsForGroup(None))
+    coll.insert(["a", "b", "c"], [{"x": 1}] * 3)
+    assert len(tracker.getJobIdsForGroup(None)) - before <= 5
+
+    before = len(tracker.getJobIdsForGroup(None))
+    assert coll.delete({"x": 1}) == 3
+    assert len(tracker.getJobIdsForGroup(None)) - before <= 5
+    assert coll.count() == 1  # the warm-up row survived
