@@ -2291,7 +2291,12 @@ def _sql_lsh_knn_det() -> str:
     from kaer_spark.operators.dedup import signlsh_planes
     from kaer_spark.operators.similarity import signlsh_query_keys
 
-    planes = signlsh_planes(64, COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED)
+    # dim from the query literal, exactly like the library's
+    # signlsh_topk(len(query_vector)) — a fixture-dim drift then breaks
+    # BOTH sides loudly instead of silently splitting them
+    planes = signlsh_planes(
+        len(QVEC), COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED
+    )
     qkeys = signlsh_query_keys(QVEC, planes, COSINE_LSH_BANDS, COSINE_LSH_BITS)
     conds = " OR ".join(
         f"({_sql_signlsh_band_key('embedding', planes[b * COSINE_LSH_BITS:(b + 1) * COSINE_LSH_BITS])} = {qkeys[b]})"
@@ -2311,8 +2316,11 @@ def _sql_pq_knn_det() -> str:
     relationally (slices of vec_id<16 rows), encode = per-subspace
     (dist, cid) rank, ADC = per-subspace literal-query slice distances,
     summed in the SAME fixed association order as Spark's fold (eight
-    joins + explicit parens, NOT a float SUM() whose order would drift)."""
-    m, k, d = 8, 16, 8
+    joins + explicit parens, NOT a float SUM() whose order would drift).
+    Subspace width derives from the query literal (len(QVEC) / m), like
+    the engine's dim // m."""
+    m, k = 8, 16
+    d = len(QVEC) // m
 
     def slice_dist(a: str, b: str, s: int) -> str:
         # (x-c)^2 left-assoc over subspace s's 8 dims, both array columns
@@ -2348,8 +2356,10 @@ def _sql_pq_knn_det() -> str:
     for s in range(1, m):
         score = f"({score} + a{s}.dist)"
     return f"""
-        WITH cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                    WHERE vec_id < {k}),
+        WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                           embedding AS cvec
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT {k})),
         cd AS (
           {cd}
         ),
@@ -2570,7 +2580,7 @@ def _sql_training_mix_packed() -> str:
     return f"""
         WITH mix AS (
           SELECT doc_id, lang, text FROM documents
-          WHERE ((doc_id * 2654435761 + 40503) % 1000000007) % 1000
+          WHERE (((doc_id * 2654435761 + 40503) % 1000000007 + 1000000007) % 1000000007) % 1000
                 < CASE source
                     WHEN 'src0' THEN {MIX_RATES["src0"]}
                     WHEN 'src1' THEN {MIX_RATES["src1"]}
@@ -2594,7 +2604,7 @@ def _sql_training_mix_packed() -> str:
           ) WHERE drn = 1
         ),
         t AS (
-          SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+          SELECT doc_id, ((doc_id % {PACK_SHARDS} + {PACK_SHARDS}) % {PACK_SHARDS}) AS shard,
                  CAST(CASE WHEN trim(text) = '' THEN 0
                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                       END AS BIGINT) AS n_tokens
@@ -3153,7 +3163,7 @@ def oracle_sql() -> dict[str, str]:
         # rank within (lang, doc_id % 32), re-base by cumulative counts of
         # earlier subs, deal the composed rank round-robin
         "stratified_split": """
-            WITH s AS (SELECT lang, doc_id, doc_id % 32 AS sub FROM documents),
+            WITH s AS (SELECT lang, doc_id, ((doc_id % 32 + 32) % 32) AS sub FROM documents),
             r AS (
               SELECT lang, doc_id, sub,
                      row_number() OVER (PARTITION BY lang, sub ORDER BY doc_id)
@@ -3408,9 +3418,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _sql_bm25(),
         "hash_sample": f"""
             SELECT doc_id, source,
-                   ((doc_id * 2654435761 + 40503) % 1000000007) % 1000 AS bucket
+                   (((doc_id * 2654435761 + 40503) % 1000000007 + 1000000007) % 1000000007) % 1000 AS bucket
             FROM documents
-            WHERE ((doc_id * 2654435761 + 40503) % 1000000007) % 1000
+            WHERE (((doc_id * 2654435761 + 40503) % 1000000007 + 1000000007) % 1000000007) % 1000
                   < {SAMPLE_RATE_PERMILLE}
         """,
         # single-level replay of the two-level quota cap (result-equivalent
@@ -3427,10 +3437,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic IVF, fully relational replay: centroids = vec_id<8
         # rows, assignment re-derived by (dist, j) rank, probe cells ranked
-        # by literal-query distance — every float the same IEEE tree
+        # by literal-query distance — every float the same IEEE tree.
+        # Centroids are RANK-limited (the 8 smallest-id rows, labeled by
+        # rank) exactly like the engine's orderBy(id).limit(cells) +
+        # positional enumerate — no dense-from-0 id assumption.
         "ivf_knn_det": f"""
-            WITH c AS (SELECT vec_id AS j, embedding AS cvec FROM embeddings
-                       WHERE vec_id < 8),
+            WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                              embedding AS cvec
+                       FROM (SELECT vec_id, embedding FROM embeddings
+                             ORDER BY vec_id LIMIT 8)),
             cd AS (
               SELECT d.vec_id, c.j,
                      {_sql_l2sq_cols('d.embedding', 'c.cvec')} AS dist
@@ -3461,7 +3476,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix": f"""
             WITH b AS (
               SELECT source, doc_id,
-                     ((doc_id * 2654435761 + 40503) % 1000000007) % 1000 AS bucket
+                     (((doc_id * 2654435761 + 40503) % 1000000007 + 1000000007) % 1000000007) % 1000 AS bucket
               FROM documents
             ),
             k AS (
@@ -3478,7 +3493,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": f"""
             WITH t AS (
-              SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+              SELECT doc_id, ((doc_id % {PACK_SHARDS} + {PACK_SHARDS}) % {PACK_SHARDS}) AS shard,
                      CAST(CASE WHEN trim(text) = '' THEN 0
                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                           END AS BIGINT) AS n_tokens

@@ -252,3 +252,41 @@ def test_training_mix_pipeline_equals_stagewise(documents):
     snap = lambda df: sorted(tuple(r) for r in df.collect())
     assert snap(fused) == snap(staged)
     assert fused.count() > 0
+
+
+def test_engine_oracle_modulo_agreement_negative_ids(spark):
+    """The engine shards by F.pmod (always non-negative); DuckDB's % keeps
+    the dividend's sign. The oracles wrap their modulo as ((x % S + S) % S)
+    — this pins the two conventions agreeing on NEGATIVE ids, the latent
+    fixture assumption (dense non-negative ids) that round 4's timestamp
+    drift exemplified."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(-7, "a b c"), (-1, "d e"), (0, "f"), (5, "g h i j"), (-32, "k")],
+        "doc_id long, text string",
+    )
+    packed = {
+        r["doc_id"]: r["shard"]
+        for r in pack_sequences(df, max_tokens=4, shards=4).collect()
+    }
+    oracle = dict(
+        duckdb.query(
+            "SELECT doc_id, ((doc_id % 4 + 4) % 4) AS shard FROM (VALUES "
+            "(-7), (-1), (0), (5), (-32)) v(doc_id)"
+        ).fetchall()
+    )
+    assert packed == oracle
+    # and the LCG sample bucket: pmod chain vs the wrapped SQL replay
+    from kaer_spark.operators.sampling import sample_bucket
+
+    eng = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", sample_bucket(F.col("doc_id"), 1000).alias("b")).collect()
+    }
+    sql = (
+        f"SELECT doc_id, (((doc_id * {SAMPLE_A} + {SAMPLE_C}) % {SAMPLE_MOD} "
+        f"+ {SAMPLE_MOD}) % {SAMPLE_MOD}) % 1000 AS b FROM (VALUES "
+        "(-7), (-1), (0), (5), (-32)) v(doc_id)"
+    )
+    assert eng == dict(duckdb.query(sql).fetchall())
