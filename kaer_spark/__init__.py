@@ -27,10 +27,12 @@ from kaer_spark.filters import compile_filter, filter_to_sql
 from kaer_spark.operators.asof import asof_join
 from kaer_spark.operators.cohort import cohort_retention
 from kaer_spark.operators.dedup import (
+    calibrate_signlsh,
     dedup_clusters,
     embedding_near_dups,
     embedding_near_dups_lsh,
     exact_dedup,
+    signlsh_candidate_pairs,
     minhash_near_dups,
     ngram_jaccard_pairs,
     simhash,
@@ -78,7 +80,9 @@ __all__ = [
     "salted_join",
     "prepare_training_corpus",
     "corpus_stats",
+    "calibrate_signlsh",
     "embedding_near_dups_lsh",
+    "signlsh_candidate_pairs",
     "dedup_clusters",
     "cohort_retention",
     "pack_sequences",

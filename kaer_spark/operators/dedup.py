@@ -411,37 +411,72 @@ def signlsh_band_key(vec_col: Column | str, planes: list[list[float]]) -> Column
     return key
 
 
-def embedding_near_dups_lsh(
+def calibrate_signlsh(
+    n_rows: int,
+    threshold: float = 0.95,
+    target_bucket_rows: int = 1024,
+    recall_target: float = 0.9,
+    max_bands: int = 64,
+    max_bits: int = 24,
+) -> tuple[int, int]:
+    """Corpus-size-adaptive ``(bands, bits_per_band)`` for sign-LSH.
+
+    The scale contract of :func:`embedding_near_dups_lsh` is that per-bucket
+    work stays bounded: each band splits the corpus into ``2^bits`` buckets
+    and the within-bucket pair join is quadratic in bucket size, so a FIXED
+    ``bits_per_band`` silently goes quadratic as the corpus grows (the
+    round-5 reservation: 16 buckets/band is fine at sf0.1, fatal at 100 TB).
+
+    * ``bits_per_band = ceil(log2(n_rows / target_bucket_rows))`` keeps the
+      expected bucket population ≈ ``target_bucket_rows`` at ANY corpus
+      size, which makes candidate-pair count grow linearly in rows
+      (``n_rows × target_bucket_rows`` pairs, not ``n_rows²``).
+    * ``bands`` is then raised to hold recall: for a pair at the threshold
+      angle ``θ = acos(threshold)``, one plane agrees with probability
+      ``p = 1 − θ/π``, one band collides with ``p^bits``, and OR-of-ANDs
+      recall is ``1 − (1 − p^bits)^bands ≥ recall_target`` solved for the
+      smallest integer ``bands`` (standard LSH tuning — Leskovec et al.,
+      Mining of Massive Datasets §3.4).
+
+    Pure arithmetic on the driver (no Spark job); caps keep the plane count
+    bounded — hitting ``max_bands`` means the threshold/recall combination
+    needs a multi-probe or re-rank strategy, not more random planes.
+    """
+    import math
+
+    if n_rows <= 0:
+        raise ValueError("n_rows must be positive")
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    bits = math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket_rows))))
+    bits = max(1, min(max_bits, bits))
+    p = 1.0 - math.acos(threshold) / math.pi
+    p_band = p**bits
+    if p_band >= 1.0:
+        bands = 1
+    else:
+        bands = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_band))
+    return max(1, min(max_bands, bands)), bits
+
+
+def signlsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
     bands: int = 4,
     bits_per_band: int = 4,
     seed: int = 7,
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with cosine ≥ threshold, candidates generated by
-    banded sign-LSH instead of a low-cardinality blocking column.
+    """Candidate (id_a < id_b) pairs colliding in ≥1 sign-LSH band.
 
-    Scale shape (the fix for blocking on something like ``label``, which is
-    quadratic within block): each vector gets ``bands`` bucket keys, each
-    ``bits_per_band`` sign bits of deterministic Rademacher projections —
-    a pair is a candidate iff it collides in AT LEAST one band (the classic
-    LSH OR-of-ANDs), then candidates are verified with the exact cosine.
-    Shuffle volume is O(rows × bands) for the inverted index plus the
-    collision pairs; bucket cardinality grows as ``2^bits_per_band`` per
-    band, so raising ``bits_per_band`` bounds per-bucket quadratic work at
-    any corpus size. Recall for a pair at angle θ is
-    ``1 - (1 - p^bits)^bands`` with ``p = 1 - θ/π`` — tune bands/bits to
-    the threshold. Deterministic and oracle-replayable end-to-end: the
-    planes are seeded literals and the dot folds match IEEE-exactly.
+    The banding stage of :func:`embedding_near_dups_lsh`, exposed so scale
+    probes and custom verifiers can measure/consume the candidate set
+    directly. Output columns: ``id_a``, ``id_b`` (distinct pairs).
     """
-    all_planes = signlsh_planes(
-        _vec_dim(df, vec_col), bands * bits_per_band, seed
-    )
+    all_planes = signlsh_planes(_vec_dim(df, vec_col), bands * bits_per_band, seed)
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    ).withColumn("nrm", vector_norm("v"))
+    )
     keys = [
         signlsh_band_key("v", all_planes[b * bits_per_band : (b + 1) * bits_per_band])
         for b in range(bands)
@@ -458,11 +493,60 @@ def embedding_near_dups_lsh(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = inv.alias("a"), inv.alias("b")
-    cand = (
+    return (
         a.join(b, on=["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 7,
+    target_bucket_rows: int | None = None,
+    recall_target: float = 0.9,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold, candidates generated by
+    banded sign-LSH instead of a low-cardinality blocking column.
+
+    Scale shape (the fix for blocking on something like ``label``, which is
+    quadratic within block): each vector gets ``bands`` bucket keys, each
+    ``bits_per_band`` sign bits of deterministic Rademacher projections —
+    a pair is a candidate iff it collides in AT LEAST one band (the classic
+    LSH OR-of-ANDs), then candidates are verified with the exact cosine.
+    Shuffle volume is O(rows × bands) for the inverted index plus the
+    collision pairs; bucket cardinality grows as ``2^bits_per_band`` per
+    band, so raising ``bits_per_band`` bounds per-bucket quadratic work at
+    any corpus size. Recall for a pair at angle θ is
+    ``1 - (1 - p^bits)^bands`` with ``p = 1 - θ/π`` — tune bands/bits to
+    the threshold. Deterministic and oracle-replayable end-to-end: the
+    planes are seeded literals and the dot folds match IEEE-exactly.
+
+    ``target_bucket_rows`` switches on corpus-size-adaptive calibration:
+    one bounded ``count()`` job, then :func:`calibrate_signlsh` derives
+    ``bits_per_band`` to hold the expected bucket population at the target
+    and raises ``bands`` to keep recall ≥ ``recall_target`` at the
+    threshold — the fixed-width knobs are ignored. Use the explicit
+    ``bands``/``bits_per_band`` form only when an external oracle must
+    replay the exact plane set without seeing the data (the driver entry
+    does this at a pinned, fixture-scale-appropriate width).
+    """
+    if target_bucket_rows is not None:
+        bands, bits_per_band = calibrate_signlsh(
+            df.count(), threshold, target_bucket_rows, recall_target
+        )
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).withColumn("nrm", vector_norm("v"))
+    cand = signlsh_candidate_pairs(
+        df, id_col=id_col, vec_col=vec_col,
+        bands=bands, bits_per_band=bits_per_band, seed=seed,
     )
     ea = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

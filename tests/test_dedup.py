@@ -239,3 +239,85 @@ def test_embedding_near_dups_lsh(spark, sf_dir):
         .count()
     )
     assert n_keys > 10
+
+
+def test_calibrate_signlsh_scaling_and_recall():
+    """bits grows log2 with corpus size (bucket population pinned at the
+    target), bands rises to hold the OR-of-ANDs recall, caps bound both."""
+    import math
+
+    from kaer_spark.operators.dedup import calibrate_signlsh
+
+    prev_bits = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000):
+        bands, bits = calibrate_signlsh(n, threshold=0.95, target_bucket_rows=500)
+        assert bits == max(1, math.ceil(math.log2(n / 500)))
+        assert bits >= prev_bits
+        prev_bits = bits
+        # analytic recall at the threshold must meet the target
+        p = 1.0 - math.acos(0.95) / math.pi
+        assert 1.0 - (1.0 - p**bits) ** bands >= 0.9 - 1e-12
+    # pathological inputs hit the caps instead of exploding the plane count
+    bands, bits = calibrate_signlsh(10**12, threshold=0.5, target_bucket_rows=1)
+    assert bits <= 24 and bands <= 64
+
+
+def _lcg_vectors(n: int, dim: int, seed: int = 3) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random vectors (pure Python LCG, no RNG APIs)."""
+    state = seed
+    rows = []
+    for i in range(n):
+        vec = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+    return rows
+
+
+def test_signlsh_calibrated_candidates_subquadratic(spark):
+    """The SURVEY §6 amplification probe for the round-5 reservation: with
+    corpus-size-adaptive calibration, candidate-pair count grows ~linearly
+    in rows — the candidate FRACTION of all possible pairs must FALL as the
+    corpus grows (a fixed bits_per_band keeps the fraction constant, i.e.
+    quadratic growth)."""
+    from kaer_spark.operators.dedup import calibrate_signlsh, signlsh_candidate_pairs
+
+    n1, n10, dim, target = 300, 3000, 16, 50
+    fractions = {}
+    counts = {}
+    for n in (n1, n10):
+        df = spark.createDataFrame(
+            _lcg_vectors(n, dim), "vec_id long, embedding array<double>"
+        )
+        bands, bits = calibrate_signlsh(n, threshold=0.95, target_bucket_rows=target)
+        c = signlsh_candidate_pairs(
+            df, bands=bands, bits_per_band=bits
+        ).count()
+        counts[n] = c
+        fractions[n] = c / (n * (n - 1) / 2)
+    assert counts[n10] > 0
+    # sub-quadratic: fraction of the pair space shrinks with corpus size
+    assert fractions[n10] < fractions[n1]
+    # and well below quadratic growth (100× pairs for 10× rows)
+    assert counts[n10] < 40 * max(counts[n1], 1)
+
+
+def test_embedding_near_dups_lsh_autocalibrated(spark, sf_dir):
+    """target_bucket_rows mode: same exact-verify guarantee (no false
+    positives vs the all-pairs truth) with derived band geometry."""
+    from kaer_spark.operators.dedup import embedding_near_dups_lsh
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.35
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(
+            embs, threshold=thr, target_bucket_rows=64, recall_target=0.8
+        ).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(embs, threshold=thr).collect()
+    }
+    assert got <= truth and len(got) > 0
