@@ -70,9 +70,42 @@ HEADLINE = [
 ]
 
 
+def _machine_load() -> dict:
+    """Environment-noise fingerprint recorded alongside the timings, so a
+    contaminated run (concurrent pytest, another Spark JVM) is
+    self-diagnosing instead of reading as a 2× regression — the round-4
+    62.8s episode was exactly this."""
+    info: dict = {}
+    try:
+        info["load_avg_1m"], info["load_avg_5m"], _ = (
+            round(x, 2) for x in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        info["n_cpus"] = os.cpu_count()
+        # other running java/python processes = likely bench contamination
+        others = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    comm = f.read().strip()
+                if comm in ("java", "python", "python3"):
+                    others += 1
+            except OSError:
+                continue
+        info["other_jvm_py_procs"] = others
+    except OSError:
+        pass
+    return info
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _machine_load()
 
     import __spark_entry__ as entrymod
     from kaer_spark.session import get_spark
@@ -106,6 +139,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load": {"before": load_before, "after": _machine_load()},
             }
         )
     )

@@ -162,9 +162,10 @@ def sliding_rollup(
     width_days: int = 7,
     dims: Sequence[str] = ("event_type",),
     ts_col: str = "ts",
+    value_col: str = "value",
 ) -> DataFrame:
     """Sliding-window daily aggregate: per (day, dims), the trailing
-    ``width_days``-day event count and value sum.
+    ``width_days``-day event count and ``value_col`` sum.
 
     Two stages: the usual one-shuffle daily rollup, then a RANGE window
     over the integer day index (``[day - width + 1, day]``) per dims — the
@@ -178,7 +179,7 @@ def sliding_rollup(
         F.expr(f"{ts_col} DIV {NS_PER_DAY}").alias("day"), *dims
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum_dec"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__sum_dec"),
     )
     w = (
         Window.partitionBy(*dims)

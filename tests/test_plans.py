@@ -139,3 +139,48 @@ def test_bm25_no_python_and_bounded_exchanges(documents):
     plan = executed_plan(bm25_scores(documents, ["join", "hash"]))
     assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
     assert plan.count("Exchange hashpartitioning") == 0  # agg is global, not keyed
+
+
+def test_training_mix_packed_single_fused_plan(spark, sf_dir):
+    """The composed mix→quality→dedup→pack pipeline must stay ONE Catalyst
+    plan: a single documents scan (no re-read per stage), no Python, and
+    exactly the three window/agg shuffles the stages own (lang quality cut,
+    text dedup, shard packing)."""
+    import __spark_entry__ as entrymod
+
+    plan = executed_plan(entrymod.queries()["training_mix_packed"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_sliding_7d_windows_over_daily_rollup(spark, sf_dir):
+    """The 7-day sliding window must run over the DAILY ROLLUP (one row per
+    day×dims), never raw events: the Window node consumes the aggregate's
+    count output and frames RANGE [-6, current] on the day index. Two
+    exchanges total — the daily groupBy and the dims window."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = executed_plan(entrymod.queries()["sliding_7d"](spark, sf_dir))
+    assert "specifiedwindowframe(RangeFrame, -6, currentrow" in plan
+    # window input is the rollup's `n` aggregate, not an events column
+    assert re.search(r"Window \[sum\(n#\d+L\)", plan)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Python" not in plan
+
+
+def test_cohort_retention_one_user_shuffle(spark, sf_dir):
+    """Cohort retention = one shuffle keyed on the high-cardinality user
+    for first-seen, then one (cohort, offset) aggregate exchange — no
+    extra distinct exchange, no Python, one events scan."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = executed_plan(entrymod.queries()["cohort_retention"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert re.search(r"Exchange hashpartitioning\(user#\d+", plan)
+    assert "Python" not in plan
