@@ -277,14 +277,23 @@ class Collection:
         return next_id
 
     # -- index artifact (reference O7/O8/O10/O14, db/db.go:102-109,176-207)
-    def build_index(self, cells: int = 16, seed: int = 42) -> dict:
+    def build_index(
+        self, cells: int = 16, seed: int = 42, fit: str = "kmeans"
+    ) -> dict:
         """Materialize the IVF index table for this collection (replaces
-        the reference's HNSW checkpoint file + meta row)."""
+        the reference's HNSW checkpoint file + meta row).
+
+        ``fit="deterministic"`` builds the oracle-replayable variant
+        (smallest-id sample centroids): every subsequent
+        ``query(approximate=True)`` is then bit-exactly reproducible by a
+        SQL engine reading the same parquet — the verifiable approximate
+        mode. Default ``"kmeans"`` (MLlib) gives better cell balance.
+        """
         from kaer_spark.operators.index_store import build_ivf_index
 
         meta = build_ivf_index(
             self.df(), self.index_path, vec_col=EMB_COL, id_col=ID_COL,
-            cells=cells, seed=seed,
+            cells=cells, seed=seed, fit=fit,
         )
         self.meta["has_index"] = True
         self._save_meta()
@@ -398,8 +407,11 @@ class Collection:
             else:
                 from kaer_spark.operators.index_store import read_index_meta
 
-                cells = int(read_index_meta(self.index_path).get("cells", 16))
-                self.build_index(cells=min(cells, kept_n))
+                im = read_index_meta(self.index_path)
+                self.build_index(
+                    cells=min(int(im.get("cells", 16)), kept_n),
+                    fit=im.get("fit", "kmeans"),
+                )
         return total - kept_n
 
     def count(self) -> int:

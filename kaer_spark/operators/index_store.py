@@ -65,12 +65,31 @@ def build_ivf_index(
     id_col: str = "vec_id",
     cells: int = 16,
     seed: int = 42,
+    fit: str = "kmeans",
 ) -> dict:
-    """Build the index table at ``path`` and return its meta dict."""
-    from kaer_spark.operators.similarity import ivf_fit
+    """Build the index table at ``path`` and return its meta dict.
 
-    model = ivf_fit(corpus, vec_col=vec_col, cells=cells, seed=seed)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    ``fit`` picks the coarse quantizer: ``"kmeans"`` (MLlib — best cell
+    balance/recall, but iterated float sums can't replay in a SQL oracle)
+    or ``"deterministic"`` (smallest-id sample centroids,
+    ``similarity.ivf_fit_deterministic`` — bit-exact replayable end to
+    end, so an approximate ``query()`` over this index is itself
+    oracle-checkable). Search and refresh are fit-agnostic: both read the
+    stored centroid literals from the sidecar.
+    """
+    if fit == "deterministic":
+        from kaer_spark.operators.similarity import ivf_fit_deterministic
+
+        centroids = ivf_fit_deterministic(
+            corpus, vec_col=vec_col, id_col=id_col, cells=cells
+        )
+    elif fit == "kmeans":
+        from kaer_spark.operators.similarity import ivf_fit
+
+        model = ivf_fit(corpus, vec_col=vec_col, cells=cells, seed=seed)
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    else:
+        raise ValueError(f"unknown fit {fit!r}: use 'kmeans' or 'deterministic'")
     assigned = _assign_cells(corpus, centroids, vec_col)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(
         os.path.join(path, DATA_DIR)
@@ -80,6 +99,7 @@ def build_ivf_index(
         "cells": cells,
         "dim": len(centroids[0]),
         "seed": seed,
+        "fit": fit,
         "id_col": id_col,
         "vec_col": vec_col,
         "max_id": int(max_id) if max_id is not None else -1,

@@ -106,3 +106,49 @@ def test_indexed_collection_survives_schema_evolution(spark, tmp_path):
     # old rows remain queryable too, reading b as NULL
     allq = c.query("base doc", k=11, approximate=True, nprobe=2)
     assert allq.count() == 11
+
+
+def test_deterministic_fit_is_oracle_replayable(spark, embeddings, tmp_path):
+    """fit='deterministic': the stored centroids are exactly the cells
+    smallest-id vectors, and a full-probe approximate search equals the
+    exact top-k — the user-facing approximate mode a SQL oracle can replay
+    bit-for-bit (VERDICT r5 stretch item)."""
+    path = str(tmp_path / "ivf_det")
+    meta = build_ivf_index(embeddings, path, cells=4, fit="deterministic")
+    assert meta["fit"] == "deterministic"
+    want = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    assert meta["centroids"] == want
+    # probing every cell degrades to exact search — same ids, same order
+    approx = ivf_index_topk(spark, path, QVEC, k=10, nprobe=4)
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    assert [r["vec_id"] for r in approx.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+    # rebuild reproduces identical centroids (no RNG anywhere)
+    meta2 = build_ivf_index(embeddings, str(tmp_path / "ivf_det2"), cells=4,
+                            fit="deterministic")
+    assert meta2["centroids"] == meta["centroids"]
+
+
+def test_collection_deterministic_index_fit_survives_delete(spark, tmp_path):
+    """Collection.build_index(fit='deterministic') flows through query
+    (approximate=True), and the delete-triggered rebuild preserves the fit
+    choice recorded in the sidecar."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("c")
+    col = ctx.get_collection("c")
+    col.insert([f"doc {i} alpha beta" for i in range(20)],
+               [{"n": i} for i in range(20)])
+    col.build_index(cells=4, fit="deterministic")
+    assert read_index_meta(col.index_path)["fit"] == "deterministic"
+    got = col.query("doc 3 alpha beta", k=3, approximate=True, nprobe=4)
+    assert got.count() == 3
+    col.delete({"n": {"$gte": 15}})
+    meta = read_index_meta(col.index_path)
+    assert meta["fit"] == "deterministic"
+    assert col.query("doc 3 alpha beta", k=3, approximate=True).count() == 3
