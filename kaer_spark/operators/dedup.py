@@ -477,6 +477,15 @@ def signlsh_candidate_pairs(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
+    return _signlsh_candidates(base, all_planes, bands, bits_per_band)
+
+
+def _signlsh_candidates(
+    base: DataFrame, all_planes: list[list[float]], bands: int, bits_per_band: int
+) -> DataFrame:
+    """Banding core over a prepared ``(id, v)`` frame — shared so the full
+    near-dup operator prepares the base/planes ONCE (a single dim-probe
+    job) for both the candidate and verify stages."""
     keys = [
         signlsh_band_key("v", all_planes[b * bits_per_band : (b + 1) * bits_per_band])
         for b in range(bands)
@@ -538,15 +547,24 @@ def embedding_near_dups_lsh(
     does this at a pinned, fixture-scale-appropriate width).
     """
     if target_bucket_rows is not None:
+        # one bounded job gives both knobs the calibration needs
+        nrow = df.agg(
+            F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+        ).collect()[0]
+        if nrow["n"] == 0 or nrow["d"] is None:
+            raise ValueError(f"cannot calibrate on empty/null {vec_col!r}")
         bands, bits_per_band = calibrate_signlsh(
-            df.count(), threshold, target_bucket_rows, recall_target
+            int(nrow["n"]), threshold, target_bucket_rows, recall_target
         )
+        dim = int(nrow["d"])
+    else:
+        dim = _vec_dim(df, vec_col)
+    all_planes = signlsh_planes(dim, bands * bits_per_band, seed)
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).withColumn("nrm", vector_norm("v"))
-    cand = signlsh_candidate_pairs(
-        df, id_col=id_col, vec_col=vec_col,
-        bands=bands, bits_per_band=bits_per_band, seed=seed,
+    cand = _signlsh_candidates(
+        base.select("id", "v"), all_planes, bands, bits_per_band
     )
     ea = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

@@ -224,6 +224,15 @@ def test_sliding_rollup_matches_python(spark, sf_dir):
                 s7 += ds
         want[(day, et)] = (n7, float(s7))
     assert got == want
+    # value_col parameterization: any numeric column, not just 'value'
+    from pyspark.sql import functions as F
+
+    renamed = ev.withColumnRenamed("value", "amount")
+    got2 = {
+        (r["day"], r["event_type"]): (r["n_7d"], r["sum_value_7d"])
+        for r in sliding_rollup(renamed, width_days=7, value_col="amount").collect()
+    }
+    assert got2 == want
 
 
 def test_training_mix_pipeline_equals_stagewise(documents):
