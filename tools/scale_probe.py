@@ -1,0 +1,130 @@
+"""Amplification scale probes (SURVEY.md §6): measure how the
+scale-sensitive operators behave when the fixture grows 10×, reproducibly.
+
+Method: amplify a fixture by unioning ``times`` copies with id offsets
+(vectors optionally rotated per copy so amplified embeddings are distinct
+— cloning identical vectors would make the TRUE near-dup pair count
+quadratic in copies and mask what the probe measures). Probes:
+
+* ``knn_join`` — corpus 1× vs 10×, 50 broadcast queries: wall time should
+  stay ~flat (the WindowGroupLimit pre-exchange fold bounds the shuffle at
+  n_partitions × queries × k regardless of corpus size).
+* ``pack_sequences`` — 1× vs 10×: sharded cumsum, no global window, ~flat.
+* sign-LSH banding — candidate pairs at 1× vs 10× under (a) the FIXED
+  (bands=4, bits=4) geometry and (b) ``calibrate_signlsh`` with a pinned
+  ``target_bucket_rows``: fixed keeps the candidate FRACTION of the pair
+  space constant (quadratic growth); calibrated shrinks it (~linear).
+
+Usage: python tools/scale_probe.py [sf_dir]   # default /root/testdata/sf0.1
+Prints one JSON line; human-readable progress on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+TIMES = 10
+
+
+def amplify(df: DataFrame, id_col: str, times: int, rotate_col: str | None = None):
+    """Union `times` copies with disjoint id ranges; optionally rotate the
+    vector column by the copy index so copies are distinct vectors."""
+    offset = (df.agg(F.max(id_col)).collect()[0][0] or 0) + 1
+    parts = []
+    for i in range(times):
+        part = df.withColumn(id_col, F.col(id_col) + F.lit(i * offset))
+        if rotate_col and i:
+            n = F.size(rotate_col)
+            part = part.withColumn(
+                rotate_col,
+                F.concat(
+                    F.slice(rotate_col, i + 1, n - i), F.slice(rotate_col, 1, i)
+                ),
+            )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(fn) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 2), n
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from kaer_spark.operators.dedup import calibrate_signlsh, signlsh_candidate_pairs
+    from kaer_spark.operators.knn import knn_join
+    from kaer_spark.operators.packing import pack_sequences
+    from kaer_spark.session import get_spark
+
+    spark = get_spark(app_name="kaer-scale-probe")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = (
+        embs.orderBy("vec_id").limit(50)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    results: dict = {"sf_dir": sf_dir, "times": TIMES}
+
+    for label, corpus in (("1x", embs), ("10x", amplify(embs, "vec_id", TIMES))):
+        # warm once so codegen compile doesn't masquerade as data cost
+        knn_join(queries, corpus, k=5, corpus_id_col="vec_id").count()
+        t, n = timed(
+            lambda c=corpus: knn_join(queries, c, k=5, corpus_id_col="vec_id").count()
+        )
+        results[f"knn_join_{label}"] = {"sec": t, "rows": n}
+        print(f"knn_join {label}: {t}s ({n} rows)", file=sys.stderr)
+
+    for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
+        pack_sequences(d, max_tokens=1024, shards=32).count()
+        t, n = timed(
+            lambda dd=d: pack_sequences(dd, max_tokens=1024, shards=32).count()
+        )
+        results[f"pack_sequences_{label}"] = {"sec": t, "rows": n}
+        print(f"pack_sequences {label}: {t}s ({n} rows)", file=sys.stderr)
+
+    n1 = embs.count()
+    amp = amplify(embs, "vec_id", TIMES, rotate_col="embedding")
+    for label, d, n in (("1x", embs, n1), ("10x", amp, n1 * TIMES)):
+        pair_space = n * (n - 1) / 2
+        for mode in ("fixed", "calibrated"):
+            if mode == "fixed":
+                bands, bits = 4, 4
+            else:
+                bands, bits = calibrate_signlsh(
+                    n, threshold=0.95, target_bucket_rows=256
+                )
+            t, c = timed(
+                lambda dd=d, b=bands, k=bits: signlsh_candidate_pairs(
+                    dd, bands=b, bits_per_band=k
+                ).count()
+            )
+            frac = c / pair_space
+            results[f"signlsh_{mode}_{label}"] = {
+                "sec": t, "candidates": c, "bands": bands, "bits": bits,
+                "pair_fraction": round(frac, 6),
+            }
+            print(
+                f"signlsh {mode} {label}: {t}s, {c} candidates "
+                f"(bands={bands}, bits={bits}, fraction={frac:.2%})",
+                file=sys.stderr,
+            )
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
