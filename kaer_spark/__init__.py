@@ -40,6 +40,7 @@ from kaer_spark.operators.dedup import (
 )
 from kaer_spark.operators.interval import interval_join, time_bucket_join
 from kaer_spark.operators.knn import exact_knn, knn_join
+from kaer_spark.operators.similarity import ivf_knn_join
 from kaer_spark.operators.packing import pack_sequences, pack_stats
 from kaer_spark.operators.ranking import bm25_scores
 from kaer_spark.operators.sampling import hash_sample, quota_per_group, weighted_mix
@@ -81,6 +82,7 @@ __all__ = [
     "prepare_training_corpus",
     "corpus_stats",
     "calibrate_signlsh",
+    "ivf_knn_join",
     "embedding_near_dups_lsh",
     "signlsh_candidate_pairs",
     "dedup_clusters",

@@ -241,6 +241,78 @@ def ivf_topk_deterministic(
     )
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    cells: int = 64,
+    nprobe: int = 8,
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "doc_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate kNN JOIN that never broadcasts the query side — the
+    scale path ``operators.knn.knn_join`` punts on ("for huge query sides,
+    chunk the queries and union").
+
+    Shape: assign every corpus row to its nearest of ``cells`` centroids
+    (narrow argmin expression, no shuffle beyond the cell equi-join);
+    compute each query's ``nprobe`` nearest cells as a pure Catalyst
+    ``array_sort``+``slice`` over the centroid-distance structs and explode
+    to ``(query, cell)``; equi-join queries to corpus ON THE CELL ID; exact
+    per-query top-k window over the survivors. Shuffle volume: corpus once
+    on ``_cell`` (or zero if the corpus is already the cell-partitioned
+    ``index_store`` table), queries ``nprobe``× replicated — versus
+    ``knn_join``'s full corpus × queries distance evaluation with the
+    query table resident on every executor. Within-cell pair work is
+    |q_cell| × |c_cell|: size ``cells`` ~ √N so cells stay bounded, and
+    AQE's skew-join split handles hot cells. Recall follows the IVF
+    envelope (README: measured by sweep, not tabulated) — a true neighbor
+    is missed only when it lives outside all ``nprobe`` probed cells.
+
+    Deterministic end-to-end with the default sample-fit centroids, so
+    results are stable across runs/engines; pass ``centroids`` (e.g. from
+    a k-means fit or a stored ``index_store`` sidecar) to reuse a better
+    quantizer.
+    """
+    if centroids is None:
+        centroids = ivf_fit_deterministic(
+            corpus, corpus_vec_col, corpus_id_col, cells
+        )
+    assigned = ivf_assign_deterministic(corpus, centroids, corpus_vec_col)
+    qdists = F.array(
+        *[
+            F.struct(l2sq(query_vec_col, c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    probe = F.transform(
+        F.slice(F.array_sort(qdists), 1, nprobe), lambda s: s["j"]
+    )
+    qa = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qvec"),
+        F.explode(probe).alias("_cell"),
+    )
+    scored = qa.join(assigned, "_cell").withColumn(
+        "__score", l2sq(F.col(corpus_vec_col), F.col("__qvec")).cast("double")
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__score").asc(), F.col(corpus_id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(corpus_id_col),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sign-LSH top-k: banded Rademacher probing, also fully oracle-checkable
 # ---------------------------------------------------------------------------

@@ -304,3 +304,66 @@ def test_pq_deterministic_adc_self_exactness(spark, sf_dir):
         for r in pq_topk_deterministic(embs, q, topk=500, m=8, k=16).collect()
     }
     assert adc == again
+
+
+def test_ivf_knn_join_full_probe_equals_exact(spark, embeddings):
+    """nprobe=cells degrades to the exact kNN join: every query joins every
+    cell, so results must equal knn_join's (query_id, doc_id, rank) set."""
+    from kaer_spark.operators.knn import knn_join
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_join(queries, embeddings, k=5, corpus_id_col="vec_id").collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_knn_join(
+            queries, embeddings, k=5, cells=4, nprobe=4, corpus_id_col="vec_id"
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_ivf_knn_join_partial_probe_recall_and_shape(spark, embeddings):
+    """nprobe < cells: dense ranks 1..k per query, results deterministic,
+    recall vs exact reasonable on the fixture; and the plan is an EQUI-join
+    on the cell id (never a nested-loop/cartesian corpus × queries), which
+    is what lets the query side scale past broadcast size."""
+    from kaer_spark.operators.knn import knn_join
+    from kaer_spark.operators.similarity import ivf_knn_join
+    from kaer_spark.plans import executed_plan
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    df = ivf_knn_join(
+        queries, embeddings, k=5, cells=8, nprobe=4, corpus_id_col="vec_id"
+    )
+    rows = df.collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(queries, embeddings, k=5, corpus_id_col="vec_id").collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(got & exact) / len(exact) >= 0.4  # nprobe=4 of 8 cells
+    again = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_knn_join(
+            queries, embeddings, k=5, cells=8, nprobe=4, corpus_id_col="vec_id"
+        ).collect()
+    }
+    assert again == {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
