@@ -167,6 +167,40 @@ def test_stream_insert_dense_ids(spark, tmp_path):
     assert coll.meta["next_id"] == 8
 
 
+def test_stream_insert_keeps_index_current(spark, tmp_path):
+    """refresh_index=True: the materialized IVF index catches up after each
+    micro-batch (the streaming form of the reference's inline
+    HNSW-add-on-insert) — index row count and max_id track the collection."""
+    from kaer_spark.operators.index_store import read_index_meta
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("stream_idx")
+    coll.insert([f"seed doc {i}" for i in range(8)])
+    coll.build_index(cells=2, fit="deterministic")
+
+    schema = "batch INT, _m_doc STRING"
+    spark.createDataFrame([(0, f"late doc {i}") for i in range(4)], schema).write.parquet(
+        f"{src}/b0"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_insert(coll, stream, str(tmp_path / "ckpt_idx"), refresh_index=True)
+    q.processAllAvailable()
+    q.stop()
+
+    assert read_index_meta(coll.index_path)["max_id"] == 11
+    indexed = spark.read.parquet(f"{coll.index_path}/data")
+    assert indexed.count() == 12
+    assert indexed.select("_m_id").distinct().count() == 12
+    # the approximate path sees streamed rows immediately
+    assert coll.query("late doc 2", k=12, approximate=True, nprobe=2).count() == 12
+
+
 def test_watermark_late_data_semantics(spark, tmp_path):
     """Append-mode watermark contract: a late row arriving while its window
     is still open (event time above the current watermark) is aggregated;
