@@ -133,6 +133,41 @@ def refresh_ivf_index(corpus: DataFrame, path: str) -> dict:
     return meta
 
 
+def ivf_index_knn_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """kNN JOIN against the materialized index table: the many-queries form
+    of :func:`ivf_index_topk`, for query sides too large to loop (or to
+    broadcast — see ``operators.similarity.ivf_knn_join``, which this
+    wraps). Reuses the table's stored cell assignment — the corpus never
+    recomputes a centroid argmin per join — and the sidecar centroid
+    literals for query-side probing, so results match a fresh
+    ``ivf_knn_join`` built with the same centroids exactly."""
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    meta = read_index_meta(path)
+    corpus = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, DATA_DIR)
+    )
+    return ivf_knn_join(
+        queries,
+        corpus,
+        k,
+        nprobe=nprobe,
+        query_vec_col=query_vec_col,
+        corpus_vec_col=meta["vec_col"],
+        query_id_col=query_id_col,
+        corpus_id_col=meta["id_col"],
+        centroids=meta["centroids"],
+    )
+
+
 def ivf_index_topk(
     spark: SparkSession,
     path: str,

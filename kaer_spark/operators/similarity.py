@@ -277,11 +277,20 @@ def ivf_knn_join(
     a k-means fit or a stored ``index_store`` sidecar) to reuse a better
     quantizer.
     """
-    if centroids is None:
-        centroids = ivf_fit_deterministic(
-            corpus, corpus_vec_col, corpus_id_col, cells
-        )
-    assigned = ivf_assign_deterministic(corpus, centroids, corpus_vec_col)
+    if "_cell" in corpus.columns:
+        # pre-assigned corpus (e.g. the materialized index_store table):
+        # reuse the stored assignment — no per-row argmin over `cells`
+        # centroid distances on every join. `centroids` is then required
+        # (the sidecar's literals) so query probing matches the build.
+        if centroids is None:
+            raise ValueError("pre-assigned corpus requires explicit centroids")
+        assigned = corpus
+    else:
+        if centroids is None:
+            centroids = ivf_fit_deterministic(
+                corpus, corpus_vec_col, corpus_id_col, cells
+            )
+        assigned = ivf_assign_deterministic(corpus, centroids, corpus_vec_col)
     qdists = F.array(
         *[
             F.struct(l2sq(query_vec_col, c).alias("d"), F.lit(j).alias("j"))

@@ -152,3 +152,36 @@ def test_collection_deterministic_index_fit_survives_delete(spark, tmp_path):
     meta = read_index_meta(col.index_path)
     assert meta["fit"] == "deterministic"
     assert col.query("doc 3 alpha beta", k=3, approximate=True).count() == 3
+
+
+def test_index_knn_join_matches_fresh_join(spark, embeddings, tmp_path):
+    """The index-table kNN join reuses the stored assignment + sidecar
+    centroids, so it must equal a fresh ivf_knn_join over the raw corpus
+    with the same (deterministic) centroids — and probing all cells must
+    equal the exact broadcast knn_join."""
+    from kaer_spark.operators.index_store import ivf_index_knn_join
+    from kaer_spark.operators.knn import knn_join
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    path = str(tmp_path / "ivf_join")
+    meta = build_ivf_index(embeddings, path, cells=4, fit="deterministic")
+    queries = (
+        embeddings.orderBy("vec_id").limit(15)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+    def key_set(df):
+        return {(r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()}
+
+    from_index = key_set(
+        ivf_index_knn_join(spark, path, queries, k=5, nprobe=2)
+    )
+    fresh = key_set(
+        ivf_knn_join(
+            queries, embeddings, k=5, nprobe=2,
+            corpus_id_col="vec_id", centroids=meta["centroids"],
+        )
+    )
+    assert from_index == fresh
+    exact = key_set(knn_join(queries, embeddings, k=5, corpus_id_col="vec_id"))
+    assert key_set(ivf_index_knn_join(spark, path, queries, k=5, nprobe=4)) == exact
