@@ -19,6 +19,7 @@ from kaer_spark.operators.dedup import (
 from kaer_spark.operators.similarity import (
     brute_force_topk,
     ivf_knn_join,
+    ivf_fit_spread,
     ivf_topk_deterministic,
     lsh_index,
     lsh_topk,
@@ -28,6 +29,7 @@ from kaer_spark.operators.similarity import (
 
 __all__ = [
     "ivf_knn_join",
+    "ivf_fit_spread",
     "ivf_topk_deterministic",
     "pq_topk_deterministic",
     "signlsh_topk",

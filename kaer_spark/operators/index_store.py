@@ -70,11 +70,13 @@ def build_ivf_index(
     """Build the index table at ``path`` and return its meta dict.
 
     ``fit`` picks the coarse quantizer: ``"kmeans"`` (MLlib — best cell
-    balance/recall, but iterated float sums can't replay in a SQL oracle)
-    or ``"deterministic"`` (smallest-id sample centroids,
+    balance/recall, but iterated float sums can't replay in a SQL oracle),
+    ``"deterministic"`` (smallest-id sample centroids,
     ``similarity.ivf_fit_deterministic`` — bit-exact replayable end to
     end, so an approximate ``query()`` over this index is itself
-    oracle-checkable). Search and refresh are fit-agnostic: both read the
+    oracle-checkable), or ``"spread"`` (hash-ordered sample,
+    ``similarity.ivf_fit_spread`` — equally replayable, decorrelated from
+    ingestion order for better cell balance). Search and refresh are fit-agnostic: both read the
     stored centroid literals from the sidecar.
     """
     if fit == "deterministic":
@@ -83,13 +85,21 @@ def build_ivf_index(
         centroids = ivf_fit_deterministic(
             corpus, vec_col=vec_col, id_col=id_col, cells=cells
         )
+    elif fit == "spread":
+        from kaer_spark.operators.similarity import ivf_fit_spread
+
+        centroids = ivf_fit_spread(
+            corpus, vec_col=vec_col, id_col=id_col, cells=cells
+        )
     elif fit == "kmeans":
         from kaer_spark.operators.similarity import ivf_fit
 
         model = ivf_fit(corpus, vec_col=vec_col, cells=cells, seed=seed)
         centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     else:
-        raise ValueError(f"unknown fit {fit!r}: use 'kmeans' or 'deterministic'")
+        raise ValueError(
+            f"unknown fit {fit!r}: use 'kmeans', 'deterministic', or 'spread'"
+        )
     assigned = _assign_cells(corpus, centroids, vec_col)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(
         os.path.join(path, DATA_DIR)

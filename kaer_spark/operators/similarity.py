@@ -182,6 +182,46 @@ def ivf_fit_deterministic(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+#: fixed universal-hash constants for the spread sample (same family as
+#: dedup.minhash_coeffs: pure int64 arithmetic, SQL-replayable)
+_SPREAD_A = 2654435761
+_SPREAD_B = 0x9E3779B9
+_SPREAD_P = 1_000_000_007
+
+
+def ivf_fit_spread(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 8,
+) -> list[list[float]]:
+    """Centroids = the ``cells`` vectors with smallest ``(a·id + b) mod P``
+    — the deterministic fit with a SPREAD sample.
+
+    :func:`ivf_fit_deterministic` takes the ``cells`` smallest-id vectors;
+    if ingestion order correlates with content (time-ordered crawls,
+    per-source id blocks — the common case at corpus scale) those vectors
+    are clumped and one cell swallows most of the corpus, which is exactly
+    the imbalance that blows up ``ivf_knn_join``'s within-cell pair work.
+    Ordering by a fixed universal hash of the id decorrelates the sample
+    from ingestion order while keeping the same bounded
+    ``TakeOrderedAndProject`` plan (no global sort, no window) and the
+    same SQL replayability (``ORDER BY (a*id + b) % P LIMIT cells`` —
+    pure integer arithmetic). Still zero Lloyd iterations — same
+    bit-exactness rationale as the smallest-id fit.
+    """
+    hkey = (F.col(id_col) * F.lit(_SPREAD_A) + F.lit(_SPREAD_B)) % F.lit(_SPREAD_P)
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(hkey.asc(), F.col(id_col).asc())
+        .limit(cells)
+        .collect()
+    )
+    if len(rows) < cells:
+        raise ValueError(f"corpus has {len(rows)} rows < cells={cells}")
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def ivf_assign_deterministic(
     corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
@@ -287,7 +327,10 @@ def ivf_knn_join(
         assigned = corpus
     else:
         if centroids is None:
-            centroids = ivf_fit_deterministic(
+            # spread fit by default: the join's cost is within-cell pair
+            # work, so cell balance matters more here than in single-query
+            # probing (both fits are equally deterministic/replayable)
+            centroids = ivf_fit_spread(
                 corpus, corpus_vec_col, corpus_id_col, cells
             )
         assigned = ivf_assign_deterministic(corpus, centroids, corpus_vec_col)

@@ -367,3 +367,56 @@ def test_ivf_knn_join_partial_probe_recall_and_shape(spark, embeddings):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _clustered_clumped(spark, per_cluster=100, clusters=4, dim=8):
+    """Synthetic corpus whose INGESTION ORDER correlates with content:
+    ids 0..N arrive cluster by cluster (time-ordered crawl shape)."""
+    state, rows = 11, []
+    for c in range(clusters):
+        for i in range(per_cluster):
+            vec = []
+            for d in range(dim):
+                state = (state * 1103515245 + 12345) % (1 << 31)
+                noise = state / float(1 << 31) - 0.5
+                vec.append((10.0 if d == c else 0.0) + noise)
+            rows.append((c * per_cluster + i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_fit_spread_balances_clumped_ingestion(spark):
+    """On an id-order-equals-content corpus, the smallest-id fit samples one
+    cluster only; the hash-spread fit must (a) be deterministic, (b) yield
+    balanced cells, (c) make nprobe=1 joins accurate (cell ≈ cluster)."""
+    from kaer_spark.operators.knn import knn_join
+    from kaer_spark.operators.similarity import (
+        ivf_assign_deterministic,
+        ivf_fit_spread,
+        ivf_knn_join,
+    )
+
+    corpus = _clustered_clumped(spark)
+    cents = ivf_fit_spread(corpus, cells=4)
+    assert cents == ivf_fit_spread(corpus, cells=4)
+    sizes = [
+        r["n"]
+        for r in ivf_assign_deterministic(corpus, cents)
+        .groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    ]
+    # 400 rows over 4 cells: no cell swallows the corpus, none starves
+    assert len(sizes) >= 3 and max(sizes) <= 250 and min(sizes) >= 20
+    queries = (
+        corpus.filter((F.col("vec_id") % 100) == 50)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(queries, corpus, k=5, corpus_id_col="vec_id").collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn_join(
+            queries, corpus, k=5, cells=4, nprobe=1, corpus_id_col="vec_id"
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
