@@ -321,3 +321,39 @@ def test_embedding_near_dups_lsh_autocalibrated(spark, sf_dir):
         for r in embedding_near_dups(embs, threshold=thr).collect()
     }
     assert got <= truth and len(got) > 0
+
+
+def test_calibrate_signlsh_properties_fuzz():
+    """Property fuzz over the calibration domain: for ANY corpus size,
+    threshold, target and recall goal, the returned geometry satisfies the
+    analytic recall bound (unless capped), keeps bits within the bucket
+    contract, and stays inside the hard caps."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kaer_spark.operators.dedup import calibrate_signlsh
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**13),
+        threshold=st.floats(min_value=0.5, max_value=0.999),
+        target=st.integers(min_value=1, max_value=10**6),
+        recall=st.floats(min_value=0.5, max_value=0.99),
+    )
+    def check(n, threshold, target, recall):
+        bands, bits = calibrate_signlsh(
+            n, threshold=threshold, target_bucket_rows=target,
+            recall_target=recall,
+        )
+        assert 1 <= bits <= 24 and 1 <= bands <= 64
+        # bucket contract: 2^bits >= n/target unless the bits cap bound it
+        if bits < 24:
+            assert (1 << bits) >= min(n / target, 2.0) * (1 - 1e-9)
+        # recall contract: analytic recall meets the goal unless bands capped
+        p = 1.0 - math.acos(threshold) / math.pi
+        if bands < 64:
+            assert 1.0 - (1.0 - p**bits) ** bands >= recall - 1e-9
+
+    check()
