@@ -292,10 +292,19 @@ def ivf_knn_join(
     query_id_col: str = "query_id",
     corpus_id_col: str = "doc_id",
     centroids: list[list[float]] | None = None,
+    metric: str = "l2sq",
 ) -> DataFrame:
     """Approximate kNN JOIN that never broadcasts the query side — the
     scale path ``operators.knn.knn_join`` punts on ("for huge query sides,
     chunk the queries and union").
+
+    ``metric="cosine"`` ranks survivors by descending cosine similarity
+    (matching ``knn_join``'s tie rules) and probes cells by ANGLE: queries
+    pick the ``nprobe`` centroids with the highest cosine, and when this
+    function also assigns the corpus, assignment is spherical (argmax
+    cosine to the centroid). Don't mix metrics between build and join on a
+    pre-assigned corpus — an L2-assigned cell layout probed by angle loses
+    recall for vectors whose magnitude, not direction, drove their cell.
 
     Shape: assign every corpus row to its nearest of ``cells`` centroids
     (narrow argmin expression, no shuffle beyond the cell equi-join);
@@ -317,6 +326,16 @@ def ivf_knn_join(
     a k-means fit or a stored ``index_store`` sidecar) to reuse a better
     quantizer.
     """
+    if metric not in ("l2sq", "cosine"):
+        raise ValueError(f"metric must be 'l2sq' or 'cosine', got {metric!r}")
+
+    def cell_dist(vec_col, c):
+        # "distance" used for assignment + probing: l2sq, or negated cosine
+        # (argmin over -cos IS argmax cosine; struct ties break on cell id)
+        if metric == "cosine":
+            return -cosine_similarity(vec_col, c)
+        return l2sq(vec_col, c)
+
     if "_cell" in corpus.columns:
         # pre-assigned corpus (e.g. the materialized index_store table):
         # reuse the stored assignment — no per-row argmin over `cells`
@@ -333,10 +352,16 @@ def ivf_knn_join(
             centroids = ivf_fit_spread(
                 corpus, corpus_vec_col, corpus_id_col, cells
             )
-        assigned = ivf_assign_deterministic(corpus, centroids, corpus_vec_col)
+        arr = F.array(
+            *[
+                F.struct(cell_dist(corpus_vec_col, c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+        assigned = corpus.withColumn("_cell", F.array_min(arr)["j"])
     qdists = F.array(
         *[
-            F.struct(l2sq(query_vec_col, c).alias("d"), F.lit(j).alias("j"))
+            F.struct(cell_dist(query_vec_col, c).alias("d"), F.lit(j).alias("j"))
             for j, c in enumerate(centroids)
         ]
     )
@@ -348,12 +373,16 @@ def ivf_knn_join(
         F.col(query_vec_col).alias("__qvec"),
         F.explode(probe).alias("_cell"),
     )
+    if metric == "cosine":
+        score = cosine_similarity(F.col(corpus_vec_col), F.col("__qvec"))
+        order = [F.col("__score").desc(), F.col(corpus_id_col).asc()]
+    else:
+        score = l2sq(F.col(corpus_vec_col), F.col("__qvec"))
+        order = [F.col("__score").asc(), F.col(corpus_id_col).asc()]
     scored = qa.join(assigned, "_cell").withColumn(
-        "__score", l2sq(F.col(corpus_vec_col), F.col("__qvec")).cast("double")
+        "__score", score.cast("double")
     )
-    w = Window.partitionBy("__qid").orderBy(
-        F.col("__score").asc(), F.col(corpus_id_col).asc()
-    )
+    w = Window.partitionBy("__qid").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -420,3 +420,29 @@ def test_ivf_fit_spread_balances_clumped_ingestion(spark):
         ).collect()
     }
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_ivf_knn_join_cosine_full_probe_equals_exact(spark, embeddings):
+    """metric='cosine': spherical assignment + angle probing; probing every
+    cell must equal the exact cosine knn_join (same ranks, same ties)."""
+    from kaer_spark.operators.knn import knn_join
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(15)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_join(
+            queries, embeddings, k=5, corpus_id_col="vec_id", metric="cosine"
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_knn_join(
+            queries, embeddings, k=5, cells=4, nprobe=4,
+            corpus_id_col="vec_id", metric="cosine",
+        ).collect()
+    }
+    assert approx == exact
