@@ -359,6 +359,57 @@ class Collection:
             .limit(k)
         )
 
+    def query_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        filter: Mapping[str, Any] | None = None,
+        query_vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        approximate: bool = False,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Batch retrieval: for EVERY row of a query DataFrame, the k
+        nearest collection documents — ``query()``'s many-queries form
+        (the shape a retrieval/eval pipeline runs, vs the reference's
+        one-query-per-call loop, ``db/db.go:111-143``).
+
+        Returns ``(query_id, _m_id, rank)``. Exact mode runs the broadcast
+        ``knn_join`` (query side must fit a broadcast); ``approximate=True``
+        joins against the materialized IVF index ON THE CELL ID — the query
+        side is never broadcast, so this is also the path for huge query
+        tables. ``filter`` applies the usual Mongo-dialect metadata
+        pre-filter to the corpus side (filtered ANN semantics, pushed into
+        the scan).
+        """
+        pred: Column | None = None
+        if filter is not None:
+            pred = (
+                compile_filter_json(filter, META_COL)
+                if self.meta.get("schemaless")
+                else compile_filter(filter)
+            )
+        if approximate:
+            if not self.meta.get("has_index"):
+                raise CollectionNotFound(
+                    f"collection {self.name} has no index; call build_index()"
+                )
+            from kaer_spark.operators.index_store import ivf_index_knn_join
+
+            return ivf_index_knn_join(
+                self.ctx.spark, self.index_path, queries, k,
+                nprobe=nprobe, query_vec_col=query_vec_col,
+                query_id_col=query_id_col, pred=pred,
+            )
+        from kaer_spark.operators.knn import knn_join
+
+        corpus = self.df() if pred is None else self.df().filter(pred)
+        return knn_join(
+            queries, corpus, k,
+            query_vec_col=query_vec_col, corpus_vec_col=EMB_COL,
+            query_id_col=query_id_col, corpus_id_col=ID_COL,
+        )
+
     def delete(self, filter: Mapping[str, Any]) -> int:
         """Delete every document matching the filter; returns the count
         removed.

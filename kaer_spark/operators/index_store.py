@@ -151,6 +151,7 @@ def ivf_index_knn_join(
     nprobe: int = 4,
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    pred=None,
 ) -> DataFrame:
     """kNN JOIN against the materialized index table: the many-queries form
     of :func:`ivf_index_topk`, for query sides too large to loop (or to
@@ -158,7 +159,9 @@ def ivf_index_knn_join(
     wraps). Reuses the table's stored cell assignment — the corpus never
     recomputes a centroid argmin per join — and the sidecar centroid
     literals for query-side probing, so results match a fresh
-    ``ivf_knn_join`` built with the same centroids exactly."""
+    ``ivf_knn_join`` built with the same centroids exactly. ``pred``
+    applies the metadata pre-filter inside the probed corpus (filtered
+    batch ANN, same semantics as :func:`ivf_index_topk`)."""
     from kaer_spark.operators.similarity import ivf_knn_join
 
     meta = read_index_meta(path)
@@ -175,6 +178,7 @@ def ivf_index_knn_join(
         query_id_col=query_id_col,
         corpus_id_col=meta["id_col"],
         centroids=meta["centroids"],
+        corpus_pred=pred,
     )
 
 

@@ -293,6 +293,7 @@ def ivf_knn_join(
     corpus_id_col: str = "doc_id",
     centroids: list[list[float]] | None = None,
     metric: str = "l2sq",
+    corpus_pred=None,
 ) -> DataFrame:
     """Approximate kNN JOIN that never broadcasts the query side — the
     scale path ``operators.knn.knn_join`` punts on ("for huge query sides,
@@ -324,7 +325,9 @@ def ivf_knn_join(
     Deterministic end-to-end with the default sample-fit centroids, so
     results are stable across runs/engines; pass ``centroids`` (e.g. from
     a k-means fit or a stored ``index_store`` sidecar) to reuse a better
-    quantizer.
+    quantizer. ``corpus_pred`` (a boolean Column) pre-filters the corpus —
+    the reference's filtered-ANN semantics in batch form; the filter sits
+    below the join so Catalyst pushes it into the corpus scan.
     """
     if metric not in ("l2sq", "cosine"):
         raise ValueError(f"metric must be 'l2sq' or 'cosine', got {metric!r}")
@@ -359,6 +362,8 @@ def ivf_knn_join(
             ]
         )
         assigned = corpus.withColumn("_cell", F.array_min(arr)["j"])
+    if corpus_pred is not None:
+        assigned = assigned.filter(corpus_pred)
     qdists = F.array(
         *[
             F.struct(cell_dist(query_vec_col, c).alias("d"), F.lit(j).alias("j"))

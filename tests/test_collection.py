@@ -317,3 +317,46 @@ def test_ingest_job_budget(spark, tmp_path):
     assert coll.delete({"x": 1}) == 3
     assert len(tracker.getJobIdsForGroup(None)) - before <= 5
     assert coll.count() == 1  # the warm-up row survived
+
+
+def test_query_batch_exact_and_approximate(spark, tmp_path):
+    """Batch retrieval parity: exact mode ranks like per-query query();
+    approximate mode joins the IVF index with the metadata filter applied
+    to the corpus side (filtered batch ANN)."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("qb")
+    col = ctx.get_collection("qb")
+    col.insert(
+        [f"document number {i} about topic {i % 3}" for i in range(18)],
+        [{"grp": i % 2} for i in range(18)],
+    )
+    queries = col.df().limit(4).select(
+        F.col("_m_id").alias("query_id"), F.col("_m_embedding").alias("embedding")
+    )
+    exact = col.query_batch(queries, k=3)
+    rows = exact.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    # rank-1 neighbor of a corpus vector is itself (distance 0, min id tie)
+    self_hits = {r["query_id"]: r["_m_id"] for r in rows if r["rank"] == 1}
+    assert all(q == d for q, d in self_hits.items())
+    # filtered: every returned doc satisfies the predicate
+    filt = col.query_batch(queries, k=3, filter={"grp": 0}).alias("r")
+    joined = filt.join(col.df().select("_m_id", "grp"), "_m_id").collect()
+    assert joined and all(r["grp"] == 0 for r in joined)
+
+    col.build_index(cells=3, fit="spread")
+    approx = col.query_batch(queries, k=3, approximate=True, nprobe=3)
+    # full probe (nprobe == cells) must equal the exact join
+    assert {(r["query_id"], r["_m_id"], r["rank"]) for r in approx.collect()} == {
+        (r["query_id"], r["_m_id"], r["rank"]) for r in rows
+    }
+    filt_a = col.query_batch(
+        queries, k=3, filter={"grp": 0}, approximate=True, nprobe=3
+    )
+    joined_a = filt_a.join(col.df().select("_m_id", "grp"), "_m_id").collect()
+    assert joined_a and all(r["grp"] == 0 for r in joined_a)
