@@ -490,17 +490,25 @@ def _signlsh_candidates(
         signlsh_band_key("v", all_planes[b * bits_per_band : (b + 1) * bits_per_band])
         for b in range(bands)
     ]
-    inv = base.select(
+    # Materialize (id, band keys) ONCE before the self-join: both join
+    # sides would otherwise re-evaluate every plane-dot fold — the
+    # dominant expression cost — over the full corpus. The checkpointed
+    # frame is bands+1 longs per row (no vectors), so this is the cheap
+    # side of the trade at any scale; localCheckpoint (not persist) so the
+    # ContextCleaner reclaims the blocks (same rationale as
+    # ngram_jaccard_pairs' shingle checkpoint above).
+    keyed = base.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), k.alias("key"))
-                    for b, k in enumerate(keys)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), k.alias("key"))
+                for b, k in enumerate(keys)
+            ]
+        ).alias("__bks"),
+    ).localCheckpoint()
+    inv = keyed.select("id", F.explode("__bks").alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a, b = inv.alias("a"), inv.alias("b")
     return (
         a.join(b, on=["band", "key"])
