@@ -439,6 +439,13 @@ class Collection:
         obs = Observation()
         df = self.df().observe(obs, F.count(F.lit(1)).alias("total"))
         keep = df.filter(~F.coalesce(pred, F.lit(False)))
+        return self._commit_rewrite(keep, obs)
+
+    def _commit_rewrite(self, keep: DataFrame, obs: Observation) -> int:
+        """Atomically replace the collection data with ``keep`` (directory
+        swap, single-writer), refresh meta and rebuild the index if one
+        exists. ``obs`` must observe the pre-rewrite total on the scan
+        feeding ``keep``. Returns rows removed."""
         tmp = self.data_path + ".rewrite"
         keep.write.mode("overwrite").parquet(tmp)
         total = int(obs.get["total"])
@@ -464,6 +471,60 @@ class Collection:
                     fit=im.get("fit", "kmeans"),
                 )
         return total - kept_n
+
+    def near_duplicates(
+        self,
+        threshold: float = 0.95,
+        target_bucket_rows: int | None = 1024,
+        seed: int = 7,
+    ) -> DataFrame:
+        """Near-duplicate pairs ``(id_a, id_b, cosine)`` among the stored
+        embeddings — the dedup family (operators.dedup) applied to the
+        collection's own ``_m_embedding`` column. Sign-LSH banded
+        candidates with exact-cosine verification; band geometry is
+        corpus-size-calibrated by default (``target_bucket_rows``), or pass
+        ``None`` to use the operator's pinned (bands=4, bits=4) width.
+        """
+        from kaer_spark.operators.dedup import embedding_near_dups_lsh
+
+        return embedding_near_dups_lsh(
+            self.df(), id_col=ID_COL, vec_col=EMB_COL,
+            threshold=threshold, seed=seed,
+            target_bucket_rows=target_bucket_rows,
+        )
+
+    def deduplicate(
+        self,
+        threshold: float = 0.95,
+        target_bucket_rows: int | None = 1024,
+    ) -> int:
+        """Remove near-duplicate documents, keeping the smallest id of each
+        duplicate cluster; returns rows removed.
+
+        The end-to-end corpus-hygiene flow (pairs → connected components →
+        keep min-id representative → anti-join rewrite) as one collection
+        call. The drop set stays a DataFrame through the anti-join — never
+        collected to the driver — so the flow holds at any collection size;
+        the rewrite is the same atomic directory swap as ``delete`` and
+        rebuilds the index if one exists. Ids of survivors are unchanged
+        (dense-id holes are fine; the allocator only moves forward).
+        """
+        if not self.meta.get("has_data"):
+            return 0
+        from kaer_spark.operators.dedup import dedup_clusters
+
+        pairs = self.near_duplicates(threshold, target_bucket_rows)
+        drop = (
+            dedup_clusters(pairs)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(ID_COL))
+        )
+        if drop.isEmpty():
+            return 0
+        obs = Observation()
+        df = self.df().observe(obs, F.count(F.lit(1)).alias("total"))
+        keep = df.join(drop, ID_COL, "left_anti")
+        return self._commit_rewrite(keep, obs)
 
     def count(self) -> int:
         return self.df().count() if self.meta.get("has_data") else 0

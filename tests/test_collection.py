@@ -360,3 +360,42 @@ def test_query_batch_exact_and_approximate(spark, tmp_path):
     )
     joined_a = filt_a.join(col.df().select("_m_id", "grp"), "_m_id").collect()
     assert joined_a and all(r["grp"] == 0 for r in joined_a)
+
+
+def test_near_duplicates_and_deduplicate(spark, tmp_path):
+    """Collection-level corpus hygiene: near_duplicates surfaces stored-
+    embedding cosine pairs; deduplicate removes all but the min-id member
+    of each duplicate cluster, keeps the index consistent, and is
+    idempotent."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("hyg")
+    col = ctx.get_collection("hyg")
+    texts = [
+        "alpha beta gamma", "alpha beta gamma",        # 0 ≡ 1
+        "delta epsilon zeta", "delta epsilon zeta",    # 2 ≡ 3
+        "unique content one", "unique content two",
+        "alpha beta gamma",                            # 6 ≡ 0,1
+    ]
+    col.insert(texts)
+    col.build_index(cells=2, fit="spread")
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in col.near_duplicates(threshold=0.999).collect()
+    }
+    assert {(0, 1), (0, 6), (1, 6), (2, 3)} <= pairs
+
+    removed = col.deduplicate(threshold=0.999)
+    assert removed == 3  # 1, 6 (cluster of 0) and 3 (cluster of 2)
+    kept = sorted(r["_m_id"] for r in col.df().select("_m_id").collect())
+    assert kept == [0, 2, 4, 5]
+    assert col.meta["next_id"] == 7  # allocator never regresses
+    # index rebuilt over the survivors
+    from kaer_spark.operators.index_store import read_index_meta
+
+    assert read_index_meta(col.index_path)["max_id"] == 5
+    assert col.query("alpha beta gamma", k=4, approximate=True, nprobe=2).count() == 4
+    # idempotent: nothing left to remove
+    assert col.deduplicate(threshold=0.999) == 0
