@@ -446,3 +446,20 @@ def test_ivf_knn_join_cosine_full_probe_equals_exact(spark, embeddings):
         ).collect()
     }
     assert approx == exact
+
+
+def test_ivf_knn_join_input_validation(spark, embeddings):
+    """Negative paths: unknown metric and pre-assigned corpus without
+    centroids are loud errors, not silent misbehavior."""
+    import pytest as _pytest
+
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    q = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="metric"):
+        ivf_knn_join(q, embeddings, k=2, metric="dotproduct")
+    pre = embeddings.withColumn("_cell", F.lit(0))
+    with _pytest.raises(ValueError, match="centroids"):
+        ivf_knn_join(q, pre, k=2)
