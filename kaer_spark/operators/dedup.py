@@ -20,8 +20,10 @@ Scale design (100 TB):
   pair count.
 * SimHash — one 24-bit fingerprint per doc, banded by bytes; hamming
   verification via bit_count(xor).
-* embedding near-dup — blocked all-pairs cosine; at scale the blocking
-  column comes from an LSH/IVF bucketer (see operators/similarity.py).
+* embedding near-dup — banded sign-LSH candidates + exact-cosine verify
+  (``embedding_near_dups_lsh``), with ``calibrate_signlsh`` sizing the
+  band geometry to corpus scale; the blocked all-pairs form
+  (``embedding_near_dups``) remains as the small-data/oracle baseline.
 """
 
 from __future__ import annotations
