@@ -43,7 +43,12 @@ from kaer_spark.operators.knn import exact_knn, knn_join
 from kaer_spark.operators.similarity import ivf_knn_join
 from kaer_spark.operators.packing import pack_sequences, pack_stats
 from kaer_spark.operators.ranking import bm25_scores
-from kaer_spark.operators.sampling import hash_sample, quota_per_group, weighted_mix
+from kaer_spark.operators.sampling import (
+    hash_sample,
+    quota_per_group,
+    token_budget_mix,
+    weighted_mix,
+)
 from kaer_spark.operators.skew import salted_join
 from kaer_spark.pipelines import (
     corpus_stats,
@@ -83,6 +88,7 @@ __all__ = [
     "corpus_stats",
     "calibrate_signlsh",
     "ivf_knn_join",
+    "token_budget_mix",
     "embedding_near_dups_lsh",
     "signlsh_candidate_pairs",
     "dedup_clusters",

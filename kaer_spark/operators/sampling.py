@@ -83,6 +83,77 @@ def weighted_mix(
     return df.filter(sample_bucket(id_col, buckets) < rate)
 
 
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict[str, int],
+    token_col: str,
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+    shards: int = 32,
+) -> DataFrame:
+    """Per-group TOKEN budgets: keep each group's documents, in a
+    deterministic pseudo-random order, until the cumulative ``token_col``
+    reaches the group's budget (the doc that crosses the line is kept).
+
+    Pretraining mixes are specified in tokens, not rows — "1B tokens of
+    source X" — which ``weighted_mix``'s rate semantics can't express
+    without knowing the corpus size in advance. Selection order is
+    ``(shard, lcg_hash(id), id)`` with ``shard = lcg_hash(id) mod S``:
+    pseudo-random w.r.t. content (no head-of-corpus bias), pure integer
+    arithmetic (stable across runs/retries/engines, same discipline as
+    ``hash_sample``), and MONOTONE in the budget — raising a group's
+    budget only appends documents to its prefix, so incremental re-mixes
+    nest exactly like ``weighted_mix`` rates.
+
+    Scale shape (the reason for the shard level): a single per-group
+    running sum would serialize each group through one reducer. Instead
+    the exclusive cumsum runs per (group, shard) — high-cardinality
+    windows, one full-data exchange — while the shard totals take a
+    map-side-combined aggregate whose exchange carries only
+    groups × shards rows per task, and the shard-to-shard running offsets
+    are computed on that tiny frame and broadcast back. A doc is kept iff
+    its shard offset plus its within-shard exclusive cumsum is still
+    under budget — exactly the global prefix in shard-major order, with
+    the budget boundary landing inside a single shard per group.
+
+    Groups absent from ``budgets`` get ``default_budget`` (0 = drop).
+    """
+    hkey = F.pmod(
+        F.col(id_col).cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_C),
+        F.lit(SAMPLE_MOD),
+    )
+    shard = F.pmod(hkey, F.lit(int(shards)))
+    budget = F.lit(int(default_budget)).cast("long")
+    for g, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == F.lit(g), F.lit(int(b))).otherwise(budget)
+
+    tagged = df.withColumn("__hk", hkey).withColumn("__sh", shard)
+    w = (
+        Window.partitionBy(group_col, "__sh")
+        .orderBy("__hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(F.col(token_col).cast("long")).over(w), F.lit(0))
+    totals = tagged.groupBy(group_col, "__sh").agg(
+        F.sum(F.col(token_col).cast("long")).alias("__sht")
+    )
+    wofs = (
+        Window.partitionBy(group_col)
+        .orderBy("__sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__ofs", F.coalesce(F.sum("__sht").over(wofs), F.lit(0))
+    ).drop("__sht")
+    return (
+        tagged.withColumn("__cum", cum_excl)
+        .join(F.broadcast(offsets), [group_col, "__sh"])
+        .filter(F.col("__ofs") + F.col("__cum") < budget)
+        .drop("__hk", "__sh", "__cum", "__ofs")
+    )
+
+
 def quota_per_group(
     df: DataFrame,
     group_col: str,

@@ -299,3 +299,73 @@ def test_engine_oracle_modulo_agreement_negative_ids(spark):
         "(-7), (-1), (0), (5), (-32)) v(doc_id)"
     )
     assert eng == dict(duckdb.query(sql).fetchall())
+
+
+def test_token_budget_mix_matches_python(documents):
+    """Engine selection ≡ a Python replay of the (shard, hash, id) prefix
+    arithmetic; budgets are monotone (bigger budget ⊇ smaller); unknown
+    groups drop under the default budget."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.sampling import (
+        SAMPLE_A,
+        SAMPLE_C,
+        SAMPLE_MOD,
+        token_budget_mix,
+    )
+
+    S = 8
+    df = documents.withColumn("ntok", F.size(F.split("text", " ")))
+    rows = df.select("doc_id", "source", "ntok").collect()
+    budgets = {"src0": 4000, "src1": 1500}
+
+    def prefix(budget_map):
+        by_group: dict = {}
+        for r in rows:
+            hk = (r["doc_id"] * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD
+            by_group.setdefault(r["source"], []).append(
+                (hk % S, hk, r["doc_id"], r["ntok"])
+            )
+        want = set()
+        for g, items in by_group.items():
+            b = budget_map.get(g, 0)
+            cum = 0
+            for sh, hk, did, ntok in sorted(items):
+                if cum < b:
+                    want.add(did)
+                cum += ntok
+        return want
+
+    got = {
+        r["doc_id"]
+        for r in token_budget_mix(
+            df, "source", budgets, "ntok", shards=S
+        ).collect()
+    }
+    assert got == prefix(budgets)
+    assert got  # the fixture has src0/src1 rows
+    # only budgeted groups survive
+    srcs = {
+        r["source"]
+        for r in token_budget_mix(df, "source", budgets, "ntok", shards=S)
+        .select("source").distinct().collect()
+    }
+    assert srcs <= {"src0", "src1"}
+    # monotone: doubling a budget only adds documents
+    bigger = {
+        r["doc_id"]
+        for r in token_budget_mix(
+            df, "source", {"src0": 8000, "src1": 1500}, "ntok", shards=S
+        ).collect()
+    }
+    assert got <= bigger
+    # kept token mass overshoots the budget by at most one document
+    kept = token_budget_mix(df, "source", budgets, "ntok", shards=S)
+    sums = {
+        r["source"]: (r["t"], r["mx"])
+        for r in kept.groupBy("source")
+        .agg(F.sum("ntok").alias("t"), F.max("ntok").alias("mx"))
+        .collect()
+    }
+    for g, (t, mx) in sums.items():
+        assert t < budgets[g] + mx + 1
