@@ -75,26 +75,42 @@ def corpus_stats(corpus: DataFrame) -> DataFrame:
     )
 
 
-def numeric_profile(df: DataFrame, col: str, group_col: str | None = None) -> DataFrame:
-    """One-pass column profile: count / nulls / min / max / EXACT
-    percentiles (p25/p50/p90, linear interpolation) / decimal-accumulated
-    mean — the table-health snapshot a pipeline runs before and after each
-    transformation stage.
+def numeric_profile(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    approximate: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One-pass column profile: count / nulls / min / max / percentiles
+    (p25/p50/p90) / decimal-accumulated mean — the table-health snapshot a
+    pipeline runs before and after each transformation stage.
 
-    Exact ``percentile`` needs a per-group sort of the column values; for a
-    quick look at petabyte scale swap in ``percentile_approx`` (t-digest,
-    one pass, no sort) — the exact form is kept here because it is
-    oracle-checkable bit-for-bit (DuckDB ``quantile_cont`` shares the
-    interpolation definition).
+    Exact ``percentile`` (the default) holds every group's values for an
+    in-aggregate sort — oracle-checkable bit-for-bit (DuckDB
+    ``quantile_cont`` shares the linear-interpolation definition), but
+    memory grows with group size. ``approximate=True`` is the petabyte
+    path: ``percentile_approx`` (Greenwald-Khanna sketch) keeps a bounded
+    ``O(accuracy)`` summary per group, rank error ≤ 1/``accuracy``, one
+    pass, no sort — same output schema, so the two modes are drop-in
+    interchangeable (sketch-vs-exact agreement is bounded in tests).
     """
+    if approximate:
+        pcts = [
+            F.percentile_approx(col, p, accuracy).cast("double").alias(name)
+            for p, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"))
+        ]
+    else:
+        pcts = [
+            F.expr(f"percentile({col}, {p})").alias(name)
+            for p, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"))
+        ]
     aggs = [
         F.count("*").alias("n_rows"),
         F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
         F.min(col).alias("min_val"),
         F.max(col).alias("max_val"),
-        F.expr(f"percentile({col}, 0.25)").alias("p25"),
-        F.expr(f"percentile({col}, 0.5)").alias("p50"),
-        F.expr(f"percentile({col}, 0.9)").alias("p90"),
+        *pcts,
         (
             F.sum(F.col(col).cast("decimal(28,2)")).cast("double") / F.count("*")
         ).alias("mean_val"),

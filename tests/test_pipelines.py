@@ -92,3 +92,36 @@ def test_stratified_split_two_level_exact_counts(spark, documents):
         .collect()
     )
     assert a == b
+
+
+def test_numeric_profile_approx_brackets_exact(documents):
+    """approximate=True: same schema, percentiles within the sketch's rank
+    error of the exact ones (on 500 rows with accuracy=10000 the sketch is
+    value-exact at these quantiles), every other stat identical."""
+    from kaer_spark.pipelines import numeric_profile
+
+    exact = numeric_profile(documents, "n_chars", group_col="lang").collect()
+    approx = numeric_profile(
+        documents, "n_chars", group_col="lang", approximate=True
+    ).collect()
+    assert exact[0].asDict().keys() == approx[0].asDict().keys()
+    ex = {r["lang"]: r for r in exact}
+    ap = {r["lang"]: r for r in approx}
+    assert set(ex) == set(ap)
+    vals = {
+        r["lang"]: sorted(
+            x["n_chars"] for x in documents.filter(F.col("lang") == r["lang"])
+            .select("n_chars").collect()
+        )
+        for r in exact
+    }
+    for lang, e in ex.items():
+        a = ap[lang]
+        for f in ("n_rows", "n_nulls", "min_val", "max_val", "mean_val"):
+            assert a[f] == e[f], (lang, f)
+        # sketch percentile is an actual column value within rank error;
+        # with accuracy >> n it is the exact lower-neighbor order statistic
+        for p in ("p25", "p50", "p90"):
+            assert a[p] in vals[lang], (lang, p)
+            lo, hi = min(vals[lang]), max(vals[lang])
+            assert lo <= a[p] <= hi
