@@ -184,3 +184,22 @@ def test_cohort_retention_one_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert re.search(r"Exchange hashpartitioning\(user#\d+", plan)
     assert "Python" not in plan
+
+
+def test_token_budget_mix_single_full_exchange(documents):
+    """Budgeted mixing must shuffle the full data ONCE (the per-(group,
+    shard) cumsum window); the shard-totals aggregate is map-side combined
+    and the offsets come back as a broadcast, never a second full-data
+    exchange. No Python anywhere."""
+    from kaer_spark.operators.sampling import token_budget_mix
+
+    df = documents.withColumn("ntok", F.size(F.split("text", " ")))
+    plan = executed_plan(token_budget_mix(df, "source", {"src0": 1000}, "ntok"))
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+    # window exchange + partial-agg exchange + tiny offsets exchange: the
+    # aggregate sides carry combined partials, so only ONE exchange sees
+    # full row volume. Guard the exchange count so a rewrite that adds a
+    # join-keyed reshuffle of the corpus fails here.
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan
