@@ -399,3 +399,32 @@ def test_near_duplicates_and_deduplicate(spark, tmp_path):
     assert col.query("alpha beta gamma", k=4, approximate=True, nprobe=2).count() == 4
     # idempotent: nothing left to remove
     assert col.deduplicate(threshold=0.999) == 0
+
+
+def test_query_batch_schemaless_filter(spark, tmp_path):
+    """Batch retrieval over a schemaless collection routes the filter
+    through the VARIANT compiler — ragged metadata keys work in both exact
+    and indexed mode."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("qbs", schemaless=True)
+    col = ctx.get_collection("qbs")
+    col.insert(
+        [f"text number {i}" for i in range(12)],
+        [{"tag": "a", "extra": i} if i % 2 else {"tag": "b"} for i in range(12)],
+    )
+    queries = col.df().limit(3).select(
+        F.col("_m_id").alias("query_id"), F.col("_m_embedding").alias("embedding")
+    )
+    got = col.query_batch(queries, k=4, filter={"tag": "a"})
+    ids = {r["_m_id"] for r in got.collect()}
+    assert ids and all(i % 2 == 1 for i in ids)  # only tag:"a" docs
+    missing = col.query_batch(queries, k=4, filter={"extra": {"$exists": True}})
+    assert {r["_m_id"] for r in missing.collect()} == ids
+    col.build_index(cells=2, fit="spread")
+    approx = col.query_batch(queries, k=4, filter={"tag": "a"},
+                             approximate=True, nprobe=2)
+    assert {r["_m_id"] for r in approx.collect()} <= ids
