@@ -143,6 +143,89 @@ def refresh_ivf_index(corpus: DataFrame, path: str) -> dict:
     return meta
 
 
+def write_ivf_bucketed_table(
+    corpus: DataFrame,
+    table: str,
+    meta_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 16,
+    fit: str = "spread",
+) -> dict:
+    """Materialize the cell-assigned corpus as a CATALOG TABLE bucketed by
+    ``_cell`` — the zero-corpus-shuffle layout for RECURRING kNN joins.
+
+    The path-based index (``build_ivf_index``) prunes single-query probes
+    by partition directory; for the JOIN workload the relevant cost is the
+    cell equi-join's corpus-side exchange once the query side outgrows a
+    broadcast (AQE falls back to a shuffle join). Bucketing the table on
+    ``_cell`` records the hash distribution in the catalog, so that join
+    reads the corpus bucket-aligned with NO exchange below the join — only
+    the (small) query side shuffles. Centroids and geometry go to the
+    ``meta_path`` sidecar, same format as the path index.
+    """
+    from kaer_spark.operators.similarity import (
+        ivf_fit_deterministic,
+        ivf_fit_spread,
+    )
+    from kaer_spark.sources.files import write_bucketed
+
+    if fit == "spread":
+        centroids = ivf_fit_spread(corpus, vec_col, id_col, cells)
+    elif fit == "deterministic":
+        centroids = ivf_fit_deterministic(corpus, vec_col, id_col, cells)
+    else:
+        raise ValueError(f"unknown fit {fit!r}: use 'spread' or 'deterministic'")
+    assigned = _assign_cells(corpus, centroids, vec_col)
+    write_bucketed(assigned, table, ["_cell"], num_buckets=cells, sort_by=[id_col])
+    meta = {
+        "cells": cells,
+        "dim": len(centroids[0]),
+        "fit": fit,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "table": table,
+        "centroids": centroids,
+    }
+    os.makedirs(meta_path, exist_ok=True)
+    with open(os.path.join(meta_path, META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_table_knn_join(
+    spark: SparkSession,
+    table: str,
+    meta_path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pred=None,
+) -> DataFrame:
+    """kNN join against the BUCKETED cell table written by
+    :func:`write_ivf_bucketed_table`: the corpus side of the cell
+    equi-join carries no exchange (bucket-aligned scan) even when the
+    query side is too large to broadcast — plan-asserted in
+    ``tests/test_index_store.py``."""
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    meta = read_index_meta(meta_path)
+    return ivf_knn_join(
+        queries,
+        spark.table(table),
+        k,
+        nprobe=nprobe,
+        query_vec_col=query_vec_col,
+        corpus_vec_col=meta["vec_col"],
+        query_id_col=query_id_col,
+        corpus_id_col=meta["id_col"],
+        centroids=meta["centroids"],
+        corpus_pred=pred,
+    )
+
+
 def ivf_index_knn_join(
     spark: SparkSession,
     path: str,

@@ -185,3 +185,59 @@ def test_index_knn_join_matches_fresh_join(spark, embeddings, tmp_path):
     assert from_index == fresh
     exact = key_set(knn_join(queries, embeddings, k=5, corpus_id_col="vec_id"))
     assert key_set(ivf_index_knn_join(spark, path, queries, k=5, nprobe=4)) == exact
+
+
+def test_bucketed_cell_table_join_no_corpus_shuffle(spark, embeddings, tmp_path):
+    """The bucketed cell table: (a) results equal the path-index join,
+    (b) with broadcast disabled (the huge-query regime), the shuffle join
+    reads the corpus bucket-aligned — no Exchange on the corpus side below
+    the join; only the query side shuffles on _cell."""
+    from kaer_spark.operators.index_store import (
+        ivf_index_knn_join,
+        ivf_table_knn_join,
+        write_ivf_bucketed_table,
+    )
+    from kaer_spark.plans import executed_plan
+
+    meta_path = str(tmp_path / "ivf_tbl_meta")
+    path = str(tmp_path / "ivf_path")
+    try:
+        write_ivf_bucketed_table(
+            embeddings, "b_cells", meta_path, cells=4, fit="deterministic"
+        )
+        build_ivf_index(embeddings, path, cells=4, fit="deterministic")
+        queries = (
+            embeddings.orderBy("vec_id").limit(10)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        a = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_table_knn_join(
+                spark, "b_cells", meta_path, queries, k=5, nprobe=2
+            ).collect()
+        }
+        b = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_index_knn_join(spark, path, queries, k=5, nprobe=2).collect()
+        }
+        assert a == b and a
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = ivf_table_knn_join(spark, "b_cells", meta_path, queries, k=5, nprobe=2)
+            plan = executed_plan(df)
+            assert "BroadcastHashJoin" not in plan
+            # exactly one _cell exchange (the query side); the bucketed
+            # corpus scan feeds the join with no exchange of its own
+            import re
+
+            cell_exchanges = re.findall(
+                r"Exchange hashpartitioning\(_cell", plan
+            )
+            assert len(cell_exchanges) == 1
+            assert {(r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()} == a
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_cells")
