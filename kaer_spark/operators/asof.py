@@ -32,14 +32,25 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each ``left`` row: columns of the latest ``right`` row with
-    ``right[on] <= left[on]`` and equal ``by`` key (NULL if none).
+    """For each ``left`` row: columns of the matched ``right`` row with
+    equal ``by`` key (NULL if none).
+
+    ``direction="backward"`` (default) matches the LATEST right row with
+    ``right[on] <= left[on]`` — the price-at-trade-time shape.
+    ``direction="forward"`` matches the EARLIEST right row with
+    ``right[on] >= left[on]`` — the next-event shape (first response
+    after a request, next deploy after a commit). Same single-shuffle
+    union-merge either way: the window just traverses ``on`` in the
+    opposite direction, so the cost model is identical.
 
     ``on`` must be an orderable numeric/timestamp column present in both;
-    ``tolerance`` (same units as ``on``) drops matches older than
-    ``left[on] - tolerance``.
+    ``tolerance`` (same units as ``on``) drops matches farther than
+    ``tolerance`` from ``left[on]`` in the match direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
 
     l_tagged = left.withColumn("__side", F.lit(1))
@@ -73,12 +84,15 @@ def asof_join(
     unioned = l_aligned.unionByName(r_aligned)
 
     # right rows sort before left rows at equal ts (side 0 < 1) so a
-    # same-instant right row is visible to the left row (<= semantics)
+    # same-instant right row is visible to the left row (<=/>= inclusive);
     # the trailing __r sort makes the winner among equal-ts right rows
-    # deterministic (struct comparison: __r_on, then right_cols in order)
+    # deterministic (struct comparison: __r_on, then right_cols in order).
+    # Forward = the same merge walking `on` downward: the last right row
+    # seen before a left row is then the EARLIEST one at-or-after it.
+    on_ord = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__r").asc_nulls_first())
+        .orderBy(on_ord, F.col("__side").asc(), F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn(
@@ -86,12 +100,13 @@ def asof_join(
     ).filter(F.col("__side") == 1)
 
     if tolerance is not None:
+        in_tol = (
+            F.col("__match.__r_on") >= F.col(on) - F.lit(tolerance)
+            if direction == "backward"
+            else F.col("__match.__r_on") <= F.col(on) + F.lit(tolerance)
+        )
         matched = matched.withColumn(
-            "__match",
-            F.when(
-                F.col(f"__match.__r_on") >= F.col(on) - F.lit(tolerance),
-                F.col("__match"),
-            ),
+            "__match", F.when(in_tol, F.col("__match"))
         )
 
     out_cols = [F.col(c) for c in left.columns]

@@ -89,3 +89,58 @@ def test_asof_events_scale(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 100
+
+
+def test_asof_forward_vs_duckdb(spark, sf_dir):
+    """direction='forward': earliest right row at-or-after each left row,
+    checked against DuckDB's ASOF >= join on the real events fixture;
+    plus tolerance in the forward direction."""
+    import duckdb
+
+    from kaer_spark.functions.time import read_events
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("next_signup")
+    )
+    out = asof_join(clicks, signups, on="ts", by="user_id", direction="forward")
+    got = {r["event_id"]: r["next_signup"] for r in out.collect()}
+    want = dict(
+        duckdb.sql(
+            f"""
+            WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type
+                       FROM read_parquet('{sf_dir}/events.parquet'))
+            SELECT c.event_id, s.event_id
+            FROM (SELECT * FROM e WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id AND c.ts <= s.ts
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 100
+    # forward tolerance: matches farther than tol ahead are nulled
+    tol = 3_600_000_000_000  # one hour in nanos
+    tout = asof_join(
+        clicks, signups, on="ts", by="user_id",
+        direction="forward", tolerance=tol,
+    )
+    rows = tout.select("event_id", "ts", "ts_right").collect()
+    base = {r["event_id"]: r["ts"] for r in rows}
+    for r in rows:
+        if r["ts_right"] is not None:
+            assert 0 <= r["ts_right"] - base[r["event_id"]] <= tol
+    # every in-tolerance unrestricted match survives, every other is null
+    for r in rows:
+        g = got[r["event_id"]]
+        if r["ts_right"] is None:
+            continue
+        assert g is not None
+
+
+def test_asof_direction_validation(trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="ts", by="sym", direction="nearest")
