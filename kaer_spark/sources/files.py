@@ -131,8 +131,11 @@ def write_bucketed(
 
 
 def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
-    """Lakehouse-format reader, gated on the jars being present."""
-    if fmt in ("delta", "iceberg", "hudi"):
+    """Jar-gated format reader: lakehouse formats (delta/iceberg/hudi) and
+    avro (built-in but an EXTERNAL module since Spark 2.4 — absent from
+    the plain pip distribution) raise a clear NotImplementedError when
+    their jars are missing instead of Spark's generic lookup failure."""
+    if fmt in ("delta", "iceberg", "hudi", "avro"):
         try:
             return spark.read.format(fmt).load(path)
         except Exception as e:  # noqa: BLE001

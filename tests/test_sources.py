@@ -58,8 +58,9 @@ def test_partitioned_write_layout(spark, small, tmp_path):
 
 
 def test_lakehouse_formats_gated(spark, tmp_path):
-    with pytest.raises(NotImplementedError):
-        open_table(spark, "delta", str(tmp_path / "nope"))
+    for fmt in ("delta", "avro"):
+        with pytest.raises(NotImplementedError):
+            open_table(spark, fmt, str(tmp_path / "nope"))
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
