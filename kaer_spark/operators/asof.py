@@ -41,16 +41,22 @@ def asof_join(
     ``right[on] <= left[on]`` — the price-at-trade-time shape.
     ``direction="forward"`` matches the EARLIEST right row with
     ``right[on] >= left[on]`` — the next-event shape (first response
-    after a request, next deploy after a commit). Same single-shuffle
-    union-merge either way: the window just traverses ``on`` in the
-    opposite direction, so the cost model is identical.
+    after a request, next deploy after a commit). ``direction="nearest"``
+    takes whichever of the two is closer in ``on`` (ties → the backward
+    match, pandas' convention). Same single-shuffle union-merge in every
+    mode: nearest computes both directional windows over the SAME
+    partitioning, so it still costs one exchange (two in-partition
+    sorts), never a second shuffle.
 
-    ``on`` must be an orderable numeric/timestamp column present in both;
-    ``tolerance`` (same units as ``on``) drops matches farther than
-    ``tolerance`` from ``left[on]`` in the match direction.
+    ``on`` must be an orderable numeric/timestamp column present in both
+    (numeric for ``nearest``, which compares gaps); ``tolerance`` (same
+    units as ``on``) drops matches farther than ``tolerance`` from
+    ``left[on]`` in the match direction (either direction for nearest).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
 
     l_tagged = left.withColumn("__side", F.lit(1))
@@ -89,25 +95,66 @@ def asof_join(
     # deterministic (struct comparison: __r_on, then right_cols in order).
     # Forward = the same merge walking `on` downward: the last right row
     # seen before a left row is then the EARLIEST one at-or-after it.
-    on_ord = F.col(on).asc() if direction == "backward" else F.col(on).desc()
-    w = (
-        Window.partitionBy(by)
-        .orderBy(on_ord, F.col("__side").asc(), F.col("__r").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn(
-        "__match", F.last(F.col("__r"), ignorenulls=True).over(w)
-    ).filter(F.col("__side") == 1)
+    def directional_window(d: str):
+        on_ord = F.col(on).asc() if d == "backward" else F.col(on).desc()
+        return (
+            Window.partitionBy(by)
+            .orderBy(on_ord, F.col("__side").asc(), F.col("__r").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
 
-    if tolerance is not None:
+    def within_tol(match, d: str):
+        if tolerance is None:
+            return match
         in_tol = (
-            F.col("__match.__r_on") >= F.col(on) - F.lit(tolerance)
-            if direction == "backward"
-            else F.col("__match.__r_on") <= F.col(on) + F.lit(tolerance)
+            match["__r_on"] >= F.col(on) - F.lit(tolerance)
+            if d == "backward"
+            else match["__r_on"] <= F.col(on) + F.lit(tolerance)
         )
-        matched = matched.withColumn(
-            "__match", F.when(in_tol, F.col("__match"))
+        return F.when(in_tol, match)
+
+    if direction == "nearest":
+        # both windows share the `by` partitioning — one exchange, two
+        # in-partition sorts; pick the smaller |gap|, ties to backward
+        mb = within_tol(
+            F.last(F.col("__r"), ignorenulls=True).over(
+                directional_window("backward")
+            ),
+            "backward",
         )
+        mf = within_tol(
+            F.last(F.col("__r"), ignorenulls=True).over(
+                directional_window("forward")
+            ),
+            "forward",
+        )
+        matched = (
+            unioned.withColumn("__mb", mb)
+            .withColumn("__mf", mf)
+            .withColumn(
+                "__match",
+                F.when(F.col("__mb").isNull(), F.col("__mf")).when(
+                    F.col("__mf").isNull()
+                    | (
+                        (F.col(on) - F.col("__mb.__r_on"))
+                        <= (F.col("__mf.__r_on") - F.col(on))
+                    ),
+                    F.col("__mb"),
+                ).otherwise(F.col("__mf")),
+            )
+            .drop("__mb", "__mf")
+            .filter(F.col("__side") == 1)
+        )
+    else:
+        matched = unioned.withColumn(
+            "__match",
+            within_tol(
+                F.last(F.col("__r"), ignorenulls=True).over(
+                    directional_window(direction)
+                ),
+                direction,
+            ),
+        ).filter(F.col("__side") == 1)
 
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col("__match.__r_on").alias(f"{on}{suffix}"))

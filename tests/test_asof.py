@@ -143,4 +143,40 @@ def test_asof_forward_vs_duckdb(spark, sf_dir):
 def test_asof_direction_validation(trades_quotes):
     trades, quotes = trades_quotes
     with pytest.raises(ValueError, match="direction"):
-        asof_join(trades, quotes, on="ts", by="sym", direction="nearest")
+        asof_join(trades, quotes, on="ts", by="sym", direction="sideways")
+
+
+def test_asof_nearest_matches_python_and_one_shuffle(spark):
+    """direction='nearest': smaller |gap| wins, ties go backward, and the
+    two directional windows share one exchange (same by-partitioning)."""
+    from kaer_spark.plans import executed_plan
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 7), (3, 5)],
+        "k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (1, 30, "c"), (2, 7, "d"), (2, 9, "e")],
+        "k long, ts long, tag string",
+    )
+    out = asof_join(left, right, on="ts", by="k", direction="nearest")
+    # plan BEFORE execution: AQE's post-run final plan re-lists the
+    # exchange per query stage, which would double-count it
+    plan = executed_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {(r["k"], r["ts"]): r["tag"] for r in out.collect()}
+    # python reference: nearest by |gap|, tie -> backward (<=)
+    rrows = [(1, 8, "a"), (1, 20, "b"), (1, 30, "c"), (2, 7, "d"), (2, 9, "e")]
+    want = {}
+    for k, ts in [(1, 10), (1, 25), (1, 40), (2, 7), (3, 5)]:
+        cands = [(abs(rts - ts), 0 if rts <= ts else 1, rts, tag)
+                 for rk, rts, tag in rrows if rk == k]
+        want[(k, ts)] = min(cands)[3] if cands else None
+    assert got == want
+    assert got[(1, 25)] == "b"   # gap 5 backward beats gap 5 forward (tie)
+    assert got[(2, 7)] == "d"    # exact hit
+    assert got[(3, 5)] is None   # no right rows for the key
+    # tolerance applies on both sides of the gap
+    tout = asof_join(left, right, on="ts", by="k", direction="nearest", tolerance=4)
+    tgot = {(r["k"], r["ts"]): r["tag"] for r in tout.collect()}
+    assert tgot[(1, 10)] == "a" and tgot[(1, 40)] is None
