@@ -304,7 +304,17 @@ def simhash_near_dups(
     within hamming ≤ bands−1 always collides on ≥1 band; wider distances
     are best-effort, the standard SimHash-dedup trade-off). Verification:
     ``bit_count(xor)``.
+
+    Scale note: each band's key space is ``2^(bits // bands)`` — the
+    default (24, 3) gives 256 buckets/band, whose within-bucket pair join
+    goes quadratic on a large corpus exactly like a too-narrow sign-LSH
+    band. Size ``bits ≳ bands × log2(N / target_bucket_rows)`` (e.g.
+    ``bits=60, bands=3`` → 2^20 buckets/band) — same calibration rule as
+    :func:`calibrate_signlsh`; ``bits ≤ 62`` keeps the fingerprint inside
+    a signed int64.
     """
+    if bits > 62:
+        raise ValueError("bits must be <= 62 (signed int64 fingerprint)")
     band_bits = bits // bands
     sh = simhash(df, id_col, text_col, bits)
     banded = sh.select(

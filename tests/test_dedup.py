@@ -357,3 +357,22 @@ def test_calibrate_signlsh_properties_fuzz():
             assert 1.0 - (1.0 - p**bits) ** bands >= recall - 1e-9
 
     check()
+
+
+def test_simhash_wide_fingerprint_scales_band_space(dup_docs):
+    """bits=60, bands=3: the wide fingerprint (2^20 buckets/band — the
+    corpus-scale geometry) still pairs duplicates with hamming 0 and
+    agrees with the 24-bit verdicts on this fixture; 63 bits is rejected
+    (signed int64)."""
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(dup_docs, bits=60, bands=3, max_hamming=6).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] == 0
+    fps = {r["id"]: r["simhash"] for r in simhash(dup_docs, bits=60).collect()}
+    assert fps[0] == fps[1] and all(0 <= v < 2**60 for v in fps.values())
+    # determinism at the wider width
+    again = {r["id"]: r["simhash"] for r in simhash(dup_docs, bits=60).collect()}
+    assert fps == again
+    with pytest.raises(ValueError):
+        simhash_near_dups(dup_docs, bits=63)
