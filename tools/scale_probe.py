@@ -87,6 +87,20 @@ def main() -> int:
         results[f"knn_join_{label}"] = {"sec": t, "rows": n}
         print(f"knn_join {label}: {t}s ({n} rows)", file=sys.stderr)
 
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    for label, corpus in (("1x", embs), ("10x", amplify(embs, "vec_id", TIMES))):
+        ivf_knn_join(
+            queries, corpus, k=5, cells=16, nprobe=4, corpus_id_col="vec_id"
+        ).count()
+        t, n = timed(
+            lambda c=corpus: ivf_knn_join(
+                queries, c, k=5, cells=16, nprobe=4, corpus_id_col="vec_id"
+            ).count()
+        )
+        results[f"ivf_knn_join_{label}"] = {"sec": t, "rows": n}
+        print(f"ivf_knn_join {label}: {t}s ({n} rows)", file=sys.stderr)
+
     for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
         pack_sequences(d, max_tokens=1024, shards=32).count()
         t, n = timed(
