@@ -96,3 +96,68 @@ def bm25_scores(
         term_score = (idf * num) / denom
         score = term_score if score is None else score + term_score
     return joined.select(F.col(id_col), score.alias("bm25"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document average bigram log-likelihood under the corpus's OWN
+    add-``alpha`` bigram language model — the CCNet-style fluency signal
+    (Wenzek et al. 2020 score documents with a KenLM model; self-trained
+    add-alpha bigrams are the dependency-free analogue): gibberish,
+    boilerplate and shuffled text score low because their transitions are
+    rare in the corpus, fluent prose scores high.
+
+    Output: ``(id, n_bigrams, avg_logp)`` — documents with fewer than one
+    bigram (0- or 1-token) are emitted with ``n_bigrams = 0`` and NULL
+    score so the caller decides their fate explicitly.
+
+    Scale shape (100 TB): bigram explosion is a scan-stage ``transform``
+    + ``explode`` (rows × ~tokens, narrow); the model is two
+    map-side-combined aggregates (unigram-prefix and bigram counts); the
+    scoring join keys on the bigram — a standard shuffle join whose both
+    sides are already bigram-keyed — followed by one per-doc aggregate.
+    No driver-side model, no Python; the "model" never materializes
+    outside the shuffle.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at("__t", i).alias("w"),
+                    F.element_at("__t", i + 1).alias("v"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.w").alias("w"), F.col("g.v").alias("v"))
+    vocab = base.select(F.explode("__t").alias("w")).agg(
+        F.countDistinct("w").alias("__vocab")
+    )
+    uni = grams.groupBy("w").agg(F.count("*").alias("cw"))
+    bi = grams.groupBy("w", "v").agg(F.count("*").alias("cwv"))
+    model = bi.join(uni, "w").crossJoin(F.broadcast(vocab))
+    logp = F.log(
+        (F.col("cwv") + F.lit(float(alpha)))
+        / (F.col("cw") + F.lit(float(alpha)) * F.col("__vocab"))
+    )
+    scored = grams.join(model, ["w", "v"]).select("id", logp.alias("__lp"))
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("__lp").alias("avg_logp")
+    )
+    # docs with no bigram (empty/one-token text) re-enter with NULL score
+    return (
+        base.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+        )
+    )

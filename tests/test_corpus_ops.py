@@ -369,3 +369,58 @@ def test_token_budget_mix_matches_python(documents):
     }
     for g, (t, mx) in sums.items():
         assert t < budgets[g] + mx + 1
+
+
+def test_bigram_lm_scores_match_python(spark, documents):
+    """Engine LM scores ≡ a Python add-alpha bigram model built on the
+    same corpus; fluent (in-distribution) text outscores shuffled
+    gibberish; degenerate docs surface with n_bigrams=0 and NULL score."""
+    import math
+
+    from kaer_spark.operators.ranking import bigram_lm_scores
+
+    rows = documents.select("doc_id", "text").collect()
+    docs = {r["doc_id"]: r["text"].strip().split() for r in rows}
+    docs = {k: v if v != [""] else [] for k, v in docs.items()}
+    uni: dict = {}
+    bi: dict = {}
+    vocab = set()
+    for t in docs.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            uni[a] = uni.get(a, 0) + 1
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    V = len(vocab)
+
+    def score(t):
+        gs = list(zip(t, t[1:]))
+        if not gs:
+            return (0, None)
+        lp = [
+            math.log((bi[(a, b)] + 1.0) / (uni[a] + 1.0 * V)) for a, b in gs
+        ]
+        return (len(gs), sum(lp) / len(lp))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_scores(documents).collect()
+    }
+    assert set(got) == set(docs)
+    for did, t in docs.items():
+        n, s = score(t)
+        assert got[did][0] == n
+        if s is None:
+            assert got[did][1] is None
+        else:
+            assert got[did][1] == pytest.approx(s, rel=1e-12)
+    # ranking signal on a corpus with real structure: documents built from
+    # the corpus's common transitions outscore one of never-repeated
+    # transitions (the fixture's synthetic text carries no such signal, so
+    # this runs on a handcrafted mini-corpus)
+    mini_rows = [(i, "the cat sat on the mat") for i in range(5)]
+    mini_rows.append((99, "zx qv wk jn pf td"))
+    mini = spark.createDataFrame(mini_rows, "doc_id long, text string")
+    mini_scores = {
+        r["doc_id"]: r["avg_logp"] for r in bigram_lm_scores(mini).collect()
+    }
+    assert mini_scores[0] > mini_scores[99]
