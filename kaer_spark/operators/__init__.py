@@ -7,6 +7,13 @@ only where Spark genuinely lacks the primitive (partitioned ANN index build).
 """
 
 from kaer_spark.operators.knn import exact_knn, knn_join
+from kaer_spark.operators.ranking import bigram_lm_scores, bm25_scores
+from kaer_spark.operators.sampling import (
+    hash_sample,
+    quota_per_group,
+    token_budget_mix,
+    weighted_mix,
+)
 from kaer_spark.operators.dedup import (
     exact_dedup,
     embedding_near_dups,
@@ -28,6 +35,12 @@ from kaer_spark.operators.similarity import (
 )
 
 __all__ = [
+    "bigram_lm_scores",
+    "bm25_scores",
+    "hash_sample",
+    "quota_per_group",
+    "token_budget_mix",
+    "weighted_mix",
     "ivf_knn_join",
     "ivf_fit_spread",
     "ivf_topk_deterministic",
