@@ -28,12 +28,14 @@ from kaer_spark.operators.asof import asof_join
 from kaer_spark.operators.cohort import cohort_retention
 from kaer_spark.operators.dedup import (
     calibrate_signlsh,
+    dedup_against,
     dedup_clusters,
     embedding_near_dups,
     embedding_near_dups_lsh,
     exact_dedup,
     signlsh_candidate_pairs,
     minhash_near_dups,
+    minhash_near_dups_between,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dups,
@@ -77,6 +79,8 @@ __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_near_dups",
+    "minhash_near_dups_between",
+    "dedup_against",
     "simhash",
     "simhash_near_dups",
     "embedding_near_dups",

@@ -215,26 +215,7 @@ def minhash_near_dups(
     # consumers (banding + verification), no unpersist point for a lazily
     # returned result — checkpoint blocks are GC-reclaimed instead.
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit).localCheckpoint()
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[bi * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    banded = _minhash_banded(sigs, bands, rows_per_band)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "key"])
@@ -255,6 +236,110 @@ def minhash_near_dups(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def _minhash_banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, key) — the signature's LSH band keys, one row per band."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bi * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
+def minhash_near_dups_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    unit: str = "char",
+) -> DataFrame:
+    """CROSS-corpus near-dup pairs: ``(left_id, right_id, jaccard)`` for
+    documents of ``left`` near-duplicating documents of ``right``.
+
+    The incremental-corpus shape self-join dedup can't express: dedup a
+    new crawl against the existing training set, or quarantine documents
+    overlapping an evaluation corpus at the near-dup (not exact-n-gram)
+    level — ``operators.contamination`` catches verbatim collisions, this
+    catches paraphrase-light copies. Same banding/verification math as
+    :func:`minhash_near_dups` with identical seeds on both sides, so a
+    doc and its copy collide regardless of which corpus holds them; the
+    band join is left-corpus × right-corpus only (no within-corpus
+    pairs), shuffle O((|L|+|R|) × bands) plus collisions.
+    """
+    rows_per_band = num_hashes // bands
+    lsig = minhash_signatures(
+        left, left_id_col, text_col, n, num_hashes, seed, unit
+    ).localCheckpoint()
+    rsig = minhash_signatures(
+        right, right_id_col, text_col, n, num_hashes, seed, unit
+    ).localCheckpoint()
+    lb = _minhash_banded(lsig, bands, rows_per_band)
+    rb = _minhash_banded(rsig, bands, rows_per_band)
+    cand = (
+        lb.alias("a")
+        .join(rb.alias("b"), on=["band", "key"])
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            lsig.select(F.col("id").alias("left_id"), F.col("shingles").alias("sh_a")),
+            "left_id",
+        )
+        .join(
+            rsig.select(F.col("id").alias("right_id"), F.col("shingles").alias("sh_b")),
+            "right_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def dedup_against(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """``left`` minus every document near-duplicating something in
+    ``right`` — the one-call incremental-ingest filter (keep only novel
+    documents of the new crawl). The matched-id set stays a DataFrame
+    through the anti-join; nothing is collected to the driver."""
+    hits = minhash_near_dups_between(
+        left, right, left_id_col, right_id_col, text_col,
+        threshold=threshold, **minhash_kwargs,
+    ).select(F.col("left_id").alias(left_id_col)).distinct()
+    return left.join(hits, left_id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -376,3 +376,36 @@ def test_simhash_wide_fingerprint_scales_band_space(dup_docs):
     assert fps == again
     with pytest.raises(ValueError):
         simhash_near_dups(dup_docs, bits=63)
+
+
+def test_minhash_between_and_dedup_against(spark, dup_docs):
+    """Cross-corpus near-dup detection: copies land in pairs regardless of
+    which corpus holds them, within-corpus pairs are NOT emitted, and
+    dedup_against keeps only the novel documents of the left corpus."""
+    from kaer_spark.operators.dedup import dedup_against, minhash_near_dups_between
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    new_crawl = spark.createDataFrame(
+        [
+            (100, base),                                  # copy of train 0/1
+            (101, base.replace("lazy", "sleepy")),        # near-copy
+            (102, "genuinely new text about shuffle-free bucketed joins"),
+            (103, "another novel document with fresh content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dups_between(
+        new_crawl, dup_docs, threshold=0.5, n=5
+    )
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    assert (100, 0) in got and (100, 1) in got
+    assert all(lid >= 100 and rid < 100 for lid, rid in got)
+    for r in pairs.collect():
+        assert r["jaccard"] >= 0.5
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_against(new_crawl, dup_docs, threshold=0.5, n=5).collect()
+    )
+    assert 102 in kept and 103 in kept and 100 not in kept
+    # symmetric seeds: the same text in both corpora always collides
+    assert any(lid == 100 for lid, _ in got)
