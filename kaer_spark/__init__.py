@@ -31,6 +31,7 @@ from kaer_spark.operators.dedup import (
     dedup_against,
     dedup_clusters,
     embedding_near_dups,
+    embedding_near_dups_between,
     embedding_near_dups_lsh,
     exact_dedup,
     signlsh_candidate_pairs,
@@ -94,6 +95,7 @@ __all__ = [
     "ivf_knn_join",
     "token_budget_mix",
     "bigram_lm_scores",
+    "embedding_near_dups_between",
     "embedding_near_dups_lsh",
     "signlsh_candidate_pairs",
     "dedup_clusters",

@@ -688,6 +688,76 @@ def embedding_near_dups_lsh(
     )
 
 
+def embedding_near_dups_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "vec_id",
+    right_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """CROSS-corpus embedding near-dups: ``(left_id, right_id, cosine)``
+    for left vectors within ``threshold`` cosine of a right vector — the
+    semantic twin of :func:`minhash_near_dups_between` (embedding-space
+    decontamination / incremental-crawl dedup where lexical overlap is
+    paraphrased away). Both corpora hash through the SAME seeded planes,
+    so a vector and its copy collide whichever side holds them; the band
+    join is strictly left × right, then exact-cosine verification."""
+    dim = _vec_dim(left, vec_col)
+    all_planes = signlsh_planes(dim, bands * bits_per_band, seed)
+
+    def prep(df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+        base = ensure_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ).withColumn("nrm", vector_norm("v"))
+        keys = [
+            signlsh_band_key(
+                "v", all_planes[b * bits_per_band : (b + 1) * bits_per_band]
+            )
+            for b in range(bands)
+        ]
+        keyed = base.select(
+            "id",
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), k.alias("key"))
+                    for b, k in enumerate(keys)
+                ]
+            ).alias("__bks"),
+        ).localCheckpoint()
+        inv = keyed.select("id", F.explode("__bks").alias("bk")).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        return base, inv
+
+    lbase, linv = prep(left, left_id_col)
+    rbase, rinv = prep(right, right_id_col)
+    cand = (
+        linv.alias("a")
+        .join(rinv.alias("b"), on=["band", "key"])
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .distinct()
+    )
+    ea = lbase.select(
+        F.col("id").alias("left_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = rbase.select(
+        F.col("id").alias("right_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom != 0.0, dot(F.col("va"), F.col("vb")) / denom)
+    return (
+        cand.join(ea, "left_id")
+        .join(eb, "right_id")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from the first row (bounded driver lookup)."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()

@@ -409,3 +409,33 @@ def test_minhash_between_and_dedup_against(spark, dup_docs):
     assert 102 in kept and 103 in kept and 100 not in kept
     # symmetric seeds: the same text in both corpora always collides
     assert any(lid == 100 for lid, _ in got)
+
+
+def test_embedding_near_dups_between(spark, sf_dir):
+    """Cross-corpus cosine near-dups: splitting the fixture in two and
+    running the between variant must recover exactly the all-pairs truth
+    pairs that straddle the split (precision 1 via exact verify, recall
+    bounded by the same banding as the self-join variant)."""
+    from kaer_spark.operators.dedup import embedding_near_dups_between
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.35
+    lo = embs.filter(F.col("vec_id") < 250)
+    hi = embs.filter(F.col("vec_id") >= 250)
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dups_between(lo, hi, threshold=thr).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(embs, threshold=thr).collect()
+        if r["id_a"] < 250 <= r["id_b"]
+    }
+    assert got <= truth and len(got) > 0
+    assert all(lid < 250 <= rid for lid, rid in got)
+    # determinism
+    again = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dups_between(lo, hi, threshold=thr).collect()
+    }
+    assert got == again
