@@ -137,8 +137,14 @@ def bigram_lm_scores(
             )
         ).alias("g"),
     ).select("id", F.col("g.w").alias("w"), F.col("g.v").alias("v"))
-    vocab = base.select(F.explode("__t").alias("w")).agg(
-        F.countDistinct("w").alias("__vocab")
+    # vocabulary size via keyed distinct THEN count: countDistinct's final
+    # merge would ship every distinct token to one reducer; this shape
+    # dedups on a parallel w-keyed exchange and the single-partition stage
+    # receives only per-partition count partials (longs)
+    vocab = (
+        base.select(F.explode("__t").alias("w"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__vocab"))
     )
     uni = grams.groupBy("w").agg(F.count("*").alias("cw"))
     bi = grams.groupBy("w", "v").agg(F.count("*").alias("cwv"))

@@ -203,3 +203,18 @@ def test_token_budget_mix_single_full_exchange(documents):
     # join-keyed reshuffle of the corpus fails here.
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_no_python_and_keyed_exchanges(documents):
+    """The self-trained LM stays JVM-side end to end; every exchange keys
+    on high-cardinality token columns (w / w,v / doc id), never a global
+    single-reducer stage."""
+    from kaer_spark.operators.ranking import bigram_lm_scores
+
+    plan = executed_plan(bigram_lm_scores(documents))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the only single-partition stage is the vocab-size count, whose input
+    # is per-partition count partials (longs) after the keyed distinct —
+    # never a stage that ships token data to one reducer
+    assert plan.count("Exchange SinglePartition") == 1
