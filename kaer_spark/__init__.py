@@ -45,7 +45,7 @@ from kaer_spark.operators.interval import interval_join, time_bucket_join
 from kaer_spark.operators.knn import exact_knn, knn_join
 from kaer_spark.operators.similarity import ivf_knn_join
 from kaer_spark.operators.packing import pack_sequences, pack_stats
-from kaer_spark.operators.ranking import bigram_lm_scores, bm25_scores
+from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores, bm25_scores
 from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
@@ -94,6 +94,7 @@ __all__ = [
     "calibrate_signlsh",
     "ivf_knn_join",
     "token_budget_mix",
+    "bigram_lm_fit",
     "bigram_lm_scores",
     "embedding_near_dups_between",
     "embedding_near_dups_lsh",

@@ -7,7 +7,7 @@ only where Spark genuinely lacks the primitive (partitioned ANN index build).
 """
 
 from kaer_spark.operators.knn import exact_knn, knn_join
-from kaer_spark.operators.ranking import bigram_lm_scores, bm25_scores
+from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores, bm25_scores
 from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
@@ -35,6 +35,7 @@ from kaer_spark.operators.similarity import (
 )
 
 __all__ = [
+    "bigram_lm_fit",
     "bigram_lm_scores",
     "bm25_scores",
     "hash_sample",

@@ -98,11 +98,52 @@ def bm25_scores(
     return joined.select(F.col(id_col), score.alias("bm25"))
 
 
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str):
+    """(base, grams): tokenized docs and their exploded (id, w, v) bigrams."""
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at("__t", i).alias("w"),
+                    F.element_at("__t", i + 1).alias("v"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.w").alias("w"), F.col("g.v").alias("v"))
+    return base, grams
+
+
+def bigram_lm_fit(
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Train the add-alpha bigram model on a REFERENCE corpus and return
+    it as ``{"uni": DataFrame(w, cw), "bi": DataFrame(w, v, cwv),
+    "vocab_size": int}`` — for scoring a different corpus with
+    ``bigram_lm_scores(df, model=...)``, the actual CCNet workflow (train
+    on a clean reference like Wikipedia, score the crawl; Wenzek et al.
+    2020). The count frames stay distributed (cache or write them to
+    parquet to amortize across scoring runs); only the scalar vocabulary
+    size is computed eagerly (keyed distinct → bounded count)."""
+    _, grams = _doc_bigrams(ref, id_col, text_col)
+    uni = grams.groupBy("w").agg(F.count("*").alias("cw"))
+    bi = grams.groupBy("w", "v").agg(F.count("*").alias("cwv"))
+    vocab_size = (
+        ref.select(F.explode(tokens(text_col)).alias("w")).distinct().count()
+    )
+    return {"uni": uni, "bi": bi, "vocab_size": int(vocab_size)}
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
+    model: dict | None = None,
 ) -> DataFrame:
     """Per-document average bigram log-likelihood under the corpus's OWN
     add-``alpha`` bigram language model — the CCNet-style fluency signal
@@ -122,38 +163,46 @@ def bigram_lm_scores(
     sides are already bigram-keyed — followed by one per-doc aggregate.
     No driver-side model, no Python; the "model" never materializes
     outside the shuffle.
+
+    ``model`` (from :func:`bigram_lm_fit`) switches to scoring under a
+    PRE-TRAINED reference model: bigrams unseen in the reference take the
+    smoothing floor (``cwv=0``, and ``cw=0`` for unseen prefixes) via
+    left joins — out-of-distribution documents score low instead of
+    silently dropping their unknown transitions.
     """
-    toks = tokens(text_col)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
-    grams = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__t") - 1),
-                lambda i: F.struct(
-                    F.element_at("__t", i).alias("w"),
-                    F.element_at("__t", i + 1).alias("v"),
-                ),
+    base, grams = _doc_bigrams(df, id_col, text_col)
+    if model is not None:
+        uni, bi = model["uni"], model["bi"]
+        v_count = F.lit(int(model["vocab_size"]))
+        scored = (
+            grams.join(bi, ["w", "v"], "left")
+            .join(uni, "w", "left")
+            .select(
+                "id",
+                F.log(
+                    (F.coalesce("cwv", F.lit(0)) + F.lit(float(alpha)))
+                    / (F.coalesce("cw", F.lit(0)) + F.lit(float(alpha)) * v_count)
+                ).alias("__lp"),
             )
-        ).alias("g"),
-    ).select("id", F.col("g.w").alias("w"), F.col("g.v").alias("v"))
-    # vocabulary size via keyed distinct THEN count: countDistinct's final
-    # merge would ship every distinct token to one reducer; this shape
-    # dedups on a parallel w-keyed exchange and the single-partition stage
-    # receives only per-partition count partials (longs)
-    vocab = (
-        base.select(F.explode("__t").alias("w"))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("__vocab"))
-    )
-    uni = grams.groupBy("w").agg(F.count("*").alias("cw"))
-    bi = grams.groupBy("w", "v").agg(F.count("*").alias("cwv"))
-    model = bi.join(uni, "w").crossJoin(F.broadcast(vocab))
-    logp = F.log(
-        (F.col("cwv") + F.lit(float(alpha)))
-        / (F.col("cw") + F.lit(float(alpha)) * F.col("__vocab"))
-    )
-    scored = grams.join(model, ["w", "v"]).select("id", logp.alias("__lp"))
+        )
+    else:
+        # vocabulary size via keyed distinct THEN count: countDistinct's
+        # final merge would ship every distinct token to one reducer; this
+        # shape dedups on a parallel w-keyed exchange and the
+        # single-partition stage receives only count partials (longs)
+        vocab = (
+            base.select(F.explode("__t").alias("w"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("__vocab"))
+        )
+        uni = grams.groupBy("w").agg(F.count("*").alias("cw"))
+        bi = grams.groupBy("w", "v").agg(F.count("*").alias("cwv"))
+        joined = bi.join(uni, "w").crossJoin(F.broadcast(vocab))
+        logp = F.log(
+            (F.col("cwv") + F.lit(float(alpha)))
+            / (F.col("cw") + F.lit(float(alpha)) * F.col("__vocab"))
+        )
+        scored = grams.join(joined, ["w", "v"]).select("id", logp.alias("__lp"))
     per_doc = scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"), F.avg("__lp").alias("avg_logp")
     )

@@ -424,3 +424,58 @@ def test_bigram_lm_scores_match_python(spark, documents):
         r["doc_id"]: r["avg_logp"] for r in bigram_lm_scores(mini).collect()
     }
     assert mini_scores[0] > mini_scores[99]
+
+
+def test_bigram_lm_pretrained_model_scoring(spark):
+    """Train-on-reference / score-the-crawl: in-distribution text outscores
+    out-of-distribution; unseen bigrams take the smoothing floor (exactly
+    ln(alpha / (alpha*V)) when even the prefix is unseen); scores replay a
+    Python reimplementation of the same left-join semantics."""
+    import math
+
+    from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),   # in-distribution
+            (1, "the cat ate the mat"),      # partially seen
+            (2, "zz yy xx ww"),              # fully out-of-distribution
+        ],
+        "doc_id long, text string",
+    )
+    model = bigram_lm_fit(ref)
+    V = model["vocab_size"]
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_scores(crawl, model=model).collect()
+    }
+    # python replay
+    ref_toks = ["the", "cat", "sat", "on", "the", "mat"]
+    uni: dict = {}
+    bi: dict = {}
+    for _ in range(5):
+        for a, b in zip(ref_toks, ref_toks[1:]):
+            uni[a] = uni.get(a, 0) + 1
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+
+    def score(text):
+        t = text.split()
+        gs = list(zip(t, t[1:]))
+        lp = [
+            math.log((bi.get((a, b), 0) + 1.0) / (uni.get(a, 0) + 1.0 * V))
+            for a, b in gs
+        ]
+        return (len(gs), sum(lp) / len(lp))
+
+    for did, text in [(0, "the cat sat on the mat"), (1, "the cat ate the mat"),
+                      (2, "zz yy xx ww")]:
+        n, s = score(text)
+        assert got[did][0] == n
+        assert got[did][1] == pytest.approx(s, rel=1e-12)
+    assert got[0][1] > got[1][1] > got[2][1]
+    # the fully-unseen doc sits exactly on the smoothing floor
+    assert got[2][1] == pytest.approx(math.log(1.0 / V), rel=1e-12)
