@@ -218,3 +218,20 @@ def test_bigram_lm_no_python_and_keyed_exchanges(documents):
     # is per-partition count partials (longs) after the keyed distinct —
     # never a stage that ships token data to one reducer
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_ivf_knn_join_bounded_qid_window(corpus):
+    """The approximate join's final per-query window must get the same
+    WindowGroupLimit partial/final bound as knn_join — the qid exchange
+    carries at most partitions × queries × k rows, and no Python runs."""
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    queries = corpus.limit(8).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    plan = executed_plan(
+        ivf_knn_join(queries, corpus, k=3, cells=4, nprobe=2)
+    )
+    assert plan.count("WindowGroupLimit") == 2  # Partial below, Final above
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
