@@ -34,6 +34,7 @@ def pack_sequences(
     text_col: str = "text",
     shards: int = 32,
     tokens_col: Column | None = None,
+    overhead_tokens: int = 0,
 ) -> DataFrame:
     """Assign each row a ``(shard, pack_id)`` plus its token count.
 
@@ -41,12 +42,20 @@ def pack_sequences(
     whitespace ``token_count`` over ``text_col`` — swap in a BPE count for
     production packing). Documents are packed in ascending id order within
     their shard; ``pack_id`` is the chunk index of the document's first
-    token in the shard's concat stream.
+    token in the shard's concat stream. ``overhead_tokens`` adds a fixed
+    per-document cost to the stream (the EOS/BOS separator tokens real
+    packers insert between documents) — it rides the same cumsum, so
+    boundaries shift exactly as if every document were that much longer;
+    ``n_tokens`` still reports the document's own count.
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    if overhead_tokens < 0:
+        raise ValueError("overhead_tokens must be >= 0")
     toks = tokens_col if tokens_col is not None else token_count(text_col)
     out = df.withColumn("n_tokens", toks.cast("long")).withColumn(
+        "__cost", F.col("n_tokens") + F.lit(int(overhead_tokens))
+    ).withColumn(
         "shard", F.pmod(F.col(id_col).cast("long"), F.lit(int(shards)))
     )
     w = (
@@ -54,11 +63,11 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    excl = F.coalesce(F.sum("__cost").over(w), F.lit(0).cast("long"))
     # integer DIV (not `/` + floor): exact at any cumsum magnitude
     return out.withColumn("__excl", excl).withColumn(
         "pack_id", F.expr(f"__excl DIV {int(max_tokens)}")
-    ).drop("__excl")
+    ).drop("__excl", "__cost")
 
 
 def pack_stats(packed: DataFrame) -> DataFrame:

@@ -160,21 +160,39 @@ def quota_per_group(
     id_col: str,
     quota: int,
     sub_shards: int = 1,
+    order: str = "id",
 ) -> DataFrame:
-    """At most ``quota`` rows per group — the ``quota`` smallest ids.
+    """At most ``quota`` rows per group.
+
+    ``order="id"`` (default) keeps the ``quota`` smallest ids —
+    deterministic representatives, but on an ingestion-ordered corpus
+    that means "the oldest documents of each domain", a temporal bias.
+    ``order="hash"`` keeps the ``quota`` rows with smallest LCG hash of
+    the id instead: an unbiased deterministic sample per group (the same
+    decorrelation move as the spread IVF fit), still stable across
+    runs/engines/retries.
 
     ``sub_shards=S`` first caps each (group, id mod S) sub-shard at
     ``quota`` in parallel, then applies the exact global cap over the
     ≤ S·quota survivors — same result, bounded exchange (the two-level
     pattern shared with ``stratified_split``/``knn_join``).
     """
+    if order == "id":
+        key = F.col(id_col)
+    elif order == "hash":
+        key = F.pmod(
+            F.col(id_col).cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_C),
+            F.lit(SAMPLE_MOD),
+        )
+    else:
+        raise ValueError(f"order must be 'id' or 'hash', got {order!r}")
     if sub_shards > 1:
         sub = F.pmod(F.col(id_col).cast("long"), F.lit(int(sub_shards)))
-        wpre = Window.partitionBy(group_col, sub).orderBy(id_col)
+        wpre = Window.partitionBy(group_col, sub).orderBy(key, F.col(id_col))
         df = df.withColumn("__prerank", F.row_number().over(wpre)).filter(
             F.col("__prerank") <= quota
         ).drop("__prerank")
-    w = Window.partitionBy(group_col).orderBy(id_col)
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
     return (
         df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= quota)

@@ -479,3 +479,68 @@ def test_bigram_lm_pretrained_model_scoring(spark):
     assert got[0][1] > got[1][1] > got[2][1]
     # the fully-unseen doc sits exactly on the smoothing floor
     assert got[2][1] == pytest.approx(math.log(1.0 / V), rel=1e-12)
+
+
+def test_pack_sequences_overhead_tokens(documents):
+    """overhead_tokens shifts pack boundaries exactly as if every doc were
+    that much longer; n_tokens still reports the document's own count, and
+    overhead=0 reproduces the original assignment."""
+    base = {
+        (r["doc_id"]): (r["shard"], r["pack_id"], r["n_tokens"])
+        for r in pack_sequences(documents, max_tokens=512, shards=4).collect()
+    }
+    zero = {
+        (r["doc_id"]): (r["shard"], r["pack_id"], r["n_tokens"])
+        for r in pack_sequences(
+            documents, max_tokens=512, shards=4, overhead_tokens=0
+        ).collect()
+    }
+    assert base == zero
+    oh = 7
+    packed = pack_sequences(
+        documents, max_tokens=512, shards=4, overhead_tokens=oh
+    ).collect()
+    by_shard: dict = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        excl = by_shard.get(r["shard"], 0)
+        assert r["pack_id"] == excl // 512
+        assert r["n_tokens"] == base[r["doc_id"]][2]  # own count unchanged
+        by_shard[r["shard"]] = excl + r["n_tokens"] + oh
+    with pytest.raises(ValueError):
+        pack_sequences(documents, max_tokens=512, overhead_tokens=-1)
+
+
+def test_quota_per_group_hash_order(documents):
+    """order='hash': deterministic, same per-group cap, but the kept set is
+    the smallest-LCG-hash sample (decorrelated from id/ingestion order),
+    and the two-level path agrees with single-level."""
+    from kaer_spark.operators.sampling import quota_per_group
+
+    single = {
+        (r["source"], r["doc_id"])
+        for r in quota_per_group(
+            documents, "source", "doc_id", 7, order="hash"
+        ).collect()
+    }
+    sharded = {
+        (r["source"], r["doc_id"])
+        for r in quota_per_group(
+            documents, "source", "doc_id", 7, sub_shards=4, order="hash"
+        ).collect()
+    }
+    assert sharded == single
+    all_rows = documents.select("source", "doc_id").collect()
+    for src in {s for s, _ in single}:
+        ids = [r["doc_id"] for r in all_rows if r["source"] == src]
+        want = set(
+            sorted(ids, key=lambda i: ((i * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD, i))[:7]
+        )
+        assert {i for s, i in single if s == src} == want
+    # differs from the id-order pick (the bias it removes)
+    by_id = {
+        (r["source"], r["doc_id"])
+        for r in quota_per_group(documents, "source", "doc_id", 7).collect()
+    }
+    assert single != by_id
+    with pytest.raises(ValueError):
+        quota_per_group(documents, "source", "doc_id", 7, order="rand")
