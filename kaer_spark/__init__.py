@@ -49,6 +49,7 @@ from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores, bm25_s
 from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
+    temperature_rates,
     token_budget_mix,
     weighted_mix,
 )
@@ -94,6 +95,7 @@ __all__ = [
     "calibrate_signlsh",
     "ivf_knn_join",
     "token_budget_mix",
+    "temperature_rates",
     "bigram_lm_fit",
     "bigram_lm_scores",
     "embedding_near_dups_between",

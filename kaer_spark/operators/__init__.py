@@ -11,6 +11,7 @@ from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores, bm25_s
 from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
+    temperature_rates,
     token_budget_mix,
     weighted_mix,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "hash_sample",
     "quota_per_group",
     "token_budget_mix",
+    "temperature_rates",
     "weighted_mix",
     "ivf_knn_join",
     "ivf_fit_spread",

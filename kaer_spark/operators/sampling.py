@@ -154,6 +154,44 @@ def token_budget_mix(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    tau: float = 0.7,
+    max_permille: int = 1000,
+) -> dict[str, int]:
+    """Per-group keep rates (‰) realizing temperature sampling — the
+    multilingual mixing rule (XLM-R/mT5 style): target share of group i is
+    ``p_i^tau / Σ p_j^tau`` where ``p_i`` is its corpus share. ``tau<1``
+    flattens the distribution (upweights small languages/domains) without
+    upsampling: rates scale as ``n_i^(tau-1)``, normalized so the group
+    needing the highest rate sits at ``max_permille`` (never >1000 — this
+    is sampling, not duplication). Feed the returned dict straight into
+    :func:`weighted_mix`, which keeps selection a zero-shuffle scan
+    predicate.
+
+    Driver cost: one map-side-combined count aggregate collecting ONE row
+    per group — groups are languages/sources (tens to thousands), never
+    data-scale.
+    """
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return {}
+    # rate_i ∝ n_i^(tau-1); for tau<1 the smallest group needs the largest
+    # rate — pin it to max_permille and scale the rest
+    weights = {g: float(n) ** (tau - 1.0) for g, n in counts.items()}
+    top = max(weights.values())
+    return {
+        g: max(1, min(1000, round(max_permille * w / top)))
+        for g, w in weights.items()
+    }
+
+
 def quota_per_group(
     df: DataFrame,
     group_col: str,

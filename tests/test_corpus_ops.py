@@ -544,3 +544,43 @@ def test_quota_per_group_hash_order(documents):
     assert single != by_id
     with pytest.raises(ValueError):
         quota_per_group(documents, "source", "doc_id", 7, order="rand")
+
+
+def test_temperature_rates_flatten_distribution(spark, documents):
+    """tau<1 rates upweight small groups: realized kept shares are strictly
+    flatter than raw corpus shares; tau=1 keeps shares unchanged (all rates
+    equal); rates never exceed 1000 permille."""
+    from kaer_spark.operators.sampling import temperature_rates, weighted_mix
+
+    raw = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(documents, "source", tau=0.5)
+    assert set(rates) == set(raw)
+    assert all(1 <= v <= 1000 for v in rates.values())
+    # smallest group gets the highest rate under tau<1
+    smallest = min(raw, key=raw.get)
+    assert rates[smallest] == max(rates.values())
+    # realized shares flatter than raw shares — needs a SKEWED corpus
+    # (the fixture's sources are uniform, so flattening is a no-op there)
+    skew_rows = [(i, "big") for i in range(900)] + [
+        (900 + i, "small") for i in range(100)
+    ]
+    skewed = spark.createDataFrame(skew_rows, "doc_id long, source string")
+    srates = temperature_rates(skewed, "source", tau=0.5)
+    assert srates["small"] > srates["big"]
+    kept = {
+        r["source"]: r["n"]
+        for r in weighted_mix(skewed, "source", srates)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    tot_kept = sum(kept.values())
+    # raw shares 0.9/0.1; temperature-kept shares must sit strictly closer
+    assert 0.1 < kept.get("small", 0) / tot_kept < 0.5
+    assert 0.5 < kept.get("big", 0) / tot_kept < 0.9
+    # tau=1: every group keeps the same rate (shares preserved)
+    flat = temperature_rates(documents, "source", tau=1.0)
+    assert len(set(flat.values())) == 1
+    with pytest.raises(ValueError):
+        temperature_rates(documents, "source", tau=0.0)
