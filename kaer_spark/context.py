@@ -529,6 +529,32 @@ class Collection:
     def count(self) -> int:
         return self.df().count() if self.meta.get("has_data") else 0
 
+    def stats(self) -> dict:
+        """One-call introspection: document count, id high-water, embedding
+        dimension, schemaless flag, and index geometry (cells/fit/max_id)
+        when an index exists — the catalog-level view a reference user gets
+        from its meta collection (``db/meta.go:11-28``), without scanning
+        more than one count job."""
+        out = {
+            "name": self.name,
+            "n_docs": self.count(),
+            "next_id": int(self.meta.get("next_id", 0)),
+            "schemaless": bool(self.meta.get("schemaless", False)),
+            "has_index": bool(self.meta.get("has_index", False)),
+        }
+        if self.meta.get("dim"):
+            out["embedding_dim"] = int(self.meta["dim"])
+        if out["has_index"]:
+            from kaer_spark.operators.index_store import read_index_meta
+
+            im = read_index_meta(self.index_path)
+            out["index"] = {
+                "cells": im.get("cells"),
+                "fit": im.get("fit", "kmeans"),
+                "max_id": im.get("max_id"),
+            }
+        return out
+
     #: compaction target: ~128 MB parquet files, the HDFS/S3 sweet spot
     COMPACT_TARGET_BYTES = 128 * 1024 * 1024
 

@@ -428,3 +428,19 @@ def test_query_batch_schemaless_filter(spark, tmp_path):
     approx = col.query_batch(queries, k=4, filter={"tag": "a"},
                              approximate=True, nprobe=2)
     assert {r["_m_id"] for r in approx.collect()} <= ids
+
+
+def test_collection_stats(spark, tmp_path):
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("st")
+    col = ctx.get_collection("st")
+    s0 = col.stats()
+    assert s0["n_docs"] == 0 and not s0["has_index"] and s0["next_id"] == 0
+    col.insert([f"doc {i}" for i in range(6)])
+    col.build_index(cells=2, fit="spread")
+    s = col.stats()
+    assert s["name"] == "st" and s["n_docs"] == 6 and s["next_id"] == 6
+    assert s["embedding_dim"] == 64
+    assert s["has_index"] and s["index"] == {"cells": 2, "fit": "spread", "max_id": 5}
