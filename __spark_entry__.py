@@ -215,7 +215,10 @@ def _q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
-    queries = embs.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    # the 5 smallest-id vectors — RANK-limited, not `vec_id < 5`, so the
+    # query set tracks whatever ids the fixture actually holds (the oracle
+    # replays the same ORDER BY vec_id LIMIT 5 subquery)
+    queries = embs.select("vec_id", "embedding").orderBy("vec_id").limit(5)
     return knn_join(
         queries, _corpus(spark, sf_dir), k=5,
         query_id_col="vec_id", corpus_id_col="doc_id", metric="l2sq",
@@ -2147,15 +2150,17 @@ def _sql_sq_knn(dim: int = 64, k: int = 10) -> str:
 
 
 def _sql_l2sq_cols(a: str, b: str) -> str:
+    # dim from the query literal, not a pinned 64 (see _sql_embedding_dups)
     return " + ".join(
         f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
-        for i in range(1, 65)
+        for i in range(1, len(QVEC) + 1)
     )
 
 
 def _sql_dot_cols(a: str, b: str) -> str:
     return " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, 65)
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, len(QVEC) + 1)
     )
 
 
@@ -2386,7 +2391,13 @@ def _sql_embedding_dups() -> str:
     # candidate union + exact-cosine verify.
     from kaer_spark.operators.dedup import signlsh_planes
 
-    planes = signlsh_planes(64, COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED)
+    # dim from the query literal (len(QVEC)), never a pinned 64: the engine
+    # side derives dim from the data, so a fixture-dim drift must break
+    # BOTH sides loudly instead of silently splitting them (the round-4
+    # events-timestamp failure mode; same rule as _sql_lsh_knn_det)
+    planes = signlsh_planes(
+        len(QVEC), COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED
+    )
 
     def band_key(vec: str, band: int) -> str:
         return _sql_signlsh_band_key(
@@ -2675,7 +2686,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "knn_join": f"""
-            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
             scored AS (
               SELECT q.vec_id AS query_id, d.doc_id,
                      row_number() OVER (

@@ -545,12 +545,19 @@ def calibrate_signlsh(
         raise ValueError("n_rows must be positive")
     if not -1.0 <= threshold <= 1.0:
         raise ValueError("threshold must be a cosine in [-1, 1]")
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError("recall_target must be in (0, 1)")
     bits = math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket_rows))))
     bits = max(1, min(max_bits, bits))
     p = 1.0 - math.acos(threshold) / math.pi
     p_band = p**bits
     if p_band >= 1.0:
         bands = 1
+    elif p_band <= 0.0:
+        # threshold = -1 → a band collision is impossible: no finite band
+        # count reaches the recall target; return the cap (the caller's
+        # re-rank/multi-probe escape hatch, same as hitting max_bands)
+        bands = max_bands
     else:
         bands = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_band))
     return max(1, min(max_bands, bands)), bits
@@ -654,7 +661,10 @@ def embedding_near_dups_lsh(
     if target_bucket_rows is not None:
         # one bounded job gives both knobs the calibration needs
         nrow = df.agg(
-            F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+            F.count(F.lit(1)).alias("n"),
+            # ignorenulls: a NULL embedding in the first-scanned row must
+            # not abort calibration while valid vectors exist elsewhere
+            F.first(F.size(vec_col), ignorenulls=True).alias("d"),
         ).collect()[0]
         if nrow["n"] == 0 or nrow["d"] is None:
             raise ValueError(f"cannot calibrate on empty/null {vec_col!r}")

@@ -210,7 +210,15 @@ def ivf_fit_spread(
     pure integer arithmetic). Still zero Lloyd iterations — same
     bit-exactness rationale as the smallest-id fit.
     """
-    hkey = (F.col(id_col) * F.lit(_SPREAD_A) + F.lit(_SPREAD_B)) % F.lit(_SPREAD_P)
+    # pmod (not %) so the key is non-negative even if the int64 product
+    # overflows to negative (ids >= ~3.5e9); an oracle replays it as
+    # ((a*id + b) % P + P) % P — the module-wide sampling.py discipline.
+    # Ids must still fit the int64 product without wrapping COLLISIONS
+    # (pre-mod the id beyond ~3.5e9, as sampling.sample_bucket documents).
+    hkey = F.pmod(
+        F.col(id_col).cast("long") * F.lit(_SPREAD_A) + F.lit(_SPREAD_B),
+        F.lit(_SPREAD_P),
+    )
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(hkey.asc(), F.col(id_col).asc())

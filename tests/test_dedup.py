@@ -439,3 +439,36 @@ def test_embedding_near_dups_between(spark, sf_dir):
         for r in embedding_near_dups_between(lo, hi, threshold=thr).collect()
     }
     assert got == again
+
+
+def test_calibrate_signlsh_edge_inputs():
+    """ADVICE r6: inputs the validation used to allow must not raise —
+    threshold=-1 (p_band=0, formerly a ZeroDivisionError) returns the
+    bands cap; recall_target outside (0,1) is now rejected loudly."""
+    import pytest as _pytest
+
+    from kaer_spark.operators.dedup import calibrate_signlsh
+
+    bands, bits = calibrate_signlsh(10_000, threshold=-1.0)
+    assert bands == 64 and 1 <= bits <= 24
+    for bad in (1.0, 1.5, 0.0, -0.1):
+        with _pytest.raises(ValueError):
+            calibrate_signlsh(10_000, recall_target=bad)
+
+
+def test_embedding_near_dups_lsh_calibrates_past_null_rows(spark):
+    """ADVICE r6: a NULL embedding in the first-scanned row must not abort
+    calibration (F.first now skips nulls) — and null rows simply never pair."""
+    from kaer_spark.operators.dedup import embedding_near_dups_lsh
+
+    rows = [(0, None), (1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(
+            df, threshold=0.9, target_bucket_rows=2
+        ).collect()
+    }
+    assert got == {(1, 2)}

@@ -463,3 +463,28 @@ def test_ivf_knn_join_input_validation(spark, embeddings):
     pre = embeddings.withColumn("_cell", F.lit(0))
     with _pytest.raises(ValueError, match="centroids"):
         ivf_knn_join(q, pre, k=2)
+
+
+def test_ivf_fit_spread_pmod_discipline(spark):
+    """ADVICE r6: the spread-fit hash key is pmod (non-negative) — on ids
+    whose LCG product stays in int64 it selects the same centroids as the
+    documented ((a*id+b) % P + P) % P oracle replay, and the fit remains
+    deterministic across calls."""
+    from kaer_spark.operators.similarity import (
+        _SPREAD_A,
+        _SPREAD_B,
+        _SPREAD_P,
+        ivf_fit_spread,
+    )
+
+    rows = [(i * 7 + 3, [float(i), float(i % 5), 0.0, 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_fit_spread(df, "embedding", "vec_id", cells=4)
+    # python replay of the oracle's double-pmod ordering
+    keyed = sorted(
+        ((vid * _SPREAD_A + _SPREAD_B) % _SPREAD_P % _SPREAD_P, vid, vec)
+        for vid, vec in rows
+    )
+    expect = [[float(x) for x in vec] for _, _, vec in keyed[:4]]
+    assert cents == expect
+    assert ivf_fit_spread(df, "embedding", "vec_id", cells=4) == cents
