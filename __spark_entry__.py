@@ -1978,124 +1978,361 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# round-7 driver surface for the round-6 operators (VERDICT r6 ask #2)
+# ---------------------------------------------------------------------------
+# per-source TOKEN budgets (chars-scale numbers so every source is clipped
+# somewhere across the sf fixtures) for token_budget_mix
+TOKEN_BUDGETS = {"src0": 5_000, "src1": 2_000, "src2": 800}
+TOKEN_BUDGET_DEFAULT = 1_000
+TOKEN_BUDGET_SHARDS = 8
+TEMP_TAU = 0.7  # temperature-sampling flattening exponent (XLM-R's value)
+# (cell_decimals, avg_decimals) for the oracle-replayable bigram-LM mode:
+# log() is the one transcendental the engine can't replay bit-exactly
+# (JVM Math.log vs libm ln differ by 1 ulp on ~5% of inputs — measured),
+# so per-bigram logps quantize to a 1e-12 decimal grid (exact,
+# order-independent decimal sums) and the per-doc average rounds to 1e-6,
+# absorbing grid-boundary stragglers. See operators.ranking docstring.
+BIGRAM_QUANTIZE = (12, 6)
+TB_PIPE_MAX_TOKENS = 512  # packing budget for the composed token pipeline
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets (operators.sampling.token_budget_mix):
+    keep each source's docs in LCG-hash order until the cumulative n_chars
+    crosses its budget — the "N tokens of source X" mix primitive. Pure
+    integer math (sharded exclusive cumsum + broadcast shard offsets), so
+    the oracle replays the exact selection; reported per-source."""
+    from kaer_spark.operators.sampling import token_budget_mix
+
+    kept = token_budget_mix(
+        _t(spark, sf_dir, "documents"), "source", TOKEN_BUDGETS,
+        token_col="n_chars", default_budget=TOKEN_BUDGET_DEFAULT,
+        shards=TOKEN_BUDGET_SHARDS,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_tokens"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_rates(τ=0.7) feeding weighted_mix: the multilingual
+    flattening rule (rate_i ∝ n_i^(τ-1), max-rate language pinned at
+    1000‰) realized as the zero-shuffle bucket predicate. The oracle
+    re-derives the rates IN SQL from the same counts (pow + round — libm
+    pow agrees bit-for-bit between CPython and DuckDB on this box; the
+    rounding boundary would need a 1e-13-relative coincidence)."""
+    from kaer_spark.operators.sampling import temperature_rates, weighted_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "lang", tau=TEMP_TAU)
+    kept = weighted_mix(docs, "lang", rates, default_permille=0)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM fluency scores (operators.ranking.
+    bigram_lm_scores) in the quantized oracle mode — the CCNet-style
+    signal with its add-1 model aggregated from the corpus itself."""
+    from kaer_spark.operators.ranking import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _t(spark, sf_dir, "documents"), quantize=BIGRAM_QUANTIZE
+    )
+
+
+def _q_bigram_lm_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-trained reference-model scoring (bigram_lm_fit on the even-id
+    half, scoring the odd-id half): unseen bigrams take the smoothing
+    floor via left joins — the train-on-Wikipedia / score-the-crawl
+    workflow on a parity split of the fixture."""
+    from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    model = bigram_lm_fit(docs.filter(F.col("doc_id") % 2 == 0))
+    return bigram_lm_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        model=model, quantize=BIGRAM_QUANTIZE,
+    )
+
+
+def _q_ivf_knn_join_factory(metric: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cell-equi-join kNN join (similarity.ivf_knn_join) probed at
+        nprobe = cells: every cell probed ⇒ results are EXACT, so the
+        whole no-broadcast join machinery (spread fit, cell assignment,
+        probe explode, per-query window top-k) carries a full value
+        oracle — the same full-probe ≡ exact identity the IVF sweep
+        asserts. Recall at partial probe is covered by pytest."""
+        from kaer_spark.operators.similarity import ivf_knn_join
+
+        embs = _t(spark, sf_dir, "embeddings")
+        queries_df = (
+            embs.orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        return ivf_knn_join(
+            queries_df, embs, k=5, cells=8, nprobe=8,
+            corpus_id_col="vec_id", metric=metric,
+        )
+
+    return run
+
+
+def _q_dedup_minhash_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash near-dups (dedup.minhash_near_dups_between) on
+    the parity split of documents: even-id corpus vs odd-id corpus, same
+    seeds both sides — the incremental-crawl/decontamination shape. The
+    oracle computes signatures once globally (identical math) and keeps
+    only even×odd band collisions."""
+    from kaer_spark.operators.dedup import minhash_near_dups_between
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dups_between(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=JACCARD_N, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+    )
+
+
+def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.dedup_against — the one-call incremental-ingest filter: the
+    even-id corpus minus everything near-duplicating the odd-id corpus
+    (band join strictly across corpora, anti-join removal, nothing
+    collected)."""
+    from kaer_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=JACCARD_N, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+    ).select("doc_id", "lang", "source")
+
+
+def _q_embedding_dups_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus embedding near-dups (dedup.embedding_near_dups_between)
+    on the parity split of embeddings: both halves hash through the SAME
+    seeded planes, band join strictly even×odd, exact-cosine verify —
+    semantic decontamination where lexical overlap is paraphrased away."""
+    from kaer_spark.operators.dedup import embedding_near_dups_between
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups_between(
+        embs.filter(F.col("vec_id") % 2 == 0),
+        embs.filter(F.col("vec_id") % 2 == 1),
+        threshold=COSINE_DUP_THRESHOLD,
+        bands=COSINE_LSH_BANDS, bits_per_band=COSINE_LSH_BITS,
+        seed=COSINE_LSH_SEED,
+    )
+
+
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join(direction="forward"): each click's NEXT signup at-or-after
+    it per user — the next-event shape, same single-shuffle union-merge as
+    the backward entry walked in the opposite direction."""
+    from kaer_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    return asof_join(
+        clicks, signups, on="ts", by="user_id", direction="forward"
+    ).select("event_id", "user_id", "signup_event")
+
+
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join(direction="nearest"): whichever signup is closer in time
+    (ties → the backward match, pandas' convention); both directional
+    windows share one exchange. Gap comparison is integer epoch-nanos —
+    exact on both engines."""
+    from kaer_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    return asof_join(
+        clicks, signups, on="ts", by="user_id", direction="nearest"
+    ).select("event_id", "user_id", "signup_event")
+
+
+def _q_training_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multilingual token pipeline (pipelines.
+    token_budget_pipeline): temperature rates → language mix → per-source
+    token budgets → sequence packing, one fused plan after the bounded
+    per-language count; the oracle chains each stage's verified SQL."""
+    from kaer_spark.pipelines import token_budget_pipeline
+
+    return token_budget_pipeline(
+        _t(spark, sf_dir, "documents"),
+        tau=TEMP_TAU, budgets=TOKEN_BUDGETS,
+        default_budget=TOKEN_BUDGET_DEFAULT,
+        max_tokens=TB_PIPE_MAX_TOKENS, shards=TOKEN_BUDGET_SHARDS,
+    )
+
+
+def _q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numeric_profile(approximate=True): the Greenwald-Khanna bounded-
+    memory percentile sketch behind the same schema as the exact profile.
+    Rows-only by declared contract (a rank-error-bounded sketch has no SQL
+    replay); tests/test_pipelines.py bounds sketch-vs-exact disagreement,
+    and the exact-mode twin `corpus_profile` is fully oracle-checked."""
+    from kaer_spark.pipelines import numeric_profile
+
+    return numeric_profile(
+        _t(spark, sf_dir, "documents"), "n_chars", group_col="lang",
+        approximate=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory. ORDER MATTERS: the driver's correctness
-    harness checks the FIRST 50 entries per round, so queries that have
-    never had a driver row (or whose fix needs re-verification) are listed
-    first, and queries already green in prior rounds' CORRECTNESS_r*.json
-    rotate to the back (they stay continuously covered by
-    tools/selfcheck.py and the pytest suite, which run the full dict)."""
+    harness checks the FIRST 50 entries per round. Rotation policy — and
+    the dict below actually implements it (VERDICT r6 finding: the old
+    dict contradicted this docstring): (1) queries that have NEVER had a
+    driver row come first (this round: the 13 new round-7 entries, then
+    the 15 r4/r5 queries the old ordering had stranded at the back);
+    (2) remaining window slots go to the queries whose latest green row
+    is OLDEST (the round-3 cohort); (3) everything green in the latest
+    round rotates to the back. The full dict stays continuously covered
+    by tools/selfcheck.py and the pytest suite every commit."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in round 4 (never driver-checked): full TPC-H suite --
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
+        # == (1a) new in round 7 — never driver-checked ===================
+        "token_budget_mix": _q_token_budget_mix,
+        "temperature_mix": _q_temperature_mix,
+        "bigram_lm_scores": _q_bigram_lm,
+        "bigram_lm_pretrained": _q_bigram_lm_pretrained,
+        "ivf_knn_join": _q_ivf_knn_join_factory("l2sq"),
+        "ivf_knn_join_cosine": _q_ivf_knn_join_factory("cosine"),
+        "dedup_minhash_between": _q_dedup_minhash_between,
+        "dedup_against": _q_dedup_against,
+        "embedding_dups_between": _q_embedding_dups_between,
+        "asof_forward": _q_asof_forward,
+        "asof_nearest": _q_asof_nearest,
+        "training_mix_tokens": _q_training_mix_tokens,
+        # rows-only by declared contract (GK percentile sketch)
+        "corpus_profile_approx": _q_corpus_profile_approx,
+        # == (1b) declared r4/r5, never driver-checked (the 15) ===========
+        "ivf_knn_det": _q_ivf_knn_det,
+        "lsh_knn_det": _q_lsh_knn_det,
+        "pq_knn_det": _q_pq_knn_det,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_dedup": _q_streaming_dedup,
+        "bm25_scores": _q_bm25_scores,
+        "hash_sample": _q_hash_sample,
+        "domain_quota": _q_domain_quota,
+        "weighted_mix": _q_weighted_mix,
+        "pack_sequences": _q_pack_sequences,
+        "cohort_retention": _q_cohort_retention,
+        "histogram_chars": _q_histogram_chars,
+        "training_mix_packed": _q_training_mix_packed,
+        "top_quality_docs": _q_top_quality,
+        "sliding_7d": _q_sliding_7d,
+        # == (2) stalest driver rows — latest green is round 3 ============
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "simhash": _q_simhash,
+        "sq_knn": _q_sq_knn,
+        "dense_ids": _q_dense_ids,
+        "quality_filter": _q_quality_filter,
+        "events_hourly": _q_events_hourly,
+        "events_json": _q_events_json,
+        "streaming_events_hourly": _q_streaming_hourly,
+        "funnel_steps": _q_funnel_steps,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "training_corpus_stats": _q_training_corpus,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
+        # ==== 50-row window boundary ====================================
+        # == (3) beyond the window: r3 leftovers + everything green in
+        #    round 6 (CORRECTNESS_r06.json) — selfcheck/pytest-covered ====
+        "bpe_token_count": _q_bpe_tokens,
+        # rows-only by declared contract (MLlib/k-means family)
+        "ivf_knn": _q_ivf_knn,
+        "lsh_knn": _q_lsh_knn,
+        "pq_knn": _q_pq_knn,
+        "lsh_similarity_join": _q_lsh_simjoin,
+        "ivf_recall_sweep": _q_ivf_recall_sweep,
     }
-    out.update(
-        {
-            # -- checked r1/r2 but OUTSIDE round 3's 50-row window: rotate
-            #    back in for a fresh row this round --
-            "text_stats": _q_text_stats,
-            "doc_fingerprint": _q_fingerprint,
-            "lang_id_counts": _q_lang_id_counts,
-            "top_tokens": _q_top_tokens,
-            "events_sessionize": _q_events_sessionize,
-            "set_ops": _q_set_ops,
-            "rollup_agg": _q_rollup_agg,
-            "window_running": _q_window_running,
-            "tpch_q13": _q_tpch_q13,
-            "cube_agg": _q_cube_agg,
-            "anti_join_empty_orders": _q_anti_join,
-            "semi_join_returned": _q_semi_join,
-            "distinct_agg": _q_distinct_agg,
-            "pivot_agg": _q_pivot_agg,
-            "asof_signup": _q_asof_signup,
-            "range_join_clicks": _q_range_join,
-            "knn_topk": _q_knn(None, 10),
-            "knn_filtered_eq": _q_knn(KNN_FILTER_EQ, 5),
-            "knn_filtered_and": _q_knn(KNN_FILTER_AND, 5),
-            "knn_empty_filter": _q_knn({"n_chars": {"$gt": 10**9}}, 5),
-            "knn_cosine": _q_knn_cosine,
-            "knn_join": _q_knn_join,
-            "max_id": _q_max_id,
-            "dedup_exact": _q_dedup_exact,
-            "tpch_q1": _q_tpch_q1,
-            "tpch_q3": _q_tpch_q3,
-            "tpch_q6": _q_tpch_q6,
-            "tpch_q10": _q_tpch_q10,
-            # -- beyond the 50-row window this round: ALL green in round 3
-            #    (CORRECTNESS_r03.json); covered by selfcheck + tests every
-            #    commit --
-            "dedup_minhash": _q_dedup_minhash,
-            "multimodal_features": _q_multimodal_features,
-            "media_frame_offsets": _q_frame_offsets,
-            "media_resize": _q_media_resize,
-        }
-    )
-    for name, filt in SCHEMALESS_CASES.items():
-        out[name] = _q_schemaless(filt)
-    out["time_bucket_rollup"] = _q_time_bucket_rollup
-    out["dedup_cluster_assign"] = _q_dedup_cluster_assign
-    out["corpus_profile"] = _q_corpus_profile
-    out["pii_redaction"] = _q_pii_redaction
-    out["doc_chunks"] = _q_doc_chunks
-    out["stratified_split"] = _q_stratified_split
-    out["repetition_profile"] = _q_repetition_profile
-    out["contamination_report"] = _q_contamination_report
-    out["funnel_steps"] = _q_funnel_steps
     for name, filt in FILTER_CASES.items():
         out[name] = _q_filter(filt)
+    for name, filt in SCHEMALESS_CASES.items():
+        out[name] = _q_schemaless(filt)
     out.update(
         {
-            "training_corpus_stats": _q_training_corpus,
-            "tpch_q22": _q_tpch_q22,
-            # -- rows-only by declared contract (approximate ANN) --
-            "ivf_knn": _q_ivf_knn,
-            "lsh_knn": _q_lsh_knn,
-            "ivf_knn_det": _q_ivf_knn_det,
-            "lsh_knn_det": _q_lsh_knn_det,
-            "pq_knn_det": _q_pq_knn_det,
-            "lsh_similarity_join": _q_lsh_simjoin,
-            "ivf_recall_sweep": _q_ivf_recall_sweep,
-            "pq_knn": _q_pq_knn,
-            # -- int8 scalar quantization: FULLY oracle-checked ANN --
-            "sq_knn": _q_sq_knn,
-            "dedup_ngram_jaccard": _q_dedup_jaccard,
-            "dedup_embedding_cosine": _q_dedup_embedding,
-            "simhash": _q_simhash,
-            "quality_filter": _q_quality_filter,
-            "bpe_token_count": _q_bpe_tokens,
-            "dense_ids": _q_dense_ids,
-            "tpch_q5": _q_tpch_q5,
-            "tpch_q7": _q_tpch_q7,
-            "tpch_q14": _q_tpch_q14,
-            "tpch_q15": _q_tpch_q15,
-            "tpch_q18": _q_tpch_q18,
-            "tpch_q19": _q_tpch_q19,
-            "tpch_q8": _q_tpch_q8,
-            "tpch_q17": _q_tpch_q17,
-            "revenue_by_nation": _q_revenue_by_nation,
-            "top_customers": _q_top_customers,
-            "events_json": _q_events_json,
-            "events_hourly": _q_events_hourly,
-            "streaming_events_hourly": _q_streaming_hourly,
-            "streaming_sessionize": _q_streaming_sessionize,
-            "streaming_dedup": _q_streaming_dedup,
-            "bm25_scores": _q_bm25_scores,
-            "hash_sample": _q_hash_sample,
-            "domain_quota": _q_domain_quota,
-            "weighted_mix": _q_weighted_mix,
-            "pack_sequences": _q_pack_sequences,
-            "cohort_retention": _q_cohort_retention,
-            "histogram_chars": _q_histogram_chars,
-            "training_mix_packed": _q_training_mix_packed,
-            "top_quality_docs": _q_top_quality,
-            "sliding_7d": _q_sliding_7d,
+            "anti_join_empty_orders": _q_anti_join,
+            "asof_signup": _q_asof_signup,
+            "contamination_report": _q_contamination_report,
+            "corpus_profile": _q_corpus_profile,
+            "cube_agg": _q_cube_agg,
+            "dedup_cluster_assign": _q_dedup_cluster_assign,
+            "dedup_exact": _q_dedup_exact,
+            "dedup_minhash": _q_dedup_minhash,
+            "distinct_agg": _q_distinct_agg,
+            "doc_chunks": _q_doc_chunks,
+            "doc_fingerprint": _q_fingerprint,
+            "events_sessionize": _q_events_sessionize,
+            "knn_cosine": _q_knn_cosine,
+            "knn_empty_filter": _q_knn({"n_chars": {"$gt": 10**9}}, 5),
+            "knn_filtered_and": _q_knn(KNN_FILTER_AND, 5),
+            "knn_filtered_eq": _q_knn(KNN_FILTER_EQ, 5),
+            "knn_join": _q_knn_join,
+            "knn_topk": _q_knn(None, 10),
+            "lang_id_counts": _q_lang_id_counts,
+            "max_id": _q_max_id,
+            "media_frame_offsets": _q_frame_offsets,
+            "media_resize": _q_media_resize,
+            "multimodal_features": _q_multimodal_features,
+            "pii_redaction": _q_pii_redaction,
+            "pivot_agg": _q_pivot_agg,
+            "range_join_clicks": _q_range_join,
+            "repetition_profile": _q_repetition_profile,
+            "rollup_agg": _q_rollup_agg,
+            "semi_join_returned": _q_semi_join,
+            "set_ops": _q_set_ops,
+            "stratified_split": _q_stratified_split,
+            "text_stats": _q_text_stats,
+            "time_bucket_rollup": _q_time_bucket_rollup,
+            "top_tokens": _q_top_tokens,
+            "tpch_q1": _q_tpch_q1,
+            "tpch_q2": _q_tpch_q2,
+            "tpch_q3": _q_tpch_q3,
+            "tpch_q4": _q_tpch_q4,
+            "tpch_q6": _q_tpch_q6,
+            "tpch_q9": _q_tpch_q9,
+            "tpch_q10": _q_tpch_q10,
+            "tpch_q11": _q_tpch_q11,
+            "tpch_q12": _q_tpch_q12,
+            "tpch_q13": _q_tpch_q13,
+            "tpch_q16": _q_tpch_q16,
+            "tpch_q20": _q_tpch_q20,
+            "tpch_q21": _q_tpch_q21,
+            "window_running": _q_window_running,
         }
     )
     return out
@@ -2673,8 +2910,408 @@ def _sql_multimodal() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-7 oracle builders (the r6 operator surface)
+# ---------------------------------------------------------------------------
+def _sql_lcg_hk(id_expr: str = "doc_id") -> str:
+    """The engine's non-negative LCG hash (sampling.SAMPLE_* constants) —
+    the established ((x % P + P) % P) replay of F.pmod."""
+    return (
+        f"((({id_expr} * 2654435761 + 40503) % 1000000007 + 1000000007)"
+        " % 1000000007)"
+    )
+
+
+_SQL_TOKS = (
+    "CASE WHEN trim(text) = '' THEN []"
+    " ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+_SQL_NTOK = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+)
+
+
+def _sql_budget_case(budgets: dict[str, int], default: int) -> str:
+    whens = " ".join(f"WHEN '{g}' THEN {int(b)}" for g, b in sorted(budgets.items()))
+    return f"CASE source {whens} ELSE {int(default)} END"
+
+
+def _sql_token_budget_kept(src: str) -> str:
+    """The token_budget_mix selection as chained CTEs over ``src`` (which
+    must expose doc_id, source and a BIGINT ``tok``): the same shard-major
+    exclusive cumsum + shard-offset prefix, all integer arithmetic."""
+    hk = _sql_lcg_hk("doc_id")
+    return f"""
+        tb_t AS (
+          SELECT *, {hk} AS hk, {hk} % {TOKEN_BUDGET_SHARDS} AS sh
+          FROM {src}
+        ),
+        tb_c AS (
+          SELECT *, COALESCE(SUM(tok) OVER (PARTITION BY source, sh
+                     ORDER BY hk, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM tb_t
+        ),
+        tb_tot AS (SELECT source, sh, SUM(tok) AS sht FROM tb_t GROUP BY source, sh),
+        tb_ofs AS (
+          SELECT source, sh, COALESCE(SUM(sht) OVER (PARTITION BY source
+                 ORDER BY sh ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM tb_tot
+        ),
+        tb_kept AS (
+          SELECT tb_c.* FROM tb_c JOIN tb_ofs USING (source, sh)
+          WHERE tb_ofs.o + tb_c.cum
+                < {_sql_budget_case(TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT)}
+        )
+    """
+
+
+def _sql_token_budget_mix() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS tok FROM documents
+        ),
+        {_sql_token_budget_kept('t')}
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(tok) AS BIGINT) AS sum_tokens,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM tb_kept GROUP BY source
+    """
+
+
+def _sql_temperature_rates_cte() -> str:
+    """Per-language temperature rates re-derived IN SQL: pow replays
+    CPython's libm pow bit-for-bit on this platform, and the permille
+    rounding would need a 1e-13-relative coincidence to split (the
+    exponent literal is the exact float64 repr of tau - 1.0)."""
+    exp = repr(TEMP_TAU - 1.0)
+    return f"""
+        tr_n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        tr_w AS (SELECT lang, pow(CAST(n AS DOUBLE), {exp}) AS w FROM tr_n),
+        tr_top AS (SELECT max(w) AS top FROM tr_w),
+        tr_r AS (
+          SELECT lang,
+                 GREATEST(1.0, LEAST(1000.0, round((1000 * w) / top))) AS rate
+          FROM tr_w, tr_top
+        )
+    """
+
+
+def _sql_temperature_mix() -> str:
+    return f"""
+        WITH {_sql_temperature_rates_cte()},
+        k AS (
+          SELECT d.lang, d.doc_id
+          FROM documents d JOIN tr_r USING (lang)
+          WHERE {_sql_lcg_hk('d.doc_id')} % 1000 < tr_r.rate
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM k GROUP BY lang
+    """
+
+
+def _sql_bigrams(src: str, prefix: str) -> str:
+    """Exploded (id, w, v) bigram CTEs over ``src`` (exposing id, t)."""
+    return f"""
+        {prefix}g0 AS (
+          SELECT id, unnest(list_transform(range(1, len(t)),
+                            i -> {{'w': t[i], 'v': t[i + 1]}})) AS bg
+          FROM {src}
+        ),
+        {prefix}g AS (SELECT id, bg.w AS w, bg.v AS v FROM {prefix}g0)
+    """
+
+
+def _sql_bigram_lm(pretrained: bool) -> str:
+    """Replay of ranking.bigram_lm_scores(quantize=BIGRAM_QUANTIZE): the
+    same tokenization/bigram explosion, integer count aggregates, the
+    identical (c+α)/(c+αV) op tree, ln() quantized to the decimal grid
+    (exact order-independent decimal sums), avg rounded — see
+    BIGRAM_QUANTIZE for why the two-stage quantization is required."""
+    cell_d, avg_d = BIGRAM_QUANTIZE
+    a = repr(1.0)  # alpha
+    if pretrained:
+        heads = f"""
+        WITH rbase AS (SELECT doc_id AS id, {_SQL_TOKS} AS t
+                       FROM documents WHERE doc_id % 2 = 0),
+        base AS (SELECT doc_id AS id, {_SQL_TOKS} AS t
+                 FROM documents WHERE doc_id % 2 = 1),
+        {_sql_bigrams('rbase', 'r')},
+        {_sql_bigrams('base', '')},
+        vocab AS (SELECT CAST(count(*) AS BIGINT) AS vs
+                  FROM (SELECT DISTINCT unnest(t) AS tok FROM rbase)),
+        uni AS (SELECT w, count(*) AS cw FROM rg GROUP BY w),
+        bi AS (SELECT w, v, count(*) AS cwv FROM rg GROUP BY w, v),
+        lp AS (
+          SELECT g.id,
+                 CAST(ln((COALESCE(cwv, 0) + {a})
+                         / (COALESCE(cw, 0) + {a} * vs))
+                      AS DECIMAL(28,{cell_d})) AS qlp
+          FROM g LEFT JOIN bi USING (w, v) LEFT JOIN uni USING (w)
+          CROSS JOIN vocab
+        )"""
+    else:
+        heads = f"""
+        WITH base AS (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM documents),
+        {_sql_bigrams('base', '')},
+        vocab AS (SELECT CAST(count(*) AS BIGINT) AS vs
+                  FROM (SELECT DISTINCT unnest(t) AS tok FROM base)),
+        uni AS (SELECT w, count(*) AS cw FROM g GROUP BY w),
+        bi AS (SELECT w, v, count(*) AS cwv FROM g GROUP BY w, v),
+        lp AS (
+          SELECT g.id,
+                 CAST(ln((cwv + {a}) / (cw + {a} * vs))
+                      AS DECIMAL(28,{cell_d})) AS qlp
+          FROM g JOIN bi USING (w, v) JOIN uni USING (w) CROSS JOIN vocab
+        )"""
+    return f"""
+        {heads},
+        p AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS nb,
+                 round(CAST(sum(qlp) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                       {avg_d}) AS avg_logp
+          FROM lp GROUP BY id
+        )
+        SELECT b.id AS doc_id, COALESCE(p.nb, 0) AS n_bigrams, p.avg_logp
+        FROM base b LEFT JOIN p ON b.id = p.id
+    """
+
+
+def _sql_ivf_knn_join(metric: str) -> str:
+    """Replay of similarity.ivf_knn_join at nprobe = cells: full probe ⇒
+    exact per-query rank, so the oracle is the plain window-rank kNN join
+    (cell machinery provably changes nothing at full probe)."""
+    if metric == "cosine":
+        den = (
+            f"(sqrt({_sql_dot_cols('e.embedding', 'e.embedding')})"
+            f" * sqrt({_sql_dot_cols('q.embedding', 'q.embedding')}))"
+        )
+        score = (
+            f"(CASE WHEN {den} <> 0.0 THEN"
+            f" ({_sql_dot_cols('e.embedding', 'q.embedding')}) / {den} END)"
+        )
+        order = f"{score} DESC NULLS LAST, e.vec_id ASC"
+    else:
+        order = f"({_sql_l2sq_cols('e.embedding', 'q.embedding')}) ASC, e.vec_id ASC"
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   ORDER BY vec_id LIMIT 5),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY {order}) AS rank
+          FROM q CROSS JOIN embeddings e
+        )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+        FROM s WHERE rank <= 5
+    """
+
+
+def _sql_minhash_between(survivors: bool = False) -> str:
+    """Cross-corpus (even × odd doc_id) replay of
+    dedup.minhash_near_dups_between: signatures computed once globally
+    (identical seeded math to the per-corpus engine computation), band
+    collisions kept only across the parity split, exact-Jaccard verify.
+    ``survivors=True`` flips to the dedup_against output: every even-id
+    document with no over-threshold match."""
+    from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
+
+    n = JACCARD_N
+    coeffs = minhash_coeffs(MINHASH_HASHES, 42)
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    slots = ", ".join(
+        f"list_min(list_transform(fps, f -> (f * {a} + {b}) % {HASH_MOD})) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, "
+        + " || ',' || ".join(
+            f"CAST(s{bi * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS key FROM sigs"
+        for bi in range(MINHASH_BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+    )
+    body = f"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                              i -> substr(text, i, {n}))) AS shingles
+          FROM documents WHERE length(text) >= {n}
+        ),
+        fps AS (SELECT id, shingles,
+                       list_transform(shingles, s -> {_sql_poly_hash('s')}) AS fps
+                FROM sh),
+        sigs AS (SELECT id, shingles, {slots} FROM fps),
+        banded AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.id AS left_id, b.id AS right_id
+          FROM banded a JOIN banded b USING (band, key)
+          WHERE a.id % 2 = 0 AND b.id % 2 = 1
+        ),
+        pairs AS (
+          SELECT c.left_id, c.right_id, {jac} AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.id = c.left_id
+          JOIN sh sb ON sb.id = c.right_id
+          WHERE {jac} >= {JACCARD_THRESHOLD!r}
+        )
+    """
+    if survivors:
+        return f"""{body}
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 2 = 0
+          AND doc_id NOT IN (SELECT left_id FROM pairs)
+        """
+    return f"{body}\n        SELECT left_id, right_id, jaccard FROM pairs"
+
+
+def _sql_embedding_dups_between() -> str:
+    """Cross-corpus (even × odd vec_id) replay of
+    dedup.embedding_near_dups_between: same seeded planes on both sides
+    (computed once globally), band collisions strictly across the parity
+    split, exact-cosine verify."""
+    from kaer_spark.operators.dedup import signlsh_planes
+
+    planes = signlsh_planes(
+        len(QVEC), COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED
+    )
+
+    def band_key(vec: str, band: int) -> str:
+        return _sql_signlsh_band_key(
+            vec, planes[band * COSINE_LSH_BITS : (band + 1) * COSINE_LSH_BITS]
+        )
+
+    inv = "\n          UNION ALL ".join(
+        f"SELECT vec_id AS id, {b} AS band, {band_key('embedding', b)} AS key FROM e"
+        for b in range(COSINE_LSH_BANDS)
+    )
+    dot = _sql_dot_cols("ea.embedding", "eb.embedding")
+    nrm = f"sqrt({_sql_dot_cols('embedding', 'embedding')})"
+    cos = f"(CASE WHEN ea.nrm * eb.nrm <> 0.0 THEN ({dot}) / (ea.nrm * eb.nrm) END)"
+    return f"""
+        WITH e AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+        inv AS (
+          {inv}
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS left_id, b.id AS right_id
+          FROM inv a JOIN inv b ON a.band = b.band AND a.key = b.key
+          WHERE a.id % 2 = 0 AND b.id % 2 = 1
+        )
+        SELECT c.left_id, c.right_id, {cos} AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.left_id
+        JOIN e eb ON eb.vec_id = c.right_id
+        WHERE {cos} >= {COSINE_DUP_THRESHOLD!r}
+    """
+
+
+def _sql_asof_forward() -> str:
+    """Forward as-of: earliest signup at-or-after each click; among
+    equal-ts signups the greatest event id wins (the engine's __r struct
+    tie rule)."""
+    return """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type
+                   FROM events),
+        c AS (SELECT * FROM e WHERE event_type = 'click'),
+        s AS (SELECT * FROM e WHERE event_type = 'signup'),
+        j AS (
+          SELECT c.event_id, c.user_id, s.event_id AS sev,
+                 row_number() OVER (PARTITION BY c.event_id
+                                    ORDER BY s.ts ASC, s.event_id DESC) AS rn
+          FROM c LEFT JOIN s ON c.user_id = s.user_id AND s.ts >= c.ts
+        )
+        SELECT event_id, user_id, sev AS signup_event FROM j WHERE rn = 1
+    """
+
+
+def _sql_asof_nearest() -> str:
+    """Nearest as-of: the closer of the backward/forward matches in
+    integer nanos, ties to backward (pandas' convention); directional tie
+    rules as in the directional oracles."""
+    return """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type
+                   FROM events),
+        c AS (SELECT * FROM e WHERE event_type = 'click'),
+        s AS (SELECT * FROM e WHERE event_type = 'signup'),
+        b0 AS (
+          SELECT c.event_id, s.ts AS bts, s.event_id AS bev,
+                 row_number() OVER (PARTITION BY c.event_id
+                                    ORDER BY s.ts DESC, s.event_id DESC) AS rn
+          FROM c JOIN s ON c.user_id = s.user_id AND s.ts <= c.ts
+        ),
+        f0 AS (
+          SELECT c.event_id, s.ts AS fts, s.event_id AS fev,
+                 row_number() OVER (PARTITION BY c.event_id
+                                    ORDER BY s.ts ASC, s.event_id DESC) AS rn
+          FROM c JOIN s ON c.user_id = s.user_id AND s.ts >= c.ts
+        )
+        SELECT c.event_id, c.user_id,
+               CASE WHEN b.bev IS NULL THEN f.fev
+                    WHEN f.fev IS NULL OR (c.ts - b.bts) <= (f.fts - c.ts)
+                         THEN b.bev
+                    ELSE f.fev END AS signup_event
+        FROM c
+        LEFT JOIN (SELECT * FROM b0 WHERE rn = 1) b USING (event_id)
+        LEFT JOIN (SELECT * FROM f0 WHERE rn = 1) f USING (event_id)
+    """
+
+
+def _sql_training_mix_tokens() -> str:
+    """Chained replay of pipelines.token_budget_pipeline: temperature
+    rates (SQL-rederived) → bucket filter per lang → the token-budget
+    cumsum (whitespace token counts this time) → the packing cumsum →
+    pack stats — each stage the independently-verified oracle of its
+    operator."""
+    return f"""
+        WITH {_sql_temperature_rates_cte()},
+        mix AS (
+          SELECT d.doc_id, d.source, {_SQL_NTOK} AS tok
+          FROM documents d JOIN tr_r USING (lang)
+          WHERE {_sql_lcg_hk('d.doc_id')} % 1000 < tr_r.rate
+        ),
+        {_sql_token_budget_kept('mix')},
+        pt AS (
+          SELECT doc_id, tok,
+                 ((doc_id % {TOKEN_BUDGET_SHARDS} + {TOKEN_BUDGET_SHARDS})
+                  % {TOKEN_BUDGET_SHARDS}) AS shard
+          FROM tb_kept
+        ),
+        pc AS (
+          SELECT doc_id, tok, shard,
+                 COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+          FROM pt
+        )
+        SELECT shard, CAST(excl // {TB_PIPE_MAX_TOKENS} AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS sum_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM pc GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
+        # -- round-7 oracles for the round-6 operator surface --
+        "token_budget_mix": _sql_token_budget_mix(),
+        "temperature_mix": _sql_temperature_mix(),
+        "bigram_lm_scores": _sql_bigram_lm(pretrained=False),
+        "bigram_lm_pretrained": _sql_bigram_lm(pretrained=True),
+        "ivf_knn_join": _sql_ivf_knn_join("l2sq"),
+        "ivf_knn_join_cosine": _sql_ivf_knn_join("cosine"),
+        "dedup_minhash_between": _sql_minhash_between(),
+        "dedup_against": _sql_minhash_between(survivors=True),
+        "embedding_dups_between": _sql_embedding_dups_between(),
+        "asof_forward": _sql_asof_forward(),
+        "asof_nearest": _sql_asof_nearest(),
+        "training_mix_tokens": _sql_training_mix_tokens(),
         "knn_topk": _sql_knn(None, 10),
         "knn_filtered_eq": _sql_knn(KNN_FILTER_EQ, 5),
         "knn_filtered_and": _sql_knn(KNN_FILTER_AND, 5),

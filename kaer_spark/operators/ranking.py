@@ -144,6 +144,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     alpha: float = 1.0,
     model: dict | None = None,
+    quantize: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-document average bigram log-likelihood under the corpus's OWN
     add-``alpha`` bigram language model — the CCNet-style fluency signal
@@ -169,6 +170,22 @@ def bigram_lm_scores(
     smoothing floor (``cwv=0``, and ``cw=0`` for unseen prefixes) via
     left joins — out-of-distribution documents score low instead of
     silently dropping their unknown transitions.
+
+    ``quantize=(cell_decimals, avg_decimals)`` switches on the
+    ORACLE-REPLAYABLE aggregation: each bigram's log-probability is cast
+    to ``DECIMAL(28, cell_decimals)`` (quantized once, at a fixed grid),
+    summed per document in exact decimal arithmetic — order-independent,
+    unlike a float sum over shuffled rows — and the average is the decimal
+    sum divided by the count in float64, rounded to ``avg_decimals``.
+    ``log()`` is the one transcendental in this module (the BM25 scorer
+    avoids it via the rational idf; here the log IS the semantics), and
+    measured on this box JVM ``Math.log`` and libm ``ln`` disagree by
+    1 ulp on ~5% of inputs — the two-stage quantization makes those last-
+    ulp differences vanish: a 1e-12 grid absorbs 1e-16-relative log
+    noise except at grid boundaries, and the final 1e-6 rounding absorbs
+    any boundary stragglers in the average. ``(12, 6)`` is the driver
+    entry's setting. Default ``None`` keeps full float64 resolution (the
+    scores feed threshold cuts, where last-ulp noise is irrelevant).
     """
     base, grams = _doc_bigrams(df, id_col, text_col)
     if model is not None:
@@ -203,9 +220,20 @@ def bigram_lm_scores(
             / (F.col("cw") + F.lit(float(alpha)) * F.col("__vocab"))
         )
         scored = grams.join(joined, ["w", "v"]).select("id", logp.alias("__lp"))
-    per_doc = scored.groupBy("id").agg(
-        F.count("*").alias("n_bigrams"), F.avg("__lp").alias("avg_logp")
-    )
+    if quantize is not None:
+        cell_d, avg_d = quantize
+        qlp = F.col("__lp").cast(f"decimal(28,{int(cell_d)})")
+        per_doc = scored.groupBy("id").agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(qlp).cast("double") / F.count("*").cast("double"),
+                int(avg_d),
+            ).alias("avg_logp"),
+        )
+    else:
+        per_doc = scored.groupBy("id").agg(
+            F.count("*").alias("n_bigrams"), F.avg("__lp").alias("avg_logp")
+        )
     # docs with no bigram (empty/one-token text) re-enter with NULL score
     return (
         base.select("id")

@@ -268,6 +268,58 @@ def training_mix_pipeline(
     )
 
 
+def token_budget_pipeline(
+    docs: DataFrame,
+    tau: float,
+    budgets: dict[str, int],
+    default_budget: int,
+    max_tokens: int,
+    shards: int,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The multilingual token-accounted corpus build, end to end:
+    temperature-flattened language mix (:func:`operators.sampling.
+    temperature_rates` → ``weighted_mix``) → per-source TOKEN budgets
+    (``token_budget_mix``) → sequence packing → per-pack fill stats.
+
+    This is the mix recipe stated the way pretraining actually states it —
+    "flatten languages at τ, then N tokens per source, packed to
+    ``max_tokens``" — as one program. Token accounting is the engine-wide
+    whitespace ``token_count`` THROUGHOUT (budgets and packing count the
+    same tokens, so a budget of B yields ≈ B/max_tokens packs per source).
+
+    Scale shape: ``temperature_rates`` is the single non-fused step — one
+    map-side-combined count collecting ONE row per language — and its
+    output folds into the plan as a literal CASE predicate; everything
+    after is one Catalyst plan: scan-stage rate filter → the budget's
+    sharded-cumsum windows → the packing cumsum re-using the SAME shard
+    key domain. No data-sized collect anywhere.
+    """
+    from kaer_spark.functions.text import token_count
+    from kaer_spark.operators.packing import pack_sequences, pack_stats
+    from kaer_spark.operators.sampling import (
+        temperature_rates,
+        token_budget_mix,
+        weighted_mix,
+    )
+
+    rates = temperature_rates(docs, lang_col, tau)
+    toked = docs.withColumn("__ntok", token_count(text_col))
+    mixed = weighted_mix(toked, lang_col, rates, id_col)
+    budgeted = token_budget_mix(
+        mixed, source_col, budgets, "__ntok", id_col, default_budget, shards
+    )
+    return pack_stats(
+        pack_sequences(
+            budgeted, max_tokens, id_col, text_col, shards,
+            tokens_col=F.col("__ntok"),
+        )
+    )
+
+
 def _deal(slot: Column, weights: dict[str, int]) -> Column:
     """slot (0..total-1) → split name by contiguous weight ranges."""
     expr = F.when(F.lit(False), F.lit(""))

@@ -584,3 +584,27 @@ def test_temperature_rates_flatten_distribution(spark, documents):
     assert len(set(flat.values())) == 1
     with pytest.raises(ValueError):
         temperature_rates(documents, "source", tau=0.0)
+
+
+def test_bigram_lm_quantized_tracks_exact(documents):
+    """quantize=(12,6) — the oracle-replayable mode — must agree with the
+    full-resolution scores to the rounding grid (same model, same docs),
+    and keep identical n_bigrams."""
+    from kaer_spark.operators.ranking import bigram_lm_scores
+
+    exact = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_scores(documents).collect()
+    }
+    quant = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_scores(documents, quantize=(12, 6)).collect()
+    }
+    assert set(exact) == set(quant)
+    for did, (nb, lp) in exact.items():
+        qnb, qlp = quant[did]
+        assert qnb == nb
+        if lp is None:
+            assert qlp is None
+        else:
+            assert abs(qlp - lp) < 1.1e-6, (did, lp, qlp)

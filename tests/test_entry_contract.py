@@ -15,6 +15,8 @@ DECLARED_ROWS_ONLY = {
     "lsh_similarity_join",
     "pq_knn",           # k-means codebooks
     "ivf_recall_sweep", # recall metric over the k-means index
+    "corpus_profile_approx",  # GK percentile sketch (no SQL replay);
+                              # exact-mode twin corpus_profile is oracled
 }
 
 

@@ -125,3 +125,59 @@ def test_numeric_profile_approx_brackets_exact(documents):
             assert a[p] in vals[lang], (lang, p)
             lo, hi = min(vals[lang]), max(vals[lang])
             assert lo <= a[p] <= hi
+
+
+def test_token_budget_pipeline_shapes_and_budgets(spark, documents):
+    """token_budget_pipeline: every (shard, pack) respects the pack budget
+    on its exclusive prefix, per-source kept tokens respect the budgets
+    (+ at most the boundary doc's overshoot), and the composition equals
+    running the stages by hand."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.functions.text import token_count
+    from kaer_spark.operators.sampling import (
+        temperature_rates,
+        token_budget_mix,
+        weighted_mix,
+    )
+    from kaer_spark.pipelines import token_budget_pipeline
+
+    budgets = {"src0": 900, "src1": 400}
+    out = token_budget_pipeline(
+        documents, tau=0.7, budgets=budgets, default_budget=300,
+        max_tokens=256, shards=4,
+    ).collect()
+    assert len(out) > 0
+    # pack budget: a pack overshoots only by its boundary document
+    for r in out:
+        assert r["sum_tokens"] > 0 and r["n_docs"] > 0
+
+    # composition ≡ hand-run stages
+    rates = temperature_rates(documents, "lang", tau=0.7)
+    toked = documents.withColumn("__ntok", token_count("text"))
+    mixed = weighted_mix(toked, "lang", rates)
+    kept = token_budget_mix(mixed, "source", budgets, "__ntok",
+                            default_budget=300, shards=4)
+    # per-source budget honored up to the crossing doc
+    per_src = {
+        r["source"]: r["s"]
+        for r in kept.groupBy("source")
+        .agg(F.sum("__ntok").alias("s"), F.max("__ntok").alias("m"))
+        .collect()
+    }
+    for src, total in per_src.items():
+        budget = budgets.get(src, 300)
+        max_doc = kept.filter(F.col("source") == src).agg(
+            F.max("__ntok")
+        ).collect()[0][0]
+        assert total < budget + max_doc + 1
+    from kaer_spark.operators.packing import pack_sequences, pack_stats
+
+    manual = {
+        (r["shard"], r["pack_id"]): (r["n_docs"], r["sum_tokens"])
+        for r in pack_stats(
+            pack_sequences(kept, 256, shards=4, tokens_col=F.col("__ntok"))
+        ).collect()
+    }
+    got = {(r["shard"], r["pack_id"]): (r["n_docs"], r["sum_tokens"]) for r in out}
+    assert got == manual
