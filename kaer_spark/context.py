@@ -526,6 +526,62 @@ class Collection:
         keep = df.join(drop, ID_COL, "left_anti")
         return self._commit_rewrite(keep, obs)
 
+    def deduplicate_against(
+        self,
+        other: "Collection",
+        method: str = "minhash",
+        threshold: float | None = None,
+        **operator_kwargs,
+    ) -> int:
+        """Remove from THIS collection every document near-duplicating one
+        stored in ``other`` — the incremental-ingest / decontamination flow
+        (dedup the new crawl against the training set, or quarantine eval
+        overlap) as one collection call; returns rows removed.
+
+        ``method="minhash"`` matches on text (operators.dedup.
+        minhash_near_dups_between over ``_m_doc``; catches verbatim and
+        lightly-edited copies); ``method="embedding"`` matches on vectors
+        (embedding_near_dups_between over ``_m_embedding``, shared sign-LSH
+        planes across both corpora; catches paraphrases the lexical path
+        misses). Extra ``operator_kwargs`` pass through to the operator
+        (bands, seeds, shingle width, ...). Matched-id sets stay DataFrames
+        through the anti-join — never collected — and the rewrite is the
+        same atomic swap + index rebuild as :meth:`deduplicate`.
+        """
+        if not self.meta.get("has_data"):
+            return 0
+        if not other.meta.get("has_data"):
+            return 0
+        if method == "minhash":
+            from kaer_spark.operators.dedup import minhash_near_dups_between
+
+            hits = minhash_near_dups_between(
+                self.df(), other.df(),
+                left_id_col=ID_COL, right_id_col=ID_COL, text_col=DOC_COL,
+                threshold=0.5 if threshold is None else threshold,
+                **operator_kwargs,
+            )
+        elif method == "embedding":
+            from kaer_spark.operators.dedup import embedding_near_dups_between
+
+            hits = embedding_near_dups_between(
+                self.df(), other.df(),
+                left_id_col=ID_COL, right_id_col=ID_COL, vec_col=EMB_COL,
+                threshold=0.95 if threshold is None else threshold,
+                **operator_kwargs,
+            )
+        else:
+            raise ValueError(
+                f"method must be 'minhash' or 'embedding', got {method!r}"
+            )
+        drop = hits.select(F.col("left_id").alias(ID_COL)).distinct()
+        if drop.isEmpty():
+            return 0
+        obs = Observation()
+        df = self.df().observe(obs, F.count(F.lit(1)).alias("total"))
+        keep = df.join(drop, ID_COL, "left_anti")
+        return self._commit_rewrite(keep, obs)
+
     def count(self) -> int:
         return self.df().count() if self.meta.get("has_data") else 0
 

@@ -444,3 +444,63 @@ def test_collection_stats(spark, tmp_path):
     assert s["name"] == "st" and s["n_docs"] == 6 and s["next_id"] == 6
     assert s["embedding_dim"] == 64
     assert s["has_index"] and s["index"] == {"cells": 2, "fit": "spread", "max_id": 5}
+
+
+def test_deduplicate_against_both_methods(spark, tmp_path):
+    """Cross-corpus hygiene through the user API: deduplicate_against
+    removes exactly the documents the operator-level cross-corpus pair
+    functions match on the same split — for both the lexical (minhash)
+    and semantic (embedding) paths — and is idempotent."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.context import KaerContext
+    from kaer_spark.operators.dedup import minhash_near_dups_between
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("ref")
+    ctx.create_collection("crawl")
+    ref, crawl = ctx.get_collection("ref"), ctx.get_collection("crawl")
+    ref.insert([
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+    ])
+    crawl.insert([
+        "the quick brown fox jumps over the lazy dog",   # verbatim dup of ref
+        "a completely novel document about spark plans",
+        "pack my box with five dozen liquor jugs today",  # near-dup of ref
+        "another novel document that must survive",
+    ])
+
+    expected_drop = {
+        r["left_id"]
+        for r in minhash_near_dups_between(
+            crawl.df(), ref.df(), left_id_col="_m_id", right_id_col="_m_id",
+            text_col="_m_doc", threshold=0.5,
+        ).collect()
+    }
+    assert expected_drop == {0, 2}
+
+    removed = crawl.deduplicate_against(ref, method="minhash", threshold=0.5)
+    assert removed == len(expected_drop) == 2
+    kept = sorted(r["_m_id"] for r in crawl.df().select("_m_id").collect())
+    assert kept == [1, 3]
+    # idempotent
+    assert crawl.deduplicate_against(ref, method="minhash", threshold=0.5) == 0
+
+    # embedding path: rebuild a crawl with a semantic twin (the hashing
+    # embedder maps shared-token bags to nearby vectors; a verbatim copy is
+    # cosine-1.0) and drop it against ref
+    ctx.create_collection("crawl2")
+    crawl2 = ctx.get_collection("crawl2")
+    crawl2.insert([
+        "pack my box with five dozen liquor jugs",  # cosine 1.0 vs ref doc 1
+        "entirely unrelated text body",
+    ])
+    removed2 = crawl2.deduplicate_against(ref, method="embedding", threshold=0.999)
+    assert removed2 == 1
+    assert [r["_m_id"] for r in crawl2.df().select("_m_id").collect()] == [1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        crawl2.deduplicate_against(ref, method="simhash")

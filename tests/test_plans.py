@@ -235,3 +235,106 @@ def test_ivf_knn_join_bounded_qid_window(corpus):
     assert plan.count("WindowGroupLimit") == 2  # Partial below, Final above
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_knn_join_cosine_bounded_qid_window(corpus):
+    """The cosine-metric variant must keep the same WindowGroupLimit
+    partial/final bound as the l2sq path (the angle probe and spherical
+    scoring change expressions, not the exchange shape)."""
+    from kaer_spark.operators.similarity import ivf_knn_join
+
+    queries = corpus.limit(8).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    plan = executed_plan(
+        ivf_knn_join(queries, corpus, k=3, cells=4, nprobe=2, metric="cosine")
+    )
+    assert plan.count("WindowGroupLimit") == 2
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_against_band_join_shape(documents):
+    """dedup_against: the cross-corpus band join must stay an equi-join on
+    (band, key) with no cartesian product and no Python crossing, and at
+    runtime AQE must size the matched-id side and convert the LeftAnti
+    removal to a broadcast join (statically it's an SMJ because the hit
+    count is unknown — asserting the FINAL adaptive plan pins the runtime
+    behavior, which is also what a cluster would do when the hit set fits;
+    when it doesn't, the SMJ anti costs one exchange of the new-crawl side
+    only, never the reference corpus)."""
+    from kaer_spark.operators.dedup import dedup_against
+
+    out = dedup_against(
+        documents.filter(F.col("doc_id") % 2 == 0),
+        documents.filter(F.col("doc_id") % 2 == 1),
+        n=8, num_hashes=16, bands=4, threshold=0.4, seed=42,
+    )
+    out.collect()  # drive THIS query execution to its final adaptive plan
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan.split("LeftAnti")[0].rsplit("\n", 1)[-1]
+
+
+def test_ivf_knn_join_skew_split_engages(spark, embeddings):
+    """The hot-cell story (similarity.ivf_knn_join docstring: 'AQE's
+    skew-join split handles hot cells') probed, not asserted: collapse
+    half the corpus into one cell, lower the AQE thresholds to fixture
+    scale, and the final adaptive plan must carry a skew-split join
+    (skew=true). tools/scale_probe.py measures the wall-clock win on the
+    10x corpus (3.5s -> 2.1s at sf0.01)."""
+    from kaer_spark.operators.similarity import ivf_fit_spread, ivf_knn_join
+
+    # 10 offset copies: AQE splits at map-output-block granularity, so the
+    # hot partition must span multiple mapper blocks before a split is even
+    # possible — the 1x fixture is a single block and can't split
+    offset = (embeddings.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    base = embeddings
+    for i in range(1, 10):
+        base = base.unionByName(
+            embeddings.withColumn("vec_id", F.col("vec_id") + F.lit(i * offset))
+        )
+    base = base.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    hot = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            i == 0, F.lit(1.0) + F.col("vec_id").cast("double") / F.lit(1e9)
+        ).otherwise(x * F.lit(0.001)),
+    )
+    skewed = base.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, hot).otherwise(F.col("embedding")),
+    ).localCheckpoint()
+    cents = ivf_fit_spread(base, "embedding", "vec_id", 8)
+    queries = base.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        out = ivf_knn_join(
+            queries, skewed, k=3, cells=8, nprobe=8,
+            corpus_id_col="vec_id", centroids=cents,
+        )
+        out.collect()  # drive the SAME query execution to its final plan
+        assert "skew=true" in executed_plan(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -109,6 +109,91 @@ def main() -> int:
         results[f"pack_sequences_{label}"] = {"sec": t, "rows": n}
         print(f"pack_sequences {label}: {t}s ({n} rows)", file=sys.stderr)
 
+    # --- ivf_knn_join under CELL SKEW (round-7 probe: VERDICT r6 #4) ----
+    # Build a corpus where ~50% of all vectors collapse into one direction
+    # (one hot cell by construction), then run the cell-equi-join kNN join
+    # with AQE's skew-join split enabled vs disabled. Thresholds are
+    # lowered to fixture scale (the defaults trigger at 256 MB partitions;
+    # the hot cell here is ~MBs) — what's probed is the MECHANISM: does
+    # the split engage on this join shape, and what does it buy.
+    from kaer_spark.operators.similarity import ivf_fit_spread, ivf_knn_join
+    from kaer_spark.plans import executed_plan
+
+    amp10 = amplify(embs, "vec_id", TIMES).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    hot_emb = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            i == 0,
+            F.lit(1.0) + F.col("vec_id").cast("double") / F.lit(1e9),
+        ).otherwise(x * F.lit(0.001)),
+    )
+    skewed = amp10.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, hot_emb).otherwise(F.col("embedding")),
+    ).localCheckpoint()  # freeze the skewed corpus so each run re-reads it
+    # centroids from the PRE-skew corpus: the hot direction then has ONE
+    # nearest centroid, so the whole hot mass lands in a single cell — the
+    # worst case being probed (fitting on the skewed corpus would sample
+    # several hot vectors as centroids and dilute the skew)
+    cents = ivf_fit_spread(amp10, "embedding", "vec_id", 16)
+    # hot-cell share measured directly on the assignment
+    from kaer_spark.operators.similarity import ivf_assign_deterministic
+
+    assigned = ivf_assign_deterministic(skewed, cents)
+    shares = assigned.groupBy("_cell").count().collect()
+    total_rows = sum(r["count"] for r in shares)
+    hot_share = max(r["count"] for r in shares) / total_rows
+    results["ivf_skew_hot_cell_share"] = round(hot_share, 3)
+    print(f"ivf skew probe: hot cell holds {hot_share:.1%} of corpus",
+          file=sys.stderr)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force the cell join off the broadcast path (a broadcast join has
+        # no shuffled corpus side to skew-split — and at real scale the
+        # corpus side could never broadcast anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        for label, on in (("skewsplit_on", "true"), ("skewsplit_off", "false")):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on)
+            out = ivf_knn_join(
+                queries, skewed, k=5, cells=16, nprobe=16,
+                corpus_id_col="vec_id", centroids=cents,
+            )
+            out.count()  # warm codegen
+            t0 = time.time()
+            rows = out.collect()  # collect on the SAME qe → final AQE plan
+            t = round(time.time() - t0, 2)
+            plan = executed_plan(out)
+            engaged = "skew=true" in plan
+            results[f"ivf_knn_join_{label}"] = {
+                "sec": t, "rows": len(rows), "skew_split_in_plan": engaged,
+            }
+            print(
+                f"ivf_knn_join {label}: {t}s ({len(rows)} rows, "
+                f"skew split engaged: {engaged})",
+                file=sys.stderr,
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
     n1 = embs.count()
     amp = amplify(embs, "vec_id", TIMES, rotate_col="embedding")
     for label, d, n in (("1x", embs, n1), ("10x", amp, n1 * TIMES)):
