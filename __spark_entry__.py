@@ -2188,6 +2188,31 @@ def _q_training_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ranking.dsir_scores): bigram-LM
+    log-likelihood ratio between a target model (the English slice as the
+    stand-in 'curated domain') and the self-trained source model of the
+    whole pool — the Xie et al. 2023 data-selection signal, quantized for
+    the oracle."""
+    from kaer_spark.operators.ranking import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs, docs.filter(F.col("lang") == "en"), quantize=BIGRAM_QUANTIZE
+    )
+
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (ranking.perplexity_buckets):
+    per-language ntile(3) over the self-trained LM fluency score — NULL
+    scores (no bigrams) deal to the tail, ties break on doc_id."""
+    from kaer_spark.operators.ranking import perplexity_buckets
+
+    return perplexity_buckets(
+        _t(spark, sf_dir, "documents"), quantize=BIGRAM_QUANTIZE
+    )
+
+
 def _q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numeric_profile(approximate=True): the Greenwald-Khanna bounded-
     memory percentile sketch behind the same schema as the exact profile.
@@ -2227,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": _q_asof_forward,
         "asof_nearest": _q_asof_nearest,
         "training_mix_tokens": _q_training_mix_tokens,
+        "dsir_scores": _q_dsir_scores,
+        "perplexity_buckets": _q_perplexity_buckets,
         # rows-only by declared contract (GK percentile sketch)
         "corpus_profile_approx": _q_corpus_profile_approx,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -3079,6 +3106,92 @@ def _sql_bigram_lm(pretrained: bool) -> str:
     """
 
 
+def _sql_dsir_scores() -> str:
+    """Replay of ranking.dsir_scores(docs, target=lang-en slice,
+    source=self): one shared bigram explosion, a left-joined target-model
+    chain and an inner-joined self-model chain, quantized averages whose
+    difference is the importance weight."""
+    cell_d, avg_d = BIGRAM_QUANTIZE
+    a = repr(1.0)
+    avg = (
+        f"round(CAST(sum(qlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), {avg_d})"
+    )
+    return f"""
+        WITH base AS (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM documents),
+        {_sql_bigrams('base', '')},
+        trbase AS (SELECT doc_id AS id, {_SQL_TOKS} AS t
+                   FROM documents WHERE lang = 'en'),
+        {_sql_bigrams('trbase', 'tr')},
+        tvocab AS (SELECT CAST(count(*) AS BIGINT) AS vs
+                   FROM (SELECT DISTINCT unnest(t) AS tok FROM trbase)),
+        tuni AS (SELECT w, count(*) AS cw FROM trg GROUP BY w),
+        tbi AS (SELECT w, v, count(*) AS cwv FROM trg GROUP BY w, v),
+        svocab AS (SELECT CAST(count(*) AS BIGINT) AS vs
+                   FROM (SELECT DISTINCT unnest(t) AS tok FROM base)),
+        suni AS (SELECT w, count(*) AS cw FROM g GROUP BY w),
+        sbi AS (SELECT w, v, count(*) AS cwv FROM g GROUP BY w, v),
+        tlp AS (
+          SELECT g.id,
+                 CAST(ln((COALESCE(cwv, 0) + {a})
+                         / (COALESCE(cw, 0) + {a} * vs))
+                      AS DECIMAL(28,{cell_d})) AS qlp
+          FROM g LEFT JOIN tbi USING (w, v) LEFT JOIN tuni USING (w)
+          CROSS JOIN tvocab
+        ),
+        slp AS (
+          SELECT g.id,
+                 CAST(ln((cwv + {a}) / (cw + {a} * vs))
+                      AS DECIMAL(28,{cell_d})) AS qlp
+          FROM g JOIN sbi USING (w, v) JOIN suni USING (w) CROSS JOIN svocab
+        ),
+        tp AS (SELECT id, CAST(count(*) AS BIGINT) AS nb, {avg} AS t_lp
+               FROM tlp GROUP BY id),
+        sp AS (SELECT id, {avg} AS s_lp FROM slp GROUP BY id)
+        SELECT b.id AS doc_id, COALESCE(tp.nb, 0) AS n_bigrams,
+               (tp.t_lp - sp.s_lp) AS dsir
+        FROM base b
+        LEFT JOIN tp ON tp.id = b.id
+        LEFT JOIN sp ON sp.id = b.id
+    """
+
+
+def _sql_perplexity_buckets() -> str:
+    """Replay of ranking.perplexity_buckets(n_buckets=3, by=lang) over the
+    self-trained quantized LM: both engines implement SQL-standard NTILE
+    (larger buckets first), and the (avg_logp DESC NULLS LAST, doc_id)
+    order is total, so bucket assignment is deterministic."""
+    cell_d, avg_d = BIGRAM_QUANTIZE
+    a = repr(1.0)
+    return f"""
+        WITH base AS (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM documents),
+        {_sql_bigrams('base', '')},
+        vocab AS (SELECT CAST(count(*) AS BIGINT) AS vs
+                  FROM (SELECT DISTINCT unnest(t) AS tok FROM base)),
+        uni AS (SELECT w, count(*) AS cw FROM g GROUP BY w),
+        bi AS (SELECT w, v, count(*) AS cwv FROM g GROUP BY w, v),
+        lp AS (
+          SELECT g.id,
+                 CAST(ln((cwv + {a}) / (cw + {a} * vs))
+                      AS DECIMAL(28,{cell_d})) AS qlp
+          FROM g JOIN bi USING (w, v) JOIN uni USING (w) CROSS JOIN vocab
+        ),
+        p AS (
+          SELECT id, round(CAST(sum(qlp) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                           {avg_d}) AS avg_logp
+          FROM lp GROUP BY id
+        ),
+        j AS (
+          SELECT d.doc_id, d.lang, p.avg_logp
+          FROM documents d LEFT JOIN p ON p.id = d.doc_id
+        )
+        SELECT doc_id, lang, avg_logp,
+               CAST(ntile(3) OVER (PARTITION BY lang
+                    ORDER BY avg_logp DESC NULLS LAST, doc_id ASC)
+                    AS INTEGER) AS bucket
+        FROM j
+    """
+
+
 def _sql_ivf_knn_join(metric: str) -> str:
     """Replay of similarity.ivf_knn_join at nprobe = cells: full probe ⇒
     exact per-query rank, so the oracle is the plain window-rank kNN join
@@ -3312,6 +3425,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward": _sql_asof_forward(),
         "asof_nearest": _sql_asof_nearest(),
         "training_mix_tokens": _sql_training_mix_tokens(),
+        "dsir_scores": _sql_dsir_scores(),
+        "perplexity_buckets": _sql_perplexity_buckets(),
         "knn_topk": _sql_knn(None, 10),
         "knn_filtered_eq": _sql_knn(KNN_FILTER_EQ, 5),
         "knn_filtered_and": _sql_knn(KNN_FILTER_AND, 5),

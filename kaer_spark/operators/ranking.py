@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kaer_spark.functions.text import tokens
 
@@ -99,19 +100,25 @@ def bm25_scores(
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str):
-    """(base, grams): tokenized docs and their exploded (id, w, v) bigrams."""
+    """(base, grams): tokenized docs and their exploded (id, w, v) bigrams.
+
+    0/1-token docs contribute no bigram rows: the size guard matters
+    because ``sequence(1, size-1)`` on such docs would generate a
+    DESCENDING sequence (Spark steps -1 when stop < start) whose
+    ``element_at`` then reads out of bounds — an ANSI-mode error. The
+    ``when`` yields NULL for them and ``explode`` drops NULL arrays, which
+    is exactly the contract (the doc re-enters via the final left join)."""
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.struct(
+            F.element_at("__t", i).alias("w"),
+            F.element_at("__t", i + 1).alias("v"),
+        ),
+    )
     grams = base.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__t") - 1),
-                lambda i: F.struct(
-                    F.element_at("__t", i).alias("w"),
-                    F.element_at("__t", i + 1).alias("v"),
-                ),
-            )
-        ).alias("g"),
+        F.explode(F.when(F.size("__t") >= 2, pairs)).alias("g"),
     ).select("id", F.col("g.w").alias("w"), F.col("g.v").alias("v"))
     return base, grams
 
@@ -243,4 +250,93 @@ def bigram_lm_scores(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             "avg_logp",
         )
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_ref: DataFrame,
+    source_ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    quantize: tuple[int, int] | None = None,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document average
+    log-likelihood RATIO between a bigram model of the TARGET distribution
+    (the domain you want more of — e.g. curated reference text) and one of
+    the SOURCE distribution (the raw pool) —
+    ``dsir = avg_logp_target − avg_logp_source``. Documents that look more
+    like the target than like the pool score high; select the top mass.
+
+    ``source_ref=None`` trains the source model on ``df`` itself (the
+    common case: the pool is its own background distribution). Both scoring
+    passes share one bigram explosion of ``df`` at the plan level; the two
+    models are independent count aggregates, so the whole thing is one
+    fused Catalyst plan plus the two bounded vocab counts.
+
+    Output: ``(id_col, n_bigrams, dsir)`` — NULL dsir for 0/1-token
+    documents (no transitions to judge). With ``quantize`` both averages
+    use the decimal-grid aggregation, making the difference — and hence
+    the selection — replayable cross-engine (the driver-entry mode).
+    """
+    t_model = bigram_lm_fit(target_ref, id_col, text_col)
+    t = bigram_lm_scores(
+        df, id_col, text_col, alpha, model=t_model, quantize=quantize
+    ).select(
+        F.col(id_col), F.col("n_bigrams"), F.col("avg_logp").alias("__t_lp")
+    )
+    if source_ref is None:
+        s = bigram_lm_scores(df, id_col, text_col, alpha, quantize=quantize)
+    else:
+        s_model = bigram_lm_fit(source_ref, id_col, text_col)
+        s = bigram_lm_scores(
+            df, id_col, text_col, alpha, model=s_model, quantize=quantize
+        )
+    s = s.select(F.col(id_col), F.col("avg_logp").alias("__s_lp"))
+    return t.join(s, id_col).select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        (F.col("__t_lp") - F.col("__s_lp")).alias("dsir"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "lang",
+    n_buckets: int = 3,
+    alpha: float = 1.0,
+    model: dict | None = None,
+    quantize: tuple[int, int] | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    group's documents by LM fluency and deal them into ``n_buckets``
+    equal-mass buckets — bucket 1 = "head" (most fluent), bucket
+    ``n_buckets`` = "tail". CCNet keeps head+middle per language; the
+    bucket column makes that a plain filter.
+
+    Ranking is per-``by`` group (languages must not compete with each
+    other — absolute perplexity is not comparable across languages, which
+    is the whole reason CCNet buckets per-language). Documents with no
+    bigrams (NULL score) sort to the tail, deterministically by id.
+    ``model``/``quantize`` pass through to :func:`bigram_lm_scores`; one
+    window shuffle on ``by`` on top of the scoring plan.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    scores = bigram_lm_scores(
+        df, id_col, text_col, alpha, model=model, quantize=quantize
+    )
+    joined = df.select(F.col(id_col), F.col(by)).join(scores, id_col)
+    w = Window.partitionBy(by).orderBy(
+        F.col("avg_logp").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(by),
+        F.col("avg_logp"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
     )

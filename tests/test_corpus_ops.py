@@ -608,3 +608,67 @@ def test_bigram_lm_quantized_tracks_exact(documents):
             assert qlp is None
         else:
             assert abs(qlp - lp) < 1.1e-6, (did, lp, qlp)
+
+
+def test_dsir_scores_prefers_target_like_docs(spark):
+    """DSIR: documents resembling the target distribution must outscore
+    documents resembling only the pool background; degenerate docs get
+    NULL; quantized mode tracks exact to the grid."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.ranking import dsir_scores
+
+    target_like = [
+        "the model trains on clean text",
+        "clean text improves the model",
+        "the model likes clean text",
+    ]
+    pool_noise = [
+        "zzz qqq www eee rrr",
+        "qqq www zzz rrr eee",
+        "www eee qqq zzz rrr",
+    ]
+    rows = [(i, t) for i, t in enumerate(target_like + pool_noise)]
+    rows.append((99, "single"))  # no bigram → NULL
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 3)
+
+    got = {r["doc_id"]: r for r in dsir_scores(df, target).collect()}
+    assert got[99]["dsir"] is None and got[99]["n_bigrams"] == 0
+    worst_target_like = min(got[i]["dsir"] for i in range(3))
+    best_noise = max(got[i]["dsir"] for i in range(3, 6))
+    assert worst_target_like > best_noise
+    quant = {r["doc_id"]: r["dsir"]
+             for r in dsir_scores(df, target, quantize=(12, 6)).collect()}
+    for i in range(6):
+        assert abs(quant[i] - got[i]["dsir"]) < 2.2e-6
+
+
+def test_perplexity_buckets_partition_and_order(documents):
+    """CCNet bucketing: every language's docs deal into buckets 1..3 with
+    SQL-standard sizes (larger first), the head bucket's worst score is
+    >= the tail bucket's best (NULLs in the tail), and assignment is
+    deterministic."""
+    from collections import Counter
+
+    from kaer_spark.operators.ranking import perplexity_buckets
+
+    out = perplexity_buckets(documents, quantize=(12, 6)).collect()
+    assert len(out) == documents.count()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        counts = Counter(r["bucket"] for r in rows)
+        n = len(rows)
+        q, rem = divmod(n, 3)
+        expect = {b: q + (1 if b <= rem else 0) for b in (1, 2, 3) if q + (b <= rem)}
+        assert counts == {b: c for b, c in expect.items() if c}, (lang, counts)
+        head = [r["avg_logp"] for r in rows if r["bucket"] == 1]
+        tail = [r["avg_logp"] for r in rows if r["bucket"] == max(counts)]
+        if head and tail:
+            tail_scores = [t for t in tail if t is not None]
+            if tail_scores and all(h is not None for h in head):
+                assert min(head) >= max(tail_scores)
+    again = perplexity_buckets(documents, quantize=(12, 6)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
