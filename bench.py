@@ -75,6 +75,8 @@ HEADLINE = [
     "embedding_dups_between",
     "asof_nearest",
     "training_mix_tokens",
+    "dsir_scores",
+    "perplexity_buckets",
 ]
 
 

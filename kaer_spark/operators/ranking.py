@@ -271,34 +271,68 @@ def dsir_scores(
     like the target than like the pool score high; select the top mass.
 
     ``source_ref=None`` trains the source model on ``df`` itself (the
-    common case: the pool is its own background distribution). Both scoring
-    passes share one bigram explosion of ``df`` at the plan level; the two
-    models are independent count aggregates, so the whole thing is one
-    fused Catalyst plan plus the two bounded vocab counts.
+    common case: the pool is its own background distribution). Both models
+    score over ONE joined gram frame — the pool's bigram explosion appears
+    once in the scoring path, the four model-count joins hang off it, and
+    a single per-doc aggregate computes both averages (vs. running two
+    full scoring plans and joining their outputs, which would double the
+    heavy per-gram work). The model aggregates themselves are independent
+    map-side-combined counts, and the two vocab sizes are bounded eager
+    counts (same as :func:`bigram_lm_fit`).
 
     Output: ``(id_col, n_bigrams, dsir)`` — NULL dsir for 0/1-token
     documents (no transitions to judge). With ``quantize`` both averages
     use the decimal-grid aggregation, making the difference — and hence
     the selection — replayable cross-engine (the driver-entry mode).
     """
+    base, grams = _doc_bigrams(df, id_col, text_col)
     t_model = bigram_lm_fit(target_ref, id_col, text_col)
-    t = bigram_lm_scores(
-        df, id_col, text_col, alpha, model=t_model, quantize=quantize
-    ).select(
-        F.col(id_col), F.col("n_bigrams"), F.col("avg_logp").alias("__t_lp")
+    s_model = bigram_lm_fit(
+        df if source_ref is None else source_ref, id_col, text_col
     )
-    if source_ref is None:
-        s = bigram_lm_scores(df, id_col, text_col, alpha, quantize=quantize)
+    a = F.lit(float(alpha))
+    scored = (
+        grams
+        .join(t_model["bi"].select(
+            "w", "v", F.col("cwv").alias("__t_cwv")), ["w", "v"], "left")
+        .join(t_model["uni"].select(
+            "w", F.col("cw").alias("__t_cw")), "w", "left")
+        .join(s_model["bi"].select(
+            "w", "v", F.col("cwv").alias("__s_cwv")), ["w", "v"], "left")
+        .join(s_model["uni"].select(
+            "w", F.col("cw").alias("__s_cw")), "w", "left")
+    )
+    # left joins + coalesce-to-0: unseen transitions take the smoothing
+    # floor under EITHER model (for a self-trained source every gram
+    # matches, so the coalesce is a no-op and values equal the inner join)
+    tlp = F.log(
+        (F.coalesce("__t_cwv", F.lit(0)) + a)
+        / (F.coalesce("__t_cw", F.lit(0)) + a * F.lit(int(t_model["vocab_size"])))
+    )
+    slp = F.log(
+        (F.coalesce("__s_cwv", F.lit(0)) + a)
+        / (F.coalesce("__s_cw", F.lit(0)) + a * F.lit(int(s_model["vocab_size"])))
+    )
+    if quantize is not None:
+        cell_d, avg_d = quantize
+        dec = f"decimal(28,{int(cell_d)})"
+        n = F.count("*").cast("double")
+        t_avg = F.round(F.sum(tlp.cast(dec)).cast("double") / n, int(avg_d))
+        s_avg = F.round(F.sum(slp.cast(dec)).cast("double") / n, int(avg_d))
     else:
-        s_model = bigram_lm_fit(source_ref, id_col, text_col)
-        s = bigram_lm_scores(
-            df, id_col, text_col, alpha, model=s_model, quantize=quantize
+        t_avg, s_avg = F.avg(tlp), F.avg(slp)
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        (t_avg - s_avg).alias("__dsir"),
+    )
+    return (
+        base.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.col("__dsir").alias("dsir"),
         )
-    s = s.select(F.col(id_col), F.col("avg_logp").alias("__s_lp"))
-    return t.join(s, id_col).select(
-        F.col(id_col),
-        F.col("n_bigrams"),
-        (F.col("__t_lp") - F.col("__s_lp")).alias("dsir"),
     )
 
 
