@@ -2213,6 +2213,69 @@ def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage report (dedup.duplicate_passages): 24-char
+    windows occurring in ≥2 distinct documents — the fixed-granularity
+    exact-substring dedup signal (Lee et al. 2022); every fingerprint is
+    the corpus poly-hash, replayed exactly by the oracle."""
+    from kaer_spark.operators.dedup import duplicate_passages
+
+    return duplicate_passages(
+        _t(spark, sf_dir, "documents"), length=24, min_docs=2
+    )
+
+
+def _q_domain_quota_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quota_per_group(order="hash"): the r6 unbiased-representative mode —
+    each source keeps its 10 smallest-LCG-hash docs instead of its 10
+    oldest ids (the temporal-bias fix), still fully deterministic."""
+    from kaer_spark.operators.sampling import quota_per_group
+
+    kept = quota_per_group(
+        _t(spark, sf_dir, "documents"), "source", "doc_id",
+        quota=QUOTA_PER_SOURCE, order="hash",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_pack_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences(overhead_tokens=2): the r6 separator-cost knob — a
+    fixed per-document EOS/BOS cost rides the same sharded cumsum, so pack
+    boundaries shift exactly as if every doc were 2 tokens longer while
+    n_tokens still reports the document's own count."""
+    from kaer_spark.operators.packing import pack_sequences, pack_stats
+
+    return pack_stats(
+        pack_sequences(
+            _t(spark, sf_dir, "documents"), PACK_MAX_TOKENS,
+            shards=PACK_SHARDS, overhead_tokens=2,
+        )
+    )
+
+
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join(tolerance=1h, backward): matches farther than the
+    tolerance in the match direction are dropped to NULL — the staleness
+    cut real price-at-time joins need."""
+    from kaer_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    hour_ns = 3_600 * 1_000_000_000
+    return asof_join(
+        clicks, signups, on="ts", by="user_id", tolerance=hour_ns
+    ).select("event_id", "user_id", "signup_event")
+
+
 def _q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numeric_profile(approximate=True): the Greenwald-Khanna bounded-
     memory percentile sketch behind the same schema as the exact profile.
@@ -2232,7 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness checks the FIRST 50 entries per round. Rotation policy — and
     the dict below actually implements it (VERDICT r6 finding: the old
     dict contradicted this docstring): (1) queries that have NEVER had a
-    driver row come first (this round: the 13 new round-7 entries, then
+    driver row come first (this round: the 18 new round-7 entries, then
     the 15 r4/r5 queries the old ordering had stranded at the back);
     (2) remaining window slots go to the queries whose latest green row
     is OLDEST (the round-3 cohort); (3) everything green in the latest
@@ -2254,6 +2317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_tokens": _q_training_mix_tokens,
         "dsir_scores": _q_dsir_scores,
         "perplexity_buckets": _q_perplexity_buckets,
+        "domain_quota_hash": _q_domain_quota_hash,
+        "pack_overhead": _q_pack_overhead,
+        "asof_tolerance": _q_asof_tolerance,
+        "duplicate_passages": _q_duplicate_passages,
         # rows-only by declared contract (GK percentile sketch)
         "corpus_profile_approx": _q_corpus_profile_approx,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -3427,6 +3494,79 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_tokens": _sql_training_mix_tokens(),
         "dsir_scores": _sql_dsir_scores(),
         "perplexity_buckets": _sql_perplexity_buckets(),
+        # window fps = poly-hash folds over each 24-char slice; DuckDB's
+        # list_reduce seeds with the first element, which equals the
+        # engine's (0*31 + c1) first step (same identity doc_fingerprint
+        # relies on)
+        "duplicate_passages": f"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     unnest(list_transform(range(1, length(text) - 24 + 2),
+                       i -> list_reduce(list_transform(range(i, i + 24),
+                              j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+                              (a, x) -> (a * {PB} + x) % {PM}))) AS fp
+              FROM documents WHERE length(text) >= 24
+            )
+            SELECT fp, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   min(id) AS rep_doc
+            FROM w GROUP BY fp HAVING count(DISTINCT id) >= 2
+        """,
+        # hash-order quota: same single-level replay as domain_quota, the
+        # rank key being the engine's LCG hash instead of the raw id
+        "domain_quota_hash": f"""
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY {_sql_lcg_hk('doc_id')}, doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM r WHERE rn <= {QUOTA_PER_SOURCE} GROUP BY source
+        """,
+        # separator overhead rides the cumsum (n_tokens + 2); sum_tokens
+        # still reports the documents' own counts
+        "pack_overhead": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ((doc_id % {PACK_SHARDS} + {PACK_SHARDS}) % {PACK_SHARDS}) AS shard,
+                     {_SQL_NTOK} AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens + 2) OVER (PARTITION BY shard
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+              FROM t
+            )
+            SELECT shard, CAST(excl // {PACK_MAX_TOKENS} AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY 1, 2
+        """,
+        # backward as-of with a staleness cut: the latest match is the only
+        # candidate that could be within tolerance (it has the max ts <= t),
+        # so rank-then-nullify replays the engine's within_tol exactly
+        "asof_tolerance": """
+            WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type
+                       FROM events),
+            c AS (SELECT * FROM e WHERE event_type = 'click'),
+            s AS (SELECT * FROM e WHERE event_type = 'signup'),
+            j AS (
+              SELECT c.event_id, c.user_id, c.ts AS cts,
+                     s.ts AS sts, s.event_id AS sev,
+                     row_number() OVER (PARTITION BY c.event_id
+                                        ORDER BY s.ts DESC, s.event_id DESC) AS rn
+              FROM c LEFT JOIN s ON c.user_id = s.user_id AND s.ts <= c.ts
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN sts IS NOT NULL AND sts >= cts - 3600000000000
+                        THEN sev END AS signup_event
+            FROM j WHERE rn = 1
+        """,
         "knn_topk": _sql_knn(None, 10),
         "knn_filtered_eq": _sql_knn(KNN_FILTER_EQ, 5),
         "knn_filtered_and": _sql_knn(KNN_FILTER_AND, 5),

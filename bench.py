@@ -77,6 +77,7 @@ HEADLINE = [
     "training_mix_tokens",
     "dsir_scores",
     "perplexity_buckets",
+    "duplicate_passages",
 ]
 
 

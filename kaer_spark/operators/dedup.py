@@ -864,3 +864,69 @@ def dedup_representatives(
     return df.join(
         drop, df[id_col] == F.col("_drop_id"), "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-passage detection
+# ---------------------------------------------------------------------------
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-passage report: every ``length``-character window
+    whose exact content occurs in at least ``min_docs`` DISTINCT documents
+    → ``(fp, n_docs, n_occurrences, rep_doc)``.
+
+    This is the fixed-granularity form of exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    whole-document dedup misses boilerplate, licenses, and templated
+    passages pasted into otherwise-distinct documents; window-level
+    collisions find them. Downstream, join ``fp`` back to re-locate spans
+    or feed ``rep_doc`` exemplars to a reviewer.
+
+    Mechanics: the text's codepoint array is materialized ONCE per row
+    (``split``), each window hashes by folding an O(length) array slice —
+    O(chars × length) total work, never the O(chars²) of per-window
+    ``substring`` rescans — with the corpus-wide poly-hash (base 31 mod
+    1e9+7, int64-exact), so a SQL oracle replays every fingerprint. One
+    narrow explode (chars per row) and one hash aggregate; ``min_docs``
+    filters AFTER the map-side-combined counts, so ubiquitous windows
+    never fan out beyond their counts.
+
+    Collisions: two different 24-char windows sharing an int64 poly hash
+    are ~1e-9-probable per pair; the report is a detection signal, not a
+    byte-equality proof — verify exemplars via ``rep_doc`` if bytes matter.
+    """
+    if length <= 0:
+        raise ValueError("length must be positive")
+    L = int(length)
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - L + 1),
+        lambda i: F.aggregate(
+            F.slice(codes, i, L),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+        ),
+    )
+    # ensure_parallelism: the fixture-scale single-file scan would
+    # otherwise run the whole O(chars × length) fold in ONE task (measured
+    # 63s -> ~3s at sf0.1); at real scale the input has partitions and
+    # this is a no-op
+    exploded = ensure_parallelism(df.filter(F.length(text_col) >= L)).select(
+        F.col(id_col).alias("id"), F.explode(win).alias("fp")
+    )
+    return (
+        exploded.groupBy("fp")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )

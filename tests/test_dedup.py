@@ -472,3 +472,33 @@ def test_embedding_near_dups_lsh_calibrates_past_null_rows(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_duplicate_passages_finds_shared_windows(spark):
+    """Window-level exact dedup: a passage pasted into two otherwise
+    distinct documents is reported (with the right doc/occurrence counts),
+    unique text is not, and short docs are skipped."""
+    from kaer_spark.operators.dedup import duplicate_passages
+
+    boiler = "THIS LICENSE TEXT IS COPIED VERBATIM EVERYWHERE"  # 47 chars
+    rows = [
+        (1, "doc one starts here. " + boiler + " then diverges completely."),
+        (2, boiler + " but document two continues its own way."),
+        (3, "a totally unrelated document with no shared windows at all."),
+        (4, "tiny"),  # < length → skipped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_passages(df, length=24, min_docs=2).collect()
+    assert len(out) > 0
+    # every reported window occurs in exactly docs 1 and 2
+    for r in out:
+        assert r["n_docs"] == 2 and r["rep_doc"] == 1
+        assert r["n_occurrences"] >= 2
+    # windows fully inside the 47-char boilerplate (47-24+1 = 24), plus one
+    # spanning its trailing space (both docs follow the passage with ' ')
+    assert len(out) == (len(boiler) - 24 + 1) + 1
+    # python replay of one fingerprint: first window of the boilerplate
+    fp = 0
+    for ch in boiler[:24]:
+        fp = (fp * 31 + ord(ch)) % 1_000_000_007
+    assert fp in {r["fp"] for r in out}
