@@ -623,6 +623,42 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id", "lang", "source")
 
 
+def _q_streaming_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination + dedup (streaming.streaming_dedup_against):
+    a bounded even-id document stream anti-joined per micro-batch against
+    the STATIC odd-id reference (stream-static left anti, stateless), then
+    first-seen stateful dedup — oracle-checked via the same stream ≡ batch
+    single-file contract as streaming_dedup."""
+    import uuid
+
+    from kaer_spark.streaming.ingest import streaming_dedup_against
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    reference = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    out = streaming_dedup_against(
+        stream, reference, fp_col="text", id_col="doc_id"
+    )
+    name = f"stream_dedup_against_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("doc_id", "lang", "source")
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -2295,7 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness checks the FIRST 50 entries per round. Rotation policy — and
     the dict below actually implements it (VERDICT r6 finding: the old
     dict contradicted this docstring): (1) queries that have NEVER had a
-    driver row come first (this round: the 18 new round-7 entries, then
+    driver row come first (this round: the 20 new round-7 entries, then
     the 15 r4/r5 queries the old ordering had stranded at the back);
     (2) remaining window slots go to the queries whose latest green row
     is OLDEST (the round-3 cohort); (3) everything green in the latest
@@ -2321,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_overhead": _q_pack_overhead,
         "asof_tolerance": _q_asof_tolerance,
         "duplicate_passages": _q_duplicate_passages,
+        "streaming_dedup_against": _q_streaming_dedup_against,
         # rows-only by declared contract (GK percentile sketch)
         "corpus_profile_approx": _q_corpus_profile_approx,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -4435,6 +4472,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        # streaming decontamination: reference anti-join is per-batch and
+        # stateless, so the single-file contract reduces to the batch SQL
+        "streaming_dedup_against": """
+            WITH r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents d
+              WHERE doc_id % 2 = 0
+                AND NOT EXISTS (SELECT 1 FROM documents o
+                                WHERE o.doc_id % 2 = 1 AND o.text = d.text)
+            )
+            SELECT doc_id, lang, source FROM r WHERE rn = 1
         """,
         # stream ≡ batch: single-file bounded stream → one micro-batch →
         # the first-seen representative IS the min-doc_id per text

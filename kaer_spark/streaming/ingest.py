@@ -244,3 +244,28 @@ def stream_refresh_rollup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def streaming_dedup_against(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    fp_col: str,
+    id_col: str,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming ingest hygiene in one operator: drop arrivals whose
+    fingerprint already exists in a STATIC reference corpus (the batch
+    ``dedup_against`` contract — keep only novel documents), then
+    first-seen-wins dedup WITHIN the stream (:func:`streaming_dedup`).
+
+    The reference filter is a stream-static LEFT ANTI join — stateless,
+    re-planned per micro-batch, so a reference refresh (new parquet
+    snapshot) is picked up without touching the stream's state store. Only
+    the distinct fingerprints of the reference are joined (never its
+    payload), and only stream rows that survive it reach the stateful
+    dedup, keeping the state store bounded by NOVEL fingerprints — on a
+    decontamination workload that's the small minority of arrivals.
+    """
+    ref_fps = reference.select(F.col(fp_col)).distinct()
+    novel = stream_df.join(ref_fps, fp_col, "left_anti")
+    return streaming_dedup(novel, fp_col, id_col, ttl_minutes)

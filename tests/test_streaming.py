@@ -314,3 +314,49 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_against_reference(spark, tmp_path):
+    """Stream-static decontamination + in-stream dedup: arrivals whose
+    fingerprint exists in the static reference never reach the state store,
+    in-stream re-arrivals dedup first-seen, and novel rows pass through."""
+    from kaer_spark.streaming.ingest import streaming_dedup_against
+
+    src = tmp_path / "dasrc"
+    os.makedirs(src)
+    schema = "id LONG, fp LONG, payload STRING"
+    # fps 100, 200 are contaminated (exist in the reference)
+    spark.createDataFrame(
+        [(1, 100, "contaminated"), (2, 7, "novel-seven"), (3, 7, "dup-seven")],
+        schema,
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(
+        [(10, 200, "contaminated-too"), (11, 8, "novel-eight"), (12, 7, "re")],
+        schema,
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    reference = spark.createDataFrame(
+        [(90, 100, "ref"), (91, 200, "ref")], schema
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        streaming_dedup_against(stream, reference, fp_col="fp", id_col="id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_against_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_da"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r["fp"]: (r["id"], r["payload"])
+        for r in spark.sql("SELECT * FROM dedup_against_out").collect()
+    }
+    assert set(rows) == {7, 8}           # 100/200 filtered by the reference
+    assert rows[7] == (2, "novel-seven")  # min-id first-seen, re-arrival dropped
+    assert rows[8] == (11, "novel-eight")
