@@ -896,6 +896,17 @@ def duplicate_passages(
     filters AFTER the map-side-combined counts, so ubiquitous windows
     never fan out beyond their counts.
 
+    Scale honesty: compute AND shuffle are LINEAR in corpus chars (never
+    quadratic — no pair join exists), but the constant is real: one
+    (fp, id) row per character position, ~16 bytes each, partially
+    collapsed map-side by the distinct-count partials. ``min_docs``
+    cannot prune map-side (a window unique within one task may still
+    match another task's), so at extreme scale run this per shard/source
+    first, or raise ``length``/pre-sample — the report is diagnostic, not
+    a per-ingest hot path. (The asymptotically leaner alternative is an
+    offline suffix-array pass, Lee et al. §4 — a different tool, not a
+    Spark operator.)
+
     Collisions: two different 24-char windows sharing an int64 poly hash
     are ~1e-9-probable per pair; the report is a detection signal, not a
     byte-equality proof — verify exemplars via ``rep_doc`` if bytes matter.

@@ -142,6 +142,10 @@ def bigram_lm_fit(
     vocab_size = (
         ref.select(F.explode(tokens(text_col)).alias("w")).distinct().count()
     )
+    if vocab_size == 0:
+        # scoring under an empty model would divide by alpha*0: every logp
+        # becomes ln(inf) — fail at fit time with the actual cause instead
+        raise ValueError("reference corpus has no tokens to fit a model on")
     return {"uni": uni, "bi": bi, "vocab_size": int(vocab_size)}
 
 

@@ -672,3 +672,18 @@ def test_perplexity_buckets_partition_and_order(documents):
                 assert min(head) >= max(tail_scores)
     again = perplexity_buckets(documents, quantize=(12, 6)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bigram_lm_fit_rejects_empty_reference(spark):
+    """An empty/token-less reference must fail at fit time (scoring under
+    a vocab-0 model would silently produce infinite log-probs)."""
+    import pytest as _pytest
+
+    from kaer_spark.operators.ranking import bigram_lm_fit
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        bigram_lm_fit(empty)
+    blank = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        bigram_lm_fit(blank)
