@@ -1787,6 +1787,20 @@ def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, test, n=CONTAM_N, unit="word")
 
 
+def _q_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side memorization risk (contamination.overlap_fraction): for
+    each benchmark doc (doc_id % 97 == 0), the fraction of its distinct
+    word 3-grams that occur anywhere in the train slice — the flipped
+    perspective of contamination_report, with the TRAIN grams as the big
+    (semi-join, never broadcast) side."""
+    from kaer_spark.operators.contamination import overlap_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % CONTAM_TEST_MOD == 0)
+    train = docs.filter(F.col("doc_id") % CONTAM_TEST_MOD != 0)
+    return overlap_fraction(ev, train, n=CONTAM_N, unit="word")
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_GAP_NS = 24 * 3600 * 1_000_000_000  # each step within 24h of the last
 
@@ -2358,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": _q_asof_tolerance,
         "duplicate_passages": _q_duplicate_passages,
         "streaming_dedup_against": _q_streaming_dedup_against,
+        "overlap_fraction": _q_overlap_fraction,
         # rows-only by declared contract (GK percentile sketch)
         "corpus_profile_approx": _q_corpus_profile_approx,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -4179,6 +4194,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_word_run,
                    t.tbf AS top_bigram_fraction
             FROM w LEFT JOIN runs r USING (doc_id) LEFT JOIN tbf t USING (doc_id)
+        """,
+        # eval-side overlap: same gram construction, sides flipped; the
+        # fraction is exact integer counting over distinct per-doc grams
+        "overlap_fraction": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                     ELSE [] END) AS grams
+              FROM w
+            ),
+            tg AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0),
+            ev AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                    FROM ev GROUP BY doc_id),
+            hit AS (SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_overlapping
+                    FROM ev JOIN tg USING (g) GROUP BY ev.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(tot.n_grams, 0) AS n_grams,
+                   COALESCE(hit.n_overlapping, 0) AS n_overlapping,
+                   CAST(COALESCE(hit.n_overlapping, 0) AS DOUBLE)
+                     / CAST(tot.n_grams AS DOUBLE) AS overlap_frac
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) d
+            LEFT JOIN tot ON tot.doc_id = d.doc_id
+            LEFT JOIN hit ON hit.doc_id = d.doc_id
         """,
         "contamination_report": """
             WITH w AS (

@@ -107,3 +107,57 @@ def decontaminate(
     return train.join(
         F.broadcast(bad), train[id_col] == bad["doc_id"], "left_anti"
     )
+
+
+def overlap_fraction(
+    eval_df: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    unit: str = "word",
+) -> DataFrame:
+    """Per EVAL document: what fraction of its distinct n-grams also occur
+    anywhere in the training corpus →
+    ``(doc_id, n_grams, n_overlapping, overlap_frac)``.
+
+    The memorization-risk number eval cards report (complement of
+    novelty): ``contamination_report`` answers "which TRAIN docs touch the
+    benchmark"; this answers "how much of each EVAL item is reproducible
+    from training text" — 1.0 means every n-gram of the item appears in
+    training data, 0.0 means fully novel. Docs too short to have a single
+    n-gram are emitted with ``n_grams = 0`` and NULL fraction.
+
+    Scale shape — the sides flip relative to decontamination: the
+    multi-TB side here is the TRAIN gram set, far too big to broadcast,
+    so the probe is a gram-keyed LEFT SEMI join (eval grams, a bounded
+    benchmark, shuffle as the small side; the train grams arrive at the
+    join pre-deduplicated by a keyed ``distinct`` whose exchange is the
+    one full-corpus shuffle). The fraction is exact integer counting:
+    distinct grams per doc over distinct matched grams.
+    """
+    ev = eval_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_grams(text_col, n, unit)).alias("g"),
+    )
+    tg = train.select(F.explode(_grams(text_col, n, unit)).alias("g")).distinct()
+    totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        ev.join(tg, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlapping"))
+    )
+    return (
+        eval_df.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_overlapping", F.lit(0)).alias("n_overlapping"),
+            (
+                F.coalesce("n_overlapping", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("overlap_frac"),
+        )
+    )

@@ -74,3 +74,32 @@ def test_probe_is_broadcast(spark, corpus_pair):
     # final (post-probe) groupBy(doc_id) — the corpus itself is never
     # hash-partitioned before the probe
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_overlap_fraction_bounds_and_values(spark):
+    """overlap_fraction: fully-copied eval text scores 1.0, fully-novel
+    scores 0.0, a half-overlapping doc lands exactly at its integer
+    fraction, and gram-less docs get NULL."""
+    from kaer_spark.operators.contamination import overlap_fraction
+
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # all 2 trigrams in train
+            (2, "one two three four"),               # none of 2 trigrams
+            (3, "alpha beta gamma nine ten eleven"),  # 1 of 4 trigrams
+            (4, "too short"),                         # no trigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_overlapping"], r["overlap_frac"])
+        for r in overlap_fraction(ev, train, n=3, unit="word").collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (4, 1, 0.25)
+    assert got[4] == (0, 0, None)

@@ -687,3 +687,50 @@ def test_bigram_lm_fit_rejects_empty_reference(spark):
     blank = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no tokens"):
         bigram_lm_fit(blank)
+
+
+def test_token_budget_mix_monotone_and_exact(spark):
+    """token_budget_mix contracts: (a) raising a group's budget only ADDS
+    documents (selection nests, like weighted_mix rates); (b) the kept set
+    equals a Python replay of the shard-major hash-order prefix."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.sampling import (
+        SAMPLE_A,
+        SAMPLE_C,
+        SAMPLE_MOD,
+        token_budget_mix,
+    )
+
+    rows = [(i, "g" + str(i % 3), (i * 7) % 50 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+
+    def kept_ids(budgets):
+        return {
+            r["doc_id"]
+            for r in token_budget_mix(
+                df, "source", budgets, "tok", default_budget=0, shards=4
+            ).collect()
+        }
+
+    small = kept_ids({"g0": 100, "g1": 50, "g2": 0})
+    big = kept_ids({"g0": 300, "g1": 50, "g2": 40})
+    assert small <= big  # monotone: raising budgets only appends
+
+    # python replay: shard-major (shard, hash, id) prefix under the budget
+    def replay(budgets):
+        by_group: dict = {}
+        for i, g, tok in rows:
+            hk = (i * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD
+            by_group.setdefault(g, []).append((hk % 4, hk, i, tok))
+        keep = set()
+        for g, items in by_group.items():
+            budget, cum = budgets.get(g, 0), 0
+            for sh, hk, i, tok in sorted(items):
+                if cum < budget:
+                    keep.add(i)
+                cum += tok
+        return keep
+
+    assert small == replay({"g0": 100, "g1": 50, "g2": 0})
+    assert big == replay({"g0": 300, "g1": 50, "g2": 40})

@@ -194,6 +194,18 @@ def main() -> int:
             else:
                 spark.conf.set(k, v)
 
+    # --- duplicate_passages (round 7): linear-in-chars contract --------
+    # Amplified copies share their text, so every window collides across
+    # all 10 copies — output (and verify work) scales with TRUE duplicate
+    # mass, while the hash/explode cost must stay ~linear in chars.
+    from kaer_spark.operators.dedup import duplicate_passages
+
+    for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
+        duplicate_passages(d, length=24).count()
+        t, n = timed(lambda dd=d: duplicate_passages(dd, length=24).count())
+        results[f"duplicate_passages_{label}"] = {"sec": t, "rows": n}
+        print(f"duplicate_passages {label}: {t}s ({n} windows)", file=sys.stderr)
+
     n1 = embs.count()
     amp = amplify(embs, "vec_id", TIMES, rotate_col="embedding")
     for label, d, n in (("1x", embs, n1), ("10x", amp, n1 * TIMES)):
