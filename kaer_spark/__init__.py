@@ -26,6 +26,11 @@ from kaer_spark.embeddings import EmbeddingProvider, HashingEmbedder, HTTPEmbedd
 from kaer_spark.filters import compile_filter, filter_to_sql
 from kaer_spark.operators.asof import asof_join
 from kaer_spark.operators.cohort import cohort_retention
+from kaer_spark.operators.contamination import (
+    contamination_report,
+    decontaminate,
+    overlap_fraction,
+)
 from kaer_spark.operators.dedup import (
     calibrate_signlsh,
     dedup_against,
@@ -37,6 +42,7 @@ from kaer_spark.operators.dedup import (
     signlsh_candidate_pairs,
     minhash_near_dups,
     minhash_near_dups_between,
+    duplicate_passages,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dups,
@@ -45,7 +51,13 @@ from kaer_spark.operators.interval import interval_join, time_bucket_join
 from kaer_spark.operators.knn import exact_knn, knn_join
 from kaer_spark.operators.similarity import ivf_knn_join
 from kaer_spark.operators.packing import pack_sequences, pack_stats
-from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores, bm25_scores
+from kaer_spark.operators.ranking import (
+    bigram_lm_fit,
+    bigram_lm_scores,
+    bm25_scores,
+    dsir_scores,
+    perplexity_buckets,
+)
 from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
@@ -56,6 +68,7 @@ from kaer_spark.operators.sampling import (
 from kaer_spark.operators.skew import salted_join
 from kaer_spark.pipelines import (
     corpus_stats,
+    token_budget_pipeline,
     histogram,
     prepare_training_corpus,
     stratified_split,
@@ -98,6 +111,13 @@ __all__ = [
     "temperature_rates",
     "bigram_lm_fit",
     "bigram_lm_scores",
+    "dsir_scores",
+    "perplexity_buckets",
+    "duplicate_passages",
+    "contamination_report",
+    "decontaminate",
+    "overlap_fraction",
+    "token_budget_pipeline",
     "embedding_near_dups_between",
     "embedding_near_dups_lsh",
     "signlsh_candidate_pairs",
