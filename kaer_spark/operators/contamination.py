@@ -136,11 +136,20 @@ def overlap_fraction(
     one full-corpus shuffle). The fraction is exact integer counting:
     distinct grams per doc over distinct matched grams.
     """
+    from kaer_spark.operators.util import ensure_parallelism
+
     ev = eval_df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_grams(text_col, n, unit)).alias("g"),
     )
-    tg = train.select(F.explode(_grams(text_col, n, unit)).alias("g")).distinct()
+    # the train-side explode is the heavy stage; on a fixture-scale
+    # single-file scan it would otherwise run in ONE task (measured
+    # 12.7s -> ~2s at sf0.1) — a no-op on real partitioned inputs
+    tg = (
+        ensure_parallelism(train)
+        .select(F.explode(_grams(text_col, n, unit)).alias("g"))
+        .distinct()
+    )
     totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
         ev.join(tg, "g", "left_semi")
