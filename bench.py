@@ -153,21 +153,39 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(med.values()), 3),
-                "unit": "sec",
-                "runs": reps,
-                "queries": med,
-                "queries_min": best,
-                "value_min": round(sum(best.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load": {"before": load_before, "after": _machine_load()},
-            }
-        )
+    # The driver captures only the TAIL of this process's output and parses
+    # the last JSON line out of it. Round 7's line carried queries_min +
+    # load and outgrew that buffer -> BENCH_r07.json recorded parsed: null.
+    # So the stdout line stays minimal (medians only); the full detail
+    # (per-query min, machine load) goes to bench_detail.json + stderr.
+    detail = {
+        "runs": reps,
+        "queries_min": best,
+        "value_min": round(sum(best.values()), 3),
+        "load": {"before": load_before, "after": _machine_load()},
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(med.values()), 3),
+            "unit": "sec",
+            "runs": reps,
+            "queries": med,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line)
     return 0
 
 

@@ -38,6 +38,28 @@ def test_bench_headline_subset_of_queries():
     assert not missing, missing
 
 
+def test_bench_json_line_fits_driver_tail_buffer():
+    """The driver keeps only the tail of bench.py's output and parses the
+    last JSON line from it; round 7's line (medians + mins + load) outgrew
+    that buffer and BENCH_r07.json recorded parsed: null. Pin the
+    worst-case serialized stdout line well under the observed ~2000-char
+    capture window so adding headline queries fails here, not in the
+    driver."""
+    import json
+
+    import bench
+
+    worst = {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "runs": 3,
+        "queries": {n: 9999.999 for n in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    assert len(json.dumps(worst)) < 1900
+
+
 def test_det_ann_oracle_on_shifted_id_fixture(spark, tmp_path):
     """VERDICT r6 #3: the ANN oracles must not pin fixture shape. Rebuild a
     tiny synthetic fixture whose ids start at 1000 (NOT dense-from-0) and
