@@ -866,6 +866,139 @@ def dedup_representatives(
     )
 
 
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """One row per duplicate cluster: ``(cluster_id, kept_id, sz)`` where
+    ``kept_id`` is the member to keep.
+
+    ``score_col=None`` keeps the min id (same policy as
+    :func:`dedup_representatives`). With a ``score_col`` the kept member
+    is the HIGHEST-scoring one (ties broken by min id) — the
+    quality-aware canonical selection production dedups actually want:
+    near-dup clusters usually hold one full document plus truncated or
+    boilerplate-injected copies, and keep-min-id happily keeps the
+    truncation when it happens to carry the smallest id. Scoring by
+    length, quality score, or fluency keeps the best copy instead.
+
+    Shape: clusters ⨝ df on id (one shuffle, or broadcast when the
+    clustered subset is small — it's pairs-only, not corpus-sized), then
+    a single max_by/count aggregate per cluster. Nothing is collected.
+    """
+    member_cols = [F.col("id").alias("__mid"), F.col("cluster_id")]
+    members = clusters.select(*member_cols).join(
+        df.select(
+            F.col(id_col).alias("__mid"),
+            *( [F.col(score_col).alias("__score")] if score_col else [] ),
+        ),
+        "__mid",
+    )
+    if score_col:
+        # max_by over (score, -id): highest score wins, smallest id on ties
+        choice = F.max_by(
+            "__mid", F.struct(F.col("__score"), -F.col("__mid"))
+        ).alias("kept_id")
+    else:
+        choice = F.min("__mid").alias("kept_id")
+    return members.groupBy("cluster_id").agg(
+        choice, F.count("*").alias("sz")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter the corpus to one best-scoring member per duplicate cluster
+    (unclustered docs all survive) — :func:`dedup_representatives` with a
+    quality policy instead of min-id. Anti-join on the loser set; the
+    loser set stays a DataFrame end to end."""
+    kept = cluster_representatives(df, clusters, id_col, score_col)
+    losers = (
+        clusters.join(
+            kept.select(F.col("cluster_id"), F.col("kept_id")), "cluster_id"
+        )
+        .filter(F.col("id") != F.col("kept_id"))
+        .select(F.col("id").alias("_drop_id"))
+    )
+    return df.join(losers, df[id_col] == F.col("_drop_id"), "left_anti")
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated lines removed —
+    the CCNet/RefinedWeb line-level dedup TRANSFORM (not just a report):
+    a line appearing in ``min_docs`` or more distinct documents is
+    boilerplate (cookie banners, nav bars, license headers) and is
+    dropped from every document; surviving lines are reassembled in their
+    original order. Output: ``(id_col, text_clean, n_lines, n_kept)``
+    with ``text_clean = ''`` when nothing survives.
+
+    Only lines with non-whitespace content count (empty lines are
+    formatting, not content, and would otherwise all "duplicate" each
+    other); they are also elided from the rebuilt text, which is how the
+    CCNet paragraph normalization behaves.
+
+    Scale shape: one narrow posexplode (rows = total lines), a map-side-
+    combined distinct count per exact line string, a LEFT SEMI join of
+    lines against the under-threshold line set (the heavy hitters being
+    REMOVED means the skewed keys never join — they miss), and one
+    groupBy-id rebuild via array_sort over (pos, line) structs. Shuffle
+    is O(total lines); no pair join, no driver collect. The rebuild's
+    collect_list holds ONE document's lines per group — bounded by the
+    longest document, same envelope as reading it.
+
+    ``sep`` is passed to ``split`` as a regex (the default ``"\\n"``
+    matches literally).
+    """
+    lines = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "ln"),
+        )
+        .filter(F.length(F.trim("ln")) > 0)
+    )
+    freq = lines.select("id", "ln").distinct().groupBy("ln").agg(
+        F.count("*").alias("df")
+    )
+    kept = lines.join(
+        freq.filter(F.col("df") < int(min_docs)).select("ln"), "ln", "left_semi"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    counts = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(counts, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-passage detection
 # ---------------------------------------------------------------------------
