@@ -33,8 +33,11 @@ from kaer_spark.operators.contamination import (
 )
 from kaer_spark.operators.dedup import (
     calibrate_signlsh,
+    cluster_representatives,
     dedup_against,
     dedup_clusters,
+    dedup_keep_best,
+    dedup_representatives,
     embedding_near_dups,
     embedding_near_dups_between,
     embedding_near_dups_lsh,
@@ -44,6 +47,8 @@ from kaer_spark.operators.dedup import (
     minhash_near_dups_between,
     duplicate_passages,
     ngram_jaccard_pairs,
+    remove_duplicate_lines,
+    remove_duplicate_passages,
     simhash,
     simhash_near_dups,
 )
@@ -122,6 +127,11 @@ __all__ = [
     "embedding_near_dups_lsh",
     "signlsh_candidate_pairs",
     "dedup_clusters",
+    "cluster_representatives",
+    "dedup_keep_best",
+    "dedup_representatives",
+    "remove_duplicate_lines",
+    "remove_duplicate_passages",
     "cohort_retention",
     "pack_sequences",
     "pack_stats",

@@ -16,11 +16,18 @@ from kaer_spark.operators.sampling import (
     weighted_mix,
 )
 from kaer_spark.operators.dedup import (
+    cluster_representatives,
+    dedup_clusters,
+    dedup_keep_best,
+    dedup_representatives,
+    duplicate_passages,
     exact_dedup,
     embedding_near_dups,
     minhash_signatures,
     minhash_near_dups,
     ngram_jaccard_pairs,
+    remove_duplicate_lines,
+    remove_duplicate_passages,
     simhash,
     simhash_near_dups,
 )
@@ -52,6 +59,13 @@ __all__ = [
     "exact_knn",
     "knn_join",
     "exact_dedup",
+    "cluster_representatives",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_representatives",
+    "duplicate_passages",
+    "remove_duplicate_lines",
+    "remove_duplicate_passages",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_near_dups",

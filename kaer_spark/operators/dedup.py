@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kaer_spark.functions.text import char_shingles, tokens, word_shingles
 from kaer_spark.functions.vector import dot, vector_norm
@@ -897,10 +898,22 @@ def cluster_representatives(
         "__mid",
     )
     if score_col:
-        # max_by over (score, -id): highest score wins, smallest id on ties
-        choice = F.max_by(
-            "__mid", F.struct(F.col("__score"), -F.col("__mid"))
-        ).alias("kept_id")
+        # min_by over (-score, id): highest score wins, smallest id on
+        # ties. The SCORE is negated (scores are numeric by nature), not
+        # the id, so arbitrary orderable id types — string doc ids
+        # included — work, matching dedup_representatives' type-agnostic
+        # F.min. Null scores coalesce to -inf (negated: +inf → sorts
+        # last), so a scored member always beats an unscored one and an
+        # all-null cluster falls back to the min-id policy.
+        key = F.struct(
+            (
+                -F.coalesce(
+                    F.col("__score").cast("double"), F.lit(float("-inf"))
+                )
+            ).alias("neg_score"),
+            F.col("__mid").alias("id"),
+        )
+        choice = F.min_by("__mid", key).alias("kept_id")
     else:
         choice = F.min("__mid").alias("kept_id")
     return members.groupBy("cluster_id").agg(
@@ -935,6 +948,7 @@ def remove_duplicate_lines(
     text_col: str = "text",
     min_docs: int = 2,
     sep: str = "\n",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Rewrite each document with its corpus-duplicated lines removed —
     the CCNet/RefinedWeb line-level dedup TRANSFORM (not just a report):
@@ -958,9 +972,15 @@ def remove_duplicate_lines(
     collect_list holds ONE document's lines per group — bounded by the
     longest document, same envelope as reading it.
 
-    ``sep`` is passed to ``split`` as a regex (the default ``"\\n"``
-    matches literally).
+    ``sep`` is passed to ``split`` as a REGEX (the default ``"\\n"``
+    matches literally); the rebuilt text is joined with ``join_sep``,
+    a LITERAL string defaulting to ``sep``. When splitting on a
+    non-literal pattern (e.g. ``"\\r?\\n"``) pass an explicit
+    ``join_sep`` — otherwise the raw regex text would be inserted
+    verbatim between rebuilt lines.
     """
+    if join_sep is None:
+        join_sep = sep
     lines = (
         ensure_parallelism(df)
         .select(
@@ -981,7 +1001,7 @@ def remove_duplicate_lines(
                 F.array_sort(F.collect_list(F.struct("pos", "ln"))),
                 lambda s: s["ln"],
             ),
-            sep,
+            join_sep,
         ).alias("text_clean"),
         F.count("*").alias("n_kept"),
     )
@@ -1073,4 +1093,129 @@ def duplicate_passages(
             F.min("id").alias("rep_doc"),
         )
         .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated PASSAGES excised —
+    the transform completing :func:`duplicate_passages`' report (Lee et
+    al. 2022 §3: remove one exact-substring occurrence class, here at
+    fixed window granularity). Every ``length``-char window whose poly
+    fingerprint occurs in ``min_docs``+ distinct documents marks its span
+    ``[start, start+length-1]`` for removal; overlapping/adjacent flagged
+    spans are merged per document, and the surviving gaps are reassembled
+    in order. Output: ``(id_col, text_clean, n_spans, n_chars_removed)``
+    — docs with nothing flagged (or shorter than ``length``) pass through
+    with ``text_clean = text``.
+
+    Scale shape: the window fingerprints explode once (O(chars) rows,
+    same envelope as the report), duplicated fps come from the same
+    map-side-combined distinct count, and flagged spans join back LEFT
+    SEMI on fp. Span merging is the gaps-and-islands pattern — a running
+    max-end window then one (id, island) aggregate, all on the id
+    partitioning. The rebuild folds the merged span array against the
+    original text with substring arithmetic (``Column.substr``) — one
+    expression per row, no UDF, no collect; the span array per doc is
+    bounded by chars/length.
+    """
+    if length <= 0:
+        raise ValueError("length must be positive")
+    L = int(length)
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - L + 1),
+        lambda i: F.aggregate(
+            F.slice(codes, i, L),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+        ),
+    )
+    exploded = ensure_parallelism(df.filter(F.length(text_col) >= L)).select(
+        F.col(id_col).alias("id"), F.posexplode(win).alias("pos0", "fp")
+    )
+    dup_fps = (
+        exploded.groupBy("fp")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("fp")
+    )
+    flagged = exploded.join(dup_fps, "fp", "left_semi").select(
+        "id",
+        (F.col("pos0") + 1).cast("long").alias("s"),
+        (F.col("pos0") + L).cast("long").alias("e"),
+    )
+    # gaps-and-islands merge: a span starts a new island iff it begins
+    # past every previous span's end (+1 merges adjacency too, so kept
+    # gaps are never zero-length)
+    w_prev = (
+        Window.partitionBy("id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        flagged.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "ni",
+            (
+                F.col("prev_e").isNull()
+                | (F.col("s") > F.col("prev_e") + 1)
+            ).cast("long"),
+        )
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("spans")
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).join(spans, "id", "left")
+    rebuilt = F.aggregate(
+        F.col("spans"),
+        F.struct(
+            F.lit("").alias("t"), F.lit(0).cast("long").alias("prev")
+        ),
+        lambda acc, iv: F.struct(
+            F.concat(
+                acc["t"],
+                F.col("__text").substr(
+                    (acc["prev"] + 1).cast("int"),
+                    (iv["s"] - acc["prev"] - 1).cast("int"),
+                ),
+            ).alias("t"),
+            iv["e"].alias("prev"),
+        ),
+        lambda acc: F.concat(
+            acc["t"],
+            F.col("__text").substr(
+                (acc["prev"] + 1).cast("int"),
+                (F.length("__text") - acc["prev"]).cast("int"),
+            ),
+        ),
+    )
+    removed = F.aggregate(
+        F.col("spans"),
+        F.lit(0).cast("long"),
+        lambda a, iv: a + iv["e"] - iv["s"] + 1,
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        F.coalesce(rebuilt, F.col("__text")).alias("text_clean"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(removed, F.lit(0)).cast("long").alias("n_chars_removed"),
     )

@@ -502,3 +502,160 @@ def test_duplicate_passages_finds_shared_windows(spark):
     for ch in boiler[:24]:
         fp = (fp * 31 + ord(ch)) % 1_000_000_007
     assert fp in {r["fp"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# quality-aware representatives / keep-best / line & passage removal
+# ---------------------------------------------------------------------------
+def test_cluster_representatives_score_and_ties(spark):
+    """Highest score wins; score ties break to min id; score_col=None
+    reproduces the min-id policy of dedup_representatives."""
+    from kaer_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (5, 7.0), (9, 2.0)],
+        "doc_id long, score double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "id long, cluster_id long"
+    )
+    reps = {
+        r["cluster_id"]: (r["kept_id"], r["sz"])
+        for r in cluster_representatives(
+            docs, clusters, score_col="score"
+        ).collect()
+    }
+    # cluster 1: scores 5, 9, 9 → tie between 2 and 3 → min id 2
+    assert reps[1] == (2, 3)
+    # cluster 4: 7.0 beats 1.0 → doc 5 despite larger id
+    assert reps[4] == (5, 2)
+    none_reps = {
+        r["cluster_id"]: r["kept_id"]
+        for r in cluster_representatives(docs, clusters).collect()
+    }
+    assert none_reps == {1: 1, 4: 4}
+
+
+def test_cluster_representatives_string_ids_and_null_scores(spark):
+    """Arbitrary orderable id types work (the score, not the id, carries
+    the ordering trick), and null scores always lose to scored members."""
+    from kaer_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [("a", None), ("b", 3.0), ("c", None), ("x", None), ("y", None)],
+        "doc_id string, score double",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+        "id string, cluster_id string",
+    )
+    reps = {
+        r["cluster_id"]: r["kept_id"]
+        for r in cluster_representatives(
+            docs, clusters, score_col="score"
+        ).collect()
+    }
+    assert reps["a"] == "b"  # the only scored member wins
+    assert reps["x"] == "x"  # all-null cluster falls back to min id
+
+
+def test_dedup_keep_best_filters_corpus(spark):
+    """One best-scoring survivor per cluster, unclustered docs untouched;
+    with uniformly tied scores the result matches dedup_representatives."""
+    from kaer_spark.operators.dedup import dedup_keep_best, dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 1.0), (4, 2.0), (7, 0.0)],
+        "doc_id long, score double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, cluster_id long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(docs, clusters, score_col="score").collect()
+    )
+    assert kept == [2, 4, 7]  # best of {1,2,3} + both unclustered
+    tied = docs.withColumn("score", F.lit(1.0))
+    a = sorted(r["doc_id"] for r in dedup_keep_best(tied, clusters, score_col="score").collect())
+    b = sorted(r["doc_id"] for r in dedup_representatives(tied, clusters).collect())
+    assert a == b == [1, 4, 7]
+
+
+def test_remove_duplicate_lines_threshold_and_edges(spark):
+    """min_docs boundary is exact (df == min_docs dropped, df == min_docs-1
+    kept), a line repeated only WITHIN one doc survives (distinct-doc
+    count), and an all-boilerplate doc rebuilds to ('', n, 0)."""
+    from kaer_spark.operators.dedup import remove_duplicate_lines
+
+    rows = [
+        (1, "boiler\nunique one\ntwice in this doc\ntwice in this doc"),
+        (2, "boiler\nunique two\npair line"),
+        (3, "boiler\npair line"),
+        (4, "boiler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=4: only 'boiler' (df=4) goes; 'pair line' (df=2) stays
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_lines(df, min_docs=4).collect()
+    }
+    assert out[1]["text_clean"] == "unique one\ntwice in this doc\ntwice in this doc"
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 3
+    assert out[3]["text_clean"] == "pair line"
+    assert out[4]["text_clean"] == "" and out[4]["n_lines"] == 1 and out[4]["n_kept"] == 0
+    # min_docs=2: 'pair line' now also removed; within-doc repeat still kept
+    out2 = {
+        r["doc_id"]: r for r in remove_duplicate_lines(df, min_docs=2).collect()
+    }
+    assert out2[1]["text_clean"] == "unique one\ntwice in this doc\ntwice in this doc"
+    assert out2[3]["text_clean"] == "" and out2[3]["n_kept"] == 0
+
+
+def test_remove_duplicate_lines_regex_sep_join(spark):
+    """A regex split pattern with an explicit literal join_sep rebuilds
+    clean text (the ADVICE r8 corruption case)."""
+    from kaer_spark.operators.dedup import remove_duplicate_lines
+
+    rows = [(1, "boiler\r\nkeep A\nkeep B"), (2, "boiler\r\nother")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicate_lines(
+            df, min_docs=2, sep="\r?\n", join_sep="\n"
+        ).collect()
+    }
+    assert out[1] == "keep A\nkeep B"  # no raw "\r?\n" inserted
+    assert out[2] == "other"
+
+
+def test_remove_duplicate_passages_merges_spans(spark):
+    """Overlapping flagged windows merge into one excised span; python
+    replay of the expected rebuilt text; unique/short docs pass through."""
+    from kaer_spark.operators.dedup import remove_duplicate_passages
+
+    boiler = "COPIED LICENSE BLOCK X7"  # > length=10 → many overlapping windows
+    rows = [
+        (1, "alpha " + boiler + " omega"),
+        (2, "start " + boiler + " finish " + boiler),
+        (3, "no shared content in this document"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_passages(df, length=10, min_docs=2).collect()}
+    # doc 3 and the short doc are untouched
+    assert out[3]["text_clean"] == rows[2][1] and out[3]["n_spans"] == 0
+    assert out[4]["text_clean"] == "tiny" and out[4]["n_chars_removed"] == 0
+    # flagged docs lose the shared block (plus boundary windows into the
+    # surrounding spaces, which both docs share) as ONE merged span each
+    assert out[1]["n_spans"] == 1
+    assert boiler not in out[1]["text_clean"]
+    assert out[1]["text_clean"].startswith("alpha")
+    assert out[1]["text_clean"].endswith("omega")
+    # removal accounting is exact: len(text) == len(clean) + removed
+    for d in (1, 2, 3):
+        assert len(rows[d - 1][1]) == len(out[d]["text_clean"]) + out[d]["n_chars_removed"]
+    # doc 2 contains the block twice -> up to two disjoint spans (the
+    # trailing copy reaches the doc end)
+    assert out[2]["n_spans"] == 2
+    assert boiler not in out[2]["text_clean"]
