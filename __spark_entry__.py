@@ -84,6 +84,10 @@ JACCARD_THRESHOLD = 0.4
 JACCARD_MAX_DF = 100
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
+# remove_duplicate_lines over the space-separated fixture corpus: token
+# doc-frequencies cluster at ~373-402 of 500 docs (one rare outlier), so
+# 390 removes roughly half the vocabulary and keeps the rest
+LINE_DEDUP_MIN_DOCS = 390
 # fixture embeddings are near-random (max within-label cosine ≈ 0.47), so the
 # "near-dup" threshold is set where the fixture actually has matching pairs
 COSINE_DUP_THRESHOLD = 0.35
@@ -2275,6 +2279,80 @@ def _q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_remove_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-REMOVAL transform (dedup.remove_duplicate_passages): the
+    Lee-et-al rewrite completing the duplicate_passages report — flagged
+    24-char windows merge into spans (gaps-and-islands) and the surviving
+    text is rebuilt by a substring fold. The oracle replays fingerprints,
+    span merge, and rebuild with the same poly-hash + window SQL."""
+    from kaer_spark.operators.dedup import remove_duplicate_passages
+
+    return remove_duplicate_passages(
+        _t(spark, sf_dir, "documents"), length=24, min_docs=2
+    )
+
+
+def _q_remove_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (dedup.remove_duplicate_lines), the
+    CCNet/RefinedWeb transform. The fixture corpus has no newlines, so
+     'lines' are space-separated tokens with min_docs tuned (390 of 500
+    docs) to split the vocabulary — half the tokens are corpus-ubiquitous
+    boilerplate, half survive; the rebuild must preserve order exactly."""
+    from kaer_spark.operators.dedup import remove_duplicate_lines
+
+    return remove_duplicate_lines(
+        _t(spark, sf_dir, "documents"), min_docs=LINE_DEDUP_MIN_DOCS, sep=" "
+    )
+
+
+def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cluster input for the keep-best entries: connected components
+    over the MinHash near-dup pairs (same constants as dedup_minhash /
+    dedup_cluster_assign, so the oracle replays the identical closure)."""
+    from kaer_spark.operators.dedup import dedup_clusters, minhash_near_dups
+
+    pairs = minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+        seed=42,
+    )
+    return dedup_clusters(pairs)
+
+
+def _q_dedup_keep_best_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (dedup.cluster_representatives,
+    score = n_chars): per duplicate cluster keep the LONGEST member, ties
+    to min id — the keep-the-full-copy policy production dedups want
+    instead of keep-min-id. Oracle replays the choice as a rank over
+    (n_chars DESC, id)."""
+    from kaer_spark.operators.dedup import cluster_representatives
+
+    return cluster_representatives(
+        _t(spark, sf_dir, "documents"),
+        _minhash_clusters(spark, sf_dir),
+        id_col="doc_id",
+        score_col="n_chars",
+    )
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus filter (dedup.dedup_keep_best): drop every
+    clustered doc except its best-scoring member; unclustered docs all
+    survive. Anti-join on the loser set — nothing collected."""
+    from kaer_spark.operators.dedup import dedup_keep_best
+
+    kept = dedup_keep_best(
+        _t(spark, sf_dir, "documents"),
+        _minhash_clusters(spark, sf_dir),
+        score_col="n_chars",
+        id_col="doc_id",
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def _q_domain_quota_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quota_per_group(order="hash"): the r6 unbiased-representative mode —
     each source keeps its 10 smallest-LCG-hash docs instead of its 10
@@ -2340,18 +2418,54 @@ def _q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _latest_driver_round() -> dict[str, int]:
+    """Latest round each query received a driver correctness row, read
+    from the CORRECTNESS_r*.json artifacts the driver commits next to
+    this file. Queries never driver-checked map to 0. Powers the
+    stalest-first window rotation in :func:`queries` — the policy used to
+    be hand-maintained dict ordering, which silently froze between rounds
+    (VERDICT r8: the r8 window == r7 window, leaving 22 queries' driver
+    evidence stale at round 3)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory. ORDER MATTERS: the driver's correctness
-    harness checks the FIRST 50 entries per round. Rotation policy — and
-    the dict below actually implements it (VERDICT r6 finding: the old
-    dict contradicted this docstring): (1) queries that have NEVER had a
-    driver row come first (this round: the 20 new round-7 entries, then
-    the 15 r4/r5 queries the old ordering had stranded at the back);
-    (2) remaining window slots go to the queries whose latest green row
-    is OLDEST (the round-3 cohort); (3) everything green in the latest
-    round rotates to the back. The full dict stays continuously covered
-    by tools/selfcheck.py and the pytest suite every commit."""
+    harness checks the FIRST 50 entries per round. Rotation is now
+    MECHANICAL (VERDICT r8 #2): the dict below is declared in any order,
+    then reordered oldest-driver-evidence-first — never-checked queries
+    lead, then ascending latest-green round from the committed
+    CORRECTNESS_r*.json artifacts, declaration order breaking ties. Each
+    round's results age the window forward automatically, so no query's
+    driver evidence can silently stagnate. The full dict stays
+    continuously covered by tools/selfcheck.py and pytest every commit."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # == new in round 9 — never driver-checked ========================
+        "dedup_keep_best_reps": _q_dedup_keep_best_reps,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "remove_duplicate_lines": _q_remove_duplicate_lines,
+        "remove_duplicate_passages": _q_remove_duplicate_passages,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -2481,7 +2595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_running": _q_window_running,
         }
     )
-    return out
+    # stalest-first rotation: never-checked queries (latest 0) lead, then
+    # ascending latest-driver-green round; declaration order breaks ties
+    latest = _latest_driver_round()
+    declared = {name: i for i, name in enumerate(out)}
+    ordered = sorted(out, key=lambda n: (latest.get(n, 0), declared[n]))
+    return {name: out[name] for name in ordered}
 
 
 # ---------------------------------------------------------------------------
@@ -4401,6 +4520,166 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        # quality-aware keep-best: same recursive closure as
+        # dedup_cluster_assign, then the representative is the rank-1 row
+        # over (n_chars DESC, id) — the engine's min_by((-score, id))
+        "dedup_keep_best_reps": f"""
+            WITH RECURSIVE mh_pairs AS (
+              SELECT id_a, id_b FROM ({_sql_minhash()}) mh
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM mh_pairs WHERE id_a <> id_b
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+              SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            m AS (
+              SELECT c.cluster_id, c.id, d.n_chars
+              FROM clusters c JOIN documents d ON d.doc_id = c.id
+            ),
+            r AS (
+              SELECT cluster_id, id,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, id) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS sz
+              FROM m
+            )
+            SELECT cluster_id, id AS kept_id, CAST(sz AS BIGINT) AS sz
+            FROM r WHERE rn = 1
+        """,
+        # corpus filter: drop every clustered doc that is not its
+        # cluster's keep-best representative
+        "dedup_keep_best": f"""
+            WITH RECURSIVE mh_pairs AS (
+              SELECT id_a, id_b FROM ({_sql_minhash()}) mh
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM mh_pairs WHERE id_a <> id_b
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+              SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            m AS (
+              SELECT c.cluster_id, c.id, d.n_chars
+              FROM clusters c JOIN documents d ON d.doc_id = c.id
+            ),
+            r AS (
+              SELECT cluster_id, id,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, id) AS rn
+              FROM m
+            ),
+            losers AS (SELECT id FROM r WHERE rn > 1)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id FROM losers)
+        """,
+        # line-level boilerplate removal: posexplode ≡ zipped unnest with
+        # generate_subscripts; the rebuild is string_agg ordered by the
+        # original token position
+        "remove_duplicate_lines": f"""
+            WITH l AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(text, ' ')) AS ln,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+              FROM documents
+            ),
+            nz AS (SELECT * FROM l WHERE length(trim(ln)) > 0),
+            freq AS (SELECT ln, count(DISTINCT id) AS df FROM nz GROUP BY ln),
+            kept AS (
+              SELECT nz.id, nz.pos, nz.ln FROM nz
+              JOIN freq ON freq.ln = nz.ln
+              WHERE freq.df < {LINE_DEDUP_MIN_DOCS}
+            ),
+            rebuilt AS (
+              SELECT id, string_agg(ln, ' ' ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY id
+            ),
+            counts AS (SELECT id, count(*) AS n_lines FROM nz GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(r.text_clean, '') AS text_clean,
+                   CAST(coalesce(c.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d
+            LEFT JOIN counts c ON c.id = d.doc_id
+            LEFT JOIN rebuilt r ON r.id = d.doc_id
+        """,
+        # passage removal: same window fingerprints as duplicate_passages
+        # (zipped unnest carries the start position), flagged spans merge
+        # via gaps-and-islands, and the rebuild concatenates the surviving
+        # gaps (LAG(e) marks each gap's start) plus the tail
+        "remove_duplicate_passages": f"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     unnest(range(1, length(text) - 24 + 2)) AS s,
+                     unnest(list_transform(range(1, length(text) - 24 + 2),
+                       i -> list_reduce(list_transform(range(i, i + 24),
+                              j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+                              (a, x) -> (a * {PB} + x) % {PM}))) AS fp
+              FROM documents WHERE length(text) >= 24
+            ),
+            dup AS (
+              SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT id) >= 2
+            ),
+            fl AS (
+              SELECT w.id, w.s, w.s + 23 AS e FROM w JOIN dup ON dup.fp = w.fp
+            ),
+            isl AS (
+              SELECT id, s, e,
+                     CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY id
+                            ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM fl
+            ),
+            isl2 AS (
+              SELECT id, s, e,
+                     SUM(ni) OVER (PARTITION BY id ORDER BY s) AS island
+              FROM isl
+            ),
+            sp AS (
+              SELECT id, island, min(s) AS s, max(e) AS e
+              FROM isl2 GROUP BY id, island
+            ),
+            g AS (
+              SELECT id, s, e,
+                     coalesce(LAG(e) OVER (PARTITION BY id ORDER BY s), 0) + 1 AS gs
+              FROM sp
+            ),
+            reb AS (
+              SELECT g.id,
+                     coalesce(string_agg(
+                       substr(d.text, CAST(g.gs AS INT), CAST(g.s - g.gs AS INT)),
+                       '' ORDER BY g.s), '')
+                       || substr(d.text, CAST(max(g.e) + 1 AS INT)) AS text_clean,
+                     count(*) AS n_spans,
+                     sum(g.e - g.s + 1) AS n_chars_removed
+              FROM g JOIN documents d ON d.doc_id = g.id
+              GROUP BY g.id, d.text
+            )
+            SELECT d.doc_id,
+                   coalesce(r.text_clean, d.text) AS text_clean,
+                   CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(r.n_chars_removed, 0) AS BIGINT) AS n_chars_removed
+            FROM documents d LEFT JOIN reb r ON r.id = d.doc_id
         """,
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),

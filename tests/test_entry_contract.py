@@ -112,3 +112,43 @@ def test_det_ann_oracle_on_shifted_id_fixture(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"rank": "int64"}), want.astype({"rank": "int64"})
     )
+
+
+def test_window_rotation_is_stalest_first():
+    """VERDICT r8 #2: the driver's 50-query window must rotate to the
+    stalest driver evidence each round. queries() self-orders from the
+    committed CORRECTNESS_r*.json artifacts; assert the ordering really
+    is oldest-evidence-first (against an independent recompute), that
+    never-checked queries lead, and that nothing outside the window is
+    staler than anything inside it."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as em
+
+    names = list(em.queries())
+    # independent recompute of latest-green-round from the artifacts
+    indep: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(em.__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for key in json.load(f):
+                indep[key] = max(indep.get(key, 0), rnd)
+    ages = [indep.get(n, 0) for n in names]
+    assert ages == sorted(ages), "queries() is not ordered stalest-first"
+    # the engine's own view agrees with the independent recompute
+    latest = em._latest_driver_round()
+    assert {n: latest.get(n, 0) for n in names} == {
+        n: indep.get(n, 0) for n in names
+    }
+    window = names[:50]
+    never = [n for n in names if indep.get(n, 0) == 0]
+    if len(never) <= 50:
+        assert set(never) <= set(window), "new queries must lead the window"
+    if len(names) > 50:
+        assert max(indep.get(n, 0) for n in window) <= min(
+            indep.get(n, 0) for n in names[50:]
+        )
