@@ -78,6 +78,10 @@ HEADLINE = [
     "dsir_scores",
     "perplexity_buckets",
     "duplicate_passages",
+    # round-9 additions: the passage-removal transform (heaviest new op)
+    # and the quality-aware corpus filter
+    "remove_duplicate_passages",
+    "dedup_keep_best",
 ]
 
 
@@ -117,6 +121,17 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = _machine_load()
+    # a loaded box inflates every timing (r8: load 4.9→16.2 read as a
+    # phantom 1.14× regression) — flag it up front so the run is
+    # self-diagnosing, and record the flag in the detail artifact
+    loaded_start = load_before.get("load_avg_1m", 0) > 2.0
+    if loaded_start:
+        print(
+            f"WARNING: bench starting on a loaded box "
+            f"(load_avg_1m={load_before.get('load_avg_1m')}); timings will "
+            f"be inflated — prefer an idle re-run for regression calls",
+            file=sys.stderr,
+        )
 
     import __spark_entry__ as entrymod
     from kaer_spark.session import get_spark
@@ -162,8 +177,14 @@ def main() -> int:
         "runs": reps,
         "queries_min": best,
         "value_min": round(sum(best.values()), 3),
+        "loaded_start": loaded_start,
         "load": {"before": load_before, "after": _machine_load()},
     }
+    # bench_detail.json is COMMITTED (not gitignored) since r9: the
+    # per-query min series — the cross-round comparable — must survive
+    # the driver's ~2000-char tail capture, and the stdout line can hold
+    # only one per-query dict. The driver's end-of-round snapshot commit
+    # carries this file into history.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -171,16 +192,21 @@ def main() -> int:
             "w",
         ) as f:
             json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+    except OSError as exc:
+        print(f"WARNING: bench_detail.json not written: {exc}", file=sys.stderr)
     print(json.dumps(detail), file=sys.stderr)
 
+    # LAST stdout line = what the driver parses into BENCH_rN.json. It
+    # carries the per-query medians (primary statistic) plus the
+    # aggregate min — per-query mins live in the committed detail file.
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": round(sum(med.values()), 3),
+            "value_min": detail["value_min"],
             "unit": "sec",
             "runs": reps,
+            "loaded_start": loaded_start,
             "queries": med,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }

@@ -52,8 +52,10 @@ def test_bench_json_line_fits_driver_tail_buffer():
     worst = {
         "metric": "headline_queries_total",
         "value": 99999.999,
+        "value_min": 99999.999,
         "unit": "sec",
         "runs": 3,
+        "loaded_start": False,
         "queries": {n: 9999.999 for n in bench.HEADLINE},
         "sf": 0.1,
     }

@@ -338,3 +338,64 @@ def test_ivf_knn_join_skew_split_engages(spark, embeddings):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_remove_duplicate_lines_plan_shape(documents):
+    """Line-level dedup must stay linear: one generate (the posexplode),
+    a LeftSemi equi-join of lines against the under-threshold set, and
+    hash aggregates — never a pair join, cartesian, or Python. All
+    exchanges key on high-cardinality columns (line text / doc id)."""
+    from kaer_spark.operators.dedup import remove_duplicate_lines
+
+    plan = executed_plan(remove_duplicate_lines(documents, sep=" ", min_docs=390))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # the lines explode feeds two branches (doc-frequency + rebuild);
+    # anything beyond 2 means a rewrite re-introduced a third corpus pass
+    assert plan.count("Generate ") <= 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_remove_duplicate_passages_plan_shape(documents):
+    """Passage removal keeps the report's linear envelope: explodes of the
+    window fingerprints, a LeftSemi back-join on fp, the gaps-and-islands
+    windows on the id partitioning — no pair join, no cartesian, no
+    Python, no single-reducer stage."""
+    from kaer_spark.operators.dedup import remove_duplicate_passages
+
+    plan = executed_plan(remove_duplicate_passages(documents, length=24))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "LeftSemi" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_dedup_keep_best_broadcasts_small_cluster_side(documents):
+    """dedup_keep_best: the cluster/representative sides are pairs-only
+    (orders of magnitude smaller than the corpus), so both the member
+    join and the final anti-join must plan as broadcasts at fixture
+    scale — the corpus is never reshuffled just to drop losers."""
+    from kaer_spark.operators.dedup import dedup_keep_best
+
+    clusters = documents.limit(20).select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 5).alias("cluster_id")
+    )
+    df = dedup_keep_best(documents, clusters, score_col="n_chars")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert has_broadcast_join(df)
+    # the corpus-side anti join must be broadcast, not sort-merge
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_duplicate_passages_no_expand_distinct(documents):
+    """The report's mixed countDistinct+count+min used to plan an Expand
+    (row set ×2 before the shuffle, measured 3.6× slower at sf0.1); the
+    two-level aggregate shape must keep Expand out of the plan."""
+    from kaer_spark.operators.dedup import duplicate_passages
+
+    plan = executed_plan(duplicate_passages(documents, length=24, min_docs=2))
+    assert "Expand" not in plan
+    assert "Python" not in plan
+    assert "Exchange SinglePartition" not in plan
