@@ -307,6 +307,25 @@ def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(corpus)
 
 
+def _q_training_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline with the CCNet line-dedup stage prepended
+    (prepare_training_corpus(remove_boilerplate_lines=True)): boilerplate
+    tokens are stripped before quality/token/fingerprint enrichment, so
+    the whole flow — line removal through per-language stats — is ONE
+    Catalyst program, replayed end-to-end by the oracle."""
+    from kaer_spark.pipelines import corpus_stats, prepare_training_corpus
+
+    corpus = prepare_training_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.5,
+        min_tokens=10,
+        remove_boilerplate_lines=True,
+        boilerplate_min_docs=LINE_DEDUP_MIN_DOCS,
+        line_sep=" ",
+    )
+    return corpus_stats(corpus)
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
@@ -2466,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "remove_duplicate_lines": _q_remove_duplicate_lines,
         "remove_duplicate_passages": _q_remove_duplicate_passages,
+        "training_corpus_clean_stats": _q_training_corpus_clean,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -3648,6 +3668,60 @@ def _sql_training_mix_tokens() -> str:
     """
 
 
+def _sql_line_ctes() -> str:
+    """Shared CTE chain for line-level boilerplate removal over the
+    space-separated fixture corpus (remove_duplicate_lines and the
+    cleaned-pipeline twin): posexplode ≡ zipped unnest, doc-frequency per
+    line, kept lines rebuilt ordered by original position."""
+    return f"""
+            l AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(text, ' ')) AS ln,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+              FROM documents
+            ),
+            nz AS (SELECT * FROM l WHERE length(trim(ln)) > 0),
+            freq AS (SELECT ln, count(DISTINCT id) AS df FROM nz GROUP BY ln),
+            kept_lines AS (
+              SELECT nz.id, nz.pos, nz.ln FROM nz
+              JOIN freq ON freq.ln = nz.ln
+              WHERE freq.df < {LINE_DEDUP_MIN_DOCS}
+            ),
+            rebuilt AS (
+              SELECT id, string_agg(ln, ' ' ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept_lines GROUP BY id
+            )"""
+
+
+def _sql_corpus_stats_tail(src: str) -> str:
+    """Shared enrich → filter → exact-dedup → per-language stats oracle
+    body over any ``(doc_id, text)`` relation (training_corpus_stats and
+    its boilerplate-cleaned twin share every constant)."""
+    return f"""
+            enriched AS (
+              SELECT doc_id,
+                     {_sql_lang_guess()} AS lang_guess,
+                     {_sql_quality_parts()[2]} AS quality,
+                     CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+                         AS n_tokens,
+                     {_sql_poly_hash('text')} AS fp
+              FROM {src}
+            ),
+            kept AS (
+              SELECT * FROM enriched WHERE quality >= 0.5 AND n_tokens >= 10
+            ),
+            dedup AS (
+              SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM kept
+            )
+            SELECT lang_guess, count(*) AS n_docs,
+                   -- DuckDB sum(BIGINT) widens to HUGEINT; Spark's stays BIGINT
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   min(quality) AS min_quality, max(quality) AS max_quality
+            FROM dedup WHERE rn = 1 GROUP BY lang_guess"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         # -- round-7 oracles for the round-6 operator surface --
@@ -3800,27 +3874,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "training_corpus_stats": f"""
-            WITH enriched AS (
-              SELECT doc_id,
-                     {_sql_lang_guess()} AS lang_guess,
-                     {_sql_quality_parts()[2]} AS quality,
-                     CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
-                         AS n_tokens,
-                     {_sql_poly_hash('text')} AS fp
-              FROM documents
+            WITH {_sql_corpus_stats_tail('documents')}
+        """,
+        # same pipeline with the CCNet line-dedup stage prepended: quality,
+        # tokens, and fingerprints all computed over the CLEANED text
+        "training_corpus_clean_stats": f"""
+            WITH {_sql_line_ctes()},
+            cleaned AS (
+              SELECT d.doc_id, coalesce(r.text_clean, '') AS text
+              FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id
             ),
-            kept AS (
-              SELECT * FROM enriched WHERE quality >= 0.5 AND n_tokens >= 10
-            ),
-            dedup AS (
-              SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-              FROM kept
-            )
-            SELECT lang_guess, count(*) AS n_docs,
-                   -- DuckDB sum(BIGINT) widens to HUGEINT; Spark's stays BIGINT
-                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                   min(quality) AS min_quality, max(quality) AS max_quality
-            FROM dedup WHERE rn = 1 GROUP BY lang_guess
+            {_sql_corpus_stats_tail('cleaned')}
         """,
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,
@@ -4595,24 +4659,7 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts; the rebuild is string_agg ordered by the
         # original token position
         "remove_duplicate_lines": f"""
-            WITH l AS (
-              SELECT doc_id AS id,
-                     unnest(string_split(text, ' ')) AS ln,
-                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
-              FROM documents
-            ),
-            nz AS (SELECT * FROM l WHERE length(trim(ln)) > 0),
-            freq AS (SELECT ln, count(DISTINCT id) AS df FROM nz GROUP BY ln),
-            kept AS (
-              SELECT nz.id, nz.pos, nz.ln FROM nz
-              JOIN freq ON freq.ln = nz.ln
-              WHERE freq.df < {LINE_DEDUP_MIN_DOCS}
-            ),
-            rebuilt AS (
-              SELECT id, string_agg(ln, ' ' ORDER BY pos) AS text_clean,
-                     count(*) AS n_kept
-              FROM kept GROUP BY id
-            ),
+            WITH {_sql_line_ctes()},
             counts AS (SELECT id, count(*) AS n_lines FROM nz GROUP BY id)
             SELECT d.doc_id,
                    coalesce(r.text_clean, '') AS text_clean,

@@ -497,28 +497,55 @@ class Collection:
         self,
         threshold: float = 0.95,
         target_bucket_rows: int | None = 1024,
+        method: str = "min_id",
+        score_col: str | None = None,
     ) -> int:
-        """Remove near-duplicate documents, keeping the smallest id of each
-        duplicate cluster; returns rows removed.
+        """Remove near-duplicate documents, keeping one representative of
+        each duplicate cluster; returns rows removed.
+
+        ``method="min_id"`` (default) keeps the smallest id.
+        ``method="keep_best"`` keeps the HIGHEST-``score_col`` member
+        (ties to min id) — the quality-aware policy: near-dup clusters
+        usually hold one full document plus truncated copies, and min-id
+        happily keeps a truncation; score by length or quality to keep
+        the best copy (operators.dedup.cluster_representatives).
 
         The end-to-end corpus-hygiene flow (pairs → connected components →
-        keep min-id representative → anti-join rewrite) as one collection
+        representative choice → anti-join rewrite) as one collection
         call. The drop set stays a DataFrame through the anti-join — never
         collected to the driver — so the flow holds at any collection size;
         the rewrite is the same atomic directory swap as ``delete`` and
         rebuilds the index if one exists. Ids of survivors are unchanged
         (dense-id holes are fine; the allocator only moves forward).
         """
+        if method not in ("min_id", "keep_best"):
+            raise ValueError(f"unknown dedup method {method!r}")
+        if method == "keep_best" and not score_col:
+            raise ValueError("method='keep_best' requires score_col")
         if not self.meta.get("has_data"):
             return 0
-        from kaer_spark.operators.dedup import dedup_clusters
+        from kaer_spark.operators.dedup import (
+            cluster_representatives,
+            dedup_clusters,
+        )
 
         pairs = self.near_duplicates(threshold, target_bucket_rows)
-        drop = (
-            dedup_clusters(pairs)
-            .filter(F.col("id") != F.col("cluster_id"))
-            .select(F.col("id").alias(ID_COL))
-        )
+        clusters = dedup_clusters(pairs)
+        if method == "keep_best":
+            kept = cluster_representatives(
+                self.df(), clusters, id_col=ID_COL, score_col=score_col
+            )
+            drop = (
+                clusters.join(
+                    kept.select("cluster_id", "kept_id"), "cluster_id"
+                )
+                .filter(F.col("id") != F.col("kept_id"))
+                .select(F.col("id").alias(ID_COL))
+            )
+        else:
+            drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias(ID_COL)
+            )
         if drop.isEmpty():
             return 0
         obs = Observation()

@@ -33,6 +33,9 @@ def prepare_training_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 0,
     langs: list[str] | None = None,
+    remove_boilerplate_lines: bool = False,
+    boilerplate_min_docs: int = 2,
+    line_sep: str = "\n",
 ) -> DataFrame:
     """Filter + dedup a raw document table into a training corpus.
 
@@ -41,7 +44,30 @@ def prepare_training_corpus(
     enrichments are narrow projections, the filters cut the corpus before
     the fingerprint shuffle, and exact dedup keeps the min-id row per
     fingerprint (deterministic representative).
+
+    ``remove_boilerplate_lines=True`` prepends the CCNet-style line-level
+    dedup (:func:`kaer_spark.operators.dedup.remove_duplicate_lines`,
+    tuned by ``boilerplate_min_docs``/``line_sep``): lines appearing in
+    that many distinct documents are stripped BEFORE quality scoring,
+    token counting, and fingerprinting — so a doc that is unique apart
+    from an injected cookie banner deduplicates against its clean twin,
+    and token budgets don't count boilerplate. The whole flow stays one
+    Catalyst program; the line stage adds its O(total lines) shuffles in
+    front of the unchanged filter/dedup shape.
     """
+    if remove_boilerplate_lines:
+        from kaer_spark.operators.dedup import remove_duplicate_lines
+
+        cleaned = remove_duplicate_lines(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            min_docs=boilerplate_min_docs,
+            sep=line_sep,
+        )
+        docs = cleaned.select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
     enriched = with_lang_guess(
         docs.select(
             F.col(id_col),

@@ -504,3 +504,41 @@ def test_deduplicate_against_both_methods(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="method"):
         crawl2.deduplicate_against(ref, method="simhash")
+
+
+def test_deduplicate_keep_best(spark, tmp_path):
+    """Quality-aware collection dedup: method='keep_best' keeps the
+    highest-scoring member of each near-dup cluster (ties to min id)
+    instead of the min id, reachable without operator-level imports."""
+    import pytest
+
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("kb")
+    col = ctx.get_collection("kb")
+    texts = [
+        "alpha beta gamma", "alpha beta gamma",        # 0 ≡ 1
+        "delta epsilon zeta", "delta epsilon zeta",    # 2 ≡ 3
+        "unique content one",
+        "alpha beta gamma",                            # 5 ≡ 0,1
+    ]
+    scores = [1.0, 5.0, 7.0, 2.0, 0.0, 5.0]
+    col.insert(texts, [{"score": s} for s in scores])
+
+    with pytest.raises(ValueError):
+        col.deduplicate(method="keep_best")  # score_col required
+    with pytest.raises(ValueError):
+        col.deduplicate(method="median_id")
+
+    removed = col.deduplicate(
+        threshold=0.999, method="keep_best", score_col="score"
+    )
+    # cluster {0,1,5}: scores 1,5,5 → tie at 5 → min id 1 kept
+    # cluster {2,3}: 7 beats 2 → id 2 kept (also min id, but by score)
+    assert removed == 3
+    kept = sorted(r["_m_id"] for r in col.df().select("_m_id").collect())
+    assert kept == [1, 2, 4]
+    assert col.deduplicate(
+        threshold=0.999, method="keep_best", score_col="score"
+    ) == 0

@@ -181,3 +181,40 @@ def test_token_budget_pipeline_shapes_and_budgets(spark, documents):
     }
     got = {(r["shard"], r["pack_id"]): (r["n_docs"], r["sum_tokens"]) for r in out}
     assert got == manual
+
+
+def test_pipeline_boilerplate_stage_fused_equals_stagewise(spark):
+    """prepare_training_corpus(remove_boilerplate_lines=True) must equal
+    running remove_duplicate_lines first and feeding the cleaned text
+    through the flag-less pipeline — the fused plan changes nothing but
+    the program count. Also: a doc unique only by its boilerplate
+    deduplicates against its clean twin once the stage runs."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.dedup import remove_duplicate_lines
+    from kaer_spark.pipelines import prepare_training_corpus
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "COOKIE BANNER\n" + body),
+        (2, body),  # identical once the banner is stripped from doc 1
+        (3, "COOKIE BANNER\nan entirely different document body here okay"),
+        (4, "no banner plain unique document body with words to count"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = prepare_training_corpus(
+        docs, min_quality=0.0, min_tokens=0,
+        remove_boilerplate_lines=True, boilerplate_min_docs=2,
+    )
+    cleaned = remove_duplicate_lines(docs, min_docs=2).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    stagewise = prepare_training_corpus(cleaned, min_quality=0.0, min_tokens=0)
+    a = sorted(fused.collect(), key=lambda r: r["doc_id"])
+    b = sorted(stagewise.collect(), key=lambda r: r["doc_id"])
+    assert a == b
+    # docs 1 and 2 collapse (same fp after cleaning); without the stage
+    # they both survive
+    assert [r["doc_id"] for r in a] == [1, 3, 4]
+    plain = prepare_training_corpus(docs, min_quality=0.0, min_tokens=0)
+    assert plain.count() == 4
