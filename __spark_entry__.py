@@ -2324,6 +2324,38 @@ def _q_remove_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus passage contamination report (dedup.
+    passage_overlap_between) on the parity split: per even-id doc, the
+    fraction of its 24-char windows found verbatim in the odd-id corpus —
+    overlap_fraction's exact-substring sibling; right side collapses to
+    DISTINCT fps before the LEFT SEMI probe, never broadcast."""
+    from kaer_spark.operators.dedup import passage_overlap_between
+
+    docs = _t(spark, sf_dir, "documents")
+    return passage_overlap_between(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        length=24,
+    )
+
+
+def _q_remove_passages_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level decontamination transform (dedup.
+    remove_duplicate_passages_against): even-id docs rewritten with every
+    span that appears verbatim in the odd-id corpus excised — the same
+    gaps-and-islands merge + substring rebuild as remove_duplicate_
+    passages, flagged cross-corpus."""
+    from kaer_spark.operators.dedup import remove_duplicate_passages_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_passages_against(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        length=24,
+    )
+
+
 def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared cluster input for the keep-best entries: connected components
     over the MinHash near-dup pairs (same constants as dedup_minhash /
@@ -2486,6 +2518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_lines": _q_remove_duplicate_lines,
         "remove_duplicate_passages": _q_remove_duplicate_passages,
         "training_corpus_clean_stats": _q_training_corpus_clean,
+        "passage_overlap_between": _q_passage_overlap_between,
+        "remove_passages_against": _q_remove_passages_against,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -3668,6 +3702,68 @@ def _sql_training_mix_tokens() -> str:
     """
 
 
+def _sql_passage_windows() -> str:
+    """Shared windows CTE for the passage-dedup oracle family: every
+    24-char window's poly fingerprint with its 1-based start position,
+    zipped unnests over the documents table."""
+    return f"""
+            w AS (
+              SELECT doc_id AS id,
+                     unnest(range(1, length(text) - 24 + 2)) AS s,
+                     unnest(list_transform(range(1, length(text) - 24 + 2),
+                       i -> list_reduce(list_transform(range(i, i + 24),
+                              j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+                              (a, x) -> (a * {PB} + x) % {PM}))) AS fp
+              FROM documents WHERE length(text) >= 24
+            )"""
+
+
+def _sql_excise_tail(doc_where: str = "") -> str:
+    """Shared span-merge + rebuild oracle tail over a CTE named
+    ``fl(id, s, e)``: gaps-and-islands merge, LAG-delimited kept gaps,
+    string_agg rebuild plus the tail substring. ``doc_where`` filters the
+    final documents scan (e.g. the even-id left corpus)."""
+    return f"""
+            isl AS (
+              SELECT id, s, e,
+                     CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY id
+                            ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM fl
+            ),
+            isl2 AS (
+              SELECT id, s, e,
+                     SUM(ni) OVER (PARTITION BY id ORDER BY s) AS island
+              FROM isl
+            ),
+            sp AS (
+              SELECT id, island, min(s) AS s, max(e) AS e
+              FROM isl2 GROUP BY id, island
+            ),
+            g AS (
+              SELECT id, s, e,
+                     coalesce(LAG(e) OVER (PARTITION BY id ORDER BY s), 0) + 1 AS gs
+              FROM sp
+            ),
+            reb AS (
+              SELECT g.id,
+                     coalesce(string_agg(
+                       substr(d.text, CAST(g.gs AS INT), CAST(g.s - g.gs AS INT)),
+                       '' ORDER BY g.s), '')
+                       || substr(d.text, CAST(max(g.e) + 1 AS INT)) AS text_clean,
+                     count(*) AS n_spans,
+                     sum(g.e - g.s + 1) AS n_chars_removed
+              FROM g JOIN documents d ON d.doc_id = g.id
+              GROUP BY g.id, d.text
+            )
+            SELECT d.doc_id,
+                   coalesce(r.text_clean, d.text) AS text_clean,
+                   CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(r.n_chars_removed, 0) AS BIGINT) AS n_chars_removed
+            FROM documents d LEFT JOIN reb r ON r.id = d.doc_id{doc_where}"""
+
+
 def _sql_line_ctes() -> str:
     """Shared CTE chain for line-level boilerplate removal over the
     space-separated fixture corpus (remove_duplicate_lines and the
@@ -4674,59 +4770,43 @@ def oracle_sql() -> dict[str, str]:
         # via gaps-and-islands, and the rebuild concatenates the surviving
         # gaps (LAG(e) marks each gap's start) plus the tail
         "remove_duplicate_passages": f"""
-            WITH w AS (
-              SELECT doc_id AS id,
-                     unnest(range(1, length(text) - 24 + 2)) AS s,
-                     unnest(list_transform(range(1, length(text) - 24 + 2),
-                       i -> list_reduce(list_transform(range(i, i + 24),
-                              j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
-                              (a, x) -> (a * {PB} + x) % {PM}))) AS fp
-              FROM documents WHERE length(text) >= 24
-            ),
+            WITH {_sql_passage_windows()},
             dup AS (
               SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT id) >= 2
             ),
             fl AS (
               SELECT w.id, w.s, w.s + 23 AS e FROM w JOIN dup ON dup.fp = w.fp
             ),
-            isl AS (
-              SELECT id, s, e,
-                     CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY id
-                            ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING), -1) + 1
-                          THEN 1 ELSE 0 END AS ni
-              FROM fl
-            ),
-            isl2 AS (
-              SELECT id, s, e,
-                     SUM(ni) OVER (PARTITION BY id ORDER BY s) AS island
-              FROM isl
-            ),
-            sp AS (
-              SELECT id, island, min(s) AS s, max(e) AS e
-              FROM isl2 GROUP BY id, island
-            ),
-            g AS (
-              SELECT id, s, e,
-                     coalesce(LAG(e) OVER (PARTITION BY id ORDER BY s), 0) + 1 AS gs
-              FROM sp
-            ),
-            reb AS (
-              SELECT g.id,
-                     coalesce(string_agg(
-                       substr(d.text, CAST(g.gs AS INT), CAST(g.s - g.gs AS INT)),
-                       '' ORDER BY g.s), '')
-                       || substr(d.text, CAST(max(g.e) + 1 AS INT)) AS text_clean,
-                     count(*) AS n_spans,
-                     sum(g.e - g.s + 1) AS n_chars_removed
-              FROM g JOIN documents d ON d.doc_id = g.id
-              GROUP BY g.id, d.text
+            {_sql_excise_tail()}
+        """,
+        # cross-corpus passage contamination report: even-id docs probed
+        # against the odd-id corpus's distinct window fingerprints
+        "passage_overlap_between": f"""
+            WITH {_sql_passage_windows()},
+            lw AS (SELECT id, s, fp FROM w WHERE id % 2 = 0),
+            rf AS (SELECT DISTINCT fp FROM w WHERE id % 2 = 1),
+            tot AS (SELECT id, count(*) AS n_windows FROM lw GROUP BY id),
+            fl AS (
+              SELECT lw.id, count(*) AS n_flagged
+              FROM lw JOIN rf ON rf.fp = lw.fp GROUP BY lw.id
             )
-            SELECT d.doc_id,
-                   coalesce(r.text_clean, d.text) AS text_clean,
-                   CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
-                   CAST(coalesce(r.n_chars_removed, 0) AS BIGINT) AS n_chars_removed
-            FROM documents d LEFT JOIN reb r ON r.id = d.doc_id
+            SELECT t.id AS doc_id,
+                   CAST(t.n_windows AS BIGINT) AS n_windows,
+                   CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+                   CAST(coalesce(f.n_flagged, 0) AS DOUBLE) / t.n_windows
+                       AS flagged_fraction
+            FROM tot t LEFT JOIN fl f ON f.id = t.id
+        """,
+        # passage-level decontamination transform: spans of even-id docs
+        # whose windows exist verbatim in the odd-id corpus are excised
+        "remove_passages_against": f"""
+            WITH {_sql_passage_windows()},
+            rf AS (SELECT DISTINCT fp FROM w WHERE id % 2 = 1),
+            fl AS (
+              SELECT w.id, w.s, w.s + 23 AS e
+              FROM w JOIN rf ON rf.fp = w.fp WHERE w.id % 2 = 0
+            ),
+            {_sql_excise_tail(" WHERE d.doc_id % 2 = 0")}
         """,
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),

@@ -47,8 +47,10 @@ from kaer_spark.operators.dedup import (
     minhash_near_dups_between,
     duplicate_passages,
     ngram_jaccard_pairs,
+    passage_overlap_between,
     remove_duplicate_lines,
     remove_duplicate_passages,
+    remove_duplicate_passages_against,
     simhash,
     simhash_near_dups,
 )
@@ -132,6 +134,8 @@ __all__ = [
     "dedup_representatives",
     "remove_duplicate_lines",
     "remove_duplicate_passages",
+    "remove_duplicate_passages_against",
+    "passage_overlap_between",
     "cohort_retention",
     "pack_sequences",
     "pack_stats",

@@ -26,8 +26,10 @@ from kaer_spark.operators.dedup import (
     minhash_signatures,
     minhash_near_dups,
     ngram_jaccard_pairs,
+    passage_overlap_between,
     remove_duplicate_lines,
     remove_duplicate_passages,
+    remove_duplicate_passages_against,
     simhash,
     simhash_near_dups,
 )
@@ -66,6 +68,8 @@ __all__ = [
     "duplicate_passages",
     "remove_duplicate_lines",
     "remove_duplicate_passages",
+    "remove_duplicate_passages_against",
+    "passage_overlap_between",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_near_dups",

@@ -1112,36 +1112,15 @@ def duplicate_passages(
     )
 
 
-def remove_duplicate_passages(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    length: int = 24,
-    min_docs: int = 2,
-) -> DataFrame:
-    """Rewrite each document with its corpus-duplicated PASSAGES excised —
-    the transform completing :func:`duplicate_passages`' report (Lee et
-    al. 2022 §3: remove one exact-substring occurrence class, here at
-    fixed window granularity). Every ``length``-char window whose poly
-    fingerprint occurs in ``min_docs``+ distinct documents marks its span
-    ``[start, start+length-1]`` for removal; overlapping/adjacent flagged
-    spans are merged per document, and the surviving gaps are reassembled
-    in order. Output: ``(id_col, text_clean, n_spans, n_chars_removed)``
-    — docs with nothing flagged (or shorter than ``length``) pass through
-    with ``text_clean = text``.
 
-    Scale shape: the window fingerprints explode once (O(chars) rows,
-    same envelope as the report), duplicated fps come from the same
-    map-side-combined distinct count, and flagged spans join back LEFT
-    SEMI on fp. Span merging is the gaps-and-islands pattern — a running
-    max-end window then one (id, island) aggregate, all on the id
-    partitioning. The rebuild folds the merged span array against the
-    original text with substring arithmetic (``Column.substr``) — one
-    expression per row, no UDF, no collect; the span array per doc is
-    bounded by chars/length.
-    """
-    if length <= 0:
-        raise ValueError("length must be positive")
+def _window_fp_explode(
+    df: DataFrame, id_col: str, text_col: str, length: int
+) -> DataFrame:
+    """Exploded ``(id, pos0, fp)`` window fingerprints — the shared
+    front end of the passage-dedup family (report, removal, cross-corpus
+    overlap): the codepoint array materializes once per row, each
+    ``length``-char window hashes by the corpus poly fold, one narrow
+    posexplode carries the 0-based start position."""
     L = int(length)
     codes = F.transform(
         F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("long")
@@ -1154,23 +1133,36 @@ def remove_duplicate_passages(
             lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
         ),
     )
-    exploded = ensure_parallelism(df.filter(F.length(text_col) >= L)).select(
+    return ensure_parallelism(df.filter(F.length(text_col) >= L)).select(
         F.col(id_col).alias("id"), F.posexplode(win).alias("pos0", "fp")
     )
-    dup_fps = (
-        exploded.groupBy("fp")
-        .agg(F.countDistinct("id").alias("n_docs"))
-        .filter(F.col("n_docs") >= int(min_docs))
-        .select("fp")
-    )
-    flagged = exploded.join(dup_fps, "fp", "left_semi").select(
+
+
+def _excise_spans(
+    df: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int,
+) -> DataFrame:
+    """Merge flagged window starts into maximal spans per doc and rebuild
+    the text without them — the shared back end of the passage-removal
+    transforms. ``flagged``: (id, pos0) rows; output
+    ``(id_col, text_clean, n_spans, n_chars_removed)`` over EVERY row of
+    ``df`` (unflagged/short docs pass through unchanged).
+
+    Span merging is gaps-and-islands (running max-end window, +1 merges
+    adjacency so kept gaps are never zero-length) on the id partitioning;
+    the rebuild folds the sorted span array against the original text
+    with ``Column.substr`` arithmetic — one expression per row, no UDF,
+    no collect; spans per doc bounded by chars/length.
+    """
+    L = int(length)
+    spans_src = flagged.select(
         "id",
         (F.col("pos0") + 1).cast("long").alias("s"),
         (F.col("pos0") + L).cast("long").alias("e"),
     )
-    # gaps-and-islands merge: a span starts a new island iff it begins
-    # past every previous span's end (+1 merges adjacency too, so kept
-    # gaps are never zero-length)
     w_prev = (
         Window.partitionBy("id").orderBy("s")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1180,7 +1172,7 @@ def remove_duplicate_passages(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     spans = (
-        flagged.withColumn("prev_e", F.max("e").over(w_prev))
+        spans_src.withColumn("prev_e", F.max("e").over(w_prev))
         .withColumn(
             "ni",
             (
@@ -1235,3 +1227,125 @@ def remove_duplicate_passages(
         F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce(removed, F.lit(0)).cast("long").alias("n_chars_removed"),
     )
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated PASSAGES excised —
+    the transform completing :func:`duplicate_passages`' report (Lee et
+    al. 2022 §3: remove one exact-substring occurrence class, here at
+    fixed window granularity). Every ``length``-char window whose poly
+    fingerprint occurs in ``min_docs``+ distinct documents marks its span
+    for removal; overlapping/adjacent flagged spans merge per document
+    (:func:`_excise_spans`), and the surviving gaps reassemble in order.
+    Output: ``(id_col, text_clean, n_spans, n_chars_removed)`` — docs
+    with nothing flagged (or shorter than ``length``) pass through with
+    ``text_clean = text``.
+
+    Scale shape: the window fingerprints explode once (O(chars) rows,
+    same envelope as the report), duplicated fps come from the same
+    map-side-combined distinct count (single-distinct — no Expand, see
+    duplicate_passages), flagged spans join back LEFT SEMI on fp, and
+    the merge/rebuild runs on the id partitioning with no UDF and no
+    collect.
+    """
+    if length <= 0:
+        raise ValueError("length must be positive")
+    exploded = _window_fp_explode(df, id_col, text_col, length)
+    dup_fps = (
+        exploded.groupBy("fp")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("fp")
+    )
+    flagged = exploded.join(dup_fps, "fp", "left_semi").select("id", "pos0")
+    return _excise_spans(df, flagged, id_col, text_col, length)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus passage contamination (report + excision)
+# ---------------------------------------------------------------------------
+def passage_overlap_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+) -> DataFrame:
+    """Per LEFT document: what fraction of its ``length``-char windows
+    appears VERBATIM somewhere in the RIGHT corpus →
+    ``(left_id_col, n_windows, n_flagged, flagged_fraction)``.
+
+    This is `overlap_fraction`'s exact-substring sibling at character-
+    window granularity — the eval-contamination / memorization-risk
+    report when token n-grams are too coarse (code, multilingual text,
+    whitespace-mangled copies). Only left docs long enough to hold a
+    window appear (the report is per analyzable doc, matching
+    duplicate_passages' skip rule).
+
+    Scale shape: both corpora explode their window fingerprints once;
+    the RIGHT side collapses to DISTINCT fps (map-side combined) before
+    a LEFT SEMI probe — the training corpus is never broadcast and never
+    carried past its distinct set. Two hash aggregates on the left id
+    finish the rates. Everything linear in corpus chars.
+    """
+    lw = _window_fp_explode(left, left_id_col, text_col, length)
+    rf = (
+        _window_fp_explode(right, right_id_col, text_col, length)
+        .select("fp")
+        .distinct()
+    )
+    totals = lw.groupBy("id").agg(F.count("*").alias("n_windows"))
+    flagged = (
+        lw.join(rf, "fp", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_flagged"))
+    )
+    return (
+        totals.join(flagged, "id", "left")
+        .select(
+            F.col("id").alias(left_id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            (
+                F.coalesce("n_flagged", F.lit(0)).cast("double")
+                / F.col("n_windows")
+            ).alias("flagged_fraction"),
+        )
+    )
+
+
+def remove_duplicate_passages_against(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+) -> DataFrame:
+    """Rewrite LEFT documents with every passage that appears verbatim in
+    the RIGHT corpus excised — passage-level decontamination (strip eval
+    answers from a crawl, or known boilerplate given a reference corpus),
+    completing :func:`passage_overlap_between`'s report the way
+    :func:`remove_duplicate_passages` completes :func:`duplicate_passages`.
+    Output: ``(left_id_col, text_clean, n_spans, n_chars_removed)`` over
+    every LEFT row.
+
+    Same scale envelope as the report plus the shared gaps-and-islands
+    excision (:func:`_excise_spans`): linear explodes, DISTINCT-collapsed
+    right side probed LEFT SEMI, merge/rebuild on the id partitioning.
+    """
+    lw = _window_fp_explode(left, left_id_col, text_col, length)
+    rf = (
+        _window_fp_explode(right, right_id_col, text_col, length)
+        .select("fp")
+        .distinct()
+    )
+    flagged = lw.join(rf, "fp", "left_semi").select("id", "pos0")
+    return _excise_spans(left, flagged, left_id_col, text_col, length)

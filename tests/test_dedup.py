@@ -659,3 +659,61 @@ def test_remove_duplicate_passages_merges_spans(spark):
     # trailing copy reaches the doc end)
     assert out[2]["n_spans"] == 2
     assert boiler not in out[2]["text_clean"]
+
+
+def test_passage_overlap_between_and_removal_against(spark):
+    """Cross-corpus passage contamination: the report counts exactly the
+    left windows whose content exists verbatim in the right corpus, and
+    the against-transform excises those spans (and only those) —
+    python-replayed on a constructed fixture."""
+    from kaer_spark.operators.dedup import (
+        passage_overlap_between,
+        remove_duplicate_passages_against,
+    )
+
+    leak = "SECRET EVAL ANSWER 42XYZ"  # 24 chars at length=12: many windows
+    left_rows = [
+        (1, "prefix " + leak + " suffix"),     # contaminated in the middle
+        (2, "totally clean document body!!"),  # no overlap
+        (3, leak),                             # fully contaminated
+        (4, "tiny"),                           # < length → absent from report
+    ]
+    right_rows = [(100, "training copy: " + leak + " end")]
+    left = spark.createDataFrame(left_rows, "doc_id long, text string")
+    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+
+    L = 12
+    rep = {
+        r["doc_id"]: r
+        for r in passage_overlap_between(left, right, length=L).collect()
+    }
+    assert 4 not in rep  # too short to hold one window
+    assert rep[2]["n_flagged"] == 0 and rep[2]["flagged_fraction"] == 0.0
+    # python replay of the flagged counts
+    right_fps = {
+        right_rows[0][1][i : i + L]
+        for i in range(len(right_rows[0][1]) - L + 1)
+    }
+    for d in (1, 2, 3):
+        text = left_rows[d - 1][1]
+        wins = [text[i : i + L] for i in range(len(text) - L + 1)]
+        expect = sum(w in right_fps for w in wins)
+        assert rep[d]["n_windows"] == len(wins)
+        assert rep[d]["n_flagged"] == expect, d
+        assert rep[d]["flagged_fraction"] == expect / len(wins)
+    assert rep[3]["flagged_fraction"] == 1.0
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_passages_against(
+            left, right, length=L
+        ).collect()
+    }
+    assert leak not in out[1]["text_clean"]
+    assert out[1]["text_clean"].startswith("prefix")
+    assert out[1]["text_clean"].endswith("suffix")
+    assert out[2]["text_clean"] == left_rows[1][1]  # clean doc untouched
+    assert out[3]["text_clean"] == "" and out[3]["n_spans"] == 1
+    assert out[4]["text_clean"] == "tiny"  # short doc passes through
+    for d in (1, 2, 3, 4):
+        assert len(left_rows[d - 1][1]) == len(out[d]["text_clean"]) + out[d]["n_chars_removed"]

@@ -399,3 +399,19 @@ def test_duplicate_passages_no_expand_distinct(documents):
     assert "Expand" not in plan
     assert "Python" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_passage_overlap_between_plan_shape(documents):
+    """Cross-corpus passage probe: the right corpus collapses to a
+    DISTINCT fp set joined LEFT SEMI — no cartesian, no Python, no
+    single-reducer stage, and the left corpus is never re-shuffled by
+    anything but its own id/fp aggregates."""
+    from kaer_spark.operators.dedup import passage_overlap_between
+
+    left = documents.filter(F.col("doc_id") % 2 == 0)
+    right = documents.filter(F.col("doc_id") % 2 == 1)
+    plan = executed_plan(passage_overlap_between(left, right, length=24))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "LeftSemi" in plan
+    assert "Exchange SinglePartition" not in plan
