@@ -2324,6 +2324,22 @@ def _q_remove_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semdedup, Abbas et al. 2023): deterministic
+    spread-fit cells, within-cell cosine groups, keep the member farthest
+    from its centroid — every stage relationally replayed (no Lloyd
+    iterations anywhere, so unlike k-means SemDeDup this carries a full
+    value-level oracle)."""
+    from kaer_spark.operators.dedup import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"),
+        cells=8,
+        threshold=COSINE_DUP_THRESHOLD,
+        keep="far",
+    )
+
+
 def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus passage contamination report (dedup.
     passage_overlap_between) on the parity split: per even-id doc, the
@@ -2520,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_clean_stats": _q_training_corpus_clean,
         "passage_overlap_between": _q_passage_overlap_between,
         "remove_passages_against": _q_remove_passages_against,
+        "semdedup": _q_semdedup,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -3702,6 +3719,88 @@ def _sql_training_mix_tokens() -> str:
     """
 
 
+def _sql_semdedup(cells: int = 8, threshold: float = 0.35) -> str:
+    """Full relational replay of dedup.semdedup(keep='far'): spread-fit
+    centroids (hash-ordered LIMIT, same pmod arithmetic), argmin cell
+    assignment by (dist, j) rank, within-cell pairwise cosine ≥ threshold,
+    recursive-CTE closure, and the keep-farthest-from-centroid choice as a
+    rank over (dist DESC, id)."""
+    from kaer_spark.operators.similarity import _SPREAD_A, _SPREAD_B, _SPREAD_P
+
+    hkey = (
+        f"(((vec_id * {_SPREAD_A} + {_SPREAD_B}) % {_SPREAD_P})"
+        f" + {_SPREAD_P}) % {_SPREAD_P}"
+    )
+    cos = (
+        f"(CASE WHEN (x.nrm * y.nrm) <> 0.0 THEN"
+        f" ({_sql_dot_cols('x.embedding', 'y.embedding')}) / (x.nrm * y.nrm) END)"
+    )
+    return f"""
+        WITH RECURSIVE c AS (
+          SELECT row_number() OVER (ORDER BY {hkey}, vec_id) - 1 AS j,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY {hkey}, vec_id LIMIT {cells})
+        ),
+        cd AS (
+          SELECT e.vec_id, c.j,
+                 {_sql_l2sq_cols('e.embedding', 'c.cvec')} AS dist
+          FROM embeddings e CROSS JOIN c
+        ),
+        asg AS (
+          SELECT vec_id, j AS cell FROM (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, j) AS rn
+            FROM cd) WHERE rn = 1
+        ),
+        v AS (
+          SELECT e.vec_id, e.embedding, a.cell,
+                 sqrt({_sql_dot_cols('e.embedding', 'e.embedding')}) AS nrm
+          FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+        ),
+        p AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE {cos} >= {threshold!r}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+          SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        ),
+        sc AS (
+          SELECT a.vec_id, cd.dist FROM asg a
+          JOIN cd ON cd.vec_id = a.vec_id AND cd.j = a.cell
+        ),
+        m AS (
+          SELECT cl.cluster_id, cl.id, sc.dist
+          FROM clusters cl JOIN sc ON sc.vec_id = cl.id
+        ),
+        kept AS (
+          SELECT cluster_id, id AS kept_id FROM (
+            SELECT cluster_id, id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY dist DESC, id) AS rn
+            FROM m) WHERE rn = 1
+        )
+        SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, cl.cluster_id,
+               (cl.cluster_id IS NULL OR a.vec_id = k.kept_id) AS keep
+        FROM asg a
+        LEFT JOIN clusters cl ON cl.id = a.vec_id
+        LEFT JOIN kept k ON k.cluster_id = cl.cluster_id
+    """
+
+
 def _sql_passage_windows() -> str:
     """Shared windows CTE for the passage-dedup oracle family: every
     24-char window's poly fingerprint with its 1-based start position,
@@ -4808,6 +4907,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             {_sql_excise_tail(" WHERE d.doc_id % 2 = 0")}
         """,
+        "semdedup": _sql_semdedup(cells=8, threshold=COSINE_DUP_THRESHOLD),
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),
         "hash_sample": f"""

@@ -51,6 +51,7 @@ from kaer_spark.operators.dedup import (
     remove_duplicate_lines,
     remove_duplicate_passages,
     remove_duplicate_passages_against,
+    semdedup,
     simhash,
     simhash_near_dups,
 )
@@ -136,6 +137,7 @@ __all__ = [
     "remove_duplicate_passages",
     "remove_duplicate_passages_against",
     "passage_overlap_between",
+    "semdedup",
     "cohort_retention",
     "pack_sequences",
     "pack_stats",

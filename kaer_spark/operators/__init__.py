@@ -30,6 +30,7 @@ from kaer_spark.operators.dedup import (
     remove_duplicate_lines,
     remove_duplicate_passages,
     remove_duplicate_passages_against,
+    semdedup,
     simhash,
     simhash_near_dups,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "remove_duplicate_passages",
     "remove_duplicate_passages_against",
     "passage_overlap_between",
+    "semdedup",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_near_dups",

@@ -1349,3 +1349,85 @@ def remove_duplicate_passages_against(
     )
     flagged = lw.join(rf, "fp", "left_semi").select("id", "pos0")
     return _excise_spans(left, flagged, left_id_col, text_col, length)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means-style cells + within-cell cosine
+# ---------------------------------------------------------------------------
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: int = 8,
+    threshold: float = 0.95,
+    keep: str = "far",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings into cells, find
+    near-duplicate groups by pairwise cosine WITHIN each cell, and keep
+    one member per group → per-embedding verdict
+    ``(id_col, cell, cluster_id, keep)`` (``cluster_id`` null for
+    unduplicated rows, ``keep`` false only for dropped duplicates).
+
+    ``keep="far"`` keeps the member FARTHEST from its cell centroid (the
+    paper's policy — near-centroid points are the prototypical/redundant
+    ones; keeping the outlier preserves diversity), ties to min id;
+    ``keep="min_id"`` is the deterministic baseline.
+
+    Built entirely from verified pieces: deterministic spread-fit
+    centroids + argmin assignment (operators.similarity — zero Lloyd
+    iterations, so the whole flow is SQL-replayable unlike k-means),
+    cell-blocked :func:`embedding_near_dups` (the quadratic stage is
+    bounded per cell — ``cells`` is the knob that caps within-cell pair
+    work, exactly the paper's design), :func:`dedup_clusters` closure,
+    and :func:`cluster_representatives` for the keep policy. Scale: the
+    corpus shuffles once on the cell key for the pair join; centroids are
+    a ``cells``-row driver list broadcast into expressions; nothing else
+    is collected.
+    """
+    if keep not in ("far", "min_id"):
+        raise ValueError(f"keep must be 'far' or 'min_id', got {keep!r}")
+    from kaer_spark.functions.vector import l2sq
+    from kaer_spark.operators.similarity import (
+        ivf_assign_deterministic,
+        ivf_fit_spread,
+    )
+
+    cents = ivf_fit_spread(df, vec_col=vec_col, id_col=id_col, cells=cells)
+    assigned = ivf_assign_deterministic(df, cents, vec_col)
+    pairs = embedding_near_dups(
+        assigned, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, block_col="_cell",
+    )
+    clusters = dedup_clusters(pairs)
+    if keep == "far":
+        dists = F.array(*[l2sq(vec_col, c) for c in cents])
+        scored = assigned.withColumn(
+            "_cdist", F.element_at(dists, F.col("_cell") + 1)
+        )
+        reps = cluster_representatives(
+            scored, clusters, id_col=id_col, score_col="_cdist"
+        )
+    else:
+        reps = cluster_representatives(assigned, clusters, id_col=id_col)
+    labeled = (
+        assigned.select(
+            F.col(id_col), F.col("_cell").cast("long").alias("cell")
+        )
+        .join(
+            clusters.select(
+                F.col("id").alias(id_col), F.col("cluster_id")
+            ),
+            id_col,
+            "left",
+        )
+        .join(reps.select("cluster_id", "kept_id"), "cluster_id", "left")
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("cluster_id"),
+        (
+            F.col("cluster_id").isNull()
+            | (F.col(id_col) == F.col("kept_id"))
+        ).alias("keep"),
+    )

@@ -717,3 +717,45 @@ def test_passage_overlap_between_and_removal_against(spark):
     assert out[4]["text_clean"] == "tiny"  # short doc passes through
     for d in (1, 2, 3, 4):
         assert len(left_rows[d - 1][1]) == len(out[d]["text_clean"]) + out[d]["n_chars_removed"]
+
+
+def test_semdedup_cell_scoped_groups_and_keep_far(spark):
+    """SemDeDup semantics on a constructed fixture: duplicate groups form
+    only WITHIN a cell (similar vectors split across cells stay), exactly
+    one keep per group, keep='far' retains the member farthest from its
+    centroid (ties min id), keep='min_id' the smallest id."""
+    import pytest
+
+    from kaer_spark.operators.dedup import semdedup
+
+    # two tight groups in opposite half-spaces + two singletons; ids are
+    # hash-spread-fit-friendly (any 2 rows work as centroids since the
+    # two groups dominate assignment geometry)
+    rows = [
+        (1, [10.0, 0.0, 0.0]), (2, [10.5, 0.1, 0.0]), (3, [11.5, 0.0, 0.1]),
+        (4, [0.0, 10.0, 0.0]), (5, [0.0, 10.4, 0.2]),
+        (6, [0.0, 0.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(df, cells=2, threshold=0.99).collect()}
+    assert len(out) == 6
+    # singleton 6 and any unclustered rows keep=True
+    assert out[6]["keep"] and out[6]["cluster_id"] is None
+    # each duplicate cluster keeps exactly one member
+    by_cluster: dict = {}
+    for r in out.values():
+        if r["cluster_id"] is not None:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster, "expected at least one duplicate cluster"
+    for members in by_cluster.values():
+        assert sum(m["keep"] for m in members) == 1
+        # members of one cluster always share a cell (pairs are cell-scoped)
+        assert len({m["cell"] for m in members}) == 1
+    # min_id policy keeps the smallest id of each cluster
+    out2 = {r["vec_id"]: r for r in semdedup(df, cells=2, threshold=0.99, keep="min_id").collect()}
+    for cid, members in by_cluster.items():
+        ids = sorted(m["vec_id"] for m in members)
+        assert out2[ids[0]]["keep"]
+        assert all(not out2[i]["keep"] for i in ids[1:])
+    with pytest.raises(ValueError):
+        semdedup(df, keep="random")
