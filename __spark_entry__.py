@@ -2340,6 +2340,21 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage diagnostic (ranking.oov_stats): even-id docs
+    measured against the odd-id corpus's distinct token vocabulary — the
+    tokenizer-prep / domain-shift check; vocab DISTINCT-collapsed then
+    LEFT SEMI probed, per-doc totals from the shared tokens()."""
+    from kaer_spark.functions.text import tokens as _tokens
+    from kaer_spark.operators.ranking import oov_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(_tokens("text")).alias("token")
+    )
+    return oov_stats(docs.filter(F.col("doc_id") % 2 == 0), vocab)
+
+
 def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus passage contamination report (dedup.
     passage_overlap_between) on the parity split: per even-id doc, the
@@ -2537,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_overlap_between": _q_passage_overlap_between,
         "remove_passages_against": _q_remove_passages_against,
         "semdedup": _q_semdedup,
+        "oov_stats": _q_oov_stats,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -4908,6 +4924,35 @@ def oracle_sql() -> dict[str, str]:
             {_sql_excise_tail(" WHERE d.doc_id % 2 = 0")}
         """,
         "semdedup": _sql_semdedup(cells=8, threshold=COSINE_DUP_THRESHOLD),
+        # OOV of even-id docs against the odd-id corpus vocabulary; token
+        # definition shared with token_count/top_tokens
+        "oov_stats": """
+            WITH tk AS (
+              SELECT doc_id AS id,
+                     unnest(CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                            END) AS tok
+              FROM documents
+            ),
+            voc AS (SELECT DISTINCT tok FROM tk WHERE id % 2 = 1),
+            ev AS (SELECT * FROM tk WHERE id % 2 = 0),
+            tot AS (SELECT id, count(*) AS n_tokens FROM ev GROUP BY id),
+            inv AS (
+              SELECT ev.id, count(*) AS n_in
+              FROM ev JOIN voc ON voc.tok = ev.tok GROUP BY ev.id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(t.n_tokens, 0) - coalesce(i.n_in, 0) AS BIGINT)
+                       AS n_oov,
+                   CASE WHEN coalesce(t.n_tokens, 0) > 0
+                        THEN CAST(coalesce(t.n_tokens, 0) - coalesce(i.n_in, 0)
+                                  AS DOUBLE) / t.n_tokens END AS oov_fraction
+            FROM documents d
+            LEFT JOIN tot t ON t.id = d.doc_id
+            LEFT JOIN inv i ON i.id = d.doc_id
+            WHERE d.doc_id % 2 = 0
+        """,
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),
         "hash_sample": f"""

@@ -63,6 +63,7 @@ from kaer_spark.operators.ranking import (
     bigram_lm_fit,
     bigram_lm_scores,
     bm25_scores,
+    oov_stats,
     dsir_scores,
     perplexity_buckets,
 )
@@ -142,6 +143,7 @@ __all__ = [
     "pack_sequences",
     "pack_stats",
     "bm25_scores",
+    "oov_stats",
     "hash_sample",
     "quota_per_group",
     "weighted_mix",

@@ -7,7 +7,12 @@ only where Spark genuinely lacks the primitive (partitioned ANN index build).
 """
 
 from kaer_spark.operators.knn import exact_knn, knn_join
-from kaer_spark.operators.ranking import bigram_lm_fit, bigram_lm_scores, bm25_scores
+from kaer_spark.operators.ranking import (
+    bigram_lm_fit,
+    bigram_lm_scores,
+    bm25_scores,
+    oov_stats,
+)
 from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
@@ -49,6 +54,7 @@ __all__ = [
     "bigram_lm_fit",
     "bigram_lm_scores",
     "bm25_scores",
+    "oov_stats",
     "hash_sample",
     "quota_per_group",
     "token_budget_mix",

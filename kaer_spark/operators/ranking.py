@@ -378,3 +378,57 @@ def perplexity_buckets(
         F.col("avg_logp"),
         F.ntile(n_buckets).over(w).alias("bucket"),
     )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary accounting against a reference
+    vocabulary → ``(id_col, n_tokens, n_oov, oov_fraction)``.
+
+    The tokenizer-prep / domain-shift diagnostic: before committing a
+    vocabulary (or reusing a pretrained tokenizer) on a new corpus,
+    measure how much of each document it cannot represent; high-OOV docs
+    are either noise (drop them) or evidence the vocab needs extending.
+    ``vocab`` is any one-column DataFrame of tokens (e.g. the distinct
+    tokens of the training corpus, or a fixed tokenizer vocabulary).
+
+    Scale shape: one whitespace-token explode of the corpus (the shared
+    ``functions.text.tokens`` definition, so counts agree with
+    ``token_count``), then a LEFT SEMI probe of the exploded tokens
+    against the DISTINCT vocab — a vocabulary is ≤ a few million rows, so
+    AQE turns this into a broadcast probe; nothing is collected — and one
+    per-doc aggregate. Zero-token docs report ``(0, 0, NULL)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    voc = vocab.select(F.col(vocab_col).alias("tok")).distinct()
+    inv = toks.join(voc, "tok", "left_semi").groupBy("id").agg(
+        F.count("*").alias("n_in")
+    )
+    totals = toks.groupBy("id").agg(F.count("*").alias("n_tokens"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(inv, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_in", F.lit(0))
+            ).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                (
+                    F.coalesce("n_tokens", F.lit(0))
+                    - F.coalesce("n_in", F.lit(0))
+                ).cast("double")
+                / F.col("n_tokens"),
+            ).alias("oov_fraction"),
+        )
+    )

@@ -734,3 +734,35 @@ def test_token_budget_mix_monotone_and_exact(spark):
 
     assert small == replay({"g0": 100, "g1": 50, "g2": 0})
     assert big == replay({"g0": 300, "g1": 50, "g2": 40})
+
+
+def test_oov_stats_python_replay(spark):
+    """OOV accounting ≡ python set arithmetic: per-doc token totals,
+    OOV counts against an explicit vocab, empty docs report (0, 0, NULL),
+    occurrences (not distinct tokens) are what's counted."""
+    from kaer_spark.operators.ranking import oov_stats
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha unknown1 unknown2 unknown1"),
+        (3, "   "),
+        (4, "unknown3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("alpha",)], "token string"
+    )
+    out = {r["doc_id"]: r for r in oov_stats(docs, vocab).collect()}
+    voc = {"alpha", "beta", "gamma"}
+    for doc_id, text in rows:
+        toks = text.split()
+        exp_oov = sum(t not in voc for t in toks)
+        r = out[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_oov"] == exp_oov
+        if toks:
+            assert r["oov_fraction"] == exp_oov / len(toks)
+        else:
+            assert r["oov_fraction"] is None
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_fraction"] is None
+    assert out[4]["oov_fraction"] == 1.0
