@@ -609,6 +609,66 @@ class Collection:
         keep = df.join(drop, ID_COL, "left_anti")
         return self._commit_rewrite(keep, obs)
 
+    def remove_boilerplate(
+        self,
+        min_docs: int = 2,
+        sep: str = "\n",
+        join_sep: str | None = None,
+    ) -> int:
+        """Rewrite stored documents in place with corpus-duplicated lines
+        removed (operators.dedup.remove_duplicate_lines — the CCNet
+        boilerplate strip) and RE-EMBED every changed document so vector
+        search stays consistent with the cleaned text; returns documents
+        changed.
+
+        Only changed docs pay the embedding cost (the unchanged majority
+        passes through untouched); the cleaned line table is
+        localCheckpointed so the line-dedup runs once, not once per
+        consumer branch. Ids are stable; the rewrite is the same atomic
+        directory swap as ``delete`` and rebuilds the index if one
+        exists.
+        """
+        if not self.meta.get("has_data"):
+            return 0
+        from kaer_spark.operators.dedup import remove_duplicate_lines
+
+        cleaned = (
+            remove_duplicate_lines(
+                self.df(),
+                id_col=ID_COL,
+                text_col=DOC_COL,
+                min_docs=min_docs,
+                sep=sep,
+                join_sep=join_sep,
+            )
+            .select(ID_COL, "text_clean")
+            .localCheckpoint()
+        )
+        df = self.df()
+        cols = df.columns
+        joined = df.join(cleaned, ID_COL)
+        changed = joined.filter(F.col("text_clean") != F.col(DOC_COL))
+        n_changed = changed.count()
+        if n_changed == 0:
+            return 0
+        unchanged = joined.filter(
+            F.col("text_clean") == F.col(DOC_COL)
+        ).select(*cols)
+        provider = self.ctx.provider_for(self.meta)
+        rewritten = embed_column(
+            changed.withColumn(DOC_COL, F.col("text_clean"))
+            .drop("text_clean")
+            .drop(EMB_COL),
+            DOC_COL,
+            provider,
+            EMB_COL,
+        ).select(*cols)
+        keep = unchanged.unionByName(rewritten)
+        obs = Observation()
+        keep = keep.observe(obs, F.count(F.lit(1)).alias("total"))
+        self._commit_rewrite(keep, obs)  # nothing removed; rows rewritten
+        return n_changed
+
     def count(self) -> int:
         return self.df().count() if self.meta.get("has_data") else 0
 

@@ -542,3 +542,41 @@ def test_deduplicate_keep_best(spark, tmp_path):
     assert col.deduplicate(
         threshold=0.999, method="keep_best", score_col="score"
     ) == 0
+
+
+def test_remove_boilerplate_rewrites_and_reembeds(spark, tmp_path):
+    """Collection-level CCNet cleanup: shared lines are stripped in
+    place, changed docs are re-embedded (vector search finds the cleaned
+    text), unchanged docs keep their rows, and the call is idempotent."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("bp")
+    col = ctx.get_collection("bp")
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    texts = [
+        banner + "\nalpha document body",
+        banner + "\nbeta document body",
+        "gamma clean document",
+    ]
+    col.insert(texts)
+    col.build_index(cells=2, fit="spread")
+
+    changed = col.remove_boilerplate(min_docs=2)
+    assert changed == 2
+    stored = {r["_m_id"]: r["_m_doc"] for r in col.df().collect()}
+    assert stored[0] == "alpha document body"
+    assert stored[1] == "beta document body"
+    assert stored[2] == "gamma clean document"
+    assert col.count() == 3 and col.meta["next_id"] == 3
+    # embeddings re-computed: the cleaned text is its own nearest match
+    top = col.query("alpha document body", k=1).collect()
+    assert top[0]["_m_id"] == 0
+    # the stored embedding equals a fresh embed of the CLEANED text
+    from kaer_spark.embeddings import HashingEmbedder
+
+    want = HashingEmbedder().embed(["alpha document body"])[0]
+    got = [r for r in col.df().collect() if r["_m_id"] == 0][0]["_m_embedding"]
+    assert [round(float(x), 5) for x in got] == [round(float(x), 5) for x in want]
+    # idempotent: nothing shared remains
+    assert col.remove_boilerplate(min_docs=2) == 0
