@@ -206,6 +206,24 @@ def main() -> int:
         results[f"duplicate_passages_{label}"] = {"sec": t, "rows": n}
         print(f"duplicate_passages {label}: {t}s ({n} windows)", file=sys.stderr)
 
+    # --- remove_duplicate_passages (round 9): the TRANSFORM must keep the
+    # report's linear envelope — span merge + rebuild add per-doc window
+    # work on the id partitioning, never a pair join. Output rows = docs
+    # (constant per input), so unlike the report the 10× run isolates the
+    # COMPUTE scaling from output-mass amplification.
+    from kaer_spark.operators.dedup import remove_duplicate_passages
+
+    for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
+        remove_duplicate_passages(d, length=24).count()
+        t, n = timed(
+            lambda dd=d: remove_duplicate_passages(dd, length=24).count()
+        )
+        results[f"remove_duplicate_passages_{label}"] = {"sec": t, "rows": n}
+        print(
+            f"remove_duplicate_passages {label}: {t}s ({n} docs)",
+            file=sys.stderr,
+        )
+
     n1 = embs.count()
     amp = amplify(embs, "vec_id", TIMES, rotate_col="embedding")
     for label, d, n in (("1x", embs, n1), ("10x", amp, n1 * TIMES)):
