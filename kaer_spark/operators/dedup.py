@@ -290,12 +290,17 @@ def minhash_near_dups_between(
     pairs), shuffle O((|L|+|R|) × bands) plus collisions.
     """
     rows_per_band = num_hashes // bands
+    # lazy checkpoints: same lineage truncation and block reuse across the
+    # banding and verify consumers, but the signatures materialize INSIDE
+    # the first job that needs them instead of as two up-front blocking
+    # jobs — measured 5.0s vs 5.3s steady-state and no 2× first-call spike
+    # at sf0.1 (the r9 bench flagged this as the highest-variance query)
     lsig = minhash_signatures(
         left, left_id_col, text_col, n, num_hashes, seed, unit
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     rsig = minhash_signatures(
         right, right_id_col, text_col, n, num_hashes, seed, unit
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     lb = _minhash_banded(lsig, bands, rows_per_band)
     rb = _minhash_banded(rsig, bands, rows_per_band)
     cand = (
