@@ -1,0 +1,158 @@
+"""Property-based cross-checks for the round-9 text transforms: random
+small corpora vs independent pure-python references. The engine computes
+with poly-hash fingerprints and Catalyst folds; the references compare raw
+substrings/lines — agreement over a tight alphabet (forcing heavy
+collisions of CONTENT, while 64-bit hash collisions stay ~impossible)
+pins the span-merge, threshold, ordering, and rebuild semantics far
+beyond the hand-picked unit cases."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+L = 4  # window length for passage tests (small → dense collisions)
+
+
+def _py_remove_lines(rows, min_docs, sep="\n"):
+    from collections import defaultdict
+
+    docfreq = defaultdict(set)
+    for doc_id, text in rows:
+        for ln in text.split(sep):
+            if ln.strip():
+                docfreq[ln].add(doc_id)
+    out = {}
+    for doc_id, text in rows:
+        lines = [ln for ln in text.split(sep) if ln.strip()]
+        kept = [ln for ln in lines if len(docfreq[ln]) < min_docs]
+        out[doc_id] = (sep.join(kept), len(lines), len(kept))
+    return out
+
+
+def _py_remove_passages(rows, length, min_docs):
+    from collections import defaultdict
+
+    per_win = defaultdict(set)
+    for doc_id, text in rows:
+        for i in range(len(text) - length + 1):
+            per_win[text[i : i + length]].add(doc_id)
+    dup = {w for w, ids in per_win.items() if len(ids) >= min_docs}
+    out = {}
+    for doc_id, text in rows:
+        starts = [
+            i for i in range(len(text) - length + 1)
+            if text[i : i + length] in dup
+        ]
+        spans = []
+        for s in starts:  # merge [s, s+L-1], +1 adjacency
+            e = s + length - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        clean, prev = [], 0
+        for s, e in spans:
+            clean.append(text[prev:s])
+            prev = e + 1
+        clean.append(text[prev:])
+        removed = sum(e - s + 1 for s, e in spans)
+        out[doc_id] = ("".join(clean), len(spans), removed)
+    return out
+
+
+_words = st.sampled_from(["aa", "ab", "ba", "x", "yz", "  ", ""])
+_line = st.lists(_words, min_size=0, max_size=3).map(" ".join)
+_doc = st.lists(_line, min_size=0, max_size=5).map("\n".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+@given(texts=_corpus, min_docs=st.integers(1, 3))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_remove_duplicate_lines_matches_python(spark, texts, min_docs):
+    from kaer_spark.operators.dedup import remove_duplicate_lines
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+        for r in remove_duplicate_lines(df, min_docs=min_docs).collect()
+    }
+    assert got == _py_remove_lines(rows, min_docs)
+
+
+# passage alphabet: 3 symbols → length-4 windows collide constantly
+_ptext = st.text(alphabet="ab ", min_size=0, max_size=30)
+
+
+@given(texts=st.lists(_ptext, min_size=1, max_size=6), min_docs=st.integers(1, 3))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_remove_duplicate_passages_matches_python(spark, texts, min_docs):
+    from kaer_spark.operators.dedup import remove_duplicate_passages
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_chars_removed"])
+        for r in remove_duplicate_passages(
+            df, length=L, min_docs=min_docs
+        ).collect()
+    }
+    assert got == _py_remove_passages(rows, L, min_docs)
+
+
+@given(texts=st.lists(_ptext, min_size=2, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_passage_against_matches_python(spark, texts):
+    """Cross-corpus variant: left = even rows, right = odd rows; flagged =
+    left windows present anywhere in right."""
+    from kaer_spark.operators.dedup import remove_duplicate_passages_against
+
+    rows = list(enumerate(texts))
+    left = [(i, t) for i, t in rows if i % 2 == 0]
+    right = [(i, t) for i, t in rows if i % 2 == 1]
+    ldf = spark.createDataFrame(left, "doc_id long, text string")
+    rdf = spark.createDataFrame(right, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_chars_removed"])
+        for r in remove_duplicate_passages_against(ldf, rdf, length=L).collect()
+    }
+    # python reference: right windows as the dup set, min_docs irrelevant
+    rwins = {
+        t[i : i + L] for _, t in right for i in range(len(t) - L + 1)
+    }
+    from collections import defaultdict  # noqa: F401  (parity with helpers)
+
+    want = {}
+    for doc_id, text in left:
+        starts = [
+            i for i in range(len(text) - L + 1) if text[i : i + L] in rwins
+        ]
+        spans = []
+        for s in starts:
+            e = s + L - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        clean, prev = [], 0
+        for s, e in spans:
+            clean.append(text[prev:s])
+            prev = e + 1
+        clean.append(text[prev:])
+        want[doc_id] = (
+            "".join(clean), len(spans), sum(e - s + 1 for s, e in spans)
+        )
+    assert got == want
