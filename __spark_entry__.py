@@ -2340,6 +2340,33 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted-index BM25 search (operators.text_index):
+    build the bucket-partitioned posting-list index, then top-10 for the
+    BM25_TERMS query — query buckets computed driver-side prune the
+    postings scan to matching partitions. Index-path scores are
+    bit-identical to the scan-path bm25_scores (verified in tests), so
+    the oracle replays the direct BM25 ranking restricted to docs holding
+    at least one query term."""
+    import hashlib
+    import tempfile
+
+    from kaer_spark.operators.text_index import (
+        build_text_index,
+        search_text_index,
+    )
+
+    import os
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "kaer_text_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_text_index(_t(spark, sf_dir, "documents"), path)
+    out = search_text_index(spark, path, list(BM25_TERMS), k=10)
+    return out.select(F.col("id").alias("doc_id"), "bm25")
+
+
 def _q_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage diagnostic (ranking.oov_stats): even-id docs
     measured against the odd-id corpus's distinct token vocabulary — the
@@ -2553,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_passages_against": _q_remove_passages_against,
         "semdedup": _q_semdedup,
         "oov_stats": _q_oov_stats,
+        "text_index_search": _q_text_index_search,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -4955,6 +4983,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),
+        # index-path BM25 ≡ scan-path BM25 restricted to docs holding at
+        # least one query term (absent terms contribute exact +0.0), so
+        # the oracle never models the index — just the ranking
+        "text_index_search": f"""
+            WITH scores AS ({_sql_bm25()}),
+            cand AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN trim(text) = '' THEN []
+                              ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                              END) AS tok
+                FROM documents
+              ) WHERE tok IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+            )
+            SELECT s.doc_id, s.bm25 FROM scores s
+            JOIN cand c ON c.doc_id = s.doc_id
+            ORDER BY s.bm25 DESC, s.doc_id ASC LIMIT 10
+        """,
         "hash_sample": f"""
             SELECT doc_id, source,
                    (((doc_id * 2654435761 + 40503) % 1000000007 + 1000000007) % 1000000007) % 1000 AS bucket

@@ -75,6 +75,10 @@ from kaer_spark.operators.sampling import (
     weighted_mix,
 )
 from kaer_spark.operators.skew import salted_join
+from kaer_spark.operators.text_index import (
+    build_text_index,
+    search_text_index,
+)
 from kaer_spark.pipelines import (
     corpus_stats,
     token_budget_pipeline,
@@ -112,6 +116,8 @@ __all__ = [
     "interval_join",
     "time_bucket_join",
     "salted_join",
+    "build_text_index",
+    "search_text_index",
     "prepare_training_corpus",
     "corpus_stats",
     "calibrate_signlsh",

@@ -39,6 +39,11 @@ from kaer_spark.operators.dedup import (
     simhash,
     simhash_near_dups,
 )
+from kaer_spark.operators.text_index import (
+    build_text_index,
+    read_text_index_meta,
+    search_text_index,
+)
 from kaer_spark.operators.similarity import (
     brute_force_topk,
     ivf_knn_join,
@@ -67,6 +72,9 @@ __all__ = [
     "signlsh_topk",
     "exact_knn",
     "knn_join",
+    "build_text_index",
+    "read_text_index_meta",
+    "search_text_index",
     "exact_dedup",
     "cluster_representatives",
     "dedup_clusters",

@@ -1,0 +1,191 @@
+"""Materialized inverted text index: posting lists + BM25 top-k search.
+
+Completes the retrieval story next to the vector index (``index_store``):
+the reference serves only embedding kNN, but a corpus engine also needs
+term search — sampling exemplars by keyword, debugging dedup clusters,
+powering the BM25 relevance cut without re-tokenizing the corpus per
+query. The index is a plain parquet layout, so the same recovery story
+as everything else (atomic sidecar, no daemon):
+
+``<path>/postings/``   (term, id, tf) partitioned by ``bucket`` =
+                       pmod(polyhash(term), n_buckets) — query terms map
+                       to buckets DRIVER-SIDE, so a search reads only
+                       the matching partitions (partition pruning, same
+                       trick as the IVF cell directory).
+``<path>/doclens/``    (id, dl) — per-doc token counts for BM25 length
+                       normalization.
+``<path>/index.json``  {n_docs, sum_dl, n_buckets, ...} corpus stats
+                       frozen at build time.
+
+Search scores with EXACTLY ``ranking.bm25_scores``' arithmetic (rational
+idf, fixed left-assoc term order), so for any query the index path
+returns the same doubles as the scan path restricted to docs holding at
+least one term — which is what makes the driver oracle a plain SQL
+replay over raw documents.
+
+Scale: build is one explode + one (term, id) aggregate + one id
+aggregate (all map-side combined). Search reads O(postings of the query
+terms): per-term document frequencies come from the pruned postings
+themselves, the per-term stats broadcast, and the final top-k plans as
+TakeOrderedAndProject. df(t) at search time reflects the CURRENT
+postings, N/avgdl come from the sidecar — refresh by rebuilding (the
+index is derived data; rebuild is one pass).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaer_spark.functions.text import tokens
+from kaer_spark.operators.util import ensure_parallelism
+
+META_FILE = "index.json"
+POSTINGS_DIR = "postings"
+DOCLENS_DIR = "doclens"
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def py_term_hash(term: str) -> int:
+    """Driver-side twin of the engine's polynomial char hash (int64-exact,
+    ASCII-codepoint fold) — used to map query terms to their posting
+    buckets without touching the cluster."""
+    acc = 0
+    for ch in term:
+        acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+    return acc
+
+
+def _term_hash_col(col):
+    codes = F.transform(
+        F.split(col, ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+    )
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> dict:
+    """Materialize the inverted index for ``df`` at ``path`` (overwrite).
+
+    Tokenization is the engine-wide whitespace split, lowercased — the
+    same definition as ``bm25_scores``/``token_count``, so index-path and
+    scan-path scores agree bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), F.lower).alias("__toks"),
+    )
+    exploded = ensure_parallelism(toks).select(
+        "id", F.explode("__toks").alias("term")
+    )
+    postings = (
+        exploded.groupBy("term", "id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(_term_hash_col(F.col("term")), F.lit(n_buckets))
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, POSTINGS_DIR)
+    )
+    doclens = toks.select(
+        "id", F.size("__toks").cast("long").alias("dl")
+    )
+    doclens.write.mode("overwrite").parquet(os.path.join(path, DOCLENS_DIR))
+    stats = doclens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sumdl")
+    ).collect()[0]
+    meta = {
+        "n_docs": int(stats["n"]),
+        "sum_dl": int(stats["sumdl"] or 0),
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    tmp = os.path.join(path, META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, META_FILE))
+    return meta
+
+
+def read_text_index_meta(path: str) -> dict:
+    with open(os.path.join(path, META_FILE)) as f:
+        return json.load(f)
+
+
+def search_text_index(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """BM25 top-``k`` over the materialized index → ``(id, bm25)``,
+    descending score, ties to min id. Only documents containing at least
+    one query term are candidates (docs with none score 0 by definition
+    and are never read).
+
+    Plan: the query terms' buckets are computed driver-side and pushed as
+    a partition filter (the scan touches only those directories), the
+    per-term document frequencies aggregate over the pruned postings and
+    broadcast, doc lengths join on id, and the fixed-order score sum
+    feeds a TakeOrderedAndProject. Per-term score columns are summed in
+    declared term order (left-assoc) with missing terms contributing an
+    exact +0.0 — bit-identical to ``ranking.bm25_scores`` on the same
+    corpus.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = [t.lower() for t in terms]
+    meta = read_text_index_meta(path)
+    buckets = sorted({py_term_hash(t) % meta["n_buckets"] for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(path, POSTINGS_DIR))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df_t"))
+    doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
+    n = float(meta["n_docs"])
+    avgdl = float(meta["sum_dl"]) / n
+    cand = postings.join(F.broadcast(dfreq), "term").join(doclens, "id")
+    norm = F.col("dl").cast("double") / F.lit(avgdl)
+    tf = F.col("tf").cast("double")
+    df_t = F.col("df_t").cast("double")
+    idf = (F.lit(n) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+    num = tf * F.lit(float(k1) + 1.0)
+    denom = tf + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * norm
+    )
+    scored = cand.withColumn("__s", (idf * num) / denom)
+    per_term = scored.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("__s"))).alias(f"__c{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    return (
+        per_term.select(F.col("id"), total.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(k)
+    )
