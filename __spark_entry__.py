@@ -2367,6 +2367,41 @@ def _q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "bm25")
 
 
+def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators.hybrid): reciprocal-rank fusion of the
+    BM25 term ranking (top-20 for BM25_TERMS) and the exact vector
+    ranking (top-20 l2sq to QVEC) — rrf = Σ 1/(60+rank), absent side
+    contributes exact +0.0. Both component rankings already carry exact
+    oracles, so the fused top-10 replays rank-for-rank."""
+    from kaer_spark.functions.vector import l2sq
+    from kaer_spark.operators.hybrid import rrf_fuse, with_rank
+    from kaer_spark.operators.ranking import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    text_top = (
+        bm25_scores(docs, BM25_TERMS)
+        .select(F.col("doc_id").alias("id"), "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("id"))
+        .limit(20)
+    )
+    text = with_rank(text_top, [F.col("bm25").desc(), F.col("id")])
+    vec_top = (
+        embs.select(
+            F.col("vec_id").alias("id"), l2sq("embedding", QVEC).alias("_d")
+        )
+        .orderBy(F.col("_d"), F.col("id"))
+        .limit(20)
+    )
+    vec = with_rank(vec_top, [F.col("_d"), F.col("id")])
+    fused = rrf_fuse(
+        [text.select("id", "rank"), vec.select("id", "rank")], k=10
+    )
+    return fused.select(
+        F.col("id").alias("doc_id"), "rrf", "rank_0", "rank_1"
+    )
+
+
 def _q_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage diagnostic (ranking.oov_stats): even-id docs
     measured against the odd-id corpus's distinct token vocabulary — the
@@ -2581,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "oov_stats": _q_oov_stats,
         "text_index_search": _q_text_index_search,
+        "hybrid_search": _q_hybrid_search,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -4983,6 +5019,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),
+        # RRF fusion of the BM25 top-20 and the l2sq-to-QVEC top-20:
+        # rrf = 1/(60+r1) + 1/(60+r2), absent side an exact +0.0
+        "hybrid_search": f"""
+            WITH scores AS ({_sql_bm25()}),
+            t AS (
+              SELECT doc_id AS id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1
+              FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20
+            ),
+            v AS (
+              SELECT vec_id AS id,
+                     row_number() OVER (
+                       ORDER BY {_sql_l2sq_lit('embedding', QVEC)}, vec_id
+                     ) AS r2
+              FROM embeddings
+              ORDER BY {_sql_l2sq_lit('embedding', QVEC)}, vec_id LIMIT 20
+            ),
+            f AS (
+              SELECT coalesce(t.id, v.id) AS id, t.r1, v.r2
+              FROM t FULL OUTER JOIN v ON t.id = v.id
+            )
+            SELECT id AS doc_id,
+                   (coalesce(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0)
+                    + coalesce(1.0 / (60.0 + CAST(r2 AS DOUBLE)), 0.0)) AS rrf,
+                   CAST(r1 AS BIGINT) AS rank_0,
+                   CAST(r2 AS BIGINT) AS rank_1
+            FROM f ORDER BY rrf DESC, id LIMIT 10
+        """,
         # index-path BM25 ≡ scan-path BM25 restricted to docs holding at
         # least one query term (absent terms contribute exact +0.0), so
         # the oracle never models the index — just the ranking

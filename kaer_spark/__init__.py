@@ -74,6 +74,7 @@ from kaer_spark.operators.sampling import (
     token_budget_mix,
     weighted_mix,
 )
+from kaer_spark.operators.hybrid import rrf_fuse
 from kaer_spark.operators.skew import salted_join
 from kaer_spark.operators.text_index import (
     build_text_index,
@@ -116,6 +117,7 @@ __all__ = [
     "interval_join",
     "time_bucket_join",
     "salted_join",
+    "rrf_fuse",
     "build_text_index",
     "search_text_index",
     "prepare_training_corpus",

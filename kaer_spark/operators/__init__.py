@@ -39,6 +39,7 @@ from kaer_spark.operators.dedup import (
     simhash,
     simhash_near_dups,
 )
+from kaer_spark.operators.hybrid import rrf_fuse, with_rank
 from kaer_spark.operators.text_index import (
     build_text_index,
     read_text_index_meta,
@@ -72,6 +73,8 @@ __all__ = [
     "signlsh_topk",
     "exact_knn",
     "knn_join",
+    "rrf_fuse",
+    "with_rank",
     "build_text_index",
     "read_text_index_meta",
     "search_text_index",

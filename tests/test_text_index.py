@@ -78,3 +78,49 @@ def test_search_validates_and_reads_meta(spark, corpus, tmp_path):
     up = search_text_index(spark, path, ["JOIN"], k=5).collect()
     lo = search_text_index(spark, path, ["join"], k=5).collect()
     assert [(r["id"], r["bm25"]) for r in up] == [(r["id"], r["bm25"]) for r in lo]
+
+
+def test_rrf_fuse_python_replay(spark):
+    """RRF fusion ≡ python arithmetic: overlap boosts, absent side
+    contributes 0, ties break to min id, validation raises."""
+    from kaer_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank long")
+    b = spark.createDataFrame([(3, 1), (4, 2), (1, 3)], "id long, rank long")
+    got = {r["id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    import pytest as _pytest
+
+    def rrf(r1, r2):
+        s = 0.0
+        s += 1.0 / (60.0 + r1) if r1 else 0.0
+        return s + (1.0 / (60.0 + r2) if r2 else 0.0)
+
+    assert got[1]["rrf"] == rrf(1, 3) and got[1]["rank_0"] == 1 and got[1]["rank_1"] == 3
+    assert got[2]["rrf"] == rrf(2, None) and got[2]["rank_1"] is None
+    assert got[3]["rrf"] == rrf(3, 1)
+    assert got[4]["rrf"] == rrf(None, 2) and got[4]["rank_0"] is None
+    # overlap docs (1, 3) outrank single-list docs
+    order = [r["id"] for r in rrf_fuse([a, b], k=10).collect()]
+    assert set(order[:2]) == {1, 3}
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_ranks_favor_both_modalities(spark, corpus, tmp_path):
+    """End-to-end: fuse a term ranking with a fake 'vector' ranking and
+    confirm a doc strong in both beats docs strong in only one."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.hybrid import rrf_fuse, with_rank
+    from kaer_spark.operators.ranking import bm25_scores
+
+    text_top = (
+        bm25_scores(corpus, ["join"])
+        .select(F.col("doc_id").alias("id"), "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("id"))
+        .limit(3)
+    )
+    text = with_rank(text_top, [F.col("bm25").desc(), F.col("id")])
+    fake_vec = spark.createDataFrame([(1, 1), (4, 2), (3, 3)], "id long, rank long")
+    fused = rrf_fuse([text.select("id", "rank"), fake_vec], k=5).collect()
+    assert fused[0]["id"] == 1  # top of text ('join' twice) AND top of vec
