@@ -359,6 +359,60 @@ class Collection:
             .limit(k)
         )
 
+    def query_hybrid(
+        self,
+        document: str,
+        k: int = 10,
+        filter: Mapping[str, Any] | None = None,
+        pool: int = 20,
+        rrf_c: int = 60,
+    ) -> DataFrame:
+        """Hybrid retrieval: reciprocal-rank fusion of the vector kNN
+        ranking (the query text embedded via the collection's provider)
+        and the BM25 term ranking (its whitespace tokens as terms) →
+        top-``k`` ``(_m_id, rrf, rank_0, rank_1)``, descending fused
+        score, ties to min id. ``rank_0`` is the vector side, ``rank_1``
+        the term side; either can be NULL when a doc appears in only one
+        ``pool``-sized candidate list.
+
+        This is the retrieval shape modern RAG stacks default to — the
+        lexical side catches exact identifiers/rare terms embeddings
+        smear, the vector side catches paraphrases — and the reference
+        (vector-only) cannot express. Both candidate pools honor the
+        same metadata ``filter``; fusion joins two ``pool``-row sets, so
+        the hybrid overhead over ``query()`` is one extra scan-shaped
+        BM25 pass.
+        """
+        from kaer_spark.operators.hybrid import rrf_fuse, with_rank
+        from kaer_spark.operators.ranking import bm25_scores
+
+        terms = [t for t in document.lower().split() if t]
+        if not terms:
+            raise ValueError("document must contain at least one token")
+        pred: Column = (
+            compile_filter_json(filter, META_COL)
+            if self.meta.get("schemaless")
+            else compile_filter(filter)
+        )
+        base = self.df().filter(pred)
+        vec_top = self.query(document, k=pool, filter=filter).select(
+            F.col(ID_COL).alias("id"), "_dist"
+        )
+        vec = with_rank(vec_top, [F.col("_dist").asc(), F.col("id")])
+        text_top = (
+            bm25_scores(base, terms, id_col=ID_COL, text_col=DOC_COL)
+            .select(F.col(ID_COL).alias("id"), "bm25")
+            .orderBy(F.col("bm25").desc(), F.col("id"))
+            .limit(pool)
+        )
+        text = with_rank(text_top, [F.col("bm25").desc(), F.col("id")])
+        fused = rrf_fuse(
+            [vec.select("id", "rank"), text.select("id", "rank")],
+            k=k,
+            c=rrf_c,
+        )
+        return fused.withColumnRenamed("id", ID_COL)
+
     def query_batch(
         self,
         queries: DataFrame,

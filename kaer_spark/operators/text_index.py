@@ -108,19 +108,76 @@ def build_text_index(
     )
     doclens.write.mode("overwrite").parquet(os.path.join(path, DOCLENS_DIR))
     stats = doclens.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sumdl")
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sumdl"),
+        F.max("id").alias("maxid"),
     ).collect()[0]
     meta = {
         "n_docs": int(stats["n"]),
         "sum_dl": int(stats["sumdl"] or 0),
+        "max_id": None if stats["maxid"] is None else int(stats["maxid"]),
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "text_col": text_col,
     }
+    _write_meta(path, meta)
+    return meta
+
+
+def _write_meta(path: str, meta: dict) -> None:
     tmp = os.path.join(path, META_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, META_FILE))
+
+
+def refresh_text_index(df: DataFrame, path: str) -> dict:
+    """Catch-up (the text twin of ``index_store.refresh_ivf_index``,
+    reference O8's ``updateIndexFromLastId``): index only documents with
+    ``id > meta.max_id`` — postings and doc lengths APPEND (each new doc
+    contributes disjoint (term, id) rows, so existing postings never
+    rewrite), and the frozen corpus stats advance incrementally
+    (``n_docs += batch``, ``sum_dl += batch``). Idempotent: a second call
+    with no new docs is a no-op. Per-term document frequencies need no
+    maintenance at all — search derives them from the pruned postings at
+    query time, so they are always current."""
+    meta = read_text_index_meta(path)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    tail = df.filter(
+        F.col(id_col) > (meta["max_id"] if meta["max_id"] is not None else -1)
+    )
+    toks = tail.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), F.lower).alias("__toks"),
+    )
+    stats = toks.select(
+        F.size("__toks").cast("long").alias("dl"), "id"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sumdl"),
+        F.max("id").alias("maxid"),
+    ).collect()[0]
+    if not stats["n"]:
+        return meta  # nothing to replay
+    postings = (
+        toks.select("id", F.explode("__toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(_term_hash_col(F.col("term")), F.lit(meta["n_buckets"])),
+        )
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, POSTINGS_DIR)
+    )
+    toks.select("id", F.size("__toks").cast("long").alias("dl")).write.mode(
+        "append"
+    ).parquet(os.path.join(path, DOCLENS_DIR))
+    meta["n_docs"] += int(stats["n"])
+    meta["sum_dl"] += int(stats["sumdl"] or 0)
+    meta["max_id"] = int(stats["maxid"])
+    _write_meta(path, meta)
     return meta
 
 

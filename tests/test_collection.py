@@ -580,3 +580,39 @@ def test_remove_boilerplate_rewrites_and_reembeds(spark, tmp_path):
     assert [round(float(x), 5) for x in got] == [round(float(x), 5) for x in want]
     # idempotent: nothing shared remains
     assert col.remove_boilerplate(min_docs=2) == 0
+
+
+def test_query_hybrid_fuses_lexical_and_vector(spark, tmp_path):
+    """Hybrid collection retrieval: a doc that matches the query both
+    lexically and semantically outranks docs strong on one side only;
+    filters restrict both pools; empty query rejected."""
+    import pytest
+
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("hy")
+    col = ctx.get_collection("hy")
+    texts = [
+        "spark shuffle tuning guide",        # 0: lexical+vector match
+        "spark shuffle internals",           # 1: close too
+        "cooking pasta at home tonight",     # 2: unrelated
+        "gardening tips for spring",         # 3: unrelated
+    ]
+    col.insert(texts, [{"grp": "a"}, {"grp": "a"}, {"grp": "b"}, {"grp": "b"}])
+
+    out = col.query_hybrid("spark shuffle tuning guide", k=3).collect()
+    assert out[0]["_m_id"] == 0
+    assert out[0]["rank_0"] == 1 and out[0]["rank_1"] == 1  # top of both
+    assert out[0]["rrf"] == 2 * (1.0 / 61.0)
+    ids = [r["_m_id"] for r in out]
+    assert 1 in ids  # near-match present
+
+    # filter restricts both candidate pools
+    only_b = col.query_hybrid(
+        "spark shuffle tuning guide", k=4, filter={"grp": {"$eq": "b"}}
+    ).collect()
+    assert {r["_m_id"] for r in only_b} <= {2, 3}
+
+    with pytest.raises(ValueError):
+        col.query_hybrid("   ")

@@ -124,3 +124,41 @@ def test_hybrid_ranks_favor_both_modalities(spark, corpus, tmp_path):
     fake_vec = spark.createDataFrame([(1, 1), (4, 2), (3, 3)], "id long, rank long")
     fused = rrf_fuse([text.select("id", "rank"), fake_vec], k=5).collect()
     assert fused[0]["id"] == 1  # top of text ('join' twice) AND top of vec
+
+
+def test_refresh_text_index_equals_rebuild(spark, tmp_path):
+    """Incremental catch-up ≡ full rebuild: index half the corpus, refresh
+    with the rest, and every search result (ids AND exact doubles) must
+    match an index built from scratch over everything. Second refresh is
+    a no-op."""
+    from kaer_spark.operators.text_index import refresh_text_index
+
+    rows = [
+        (1, "spark shuffle join hash join broadcast"),
+        (2, "join the hash table scan now"),
+        (3, "completely unrelated words only here"),
+        (4, "scan scan scan scan"),
+        (5, "late arriving join document"),
+        (6, "another late scan join text"),
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    first = full.filter(F.col("doc_id") <= 4)
+
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(first, inc_path)
+    meta = refresh_text_index(full, inc_path)
+    assert meta["n_docs"] == 6 and meta["max_id"] == 6
+    build_text_index(full, full_path)
+    for terms in (["join"], ["scan", "join"], ["late"]):
+        got = [
+            (r["id"], r["bm25"])
+            for r in search_text_index(spark, inc_path, terms, k=10).collect()
+        ]
+        want = [
+            (r["id"], r["bm25"])
+            for r in search_text_index(spark, full_path, terms, k=10).collect()
+        ]
+        assert got == want, terms
+    # idempotent
+    again = refresh_text_index(full, inc_path)
+    assert again["n_docs"] == 6 and again["sum_dl"] == meta["sum_dl"]
