@@ -78,10 +78,11 @@ HEADLINE = [
     "dsir_scores",
     "perplexity_buckets",
     "duplicate_passages",
-    # round-9 additions: the passage-removal transform (heaviest new op)
-    # and the quality-aware corpus filter
+    # round-9 additions: the passage-removal transform (heaviest new op),
+    # the quality-aware corpus filter, and cell-blocked semantic dedup
     "remove_duplicate_passages",
     "dedup_keep_best",
+    "semdedup",
 ]
 
 

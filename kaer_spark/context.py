@@ -553,6 +553,7 @@ class Collection:
         target_bucket_rows: int | None = 1024,
         method: str = "min_id",
         score_col: str | None = None,
+        cells: int = 16,
     ) -> int:
         """Remove near-duplicate documents, keeping one representative of
         each duplicate cluster; returns rows removed.
@@ -563,6 +564,12 @@ class Collection:
         usually hold one full document plus truncated copies, and min-id
         happily keeps a truncation; score by length or quality to keep
         the best copy (operators.dedup.cluster_representatives).
+        ``method="semantic"`` runs SemDeDup (operators.dedup.semdedup)
+        over the stored embeddings: deterministic cells (``cells``,
+        clamped to the collection size) bound the pairwise stage and the
+        survivor of each cosine group is the member FARTHEST from its
+        cell centroid (diversity-preserving); ``threshold`` is the
+        cosine cut.
 
         The end-to-end corpus-hygiene flow (pairs → connected components →
         representative choice → anti-join rewrite) as one collection
@@ -572,7 +579,7 @@ class Collection:
         rebuilds the index if one exists. Ids of survivors are unchanged
         (dense-id holes are fine; the allocator only moves forward).
         """
-        if method not in ("min_id", "keep_best"):
+        if method not in ("min_id", "keep_best", "semantic"):
             raise ValueError(f"unknown dedup method {method!r}")
         if method == "keep_best" and not score_col:
             raise ValueError("method='keep_best' requires score_col")
@@ -582,6 +589,26 @@ class Collection:
             cluster_representatives,
             dedup_clusters,
         )
+
+        if method == "semantic":
+            from kaer_spark.operators.dedup import semdedup
+
+            n_rows = self.df().count()
+            verdict = semdedup(
+                self.df(),
+                id_col=ID_COL,
+                vec_col=EMB_COL,
+                cells=max(1, min(int(cells), n_rows)),
+                threshold=threshold,
+                keep="far",
+            )
+            drop = verdict.filter(~F.col("keep")).select(ID_COL)
+            if drop.isEmpty():
+                return 0
+            obs = Observation()
+            df = self.df().observe(obs, F.count(F.lit(1)).alias("total"))
+            keep = df.join(drop, ID_COL, "left_anti")
+            return self._commit_rewrite(keep, obs)
 
         pairs = self.near_duplicates(threshold, target_bucket_rows)
         clusters = dedup_clusters(pairs)

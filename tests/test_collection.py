@@ -616,3 +616,30 @@ def test_query_hybrid_fuses_lexical_and_vector(spark, tmp_path):
 
     with pytest.raises(ValueError):
         col.query_hybrid("   ")
+
+
+def test_deduplicate_semantic(spark, tmp_path):
+    """SemDeDup through the user API: identical texts (identical stored
+    embeddings) collapse, the survivor chosen by the farthest-from-
+    centroid policy; unique docs all survive; idempotent."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    ctx.create_collection("sem")
+    col = ctx.get_collection("sem")
+    texts = [
+        "alpha beta gamma", "alpha beta gamma", "alpha beta gamma",  # 0,1,2
+        "delta epsilon zeta",
+        "unique content entirely different",
+    ]
+    col.insert(texts)
+    removed = col.deduplicate(method="semantic", threshold=0.999, cells=2)
+    assert removed == 2  # the identical trio keeps exactly one member
+    kept_docs = sorted(
+        (r["_m_id"], r["_m_doc"]) for r in col.df().collect()
+    )
+    assert len(kept_docs) == 3
+    assert sum(d == "alpha beta gamma" for _, d in kept_docs) == 1
+    assert col.deduplicate(method="semantic", threshold=0.999, cells=2) == 0
+    # cells larger than the collection clamp instead of raising
+    assert col.deduplicate(method="semantic", threshold=0.999, cells=99) == 0
