@@ -2466,6 +2466,16 @@ def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering audit (dedup.dedup_cluster_stats) over the MinHash
+    components: group count, coverage, rows a dedup would delete, and the
+    largest cluster (mega-cluster = boilerplate/threshold red flag) —
+    exact aggregates only, DECIMAL-accumulated mean."""
+    from kaer_spark.operators.dedup import dedup_cluster_stats
+
+    return dedup_cluster_stats(_minhash_clusters(spark, sf_dir))
+
+
 def _q_dedup_keep_best_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection (dedup.cluster_representatives,
     score = n_chars): per duplicate cluster keep the LONGEST member, ties
@@ -2617,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_stats": _q_oov_stats,
         "text_index_search": _q_text_index_search,
         "hybrid_search": _q_hybrid_search,
+        "dedup_cluster_stats": _q_dedup_cluster_stats,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -4859,6 +4870,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        # clustering audit over the same recursive closure; mean in exact
+        # DECIMAL so the double matches bit-for-bit
+        "dedup_cluster_stats": f"""
+            WITH RECURSIVE mh_pairs AS (
+              SELECT id_a, id_b FROM ({_sql_minhash()}) mh
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM mh_pairs WHERE id_a <> id_b
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+              SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            sizes AS (
+              SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+                   CAST(sum(sz) - count(*) AS BIGINT) AS n_duplicates,
+                   CAST(max(sz) AS BIGINT) AS max_size,
+                   (SELECT cluster_id FROM sizes
+                    ORDER BY sz DESC, cluster_id LIMIT 1) AS largest_cluster,
+                   CAST(CAST(sum(CAST(sz AS DECIMAL(28,2))) AS DOUBLE)
+                        / count(*) AS DOUBLE) AS mean_size
+            FROM sizes
         """,
         # quality-aware keep-best: same recursive closure as
         # dedup_cluster_assign, then the representative is the rank-1 row

@@ -35,6 +35,7 @@ from kaer_spark.operators.dedup import (
     calibrate_signlsh,
     cluster_representatives,
     dedup_against,
+    dedup_cluster_stats,
     dedup_clusters,
     dedup_keep_best,
     dedup_representatives,
@@ -139,6 +140,7 @@ __all__ = [
     "embedding_near_dups_lsh",
     "signlsh_candidate_pairs",
     "dedup_clusters",
+    "dedup_cluster_stats",
     "cluster_representatives",
     "dedup_keep_best",
     "dedup_representatives",

@@ -22,6 +22,7 @@ from kaer_spark.operators.sampling import (
 )
 from kaer_spark.operators.dedup import (
     cluster_representatives,
+    dedup_cluster_stats,
     dedup_clusters,
     dedup_keep_best,
     dedup_representatives,
@@ -81,6 +82,7 @@ __all__ = [
     "exact_dedup",
     "cluster_representatives",
     "dedup_clusters",
+    "dedup_cluster_stats",
     "dedup_keep_best",
     "dedup_representatives",
     "duplicate_passages",

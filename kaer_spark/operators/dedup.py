@@ -1439,3 +1439,34 @@ def semdedup(
             | (F.col(id_col) == F.col("kept_id"))
         ).alias("keep"),
     )
+
+
+def dedup_cluster_stats(clusters: DataFrame) -> DataFrame:
+    """One-row audit of a dedup clustering — the numbers an ops review
+    asks before committing a removal: how many duplicate groups, how many
+    documents they cover, how many rows a dedup would delete, and whether
+    one mega-cluster dominates (a giant cluster usually means boilerplate
+    or a degenerate banding threshold, not true duplication). Output:
+    ``(n_clusters, n_docs_clustered, n_duplicates, max_size,
+    largest_cluster, mean_size)`` with the largest-cluster tie broken to
+    the smallest cluster id and the mean accumulated in exact DECIMAL
+    (order-independent, oracle-exact).
+
+    Input is any ``(id, cluster_id)`` table (:func:`dedup_clusters`,
+    :func:`semdedup`'s clustered rows, ...). Two hash aggregates, both
+    map-side combined; nothing collected.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs_clustered"),
+        (F.sum("sz") - F.count("*")).alias("n_duplicates"),
+        F.max("sz").alias("max_size"),
+        F.min_by(
+            "cluster_id", F.struct((-F.col("sz")).alias("neg"), F.col("cluster_id"))
+        ).alias("largest_cluster"),
+        (
+            F.sum(F.col("sz").cast("decimal(28,2)")).cast("double")
+            / F.count("*")
+        ).alias("mean_size"),
+    )

@@ -759,3 +759,21 @@ def test_semdedup_cell_scoped_groups_and_keep_far(spark):
         assert all(not out2[i]["keep"] for i in ids[1:])
     with pytest.raises(ValueError):
         semdedup(df, keep="random")
+
+
+def test_dedup_cluster_stats_python_replay(spark):
+    """Audit numbers ≡ python: counts, duplicates-to-remove, largest
+    cluster with min-id tie-break, decimal-exact mean."""
+    from kaer_spark.operators.dedup import dedup_cluster_stats
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (20, 20), (21, 20), (22, 20)],
+        "id long, cluster_id long",
+    )
+    r = dedup_cluster_stats(clusters).collect()[0]
+    assert r["n_clusters"] == 3
+    assert r["n_docs_clustered"] == 8
+    assert r["n_duplicates"] == 5
+    assert r["max_size"] == 3
+    assert r["largest_cluster"] == 1  # size tie (3 vs 3) → min cluster id
+    assert r["mean_size"] == 8 / 3
