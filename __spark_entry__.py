@@ -2402,6 +2402,16 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary induction (ranking.build_vocab): top-20
+    tokens with per-rank cumulative coverage of all occurrences —
+    oov_stats' build-side companion. Deterministic (count DESC, token)
+    cut; DECIMAL cumulative sums; one double division at the end."""
+    from kaer_spark.operators.ranking import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), size=20)
+
+
 def _q_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage diagnostic (ranking.oov_stats): even-id docs
     measured against the odd-id corpus's distinct token vocabulary — the
@@ -2628,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_search": _q_text_index_search,
         "hybrid_search": _q_hybrid_search,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
+        "vocab_coverage": _q_vocab_coverage,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -5060,6 +5071,39 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t ON t.id = d.doc_id
             LEFT JOIN inv i ON i.id = d.doc_id
             WHERE d.doc_id % 2 = 0
+        """,
+        # frequency vocab induction: deterministic (count DESC, token)
+        # cut, DECIMAL cumulative coverage, one double division
+        "vocab_coverage": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                            END) AS tok
+              FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS n_occurrences FROM tk GROUP BY tok),
+            d AS (
+              SELECT tok, count(*) AS n_docs
+              FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok
+            ),
+            tot AS (SELECT sum(n_occurrences) AS t FROM c),
+            top AS (
+              SELECT c.tok, c.n_occurrences, d.n_docs
+              FROM c JOIN d ON d.tok = c.tok
+              ORDER BY c.n_occurrences DESC, c.tok LIMIT 20
+            )
+            SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok)
+                        AS BIGINT) AS rank,
+                   tok AS token,
+                   CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(n_occurrences AS DECIMAL(28,2))) OVER (
+                          ORDER BY n_occurrences DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE)
+                     / (SELECT CAST(t AS DOUBLE) FROM tot) AS coverage
+            FROM top
         """,
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),

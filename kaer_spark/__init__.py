@@ -64,6 +64,7 @@ from kaer_spark.operators.ranking import (
     bigram_lm_fit,
     bigram_lm_scores,
     bm25_scores,
+    build_vocab,
     oov_stats,
     dsir_scores,
     perplexity_buckets,
@@ -154,6 +155,7 @@ __all__ = [
     "pack_stats",
     "bm25_scores",
     "oov_stats",
+    "build_vocab",
     "hash_sample",
     "quota_per_group",
     "weighted_mix",

@@ -11,6 +11,7 @@ from kaer_spark.operators.ranking import (
     bigram_lm_fit,
     bigram_lm_scores,
     bm25_scores,
+    build_vocab,
     oov_stats,
 )
 from kaer_spark.operators.sampling import (
@@ -62,6 +63,7 @@ __all__ = [
     "bigram_lm_scores",
     "bm25_scores",
     "oov_stats",
+    "build_vocab",
     "hash_sample",
     "quota_per_group",
     "token_budget_mix",

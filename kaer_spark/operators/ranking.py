@@ -432,3 +432,63 @@ def oov_stats(
             ).alias("oov_fraction"),
         )
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    size: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Induce a ``size``-entry vocabulary by corpus frequency →
+    ``(rank, token, n_occurrences, n_docs, coverage)`` where ``coverage``
+    is the cumulative fraction of ALL token occurrences the vocabulary
+    explains through that rank — the number that tells you whether 30k
+    entries cover 99.5% of the corpus or you need 60k.
+
+    This is the frequency-induction half of tokenizer prep (pair it with
+    :func:`oov_stats` to measure the held-out corpus): rank by
+    (occurrences DESC, token ASC) so the cut is deterministic, cumulative
+    sums accumulate in exact DECIMAL, and the final fraction divides by
+    the corpus-total occurrence count once, in float64.
+
+    Scale shape: one token explode + one (token) hash aggregate
+    (map-side combined) + a global top-``size`` (TakeOrdered) — the only
+    single-partition work is the window over the ``size`` surviving rows,
+    bounded by the requested vocabulary, never the corpus.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    toks = docs.select(
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n_occurrences"))
+    # distinct-doc counts ride the same explode shape, deduped per row
+    # BEFORE the explode so no (token, doc) shuffle is needed
+    per_doc = (
+        docs.select(
+            F.explode(
+                F.array_distinct(F.transform(tokens(text_col), F.lower))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = counts.agg(F.sum("n_occurrences")).collect()[0][0] or 0
+    top = (
+        counts.join(per_doc, "tok")
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(int(size))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("tok").alias("token"),
+        F.col("n_occurrences"),
+        F.col("n_docs"),
+        (
+            F.sum(F.col("n_occurrences").cast("decimal(28,2)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double")
+            / F.lit(float(total))
+        ).alias("coverage"),
+    )

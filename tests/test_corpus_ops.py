@@ -766,3 +766,46 @@ def test_oov_stats_python_replay(spark):
             assert r["oov_fraction"] is None
     assert out[3]["n_tokens"] == 0 and out[3]["oov_fraction"] is None
     assert out[4]["oov_fraction"] == 1.0
+
+
+def test_build_vocab_python_replay(spark):
+    """Vocab induction ≡ python: counts, doc frequencies, deterministic
+    tie-break, cumulative coverage reaches 1.0 when size covers all."""
+    from kaer_spark.operators.ranking import build_vocab
+
+    rows = [
+        (1, "aa bb aa cc"),
+        (2, "aa bb"),
+        (3, "cc"),
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_vocab(docs, size=10).collect()
+    # aa:3 occurrences/2 docs, bb:2/2, cc:2/2 — tie bb/cc broken by token
+    assert [(r["rank"], r["token"], r["n_occurrences"], r["n_docs"]) for r in out] == [
+        (1, "aa", 3, 2), (2, "bb", 2, 2), (3, "cc", 2, 2),
+    ]
+    assert out[0]["coverage"] == 3 / 7
+    assert out[1]["coverage"] == 5 / 7
+    assert out[2]["coverage"] == 1.0
+    # size cuts deterministically
+    top1 = build_vocab(docs, size=1).collect()
+    assert len(top1) == 1 and top1[0]["token"] == "aa"
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        build_vocab(docs, size=0)
+
+
+def test_build_vocab_feeds_oov_stats(spark):
+    """The induced vocab plugs straight into oov_stats: tokens beyond the
+    size cut count as OOV."""
+    from kaer_spark.operators.ranking import build_vocab, oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb rare1"), (2, "aa bb rare2")], "doc_id long, text string"
+    )
+    vocab = build_vocab(docs, size=2).select("token")
+    out = {r["doc_id"]: r for r in oov_stats(docs, vocab).collect()}
+    assert out[1]["n_oov"] == 1 and out[2]["n_oov"] == 1
+    assert out[1]["n_tokens"] == 4
