@@ -2402,6 +2402,16 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet (pipelines.corpus_datasheet): docs, tokens,
+    chars, DECIMAL-exact mean quality, language diversity, exact-dup
+    rate — every distinct count a two-level pre-aggregate (no Expand,
+    the SURVEY §6 r9 discipline)."""
+    from kaer_spark.pipelines import corpus_datasheet
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency vocabulary induction (ranking.build_vocab): top-20
     tokens with per-rank cumulative coverage of all occurrences —
@@ -2639,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _q_hybrid_search,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "vocab_coverage": _q_vocab_coverage,
+        "corpus_datasheet": _q_corpus_datasheet,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -5071,6 +5082,47 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t ON t.id = d.doc_id
             LEFT JOIN inv i ON i.id = d.doc_id
             WHERE d.doc_id % 2 = 0
+        """,
+        # per-source datasheet: same enrichment constants as the corpus
+        # pipeline; distinct counts as two-level pre-aggregates
+        "corpus_datasheet": f"""
+            WITH enriched AS (
+              SELECT source AS grp, doc_id,
+                     {_sql_lang_guess()} AS lang_guess,
+                     {_sql_quality_parts()[2]} AS q,
+                     CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS ntok,
+                     CAST(length(text) AS BIGINT) AS nchars,
+                     {_sql_poly_hash('text')} AS fp
+              FROM documents
+            ),
+            main AS (
+              SELECT grp, count(*) AS n_docs, sum(ntok) AS total_tokens,
+                     sum(nchars) AS total_chars,
+                     CAST(sum(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                         AS mean_quality
+              FROM enriched GROUP BY grp
+            ),
+            langs AS (
+              SELECT grp, count(*) AS n_langs
+              FROM (SELECT DISTINCT grp, lang_guess FROM enriched)
+              GROUP BY grp
+            ),
+            uniq AS (
+              SELECT grp, count(*) AS n_unique
+              FROM (SELECT grp, fp FROM enriched GROUP BY grp, fp)
+              GROUP BY grp
+            )
+            SELECT m.grp AS source,
+                   CAST(m.n_docs AS BIGINT) AS n_docs,
+                   CAST(m.total_tokens AS BIGINT) AS total_tokens,
+                   CAST(m.total_chars AS BIGINT) AS total_chars,
+                   m.mean_quality,
+                   CAST(l.n_langs AS BIGINT) AS n_langs,
+                   CAST(u.n_unique AS BIGINT) AS n_unique,
+                   CAST(m.n_docs - u.n_unique AS DOUBLE) / m.n_docs AS dup_rate
+            FROM main m
+            JOIN langs l ON l.grp = m.grp
+            JOIN uniq u ON u.grp = m.grp
         """,
         # frequency vocab induction: deterministic (count DESC, token)
         # cut, DECIMAL cumulative coverage, one double division

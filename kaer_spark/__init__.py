@@ -83,6 +83,7 @@ from kaer_spark.operators.text_index import (
     search_text_index,
 )
 from kaer_spark.pipelines import (
+    corpus_datasheet,
     corpus_stats,
     token_budget_pipeline,
     histogram,
@@ -124,6 +125,7 @@ __all__ = [
     "search_text_index",
     "prepare_training_corpus",
     "corpus_stats",
+    "corpus_datasheet",
     "calibrate_signlsh",
     "ivf_knn_join",
     "token_budget_mix",

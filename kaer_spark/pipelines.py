@@ -354,3 +354,74 @@ def _deal(slot: Column, weights: dict[str, int]) -> Column:
         expr = expr.when((slot >= lo) & (slot < lo + n), F.lit(name))
         lo += n
     return expr
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-``group_col`` corpus datasheet — the one-stop audit a
+    "datasheet for datasets" review asks per source before mixing:
+    ``(group, n_docs, total_tokens, total_chars, mean_quality, n_langs,
+    n_unique, dup_rate)`` where ``n_unique`` counts distinct exact
+    fingerprints and ``dup_rate`` = (docs − unique)/docs.
+
+    Every number is an exact aggregate: the mean accumulates in DECIMAL,
+    and both distinct counts (languages, fingerprints) are computed as
+    two-level pre-aggregates — never a countDistinct mixed into plain
+    aggs, which plans a row-doubling Expand (the duplicate_passages
+    lesson, SURVEY §6 r9). Three branch aggregates join back on the
+    (tiny) group key.
+    """
+    enriched = with_lang_guess(
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col),
+            F.col(text_col),
+            quality_score(text_col).alias("q"),
+            bpe_token_count(text_col).alias("ntok"),
+            F.length(text_col).cast("long").alias("nchars"),
+            doc_fingerprint(text_col).alias("fp"),
+        ),
+        text_col=text_col,
+    )
+    main = enriched.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.sum("nchars").alias("total_chars"),
+        (
+            F.sum(F.col("q").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_quality"),
+    )
+    langs = (
+        enriched.select("grp", "lang_guess")
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_langs"))
+    )
+    uniq = (
+        enriched.groupBy("grp", "fp")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return (
+        main.join(langs, "grp")
+        .join(uniq, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "mean_quality",
+            "n_langs",
+            "n_unique",
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+    )

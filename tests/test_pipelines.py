@@ -218,3 +218,29 @@ def test_pipeline_boilerplate_stage_fused_equals_stagewise(spark):
     assert [r["doc_id"] for r in a] == [1, 3, 4]
     plain = prepare_training_corpus(docs, min_quality=0.0, min_tokens=0)
     assert plain.count() == 4
+
+
+def test_corpus_datasheet_python_replay(spark):
+    """Datasheet numbers ≡ python on a constructed corpus: exact-dup rate,
+    language diversity, token/char totals, decimal-exact quality mean —
+    and no Expand in the plan (two-level distinct discipline)."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.pipelines import corpus_datasheet
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup
+        (3, "der schnelle braune fuchs und so weiter hier", "a"),
+        (4, "one single unique document", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in corpus_datasheet(docs).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 3 and a["n_unique"] == 2
+    assert a["dup_rate"] == 1 / 3
+    assert a["total_chars"] == sum(len(t) for _, t, s in rows if s == "a")
+    assert a["n_langs"] == 2  # en + de heuristics differ
+    assert b["n_docs"] == 1 and b["dup_rate"] == 0.0 and b["n_unique"] == 1
+    plan = corpus_datasheet(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
