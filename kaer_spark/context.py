@@ -750,6 +750,25 @@ class Collection:
         self._commit_rewrite(keep, obs)  # nothing removed; rows rewritten
         return n_changed
 
+    def export_to(self, path: str) -> str:
+        """Copy the collection (data + catalog sidecar) to ``path`` — a
+        self-contained snapshot another context can :meth:`KaerContext.
+        import_collection`. Plain directory copy: parquet + JSON are the
+        whole state (no daemon, no WAL — the engine-wide recovery
+        story)."""
+        os.makedirs(path, exist_ok=True)
+        shutil.copytree(
+            self.data_path, os.path.join(path, "data"), dirs_exist_ok=True
+        )
+        shutil.copy2(self.meta_path, os.path.join(path, "collection.json"))
+        if self.meta.get("has_index"):
+            shutil.copytree(
+                self.index_path,
+                os.path.join(path, "index"),
+                dirs_exist_ok=True,
+            )
+        return path
+
     def count(self) -> int:
         return self.df().count() if self.meta.get("has_data") else 0
 
@@ -873,6 +892,38 @@ class KaerContext:
             "schemaless": bool(schemaless),
         }
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        coll = Collection(self, name, meta)
+        coll._save_meta()
+        self._collections[name] = coll
+        return coll
+
+    def import_collection(self, name: str, snapshot_path: str) -> "Collection":
+        """Register a :meth:`Collection.export_to` snapshot as collection
+        ``name`` in THIS context — backup restore / cross-environment
+        handoff. The snapshot is copied (the source stays untouched), the
+        catalog sidecar's name is rewritten, and everything else —
+        allocator cursor, schema, index — carries over verbatim, so ids
+        keep allocating where the source left off."""
+        dest = os.path.join(self.root, name)
+        if os.path.exists(os.path.join(dest, "collection.json")):
+            raise ValueError(f"collection {name} already exists")
+        src_meta = os.path.join(snapshot_path, "collection.json")
+        with open(src_meta) as f:
+            meta = json.load(f)
+        os.makedirs(dest, exist_ok=True)
+        if os.path.isdir(os.path.join(snapshot_path, "data")):
+            shutil.copytree(
+                os.path.join(snapshot_path, "data"),
+                os.path.join(dest, "data"),
+                dirs_exist_ok=True,
+            )
+        if os.path.isdir(os.path.join(snapshot_path, "index")):
+            shutil.copytree(
+                os.path.join(snapshot_path, "index"),
+                os.path.join(dest, "index"),
+                dirs_exist_ok=True,
+            )
+        meta["name"] = name
         coll = Collection(self, name, meta)
         coll._save_meta()
         self._collections[name] = coll

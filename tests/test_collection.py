@@ -643,3 +643,46 @@ def test_deduplicate_semantic(spark, tmp_path):
     assert col.deduplicate(method="semantic", threshold=0.999, cells=2) == 0
     # cells larger than the collection clamp instead of raising
     assert col.deduplicate(method="semantic", threshold=0.999, cells=99) == 0
+
+
+def test_compact_and_export_import_roundtrip(spark, tmp_path):
+    """Operational trio: compact collapses the many-files layout from
+    repeated inserts without changing values; export -> import restores a
+    working collection (rows, filters, vector query, allocator cursor) in
+    a different context."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    col = ctx.create_collection("ops")
+    for i in range(4):  # 4 separate inserts → many small files
+        col.insert([f"document number {i} alpha", f"document number {i} beta"],
+                   [{"grp": "x"}, {"grp": "y"}])
+    import os as _os
+
+    files_before = sum(
+        1 for f in _os.listdir(col.data_path) if f.endswith(".parquet")
+    )
+    rows_before = sorted(
+        (r["_m_id"], r["_m_doc"]) for r in col.df().collect()
+    )
+    assert files_before > 2
+    reported = col.compact(target_files=2)
+    files_after = sum(
+        1 for f in _os.listdir(col.data_path) if f.endswith(".parquet")
+    )
+    assert reported == files_after <= 2
+    assert sorted((r["_m_id"], r["_m_doc"]) for r in col.df().collect()) == rows_before
+    assert col.meta["next_id"] == 8
+
+    snap = col.export_to(str(tmp_path / "snap"))
+    ctx2 = KaerContext(spark, str(tmp_path / "kaer2"))
+    col2 = ctx2.import_collection("restored", snap)
+    assert sorted((r["_m_id"], r["_m_doc"]) for r in col2.df().collect()) == rows_before
+    assert col2.meta["next_id"] == 8  # allocator carries over
+    got = col2.query("document number 2 alpha", k=1,
+                     filter={"grp": {"$eq": "x"}}).collect()
+    assert got[0]["_m_doc"] == "document number 2 alpha"
+    col2.insert(["post restore doc"])
+    assert col2.meta["next_id"] == 9  # ids continue, never reused
+    with __import__("pytest").raises(ValueError):
+        ctx2.import_collection("restored", snap)
