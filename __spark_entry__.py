@@ -2402,6 +2402,22 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMAGE_DHASH_MAX_HAMMING = 20  # fixture-tuned: word-soup blobs resample to
+# near-uniform fingerprints, so the fixture's perceptual pairs sit far
+# apart; a real image corpus uses <= 10
+
+
+def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dups (multimodal.image_near_dups): dHash
+    over the deterministic fake decode, 16-bit band candidates, full
+    bit_count(xor) hamming verify — image-modality dedup with a
+    bit-exact integer oracle."""
+    from kaer_spark.operators.multimodal import attach_fake_media, image_near_dups
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return image_near_dups(media, max_hamming=IMAGE_DHASH_MAX_HAMMING)
+
+
 def _q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source datasheet (pipelines.corpus_datasheet): docs, tokens,
     chars, DECIMAL-exact mean quality, language diversity, exact-dup
@@ -2650,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "vocab_coverage": _q_vocab_coverage,
         "corpus_datasheet": _q_corpus_datasheet,
+        "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
@@ -3911,6 +3928,62 @@ def _sql_semdedup(cells: int = 8, threshold: float = 0.35) -> str:
         FROM asg a
         LEFT JOIN clusters cl ON cl.id = a.vec_id
         LEFT JOIN kept k ON k.cluster_id = cl.cluster_id
+    """
+
+
+def _sql_image_near_dups(max_hamming: int) -> str:
+    """Replay of multimodal.image_near_dups over the fake media blobs:
+    the 9×8 nearest-neighbor resample re-derives each pixel by hex
+    slicing (media_resize's proven byte-index formula, value-parsed via
+    strpos on the hex alphabet), dHash bits from adjacent-pixel
+    comparisons, 16-bit band candidates, bit_count(xor) hamming verify —
+    integer arithmetic end to end."""
+    hexd = "'0123456789ABCDEF'"
+    return f"""
+        WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN octet_length(blob) = 0 THEN '00' ELSE hex(blob) END AS hx,
+                 CASE WHEN octet_length(blob) = 0 THEN 1 ELSE octet_length(blob) END AS n
+          FROM d
+        ),
+        px AS (
+          SELECT doc_id, i,
+                 (strpos({hexd}, substr(hx, 2 * ((i * n) // 72) + 1, 1)) - 1) * 16
+                 + (strpos({hexd}, substr(hx, 2 * ((i * n) // 72) + 2, 1)) - 1) AS v
+          FROM b, generate_series(0, 71) AS t(i)
+        ),
+        bits AS (
+          SELECT a.doc_id, (a.i // 9) AS r,
+                 CASE WHEN a.v < p2.v
+                      THEN CAST(1 AS BIGINT) << (a.i % 9) ELSE 0 END AS bit
+          FROM px a JOIN px p2 ON p2.doc_id = a.doc_id AND p2.i = a.i + 1
+          WHERE a.i % 9 < 8
+        ),
+        sig AS (
+          SELECT doc_id, r, CAST(SUM(bit) AS BIGINT) AS byte
+          FROM bits GROUP BY doc_id, r
+        ),
+        bands AS (
+          SELECT e.doc_id, e.r // 2 AS band, e.byte * 256 + o.byte AS key
+          FROM sig e JOIN sig o ON o.doc_id = e.doc_id AND o.r = e.r + 1
+          WHERE e.r % 2 = 0
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        ),
+        ham AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(bit_count(xor(sx.byte, sy.byte))) AS hamming
+          FROM cand c
+          JOIN sig sx ON sx.doc_id = c.id_a
+          JOIN sig sy ON sy.doc_id = c.id_b AND sy.r = sx.r
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM ham WHERE hamming <= {int(max_hamming)}
     """
 
 
@@ -5385,6 +5458,7 @@ def oracle_sql() -> dict[str, str]:
         # out[i] = src[(i*n) // (w*h)] for i in 0..w*h-1, empty blob → one
         # zero byte; the digest is md5 over the resized blob's UPPERCASE hex
         # (both engines' hex alphabet), since DuckDB md5 is VARCHAR-only
+        "image_near_dups": _sql_image_near_dups(IMAGE_DHASH_MAX_HAMMING),
         "media_resize": """
             WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
             b AS (

@@ -77,6 +77,7 @@ from kaer_spark.operators.sampling import (
     weighted_mix,
 )
 from kaer_spark.operators.hybrid import rrf_fuse
+from kaer_spark.operators.multimodal import image_dhash, image_near_dups
 from kaer_spark.operators.skew import salted_join
 from kaer_spark.operators.text_index import (
     build_text_index,
@@ -120,6 +121,8 @@ __all__ = [
     "interval_join",
     "time_bucket_join",
     "salted_join",
+    "image_dhash",
+    "image_near_dups",
     "rrf_fuse",
     "build_text_index",
     "search_text_index",

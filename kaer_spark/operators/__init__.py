@@ -42,6 +42,11 @@ from kaer_spark.operators.dedup import (
     simhash_near_dups,
 )
 from kaer_spark.operators.hybrid import rrf_fuse, with_rank
+from kaer_spark.operators.multimodal import (
+    attach_fake_media,
+    image_dhash,
+    image_near_dups,
+)
 from kaer_spark.operators.text_index import (
     build_text_index,
     read_text_index_meta,
@@ -77,6 +82,9 @@ __all__ = [
     "exact_knn",
     "knn_join",
     "rrf_fuse",
+    "attach_fake_media",
+    "image_dhash",
+    "image_near_dups",
     "with_rank",
     "build_text_index",
     "read_text_index_meta",

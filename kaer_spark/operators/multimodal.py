@@ -205,3 +205,134 @@ def sample_frames(
         F.lit(0), F.greatest(F.col(f"{meta}.duration_ms") - 1, F.lit(0)), F.lit(every_ms)
     )
     return df.withColumn("frame_offsets_ms", idx)
+
+
+DHASH_W, DHASH_H = 9, 8  # 9-wide rows → 8 horizontal comparisons per row
+
+
+def image_dhash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Difference-hash perceptual fingerprint per image blob →
+    ``(id_col, dhash array<long>)`` of 8 row-bytes: the blob resamples to
+    a 9×8 grid (same nearest-neighbor formula as :func:`resize_images`'
+    fake decode — PIL-gated for real pixels), and bit ``c`` of row ``r``
+    is set iff ``p[r,c] < p[r,c+1]`` — dHash, the standard cheap
+    perceptual hash (robust to rescaling/re-encoding, which byte-exact
+    dedup misses entirely).
+
+    Arrow-batched ``mapInPandas`` (vectorized numpy per batch); the
+    fingerprint is 8 small ints, so everything downstream of the decode
+    is pure relational and SQL-replayable byte-for-byte.
+    """
+    if decode == "real":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "decode='real' requires PIL, not present in this container; "
+                "use decode='fake' (identical plumbing, byte-level resample)"
+            )
+    elif decode != "fake":
+        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
+    _ensure_package_shipped(df.sparkSession)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("dhash", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    use_pil = decode == "real"
+    w, h = DHASH_W, DHASH_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(blob)
+                if use_pil:
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(raw)).convert("L").resize((w, h))
+                    px = np.asarray(img, dtype=np.int64).reshape(h, w)
+                else:
+                    src = np.frombuffer(raw, dtype=np.uint8)
+                    if src.size == 0:
+                        src = np.zeros(1, dtype=np.uint8)
+                    idx = (np.arange(w * h) * src.size) // (w * h)
+                    px = src[idx].astype(np.int64).reshape(h, w)
+                bits = (px[:, :-1] < px[:, 1:]).astype(np.int64)  # h × (w-1)
+                weights = (1 << np.arange(w - 1, dtype=np.int64))
+                rows.append({id_col: rid, "dhash": (bits * weights).sum(axis=1).tolist()})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+def image_near_dups(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    decode: str = "fake",
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: ``(id_a < id_b, hamming)``
+    with dHash hamming distance ≤ ``max_hamming`` — image dedup for the
+    multimodal corpus (re-encoded/rescaled copies that byte dedup and
+    text dedup both miss).
+
+    Banding: the 64-bit fingerprint splits into four 16-bit bands (two
+    row-bytes each — 65k distinct keys per band, not the 256 of
+    byte-bands, which is what keeps candidate buckets small on a large
+    corpus); a pair is a candidate when ANY band matches (guaranteed
+    complete for hamming ≤ 3; the standard recall heuristic above), then
+    the full 64-bit hamming verifies via bit_count(xor) folds — exactly
+    the SimHash machinery shape, one modality over. Everything after the
+    Arrow decode is Catalyst expressions with a bit-exact SQL replay.
+    """
+    sigs = image_dhash(df, media_col, id_col, decode).localCheckpoint(
+        eager=False
+    )
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.element_at("dhash", 2 * b + 1) * 256
+                            + F.element_at("dhash", 2 * b + 2)
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("dhash").alias("da"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("dhash").alias("db"))
+    ham = F.aggregate(
+        F.zip_with("da", "db", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

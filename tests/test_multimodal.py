@@ -87,3 +87,86 @@ def test_frame_sampling_offsets(media_df):
         assert offsets[0] == 0
         assert all(b - a == 1000 for a, b in zip(offsets, offsets[1:]))
         assert offsets[-1] <= max(r["duration_ms"] - 1, 0)
+
+
+def test_image_dhash_python_replay(spark):
+    """dHash fingerprints ≡ a pure-python replay of the fake decode +
+    adjacent-pixel comparison (bit c of row r set iff p[r,c] < p[r,c+1]
+    on the 9x8 resample)."""
+    from kaer_spark.operators.multimodal import image_dhash
+
+    blobs = [
+        (1, bytes(range(100))),       # monotone ramp → all bits set
+        (2, bytes([5] * 80)),         # constant → no bits
+        (3, b""),                     # empty → decodes to zeros → no bits
+        (4, bytes([7, 200] * 50)),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, media binary")
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    def py_dhash(raw: bytes):
+        src = list(raw) if raw else [0]
+        px = [src[(i * len(src)) // 72] for i in range(72)]
+        out = []
+        for r in range(8):
+            byte = 0
+            for c in range(8):
+                if px[9 * r + c] < px[9 * r + c + 1]:
+                    byte |= 1 << c
+            out.append(byte)
+        return out
+
+    for doc_id, raw in blobs:
+        assert got[doc_id] == py_dhash(raw), doc_id
+    assert got[1] == [255] * 8
+    assert got[2] == [0] * 8 and got[3] == [0] * 8
+
+
+def test_image_near_dups_finds_perceptual_copies(spark):
+    """A lightly perturbed copy pairs with its original at small hamming;
+    a structurally different blob does not; exact copies collide at 0."""
+    from kaer_spark.operators.multimodal import image_near_dups
+
+    def py_dhash(raw: bytes):
+        src = list(raw) if raw else [0]
+        px = [src[(i * len(src)) // 72] for i in range(72)]
+        return [
+            sum(
+                1 << c
+                for c in range(8)
+                if px[9 * r + c] < px[9 * r + c + 1]
+            )
+            for r in range(8)
+        ]
+
+    def py_ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    base = bytes((i * 13) % 251 for i in range(300))
+    # perturb at RESAMPLED positions so a handful of adjacent comparisons
+    # actually flip (edits between sample points are invisible to dHash)
+    perturbed = bytearray(base)
+    for i in (5, 23, 41):
+        perturbed[(i * 300) // 72] = 255
+    want_ham = py_ham(py_dhash(base), py_dhash(bytes(perturbed)))
+    assert 0 < want_ham <= 10  # fixture sanity: a true near-dup
+    rows = [
+        (1, base),
+        (2, base),                   # exact copy → hamming 0
+        (3, bytes(perturbed)),       # near copy → small hamming
+        (4, bytes(reversed(base))),  # structurally inverted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dups(df, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3)) == want_ham
+    assert not any(4 in p for p in pairs)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        from kaer_spark.operators.multimodal import image_dhash
+
+        image_dhash(df, decode="jpeg")
