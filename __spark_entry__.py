@@ -32,6 +32,8 @@ from kaer_spark.functions.text import (
 )
 from kaer_spark.functions.vector import cosine_similarity
 from kaer_spark.operators.dedup import (
+    HASH_BASE2 as PB2,
+    HASH_MOD2 as PM2,
     SIMHASH_BITS,
     embedding_near_dups,
     embedding_near_dups_lsh,
@@ -3989,16 +3991,17 @@ def _sql_image_near_dups(max_hamming: int) -> str:
 
 def _sql_passage_windows() -> str:
     """Shared windows CTE for the passage-dedup oracle family: every
-    24-char window's poly fingerprint with its 1-based start position,
-    zipped unnests over the documents table."""
-    return f"""
+    24-char window's CONTENT with its 1-based start position. The engine
+    flags by a ~60-bit paired-moduli fingerprint and then verifies
+    flagged windows by exact content (verify=True, the r10 default), so
+    the oracle keys on the content itself — definitionally the verified
+    semantics, with no hash replay to drift."""
+    return """
             w AS (
               SELECT doc_id AS id,
                      unnest(range(1, length(text) - 24 + 2)) AS s,
                      unnest(list_transform(range(1, length(text) - 24 + 2),
-                       i -> list_reduce(list_transform(range(i, i + 24),
-                              j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
-                              (a, x) -> (a * {PB} + x) % {PM}))) AS fp
+                       i -> substr(text, CAST(i AS INT), 24))) AS wstr
               FROM documents WHERE length(text) >= 24
             )"""
 
@@ -4120,17 +4123,22 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_tokens": _sql_training_mix_tokens(),
         "dsir_scores": _sql_dsir_scores(),
         "perplexity_buckets": _sql_perplexity_buckets(),
-        # window fps = poly-hash folds over each 24-char slice; DuckDB's
-        # list_reduce seeds with the first element, which equals the
-        # engine's (0*31 + c1) first step (same identity doc_fingerprint
-        # relies on)
+        # window fps = PAIRED poly-hash folds over each 24-char slice
+        # packed as h1 * MOD2 + h2 (~60 bits, the r10 collision-safety
+        # widening); DuckDB's list_reduce seeds with the first element,
+        # which equals the (0*B + c1) first step for BOTH bases (same
+        # identity doc_fingerprint relies on)
         "duplicate_passages": f"""
             WITH w AS (
               SELECT doc_id AS id,
                      unnest(list_transform(range(1, length(text) - 24 + 2),
                        i -> list_reduce(list_transform(range(i, i + 24),
                               j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
-                              (a, x) -> (a * {PB} + x) % {PM}))) AS fp
+                              (a, x) -> (a * {PB} + x) % {PM})
+                            * {PM2}
+                            + list_reduce(list_transform(range(i, i + 24),
+                              j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+                              (a, x) -> (a * {PB2} + x) % {PM2}))) AS fp
               FROM documents WHERE length(text) >= 24
             )
             SELECT fp, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
@@ -5083,30 +5091,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN counts c ON c.id = d.doc_id
             LEFT JOIN rebuilt r ON r.id = d.doc_id
         """,
-        # passage removal: same window fingerprints as duplicate_passages
-        # (zipped unnest carries the start position), flagged spans merge
-        # via gaps-and-islands, and the rebuild concatenates the surviving
-        # gaps (LAG(e) marks each gap's start) plus the tail
+        # passage removal: content-keyed (the engine verifies flagged
+        # windows by exact content before excision — verify=True), flagged
+        # spans merge via gaps-and-islands, and the rebuild concatenates
+        # the surviving gaps (LAG(e) marks each gap's start) plus the tail
         "remove_duplicate_passages": f"""
             WITH {_sql_passage_windows()},
             dup AS (
-              SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT id) >= 2
+              SELECT wstr FROM w GROUP BY wstr HAVING count(DISTINCT id) >= 2
             ),
             fl AS (
-              SELECT w.id, w.s, w.s + 23 AS e FROM w JOIN dup ON dup.fp = w.fp
+              SELECT w.id, w.s, w.s + 23 AS e
+              FROM w JOIN dup ON dup.wstr = w.wstr
             ),
             {_sql_excise_tail()}
         """,
         # cross-corpus passage contamination report: even-id docs probed
-        # against the odd-id corpus's distinct window fingerprints
+        # against the odd-id corpus's distinct window CONTENTS (engine
+        # verifies fingerprint hits exactly — verify=True)
         "passage_overlap_between": f"""
             WITH {_sql_passage_windows()},
-            lw AS (SELECT id, s, fp FROM w WHERE id % 2 = 0),
-            rf AS (SELECT DISTINCT fp FROM w WHERE id % 2 = 1),
+            lw AS (SELECT id, s, wstr FROM w WHERE id % 2 = 0),
+            rf AS (SELECT DISTINCT wstr FROM w WHERE id % 2 = 1),
             tot AS (SELECT id, count(*) AS n_windows FROM lw GROUP BY id),
             fl AS (
               SELECT lw.id, count(*) AS n_flagged
-              FROM lw JOIN rf ON rf.fp = lw.fp GROUP BY lw.id
+              FROM lw JOIN rf ON rf.wstr = lw.wstr GROUP BY lw.id
             )
             SELECT t.id AS doc_id,
                    CAST(t.n_windows AS BIGINT) AS n_windows,
@@ -5116,25 +5126,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN fl f ON f.id = t.id
         """,
         # passage-level decontamination transform: spans of even-id docs
-        # whose windows exist verbatim in the odd-id corpus are excised
+        # whose window contents exist verbatim in the odd-id corpus are
+        # excised (content-keyed, matching the engine's verified path)
         "remove_passages_against": f"""
             WITH {_sql_passage_windows()},
-            rf AS (SELECT DISTINCT fp FROM w WHERE id % 2 = 1),
+            rf AS (SELECT DISTINCT wstr FROM w WHERE id % 2 = 1),
             fl AS (
               SELECT w.id, w.s, w.s + 23 AS e
-              FROM w JOIN rf ON rf.fp = w.fp WHERE w.id % 2 = 0
+              FROM w JOIN rf ON rf.wstr = w.wstr WHERE w.id % 2 = 0
             ),
             {_sql_excise_tail(" WHERE d.doc_id % 2 = 0")}
         """,
         "semdedup": _sql_semdedup(cells=8, threshold=COSINE_DUP_THRESHOLD),
         # OOV of even-id docs against the odd-id corpus vocabulary; token
-        # definition shared with token_count/top_tokens
+        # definition shared with token_count/top_tokens, lowercased on
+        # both sides (build_vocab's normalization — r10 advice fix)
         "oov_stats": """
             WITH tk AS (
               SELECT doc_id AS id,
-                     unnest(CASE WHEN trim(text) = '' THEN []
+                     lower(unnest(CASE WHEN trim(text) = '' THEN []
                             ELSE regexp_split_to_array(trim(text), '\\s+')
-                            END) AS tok
+                            END)) AS tok
               FROM documents
             ),
             voc AS (SELECT DISTINCT tok FROM tk WHERE id % 2 = 1),

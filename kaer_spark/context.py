@@ -728,12 +728,15 @@ class Collection:
         df = self.df()
         cols = df.columns
         joined = df.join(cleaned, ID_COL)
-        changed = joined.filter(F.col("text_clean") != F.col(DOC_COL))
+        # null-safe routing: a NULL stored document must land in exactly
+        # one branch (both != and == evaluate NULL there, which would
+        # silently drop the row from the rewrite)
+        changed = joined.filter(~F.col("text_clean").eqNullSafe(F.col(DOC_COL)))
         n_changed = changed.count()
         if n_changed == 0:
             return 0
         unchanged = joined.filter(
-            F.col("text_clean") == F.col(DOC_COL)
+            F.col("text_clean").eqNullSafe(F.col(DOC_COL))
         ).select(*cols)
         provider = self.ctx.provider_for(self.meta)
         rewritten = embed_column(
@@ -757,9 +760,13 @@ class Collection:
         whole state (no daemon, no WAL — the engine-wide recovery
         story)."""
         os.makedirs(path, exist_ok=True)
-        shutil.copytree(
-            self.data_path, os.path.join(path, "data"), dirs_exist_ok=True
-        )
+        # the data directory only exists after the first insert; an empty
+        # collection exports a valid sidecar-only snapshot (mirrors
+        # import_collection's isdir guard)
+        if self.meta.get("has_data") and os.path.isdir(self.data_path):
+            shutil.copytree(
+                self.data_path, os.path.join(path, "data"), dirs_exist_ok=True
+            )
         shutil.copy2(self.meta_path, os.path.join(path, "collection.json"))
         if self.meta.get("has_index"):
             shutil.copytree(

@@ -38,6 +38,13 @@ from kaer_spark.operators.util import ensure_parallelism
 
 HASH_MOD = 1_000_000_007
 HASH_BASE = 31
+# second independent modulus/base for the passage-window fingerprint: the
+# combined pair packs into one int64 (max (MOD-1)*MOD2 + MOD2-1 ≈ 1.0e18),
+# giving ~60 collision bits instead of ~30 — at 1e12 windows (100 TB-scale)
+# the expected colliding PAIRS drop from "nearly everything" to ~5e5
+# corpus-wide, and the destructive transforms verify those exactly anyway
+HASH_MOD2 = 1_000_000_009
+HASH_BASE2 = 131
 SIMHASH_BITS = 24
 
 
@@ -1077,9 +1084,13 @@ def duplicate_passages(
     offline suffix-array pass, Lee et al. §4 — a different tool, not a
     Spark operator.)
 
-    Collisions: two different 24-char windows sharing an int64 poly hash
-    are ~1e-9-probable per pair; the report is a detection signal, not a
-    byte-equality proof — verify exemplars via ``rep_doc`` if bytes matter.
+    Collisions: the fingerprint is the PAIR of independent poly folds
+    (base 31 mod 1e9+7, base 131 mod 1e9+9) packed into one int64 — ~60
+    collision bits, so two different windows collide with probability
+    ~1e-18 per pair (~5e5 expected colliding pairs even at 1e12 windows).
+    The report is a detection signal, not a byte-equality proof — the
+    removal transforms verify flagged windows by exact content before
+    excising; verify exemplars via ``rep_doc`` here if bytes matter.
     """
     if length <= 0:
         raise ValueError("length must be positive")
@@ -1089,11 +1100,7 @@ def duplicate_passages(
     )
     win = F.transform(
         F.sequence(F.lit(1), F.length(text_col) - L + 1),
-        lambda i: F.aggregate(
-            F.slice(codes, i, L),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
-        ),
+        lambda i: _pair_fp(F.slice(codes, i, L)),
     )
     # ensure_parallelism: the fixture-scale single-file scan would
     # otherwise run the whole O(chars × length) fold in ONE task (measured
@@ -1121,29 +1128,119 @@ def duplicate_passages(
 
 
 
+def _pair_fp(arr: Column) -> Column:
+    """Widened window fingerprint: two independent poly folds over one
+    pass of the codepoint slice (base 31 mod 1e9+7 / base 131 mod 1e9+9),
+    packed as ``h1 * MOD2 + h2`` — a ~60-bit int64 a SQL oracle replays
+    with the identical bigint arithmetic (every intermediate < 2^61)."""
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(0).cast("long").alias("h1"),
+            F.lit(0).cast("long").alias("h2"),
+        ),
+        lambda acc, x: F.struct(
+            ((acc["h1"] * HASH_BASE + x) % HASH_MOD).alias("h1"),
+            ((acc["h2"] * HASH_BASE2 + x) % HASH_MOD2).alias("h2"),
+        ),
+        lambda acc: acc["h1"] * HASH_MOD2 + acc["h2"],
+    )
+
+
 def _window_fp_explode(
     df: DataFrame, id_col: str, text_col: str, length: int
 ) -> DataFrame:
     """Exploded ``(id, pos0, fp)`` window fingerprints — the shared
     front end of the passage-dedup family (report, removal, cross-corpus
     overlap): the codepoint array materializes once per row, each
-    ``length``-char window hashes by the corpus poly fold, one narrow
-    posexplode carries the 0-based start position."""
+    ``length``-char window hashes by the paired poly fold (``_pair_fp``,
+    ~60 collision bits), one narrow posexplode carries the 0-based start
+    position."""
     L = int(length)
     codes = F.transform(
         F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("long")
     )
     win = F.transform(
         F.sequence(F.lit(1), F.length(text_col) - L + 1),
-        lambda i: F.aggregate(
-            F.slice(codes, i, L),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
-        ),
+        lambda i: _pair_fp(F.slice(codes, i, L)),
     )
     return ensure_parallelism(df.filter(F.length(text_col) >= L)).select(
         F.col(id_col).alias("id"), F.posexplode(win).alias("pos0", "fp")
     )
+
+
+def _window_str(text_col_name: str, pos0_col: str, length: int) -> Column:
+    """The actual ``length``-char window content at 0-based ``pos0`` —
+    the exact-equality side of candidate verification."""
+    return F.col(text_col_name).substr(
+        (F.col(pos0_col) + 1).cast("int"), F.lit(int(length))
+    )
+
+
+def _verify_flagged_self(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int,
+    min_docs: int,
+) -> DataFrame:
+    """Exact-content verification of fingerprint-flagged windows for the
+    SELF-dedup transform: recount distinct documents per window CONTENT
+    over the candidate set and keep only windows whose content truly
+    occurs in ``min_docs``+ docs. Complete because every occurrence of a
+    flagged content shares its fingerprint (so all occurrences are
+    candidates); sound because the recount keys on the content itself.
+    Cost is bounded by the candidate mass (≈ true duplicate mass + the
+    ~2^-60-rate fingerprint collisions), not the corpus."""
+    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    cand_w = cand.join(txt, "id").select(
+        "id", "pos0", _window_str("__t", "pos0", length).alias("wstr")
+    ).localCheckpoint(eager=False)
+    verified = (
+        cand_w.groupBy("wstr", "id")
+        .agg(F.count("*").alias("occ"))
+        .groupBy("wstr")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("wstr")
+    )
+    return cand_w.join(verified, "wstr", "left_semi").select("id", "pos0")
+
+
+def _verify_flagged_against(
+    left: DataFrame,
+    right: DataFrame,
+    cand: DataFrame,
+    left_id_col: str,
+    right_id_col: str,
+    text_col: str,
+    length: int,
+) -> DataFrame:
+    """Exact-content verification of fingerprint-flagged LEFT windows for
+    the cross-corpus transforms: re-derive the RIGHT corpus's window
+    contents restricted to the candidate fingerprints (a LEFT SEMI probe
+    bounds the second right-side explode to candidate mass) and keep only
+    left windows whose content literally appears there."""
+    cand_fps = cand.select("fp").distinct()
+    rw = _window_fp_explode(right, right_id_col, text_col, length).join(
+        cand_fps, "fp", "left_semi"
+    )
+    rtxt = right.select(
+        F.col(right_id_col).alias("id"), F.col(text_col).alias("__t")
+    )
+    rstr = (
+        rw.join(rtxt, "id")
+        .select(_window_str("__t", "pos0", length).alias("wstr"))
+        .distinct()
+    )
+    ltxt = left.select(
+        F.col(left_id_col).alias("id"), F.col(text_col).alias("__t")
+    )
+    cand_w = cand.join(ltxt, "id").select(
+        "id", "pos0", _window_str("__t", "pos0", length).alias("wstr")
+    )
+    return cand_w.join(rstr, "wstr", "left_semi").select("id", "pos0")
 
 
 def _excise_spans(
@@ -1243,6 +1340,7 @@ def remove_duplicate_passages(
     text_col: str = "text",
     length: int = 24,
     min_docs: int = 2,
+    verify: bool = True,
 ) -> DataFrame:
     """Rewrite each document with its corpus-duplicated PASSAGES excised —
     the transform completing :func:`duplicate_passages`' report (Lee et
@@ -1255,11 +1353,20 @@ def remove_duplicate_passages(
     with nothing flagged (or shorter than ``length``) pass through with
     ``text_clean = text``.
 
+    ``verify`` (default True — this transform DESTROYS text) re-checks
+    every fingerprint-flagged window by exact content equality before
+    excision, so a fingerprint collision can never delete non-duplicate
+    text: the result is exactly "windows whose content occurs in
+    ``min_docs``+ distinct documents". ``verify=False`` keeps the pure
+    fingerprint path (~2^-60 false-positive rate per pair with the
+    paired-moduli fold) when the verification joins must be skipped.
+
     Scale shape: the window fingerprints explode once (O(chars) rows,
     same envelope as the report), duplicated fps come from the same
     map-side-combined distinct count (single-distinct — no Expand, see
-    duplicate_passages), flagged spans join back LEFT SEMI on fp, and
-    the merge/rebuild runs on the id partitioning with no UDF and no
+    duplicate_passages), flagged spans join back LEFT SEMI on fp, the
+    optional verification recounts only the candidate mass by content,
+    and the merge/rebuild runs on the id partitioning with no UDF and no
     collect.
     """
     if length <= 0:
@@ -1272,6 +1379,10 @@ def remove_duplicate_passages(
         .select("fp")
     )
     flagged = exploded.join(dup_fps, "fp", "left_semi").select("id", "pos0")
+    if verify:
+        flagged = _verify_flagged_self(
+            df, flagged, id_col, text_col, length, min_docs
+        )
     return _excise_spans(df, flagged, id_col, text_col, length)
 
 
@@ -1285,6 +1396,7 @@ def passage_overlap_between(
     right_id_col: str = "doc_id",
     text_col: str = "text",
     length: int = 24,
+    verify: bool = True,
 ) -> DataFrame:
     """Per LEFT document: what fraction of its ``length``-char windows
     appears VERBATIM somewhere in the RIGHT corpus →
@@ -1297,11 +1409,19 @@ def passage_overlap_between(
     window appear (the report is per analyzable doc, matching
     duplicate_passages' skip rule).
 
+    ``verify`` (default True) re-checks fingerprint hits by exact window
+    content, so "verbatim" means verbatim — the count can never inflate
+    from fingerprint collisions (the paired-moduli fold makes those
+    ~2^-60-rate per pair, but a contamination REPORT should not carry a
+    caveat). ``verify=False`` keeps the fingerprint-only probe.
+
     Scale shape: both corpora explode their window fingerprints once;
     the RIGHT side collapses to DISTINCT fps (map-side combined) before
     a LEFT SEMI probe — the training corpus is never broadcast and never
-    carried past its distinct set. Two hash aggregates on the left id
-    finish the rates. Everything linear in corpus chars.
+    carried past its distinct set; verification re-explodes the right
+    side bounded LEFT SEMI to candidate fingerprints. Two hash
+    aggregates on the left id finish the rates. Everything linear in
+    corpus chars.
     """
     lw = _window_fp_explode(left, left_id_col, text_col, length)
     rf = (
@@ -1310,11 +1430,12 @@ def passage_overlap_between(
         .distinct()
     )
     totals = lw.groupBy("id").agg(F.count("*").alias("n_windows"))
-    flagged = (
-        lw.join(rf, "fp", "left_semi")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_flagged"))
-    )
+    hits = lw.join(rf, "fp", "left_semi")
+    if verify:
+        hits = _verify_flagged_against(
+            left, right, hits, left_id_col, right_id_col, text_col, length
+        )
+    flagged = hits.groupBy("id").agg(F.count("*").alias("n_flagged"))
     return (
         totals.join(flagged, "id", "left")
         .select(
@@ -1336,6 +1457,7 @@ def remove_duplicate_passages_against(
     right_id_col: str = "doc_id",
     text_col: str = "text",
     length: int = 24,
+    verify: bool = True,
 ) -> DataFrame:
     """Rewrite LEFT documents with every passage that appears verbatim in
     the RIGHT corpus excised — passage-level decontamination (strip eval
@@ -1345,9 +1467,15 @@ def remove_duplicate_passages_against(
     Output: ``(left_id_col, text_clean, n_spans, n_chars_removed)`` over
     every LEFT row.
 
+    ``verify`` (default True — destructive) re-checks every fingerprint
+    hit by exact window content before excision, so a collision can
+    never cut text that is not literally present in the right corpus.
+
     Same scale envelope as the report plus the shared gaps-and-islands
     excision (:func:`_excise_spans`): linear explodes, DISTINCT-collapsed
-    right side probed LEFT SEMI, merge/rebuild on the id partitioning.
+    right side probed LEFT SEMI (verification re-explodes the right side
+    bounded to candidate fingerprints), merge/rebuild on the id
+    partitioning.
     """
     lw = _window_fp_explode(left, left_id_col, text_col, length)
     rf = (
@@ -1355,8 +1483,14 @@ def remove_duplicate_passages_against(
         .select("fp")
         .distinct()
     )
-    flagged = lw.join(rf, "fp", "left_semi").select("id", "pos0")
-    return _excise_spans(left, flagged, left_id_col, text_col, length)
+    flagged = lw.join(rf, "fp", "left_semi")
+    if verify:
+        flagged = _verify_flagged_against(
+            left, right, flagged, left_id_col, right_id_col, text_col, length
+        )
+    return _excise_spans(
+        left, flagged.select("id", "pos0"), left_id_col, text_col, length
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -386,6 +386,7 @@ def oov_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_col: str = "token",
+    lowercase: bool = True,
 ) -> DataFrame:
     """Per-document out-of-vocabulary accounting against a reference
     vocabulary → ``(id_col, n_tokens, n_oov, oov_fraction)``.
@@ -397,6 +398,13 @@ def oov_stats(
     ``vocab`` is any one-column DataFrame of tokens (e.g. the distinct
     tokens of the training corpus, or a fixed tokenizer vocabulary).
 
+    ``lowercase`` (default True) folds BOTH the probed tokens and the
+    vocabulary to lower case — the same normalization
+    :func:`build_vocab` applies — so the documented build_vocab →
+    oov_stats pairing measures real coverage instead of counting every
+    capitalized occurrence of an in-vocab token as OOV. Pass False only
+    when the vocabulary is deliberately case-sensitive.
+
     Scale shape: one whitespace-token explode of the corpus (the shared
     ``functions.text.tokens`` definition, so counts agree with
     ``token_count``), then a LEFT SEMI probe of the exploded tokens
@@ -404,10 +412,15 @@ def oov_stats(
     AQE turns this into a broadcast probe; nothing is collected — and one
     per-doc aggregate. Zero-token docs report ``(0, 0, NULL)``.
     """
+    tok_arr = tokens(text_col)
+    voc_tok = F.col(vocab_col)
+    if lowercase:
+        tok_arr = F.transform(tok_arr, F.lower)
+        voc_tok = F.lower(voc_tok)
     toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+        F.col(id_col).alias("id"), F.explode(tok_arr).alias("tok")
     )
-    voc = vocab.select(F.col(vocab_col).alias("tok")).distinct()
+    voc = vocab.select(voc_tok.alias("tok")).distinct()
     inv = toks.join(voc, "tok", "left_semi").groupBy("id").agg(
         F.count("*").alias("n_in")
     )

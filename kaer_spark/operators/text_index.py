@@ -115,13 +115,24 @@ def build_text_index(
     meta = {
         "n_docs": int(stats["n"]),
         "sum_dl": int(stats["sumdl"] or 0),
-        "max_id": None if stats["maxid"] is None else int(stats["maxid"]),
+        # any orderable, JSON-serializable id type works (ints stay ints;
+        # string ids round-trip as-is for the refresh high-water filter)
+        "max_id": _json_id(stats["maxid"]),
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "text_col": text_col,
     }
     _write_meta(path, meta)
     return meta
+
+
+def _json_id(v):
+    """High-water id as stored in the sidecar: ints normalize to Python
+    int, everything else (string ids, dates) passes through as its JSON
+    form — the refresh filter compares with the column's own ordering."""
+    if v is None:
+        return None
+    return int(v) if isinstance(v, int) else v
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -143,8 +154,13 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
     query time, so they are always current."""
     meta = read_text_index_meta(path)
     id_col, text_col = meta["id_col"], meta["text_col"]
-    tail = df.filter(
-        F.col(id_col) > (meta["max_id"] if meta["max_id"] is not None else -1)
+    # max_id None = nothing indexed yet: index the whole DataFrame rather
+    # than comparing against a numeric sentinel (which fails or silently
+    # casts for non-numeric id columns build_text_index accepts)
+    tail = (
+        df
+        if meta["max_id"] is None
+        else df.filter(F.col(id_col) > meta["max_id"])
     )
     toks = tail.select(
         F.col(id_col).alias("id"),
@@ -176,7 +192,7 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
     ).parquet(os.path.join(path, DOCLENS_DIR))
     meta["n_docs"] += int(stats["n"])
     meta["sum_dl"] += int(stats["sumdl"] or 0)
-    meta["max_id"] = int(stats["maxid"])
+    meta["max_id"] = _json_id(stats["maxid"])
     _write_meta(path, meta)
     return meta
 
@@ -200,13 +216,16 @@ def search_text_index(
     and are never read).
 
     Plan: the query terms' buckets are computed driver-side and pushed as
-    a partition filter (the scan touches only those directories), the
-    per-term document frequencies aggregate over the pruned postings and
-    broadcast, doc lengths join on id, and the fixed-order score sum
-    feeds a TakeOrderedAndProject. Per-term score columns are summed in
-    declared term order (left-assoc) with missing terms contributing an
-    exact +0.0 — bit-identical to ``ranking.bm25_scores`` on the same
-    corpus.
+    a partition filter (the scan touches only those directories); the
+    pruned postings pivot into one per-candidate-doc row of per-term tfs
+    (one hash aggregate) and the per-term document frequencies collapse
+    to a single broadcast row — so the join against the corpus-sized
+    doclens table BROADCASTS the candidate side (doclens never shuffles;
+    at 100 TB doclens is corpus-sized while the candidates are bounded
+    by the query terms' postings, the quantity this index exists to keep
+    small). The fixed-order score sum (declared term order, left-assoc,
+    missing terms an exact +0.0) feeds a TakeOrderedAndProject —
+    bit-identical to ``ranking.bm25_scores`` on the same corpus.
     """
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -218,31 +237,42 @@ def search_text_index(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df_t"))
-    doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
     n = float(meta["n_docs"])
     avgdl = float(meta["sum_dl"]) / n
-    cand = postings.join(F.broadcast(dfreq), "term").join(doclens, "id")
-    norm = F.col("dl").cast("double") / F.lit(avgdl)
-    tf = F.col("tf").cast("double")
-    df_t = F.col("df_t").cast("double")
-    idf = (F.lit(n) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
-    num = tf * F.lit(float(k1) + 1.0)
-    denom = tf + F.lit(float(k1)) * (
-        F.lit(1.0 - float(b)) + F.lit(float(b)) * norm
-    )
-    scored = cand.withColumn("__s", (idf * num) / denom)
-    per_term = scored.groupBy("id").agg(
+    # postings rows are distinct (term, id): df(t) = row count per term,
+    # folded into ONE broadcast row of per-term frequencies
+    pstats = postings.agg(
         *[
-            F.sum(F.when(F.col("term") == t, F.col("__s"))).alias(f"__c{i}")
+            F.sum((F.col("term") == t).cast("long")).alias(f"__df{i}")
             for i, t in enumerate(terms)
         ]
     )
-    total = F.coalesce(F.col("__c0"), F.lit(0.0))
-    for i in range(1, len(terms)):
-        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    # pivot the candidate postings to one row per doc (per-term tfs);
+    # NULL tf = doc lacks the term (contributes exact +0.0 below)
+    per_doc = postings.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf"))).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
+    cand = F.broadcast(per_doc).join(doclens, "id").crossJoin(
+        F.broadcast(pstats)
+    )
+    norm = F.col("dl").cast("double") / F.lit(avgdl)
+    total = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        df_t = F.col(f"__df{i}").cast("double")
+        idf = (F.lit(n) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        num = tf * F.lit(float(k1) + 1.0)
+        denom = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b)) + F.lit(float(b)) * norm
+        )
+        term_score = F.coalesce((idf * num) / denom, F.lit(0.0))
+        total = term_score if total is None else total + term_score
     return (
-        per_term.select(F.col("id"), total.alias("bm25"))
+        cand.select(F.col("id"), total.alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("id").asc())
         .limit(k)
     )

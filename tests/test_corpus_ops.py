@@ -768,6 +768,25 @@ def test_oov_stats_python_replay(spark):
     assert out[4]["oov_fraction"] == 1.0
 
 
+def test_oov_stats_case_folding(spark):
+    """Default lowercase=True folds both sides (build_vocab's own
+    normalization), so a capitalized occurrence of an in-vocab token is
+    NOT OOV; lowercase=False restores case-sensitive probing."""
+    from kaer_spark.operators.ranking import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha BETA gamma unknown")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [("alpha",), ("Beta",), ("gamma",)], "token string"
+    )
+    folded = oov_stats(docs, vocab).collect()[0]
+    assert folded["n_tokens"] == 4 and folded["n_oov"] == 1
+    raw = oov_stats(docs, vocab, lowercase=False).collect()[0]
+    # only the exact-case 'gamma' matches
+    assert raw["n_oov"] == 3
+
+
 def test_build_vocab_python_replay(spark):
     """Vocab induction ≡ python: counts, doc frequencies, deterministic
     tie-break, cumulative coverage reaches 1.0 when size covers all."""

@@ -498,10 +498,55 @@ def test_duplicate_passages_finds_shared_windows(spark):
     # spanning its trailing space (both docs follow the passage with ' ')
     assert len(out) == (len(boiler) - 24 + 1) + 1
     # python replay of one fingerprint: first window of the boilerplate
-    fp = 0
+    # (the r10 paired-moduli widening: h1 * MOD2 + h2, ~60 bits)
+    fp1 = fp2 = 0
     for ch in boiler[:24]:
-        fp = (fp * 31 + ord(ch)) % 1_000_000_007
-    assert fp in {r["fp"] for r in out}
+        fp1 = (fp1 * 31 + ord(ch)) % 1_000_000_007
+        fp2 = (fp2 * 131 + ord(ch)) % 1_000_000_009
+    assert fp1 * 1_000_000_009 + fp2 in {r["fp"] for r in out}
+
+
+def test_passage_verify_rejects_fingerprint_collisions(spark):
+    """verify=True re-checks flagged windows by exact content: with a
+    deliberately degenerate fingerprint (monkeypatched single modulus of
+    7 — almost everything collides), the verified transform still removes
+    ONLY truly duplicated passages, while verify=False excises collided
+    text. This is the advice-r9 failure mode (1e12 windows vs 1e9 buckets
+    at 100 TB) reproduced in miniature."""
+    import kaer_spark.operators.dedup as dd
+
+    rows = [
+        (1, "the shared duplicate passage!! plus doc one tail material"),
+        (2, "the shared duplicate passage!! and two's own continuation"),
+        (3, "completely different body text with no real duplication"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    saved = (dd.HASH_MOD, dd.HASH_MOD2)
+    dd.HASH_MOD, dd.HASH_MOD2 = 7, 5  # 35 fingerprint values total
+    try:
+        verified = {
+            r["doc_id"]: r
+            for r in dd.remove_duplicate_passages(
+                df, length=10, min_docs=2, verify=True
+            ).collect()
+        }
+        unverified = {
+            r["doc_id"]: r
+            for r in dd.remove_duplicate_passages(
+                df, length=10, min_docs=2, verify=False
+            ).collect()
+        }
+    finally:
+        dd.HASH_MOD, dd.HASH_MOD2 = saved
+    # doc 3 shares no real window: verification must leave it untouched
+    assert verified[3]["text_clean"] == rows[2][1]
+    assert verified[3]["n_chars_removed"] == 0
+    # the degenerate hash DOES collide doc 3 into the flag set unverified
+    assert unverified[3]["n_chars_removed"] > 0
+    # the true duplicate passage is still excised from docs 1 and 2
+    assert verified[1]["n_chars_removed"] > 0
+    assert verified[2]["n_chars_removed"] > 0
+    assert "shared duplicate passage" not in verified[1]["text_clean"]
 
 
 # ---------------------------------------------------------------------------

@@ -162,3 +162,37 @@ def test_refresh_text_index_equals_rebuild(spark, tmp_path):
     # idempotent
     again = refresh_text_index(full, inc_path)
     assert again["n_docs"] == 6 and again["sum_dl"] == meta["sum_dl"]
+
+
+def test_text_index_string_ids_and_empty_build(spark, tmp_path):
+    """build accepts any orderable id type (string ids round-trip through
+    the sidecar), refresh's high-water filter compares in the column's own
+    ordering, and an EMPTY build (max_id None) refreshes by indexing the
+    whole DataFrame instead of comparing against a numeric sentinel —
+    the r9 advice fix."""
+    from kaer_spark.operators.text_index import refresh_text_index
+
+    rows = [("a1", "spark join"), ("b2", "hash join scan"), ("c3", "scan only")]
+    full = spark.createDataFrame(rows, "doc_id string, text string")
+
+    # string ids: build half, refresh with the rest, equals full rebuild
+    inc, ref = str(tmp_path / "inc"), str(tmp_path / "ref")
+    build_text_index(full.filter(F.col("doc_id") <= "b2"), inc)
+    meta = refresh_text_index(full, inc)
+    assert meta["n_docs"] == 3 and meta["max_id"] == "c3"
+    build_text_index(full, ref)
+    got = [(r["id"], r["bm25"])
+           for r in search_text_index(spark, inc, ["join"], k=5).collect()]
+    want = [(r["id"], r["bm25"])
+            for r in search_text_index(spark, ref, ["join"], k=5).collect()]
+    assert got == want and len(got) == 2
+
+    # empty build → max_id None → refresh indexes everything
+    emp = str(tmp_path / "emp")
+    m0 = build_text_index(full.filter(F.lit(False)), emp)
+    assert m0["max_id"] is None and m0["n_docs"] == 0
+    m1 = refresh_text_index(full, emp)
+    assert m1["n_docs"] == 3 and m1["max_id"] == "c3"
+    got = [(r["id"], r["bm25"])
+           for r in search_text_index(spark, emp, ["join"], k=5).collect()]
+    assert got == want
