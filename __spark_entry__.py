@@ -2342,6 +2342,24 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_fixture_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (overwrite) the documents text index in a tmp dir keyed by
+    the fixture path — shared by the index-search and indexed-hybrid
+    driver entries."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.text_index import build_text_index
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "kaer_text_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_text_index(_t(spark, sf_dir, "documents"), path)
+    return path
+
+
 def _q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized inverted-index BM25 search (operators.text_index):
     build the bucket-partitioned posting-list index, then top-10 for the
@@ -2350,23 +2368,44 @@ def _q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the scan-path bm25_scores (verified in tests), so
     the oracle replays the direct BM25 ranking restricted to docs holding
     at least one query term."""
-    import hashlib
-    import tempfile
+    from kaer_spark.operators.text_index import search_text_index
 
-    from kaer_spark.operators.text_index import (
-        build_text_index,
-        search_text_index,
-    )
-
-    import os
-
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "kaer_text_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    build_text_index(_t(spark, sf_dir, "documents"), path)
+    path = _build_fixture_text_index(spark, sf_dir)
     out = search_text_index(spark, path, list(BM25_TERMS), k=10)
     return out.select(F.col("id").alias("doc_id"), "bm25")
+
+
+def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated hybrid retrieval (the r9-verdict gap): the
+    lexical pool reads the MATERIALIZED text index (partition-pruned
+    postings, candidate side broadcast into doclens) instead of scanning
+    the corpus per query — the shape Collection.query_hybrid takes after
+    build_text_index(). RRF arithmetic identical to hybrid_search; the
+    lexical pool is restricted to docs holding at least one query term
+    (the index never reads the rest), which the oracle mirrors with the
+    same candidate CTE text_index_search uses."""
+    from kaer_spark.functions.vector import l2sq
+    from kaer_spark.operators.hybrid import rrf_fuse, with_rank
+    from kaer_spark.operators.text_index import search_text_index
+
+    path = _build_fixture_text_index(spark, sf_dir)
+    text_top = search_text_index(spark, path, list(BM25_TERMS), k=20)
+    text = with_rank(text_top, [F.col("bm25").desc(), F.col("id")])
+    embs = _t(spark, sf_dir, "embeddings")
+    vec_top = (
+        embs.select(
+            F.col("vec_id").alias("id"), l2sq("embedding", QVEC).alias("_d")
+        )
+        .orderBy(F.col("_d"), F.col("id"))
+        .limit(20)
+    )
+    vec = with_rank(vec_top, [F.col("_d"), F.col("id")])
+    fused = rrf_fuse(
+        [text.select("id", "rank"), vec.select("id", "rank")], k=10
+    )
+    return fused.select(
+        F.col("id").alias("doc_id"), "rrf", "rank_0", "rank_1"
+    )
 
 
 def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2665,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_stats": _q_oov_stats,
         "text_index_search": _q_text_index_search,
         "hybrid_search": _q_hybrid_search,
+        "hybrid_search_indexed": _q_hybrid_search_indexed,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "vocab_coverage": _q_vocab_coverage,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -5252,6 +5292,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS id,
                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1
               FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20
+            ),
+            v AS (
+              SELECT vec_id AS id,
+                     row_number() OVER (
+                       ORDER BY {_sql_l2sq_lit('embedding', QVEC)}, vec_id
+                     ) AS r2
+              FROM embeddings
+              ORDER BY {_sql_l2sq_lit('embedding', QVEC)}, vec_id LIMIT 20
+            ),
+            f AS (
+              SELECT coalesce(t.id, v.id) AS id, t.r1, v.r2
+              FROM t FULL OUTER JOIN v ON t.id = v.id
+            )
+            SELECT id AS doc_id,
+                   (coalesce(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0)
+                    + coalesce(1.0 / (60.0 + CAST(r2 AS DOUBLE)), 0.0)) AS rrf,
+                   CAST(r1 AS BIGINT) AS rank_0,
+                   CAST(r2 AS BIGINT) AS rank_1
+            FROM f ORDER BY rrf DESC, id LIMIT 10
+        """,
+        # indexed hybrid: same RRF arithmetic as hybrid_search, lexical
+        # pool restricted to docs holding >= 1 query term (the index
+        # never reads the rest) — the same cand CTE as text_index_search
+        "hybrid_search_indexed": f"""
+            WITH scores AS ({_sql_bm25()}),
+            cand AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN trim(text) = '' THEN []
+                              ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                              END) AS tok
+                FROM documents
+              ) WHERE tok IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+            ),
+            t AS (
+              SELECT s.doc_id AS id,
+                     row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS r1
+              FROM scores s JOIN cand c ON c.doc_id = s.doc_id
+              ORDER BY s.bm25 DESC, s.doc_id LIMIT 20
             ),
             v AS (
               SELECT vec_id AS id,

@@ -163,6 +163,10 @@ class Collection:
     def index_path(self) -> str:
         return os.path.join(self.path, "index")
 
+    @property
+    def text_index_path(self) -> str:
+        return os.path.join(self.path, "text_index")
+
     def _save_meta(self) -> None:
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -274,6 +278,8 @@ class Collection:
             # the reference adds every inserted vector to its index inline
             # (db/db.go:87-89); here the catch-up is an id-range append job
             self.refresh_index()
+        if self.meta.get("has_text_index"):
+            self.refresh_text_index()
         return next_id
 
     # -- index artifact (reference O7/O8/O10/O14, db/db.go:102-109,176-207)
@@ -304,6 +310,30 @@ class Collection:
         from kaer_spark.operators.index_store import refresh_ivf_index
 
         return refresh_ivf_index(self.df(), self.index_path)
+
+    def build_text_index(self, n_buckets: int = 64) -> dict:
+        """Materialize the inverted text index (operators.text_index) for
+        this collection — the lexical twin of :meth:`build_index`, same
+        sidecar/recovery story. Once built, :meth:`query_hybrid` routes
+        its BM25 pool through the index (partition-pruned postings scan
+        instead of a per-query corpus scan) and inserts keep it current
+        via the same catch-up discipline as the vector index."""
+        from kaer_spark.operators.text_index import build_text_index
+
+        meta = build_text_index(
+            self.df(), self.text_index_path,
+            id_col=ID_COL, text_col=DOC_COL, n_buckets=n_buckets,
+        )
+        self.meta["has_text_index"] = True
+        self._save_meta()
+        return meta
+
+    def refresh_text_index(self) -> dict:
+        """Catch-up: index documents inserted after the last build/refresh
+        (text twin of :meth:`refresh_index`)."""
+        from kaer_spark.operators.text_index import refresh_text_index
+
+        return refresh_text_index(self.df(), self.text_index_path)
 
     # -- query (reference O5, db/db.go:111-143) --------------------------
     def query(
@@ -382,6 +412,18 @@ class Collection:
         same metadata ``filter``; fusion joins two ``pool``-row sets, so
         the hybrid overhead over ``query()`` is one extra scan-shaped
         BM25 pass.
+
+        When :meth:`build_text_index` has run and no ``filter`` is given,
+        the lexical pool reads the MATERIALIZED index instead of scanning
+        the corpus — O(query-term postings) per query via the bucket
+        partition filter, with bit-identical BM25 doubles (insert catch-up
+        keeps the index current). The one semantic difference: the index
+        pool contains only documents holding at least one query term, so
+        zero-score padding rows (which only arise when fewer than ``pool``
+        documents match any term) never receive rank credit — strictly
+        the better ranking. Filtered hybrids keep the scan path: BM25
+        corpus statistics are defined over the FILTERED sub-corpus there,
+        which a whole-corpus index cannot reproduce.
         """
         from kaer_spark.operators.hybrid import rrf_fuse, with_rank
         from kaer_spark.operators.ranking import bm25_scores
@@ -399,12 +441,19 @@ class Collection:
             F.col(ID_COL).alias("id"), "_dist"
         )
         vec = with_rank(vec_top, [F.col("_dist").asc(), F.col("id")])
-        text_top = (
-            bm25_scores(base, terms, id_col=ID_COL, text_col=DOC_COL)
-            .select(F.col(ID_COL).alias("id"), "bm25")
-            .orderBy(F.col("bm25").desc(), F.col("id"))
-            .limit(pool)
-        )
+        if filter is None and self.meta.get("has_text_index"):
+            from kaer_spark.operators.text_index import search_text_index
+
+            text_top = search_text_index(
+                self.ctx.spark, self.text_index_path, terms, k=pool
+            )
+        else:
+            text_top = (
+                bm25_scores(base, terms, id_col=ID_COL, text_col=DOC_COL)
+                .select(F.col(ID_COL).alias("id"), "bm25")
+                .orderBy(F.col("bm25").desc(), F.col("id"))
+                .limit(pool)
+            )
         text = with_rank(text_top, [F.col("bm25").desc(), F.col("id")])
         fused = rrf_fuse(
             [vec.select("id", "rank"), text.select("id", "rank")],
@@ -524,6 +573,23 @@ class Collection:
                     cells=min(int(im.get("cells", 16)), kept_n),
                     fit=im.get("fit", "kmeans"),
                 )
+        if self.meta.get("has_text_index"):
+            if kept_n == 0:
+                shutil.rmtree(self.text_index_path, ignore_errors=True)
+                self.meta["has_text_index"] = False
+                self._save_meta()
+            else:
+                from kaer_spark.operators.text_index import (
+                    read_text_index_meta,
+                )
+
+                tm = read_text_index_meta(self.text_index_path)
+                # a rewrite can change/remove any document: rebuild from
+                # scratch (clear first — the postings layout is
+                # directory-partitioned, a plain overwrite could leave
+                # stale buckets under dynamic partition-overwrite modes)
+                shutil.rmtree(self.text_index_path, ignore_errors=True)
+                self.build_text_index(n_buckets=int(tm.get("n_buckets", 64)))
         return total - kept_n
 
     def near_duplicates(
@@ -774,6 +840,12 @@ class Collection:
                 os.path.join(path, "index"),
                 dirs_exist_ok=True,
             )
+        if self.meta.get("has_text_index"):
+            shutil.copytree(
+                self.text_index_path,
+                os.path.join(path, "text_index"),
+                dirs_exist_ok=True,
+            )
         return path
 
     def count(self) -> int:
@@ -791,6 +863,7 @@ class Collection:
             "next_id": int(self.meta.get("next_id", 0)),
             "schemaless": bool(self.meta.get("schemaless", False)),
             "has_index": bool(self.meta.get("has_index", False)),
+            "has_text_index": bool(self.meta.get("has_text_index", False)),
         }
         if self.meta.get("dim"):
             out["embedding_dim"] = int(self.meta["dim"])
@@ -924,12 +997,13 @@ class KaerContext:
                 os.path.join(dest, "data"),
                 dirs_exist_ok=True,
             )
-        if os.path.isdir(os.path.join(snapshot_path, "index")):
-            shutil.copytree(
-                os.path.join(snapshot_path, "index"),
-                os.path.join(dest, "index"),
-                dirs_exist_ok=True,
-            )
+        for idx_dir in ("index", "text_index"):
+            if os.path.isdir(os.path.join(snapshot_path, idx_dir)):
+                shutil.copytree(
+                    os.path.join(snapshot_path, idx_dir),
+                    os.path.join(dest, idx_dir),
+                    dirs_exist_ok=True,
+                )
         meta["name"] = name
         coll = Collection(self, name, meta)
         coll._save_meta()
