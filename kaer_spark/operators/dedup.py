@@ -1177,70 +1177,142 @@ def _window_str(text_col_name: str, pos0_col: str, length: int) -> Column:
     )
 
 
-def _verify_flagged_self(
+def _window_fp_explode_str(
+    df: DataFrame, id_col: str, text_col: str, length: int
+) -> DataFrame:
+    """``_window_fp_explode`` widened with the window CONTENT: exploded
+    ``(id, pos0, fp, wstr)`` rows, where ``wstr`` is the literal
+    ``length``-char window. The content rides the SAME single generate
+    (an ``arrays_zip``-style struct array), so the verified transforms
+    keep the unverified family's two-explode envelope; the string is
+    pipelined within the stage and only ever shuffles after map-side
+    min/max partials collapse it to two values per (fp, id) per task."""
+    L = int(length)
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - L + 1),
+        lambda i: F.struct(
+            _pair_fp(F.slice(codes, i, L)).alias("fp"),
+            F.col(text_col).substr(i, F.lit(L)).alias("wstr"),
+        ),
+    )
+    return (
+        ensure_parallelism(df.filter(F.length(text_col) >= L))
+        .select(F.col(id_col).alias("id"), F.posexplode(win).alias("pos0", "w"))
+        .select("id", "pos0", F.col("w.fp").alias("fp"), F.col("w.wstr").alias("wstr"))
+    )
+
+
+def _flagged_verified_self(
     df: DataFrame,
-    cand: DataFrame,
     id_col: str,
     text_col: str,
     length: int,
     min_docs: int,
 ) -> DataFrame:
-    """Exact-content verification of fingerprint-flagged windows for the
-    SELF-dedup transform: recount distinct documents per window CONTENT
-    over the candidate set and keep only windows whose content truly
-    occurs in ``min_docs``+ docs. Complete because every occurrence of a
-    flagged content shares its fingerprint (so all occurrences are
-    candidates); sound because the recount keys on the content itself.
-    Cost is bounded by the candidate mass (≈ true duplicate mass + the
-    ~2^-60-rate fingerprint collisions), not the corpus."""
-    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    cand_w = cand.join(txt, "id").select(
-        "id", "pos0", _window_str("__t", "pos0", length).alias("wstr")
-    ).localCheckpoint(eager=False)
-    verified = (
-        cand_w.groupBy("wstr", "id")
+    """Content-verified flagged windows ``(id, pos0)`` for the SELF-dedup
+    transform: exactly the windows whose CONTENT occurs in ``min_docs``+
+    distinct documents — a fingerprint collision can never flag
+    non-duplicate text.
+
+    The r11 re-key: verification is folded INTO the duplicate-counting
+    aggregate instead of re-joining candidates afterwards, so the
+    verified plan has the unverified plan's exact shape — two window
+    explodes, a two-level aggregate, one fp join:
+
+    * level 1 groups by ``(fp, id)`` carrying ``min(wstr)``/``max(wstr)``
+      partials — map-side combine collapses contents to two 24-char
+      values per group per task, so the exchange stays int64-keyed and
+      only ~2× wider than the unverified ``countDistinct`` partials;
+    * level 2 rolls up to ``fp``: ``min == max`` across every occurrence
+      in every doc ⇒ the fp holds ONE content ⇒ the content's
+      distinct-doc count IS the fp's (decided with zero extra work);
+    * the flag join carries the keyset's min/max, so the collision
+      fallback (``min ≠ max`` ⇒ ≥2 contents, ~2^-60 rate — expected
+      empty) recounts by content over an already-materialized,
+      filter-empty branch of the SAME join, never re-reading the corpus.
+    """
+    ev = _window_fp_explode_str(df, id_col, text_col, length)
+    per_doc = ev.groupBy("fp", "id").agg(
+        F.min("wstr").alias("w_lo"), F.max("wstr").alias("w_hi")
+    )
+    per_fp = per_doc.groupBy("fp").agg(
+        F.count("*").alias("n_docs"),
+        F.min("w_lo").alias("w_lo"),
+        F.max("w_hi").alias("w_hi"),
+    )
+    keyset = per_fp.filter(
+        (F.col("w_lo") != F.col("w_hi"))
+        | (F.col("n_docs") >= int(min_docs))
+    ).select("fp", "w_lo", "w_hi")
+    j = _window_fp_explode_str(df, id_col, text_col, length).join(
+        keyset, "fp"
+    )
+    fast = j.filter(F.col("w_lo") == F.col("w_hi")).select("id", "pos0")
+    # content-keyed recount ONLY for colliding fps: every occurrence of
+    # every content of a colliding fp is in `slowc` (the join keys on fp
+    # and contents are nested within fps), so the recount is complete
+    slowc = j.filter(F.col("w_lo") != F.col("w_hi")).select(
+        "id", "pos0", "wstr"
+    )
+    slow_keys = (
+        slowc.groupBy("wstr", "id")
         .agg(F.count("*").alias("occ"))
         .groupBy("wstr")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= int(min_docs))
         .select("wstr")
     )
-    return cand_w.join(verified, "wstr", "left_semi").select("id", "pos0")
+    slow = slowc.join(slow_keys, "wstr", "left_semi").select("id", "pos0")
+    return fast.unionByName(slow)
 
 
-def _verify_flagged_against(
+def _flagged_verified_against(
     left: DataFrame,
     right: DataFrame,
-    cand: DataFrame,
     left_id_col: str,
     right_id_col: str,
     text_col: str,
     length: int,
 ) -> DataFrame:
-    """Exact-content verification of fingerprint-flagged LEFT windows for
-    the cross-corpus transforms: re-derive the RIGHT corpus's window
-    contents restricted to the candidate fingerprints (a LEFT SEMI probe
-    bounds the second right-side explode to candidate mass) and keep only
-    left windows whose content literally appears there."""
-    cand_fps = cand.select("fp").distinct()
-    rw = _window_fp_explode(right, right_id_col, text_col, length).join(
-        cand_fps, "fp", "left_semi"
+    """Content-verified flagged LEFT windows ``(id, pos0)`` for the
+    cross-corpus transforms: exactly the left windows whose CONTENT
+    appears verbatim somewhere in the RIGHT corpus.
+
+    Same integrated shape as :func:`_flagged_verified_self`: the right
+    explode collapses to ``min(wstr)``/``max(wstr)`` per fp (map-side
+    combined, int64-keyed — this REPLACES the unverified path's
+    ``distinct`` at the same two-phase cost), and the left explode joins
+    that keyset once. ``r_lo == r_hi`` ⇒ the fp holds ONE right content ⇒
+    a left occurrence is verified iff its content equals it, decided
+    row-local in the join output (identical content always yields an
+    identical fp, so the right side is complete for every left fp). Only
+    fps whose right contents collide (``r_lo != r_hi``, ~2^-60 rate —
+    expected empty) fall back to a content-keyed membership probe, whose
+    right re-explode is LEFT SEMI bounded to the colliding fps."""
+    rv = _window_fp_explode_str(right, right_id_col, text_col, length)
+    r_per_fp = rv.groupBy("fp").agg(
+        F.min("wstr").alias("r_lo"), F.max("wstr").alias("r_hi")
     )
-    rtxt = right.select(
-        F.col(right_id_col).alias("id"), F.col(text_col).alias("__t")
+    lv = _window_fp_explode_str(left, left_id_col, text_col, length)
+    j = lv.join(r_per_fp, "fp")
+    fast = j.filter(
+        (F.col("r_lo") == F.col("r_hi")) & (F.col("wstr") == F.col("r_lo"))
+    ).select("id", "pos0")
+    slowc = j.filter(F.col("r_lo") != F.col("r_hi")).select(
+        "id", "pos0", "wstr"
     )
-    rstr = (
-        rw.join(rtxt, "id")
-        .select(_window_str("__t", "pos0", length).alias("wstr"))
+    bad_fps = r_per_fp.filter(F.col("r_lo") != F.col("r_hi")).select("fp")
+    slow_rstr = (
+        _window_fp_explode_str(right, right_id_col, text_col, length)
+        .join(bad_fps, "fp", "left_semi")
+        .select("wstr")
         .distinct()
     )
-    ltxt = left.select(
-        F.col(left_id_col).alias("id"), F.col(text_col).alias("__t")
-    )
-    cand_w = cand.join(ltxt, "id").select(
-        "id", "pos0", _window_str("__t", "pos0", length).alias("wstr")
-    )
-    return cand_w.join(rstr, "wstr", "left_semi").select("id", "pos0")
+    slow = slowc.join(slow_rstr, "wstr", "left_semi").select("id", "pos0")
+    return fast.unionByName(slow)
 
 
 def _excise_spans(
@@ -1371,17 +1443,20 @@ def remove_duplicate_passages(
     """
     if length <= 0:
         raise ValueError("length must be positive")
-    exploded = _window_fp_explode(df, id_col, text_col, length)
-    dup_fps = (
-        exploded.groupBy("fp")
-        .agg(F.countDistinct("id").alias("n_docs"))
-        .filter(F.col("n_docs") >= int(min_docs))
-        .select("fp")
-    )
-    flagged = exploded.join(dup_fps, "fp", "left_semi").select("id", "pos0")
     if verify:
-        flagged = _verify_flagged_self(
-            df, flagged, id_col, text_col, length, min_docs
+        flagged = _flagged_verified_self(
+            df, id_col, text_col, length, min_docs
+        )
+    else:
+        exploded = _window_fp_explode(df, id_col, text_col, length)
+        dup_fps = (
+            exploded.groupBy("fp")
+            .agg(F.countDistinct("id").alias("n_docs"))
+            .filter(F.col("n_docs") >= int(min_docs))
+            .select("fp")
+        )
+        flagged = exploded.join(dup_fps, "fp", "left_semi").select(
+            "id", "pos0"
         )
     return _excise_spans(df, flagged, id_col, text_col, length)
 
@@ -1423,18 +1498,24 @@ def passage_overlap_between(
     aggregates on the left id finish the rates. Everything linear in
     corpus chars.
     """
-    lw = _window_fp_explode(left, left_id_col, text_col, length)
-    rf = (
-        _window_fp_explode(right, right_id_col, text_col, length)
-        .select("fp")
-        .distinct()
+    L = int(length)
+    # per-doc window totals are pure arithmetic — no explode needed
+    totals = left.filter(F.length(text_col) >= L).select(
+        F.col(left_id_col).alias("id"),
+        (F.length(text_col) - L + 1).cast("long").alias("n_windows"),
     )
-    totals = lw.groupBy("id").agg(F.count("*").alias("n_windows"))
-    hits = lw.join(rf, "fp", "left_semi")
     if verify:
-        hits = _verify_flagged_against(
-            left, right, hits, left_id_col, right_id_col, text_col, length
+        hits = _flagged_verified_against(
+            left, right, left_id_col, right_id_col, text_col, length
         )
+    else:
+        lw = _window_fp_explode(left, left_id_col, text_col, length)
+        rf = (
+            _window_fp_explode(right, right_id_col, text_col, length)
+            .select("fp")
+            .distinct()
+        )
+        hits = lw.join(rf, "fp", "left_semi")
     flagged = hits.groupBy("id").agg(F.count("*").alias("n_flagged"))
     return (
         totals.join(flagged, "id", "left")
@@ -1477,20 +1558,19 @@ def remove_duplicate_passages_against(
     bounded to candidate fingerprints), merge/rebuild on the id
     partitioning.
     """
-    lw = _window_fp_explode(left, left_id_col, text_col, length)
-    rf = (
-        _window_fp_explode(right, right_id_col, text_col, length)
-        .select("fp")
-        .distinct()
-    )
-    flagged = lw.join(rf, "fp", "left_semi")
     if verify:
-        flagged = _verify_flagged_against(
-            left, right, flagged, left_id_col, right_id_col, text_col, length
+        flagged = _flagged_verified_against(
+            left, right, left_id_col, right_id_col, text_col, length
         )
-    return _excise_spans(
-        left, flagged.select("id", "pos0"), left_id_col, text_col, length
-    )
+    else:
+        lw = _window_fp_explode(left, left_id_col, text_col, length)
+        rf = (
+            _window_fp_explode(right, right_id_col, text_col, length)
+            .select("fp")
+            .distinct()
+        )
+        flagged = lw.join(rf, "fp", "left_semi").select("id", "pos0")
+    return _excise_spans(left, flagged, left_id_col, text_col, length)
 
 
 # ---------------------------------------------------------------------------
