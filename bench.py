@@ -121,16 +121,31 @@ def _machine_load() -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    load_before = _machine_load()
     # a loaded box inflates every timing (r8: load 4.9→16.2 read as a
-    # phantom 1.14× regression) — flag it up front so the run is
-    # self-diagnosing, and record the flag in the detail artifact
+    # phantom 1.14× regression; r9/r10 both started loaded and every
+    # cross-round comparison carried the noise) — wait, bounded, for the
+    # box to go idle before measuring instead of only warning
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
+    deadline = time.time() + wait_budget
+    load_before = _machine_load()
+    while (
+        load_before.get("load_avg_1m", 0) > 2.0 and time.time() < deadline
+    ):
+        print(
+            f"bench: box loaded (load_avg_1m="
+            f"{load_before.get('load_avg_1m')}); waiting for idle "
+            f"({int(deadline - time.time())}s left in budget)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load_before = _machine_load()
     loaded_start = load_before.get("load_avg_1m", 0) > 2.0
     if loaded_start:
         print(
-            f"WARNING: bench starting on a loaded box "
-            f"(load_avg_1m={load_before.get('load_avg_1m')}); timings will "
-            f"be inflated — prefer an idle re-run for regression calls",
+            f"WARNING: bench starting on a loaded box after exhausting the "
+            f"idle-wait budget (load_avg_1m={load_before.get('load_avg_1m')});"
+            f" timings will be inflated — prefer an idle re-run for "
+            f"regression calls",
             file=sys.stderr,
         )
 
