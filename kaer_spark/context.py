@@ -417,11 +417,12 @@ class Collection:
         the lexical pool reads the MATERIALIZED index instead of scanning
         the corpus — O(query-term postings) per query via the bucket
         partition filter, with bit-identical BM25 doubles (insert catch-up
-        keeps the index current). The one semantic difference: the index
-        pool contains only documents holding at least one query term, so
-        zero-score padding rows (which only arise when fewer than ``pool``
-        documents match any term) never receive rank credit — strictly
-        the better ranking. Filtered hybrids keep the scan path: BM25
+        keeps the index current). The index is a TRANSPARENT accelerator:
+        when fewer than ``pool`` documents hold any query term, the pool
+        is padded with zero-score docs in ascending-id order from the
+        index's doclens table — the same padding the scan path's
+        order-by/limit produces — so the fused result is identical with
+        or without an index. Filtered hybrids keep the scan path: BM25
         corpus statistics are defined over the FILTERED sub-corpus there,
         which a whole-corpus index cannot reproduce.
         """
@@ -442,11 +443,43 @@ class Collection:
         )
         vec = with_rank(vec_top, [F.col("_dist").asc(), F.col("id")])
         if filter is None and self.meta.get("has_text_index"):
-            from kaer_spark.operators.text_index import search_text_index
+            from kaer_spark.operators.text_index import (
+                DOCLENS_DIR,
+                search_text_index,
+            )
 
             text_top = search_text_index(
                 self.ctx.spark, self.text_index_path, terms, k=pool
             )
+            # transparent-accelerator contract: the scan path pads the
+            # lexical pool with zero-score docs (ascending id) whenever
+            # fewer than `pool` docs hold any query term, and those
+            # padding rows DO earn RRF rank credit — replay exactly that
+            # from the index's doclens table so building an index can
+            # never change the fused result. The collect is bounded by
+            # `pool` (the fusion operates on pool-sized sets by design);
+            # the padding branch scans only the id column of doclens and
+            # plans as TakeOrderedAndProject.
+            matched = text_top.collect()
+            if len(matched) < pool:
+                have = [r["id"] for r in matched]
+                ids = self.ctx.spark.read.parquet(
+                    os.path.join(self.text_index_path, DOCLENS_DIR)
+                ).select("id")
+                if have:
+                    ids = ids.filter(~F.col("id").isin(have))
+                pad = (
+                    ids.orderBy("id")
+                    .limit(pool - len(matched))
+                    .select("id", F.lit(0.0).alias("bm25"))
+                )
+                text_top = (
+                    self.ctx.spark.createDataFrame(
+                        matched, text_top.schema
+                    ).unionByName(pad)
+                    if matched
+                    else pad
+                )
         else:
             text_top = (
                 bm25_scores(base, terms, id_col=ID_COL, text_col=DOC_COL)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,29 @@ HASH_MOD = 1_000_000_007
 HASH_BASE = 31
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
+# pruned-postings size above which the candidate side is no longer
+# broadcast into doclens (well under Spark's 8 GB broadcast hard cap,
+# with headroom for the pivoted row being wider than its parquet bytes)
+BROADCAST_POSTINGS_BYTES = 64 << 20
+
+
+def _pruned_postings_bytes(path: str, buckets: list[int]) -> int:
+    """On-disk bytes of exactly the posting buckets a search will scan —
+    the driver-side stat that gates the candidate-side broadcast (same
+    listing the partition-pruned scan itself performs; no Spark job)."""
+    total = 0
+    base = os.path.join(path, POSTINGS_DIR)
+    for b in buckets:
+        d = os.path.join(base, f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total
 
 
 def py_term_hash(term: str) -> int:
@@ -86,6 +110,13 @@ def build_text_index(
     same definition as ``bm25_scores``/``token_count``, so index-path and
     scan-path scores agree bit-for-bit.
     """
+    # clear any prior build explicitly: partitioned overwrite under
+    # spark.sql.sources.partitionOverwriteMode=dynamic only rewrites
+    # buckets the NEW build touches, silently keeping stale partitions
+    # from a previous larger build (the _commit_rewrite path clears for
+    # exactly this reason — the build must too)
+    shutil.rmtree(os.path.join(path, POSTINGS_DIR), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, DOCLENS_DIR), ignore_errors=True)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), F.lower).alias("__toks"),
@@ -220,10 +251,14 @@ def search_text_index(
     pruned postings pivot into one per-candidate-doc row of per-term tfs
     (one hash aggregate) and the per-term document frequencies collapse
     to a single broadcast row — so the join against the corpus-sized
-    doclens table BROADCASTS the candidate side (doclens never shuffles;
+    doclens table BROADCASTS the candidate side whenever the pruned
+    postings' on-disk bytes are provably small (doclens never shuffles;
     at 100 TB doclens is corpus-sized while the candidates are bounded
     by the query terms' postings, the quantity this index exists to keep
-    small). The fixed-order score sum (declared term order, left-assoc,
+    small), and degrades to a plain AQE-planned join for stop-word-ish
+    queries whose postings approach corpus size rather than forcing an
+    over-limit broadcast. The fixed-order score sum (declared term order,
+    left-assoc,
     missing terms an exact +0.0) feeds a TakeOrderedAndProject —
     bit-identical to ``ranking.bm25_scores`` on the same corpus.
     """
@@ -231,6 +266,13 @@ def search_text_index(
         raise ValueError("terms must be non-empty")
     terms = [t.lower() for t in terms]
     meta = read_text_index_meta(path)
+    doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
+    if meta["n_docs"] == 0:
+        # empty index is a supported state (build before first insert):
+        # no candidates by definition — id column keeps the corpus type
+        return doclens.select(
+            "id", F.lit(0.0).alias("bm25")
+        ).limit(0)
     buckets = sorted({py_term_hash(t) % meta["n_buckets"] for t in terms})
     postings = (
         spark.read.parquet(os.path.join(path, POSTINGS_DIR))
@@ -255,10 +297,19 @@ def search_text_index(
             for i, t in enumerate(terms)
         ]
     )
-    doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
-    cand = F.broadcast(per_doc).join(doclens, "id").crossJoin(
-        F.broadcast(pstats)
+    # join the bounded candidate side into the corpus-sized doclens:
+    # broadcast when the pruned postings are provably small (a driver-side
+    # stat of exactly the bucket files the scan will read — no job), so
+    # doclens never shuffles on the common path; a stop-word-ish query
+    # whose postings approach corpus size must NOT be forced through the
+    # 8 GB broadcast limit — it falls back to a plain join and lets AQE
+    # pick the strategy from runtime sizes
+    per_doc_side = (
+        F.broadcast(per_doc)
+        if _pruned_postings_bytes(path, buckets) <= BROADCAST_POSTINGS_BYTES
+        else per_doc
     )
+    cand = per_doc_side.join(doclens, "id").crossJoin(F.broadcast(pstats))
     norm = F.col("dl").cast("double") / F.lit(avgdl)
     total = None
     for i in range(len(terms)):

@@ -731,3 +731,42 @@ def test_export_empty_collection(spark, tmp_path):
     assert col2.count() == 0
     col2.insert(["first ever doc"])
     assert col2.count() == 1
+
+
+def test_query_hybrid_index_is_transparent(spark, tmp_path):
+    """Building a text index must not change query_hybrid results, even
+    on a sparse corpus where fewer than `pool` docs hold any query term —
+    the index path replays the scan path's zero-score min-id padding from
+    doclens (r10 advice: an index that alters results breaks the
+    transparent-accelerator expectation)."""
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer_tix"))
+    ctx.create_collection("tr")
+    col = ctx.get_collection("tr")
+    texts = [
+        "spark shuffle tuning guide",
+        "cooking pasta at home tonight",
+        "gardening tips for spring",
+        "completely different things here",
+    ]
+    col.insert(texts)
+    # "shuffle" matches ONE doc; pool=3 forces two zero-score pad rows
+    before = [
+        tuple(r)
+        for r in col.query_hybrid("shuffle", k=4, pool=3).collect()
+    ]
+    col.build_text_index(n_buckets=8)
+    after = [
+        tuple(r)
+        for r in col.query_hybrid("shuffle", k=4, pool=3).collect()
+    ]
+    assert after == before
+    # and with no matching term at all the pools are pure padding
+    b2 = [tuple(r) for r in col.query_hybrid("zzzmissing", k=4, pool=2).collect()]
+    ctx2 = KaerContext(spark, str(tmp_path / "kaer_tix2"))
+    ctx2.create_collection("tr")
+    col2 = ctx2.get_collection("tr")
+    col2.insert(texts)
+    a2 = [tuple(r) for r in col2.query_hybrid("zzzmissing", k=4, pool=2).collect()]
+    assert b2 == a2

@@ -196,3 +196,79 @@ def test_text_index_string_ids_and_empty_build(spark, tmp_path):
     got = [(r["id"], r["bm25"])
            for r in search_text_index(spark, emp, ["join"], k=5).collect()]
     assert got == want
+
+
+def test_search_on_empty_index_returns_empty(spark, tmp_path):
+    """An empty index (build before first insert) is a supported state:
+    search returns an empty (id, bm25) frame instead of dividing by the
+    zero doc count — the r10 advice fix."""
+    rows = [("a1", "spark join")]
+    full = spark.createDataFrame(rows, "doc_id string, text string")
+    emp = str(tmp_path / "emp0")
+    build_text_index(full.filter(F.lit(False)), emp)
+    out = search_text_index(spark, emp, ["join"], k=5)
+    assert out.columns == ["id", "bm25"]
+    assert out.count() == 0
+    assert dict(out.dtypes)["id"] == "string"  # corpus id type preserved
+
+
+def test_rebuild_at_same_path_clears_stale_buckets(spark, tmp_path):
+    """Rebuilding at an existing path must not leave stale bucket
+    partitions behind, regardless of partitionOverwriteMode — a rebuild
+    from a SMALLER corpus (fewer touched buckets) must forget the old
+    corpus entirely (the r10 advice fix: explicit clear in the build)."""
+    big = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    small = spark.createDataFrame([(9, "iota")], "doc_id long, text string")
+    path = str(tmp_path / "rebuild")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        build_text_index(big, path, n_buckets=16)
+        build_text_index(small, path, n_buckets=16)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # stale terms from the first build must be gone
+    assert search_text_index(spark, path, ["alpha"], k=5).count() == 0
+    assert [r["id"] for r in
+            search_text_index(spark, path, ["iota"], k=5).collect()] == [9]
+    # doclens reflects only the new corpus
+    assert read_text_index_meta(path)["n_docs"] == 1
+
+
+def test_doclens_broadcast_contract(spark, corpus, tmp_path, monkeypatch):
+    """Plan contract (r9 verdict item #6 + r10 advice medium): with small
+    pruned postings the candidate side broadcasts into the corpus-sized
+    doclens join — doclens is never on the build side of an exchange —
+    and when the pruned postings exceed the size gate the hard broadcast
+    hint is ABSENT (AQE picks the strategy), so a stop-word query can
+    never be forced through the broadcast limit."""
+    import kaer_spark.operators.text_index as tix
+
+    path = str(tmp_path / "tix_bc")
+    build_text_index(corpus, path, n_buckets=16)
+
+    small = search_text_index(spark, path, ["join"], k=3)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    # the doclens join is a broadcast join BUILDING the candidate (left)
+    # side — doclens streams through it, so it is never shuffled (the only
+    # hashpartitioning exchange in the plan is the bounded candidate pivot)
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    monkeypatch.setattr(tix, "BROADCAST_POSTINGS_BYTES", 0)
+    big = tix.search_text_index(spark, path, ["join"], k=3)
+    opt = big._jdf.queryExecution().optimizedPlan().toString()
+    # no user broadcast hint on the candidate side of the doclens join
+    # once over the gate (the one-row pstats crossJoin hint remains —
+    # that side is a single row by construction)
+    assert "leftHint=(strategy=broadcast)" not in opt, opt
+    small_opt = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "leftHint=(strategy=broadcast)" in small_opt, small_opt
+    # results identical either way
+    assert [tuple(r) for r in big.collect()] == [tuple(r) for r in small.collect()]
