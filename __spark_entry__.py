@@ -3978,8 +3978,10 @@ def _sql_image_near_dups(max_hamming: int) -> str:
     the 9×8 nearest-neighbor resample re-derives each pixel by hex
     slicing (media_resize's proven byte-index formula, value-parsed via
     strpos on the hex alphabet), dHash bits from adjacent-pixel
-    comparisons, 16-bit band candidates, bit_count(xor) hamming verify —
-    integer arithmetic end to end."""
+    comparisons, bit_count(xor) hamming — integer arithmetic end to end.
+    The engine's pigeonhole banding (max_hamming + 1 bands) is COMPLETE
+    at the threshold, so the oracle states the definition directly:
+    all pairs with hamming ≤ max_hamming, no band CTE to replay."""
     hexd = "'0123456789ABCDEF'"
     return f"""
         WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
@@ -4006,23 +4008,12 @@ def _sql_image_near_dups(max_hamming: int) -> str:
           SELECT doc_id, r, CAST(SUM(bit) AS BIGINT) AS byte
           FROM bits GROUP BY doc_id, r
         ),
-        bands AS (
-          SELECT e.doc_id, e.r // 2 AS band, e.byte * 256 + o.byte AS key
-          FROM sig e JOIN sig o ON o.doc_id = e.doc_id AND o.r = e.r + 1
-          WHERE e.r % 2 = 0
-        ),
-        cand AS (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM bands x JOIN bands y
-            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-        ),
         ham AS (
-          SELECT c.id_a, c.id_b,
+          SELECT sx.doc_id AS id_a, sy.doc_id AS id_b,
                  SUM(bit_count(xor(sx.byte, sy.byte))) AS hamming
-          FROM cand c
-          JOIN sig sx ON sx.doc_id = c.id_a
-          JOIN sig sy ON sy.doc_id = c.id_b AND sy.r = sx.r
-          GROUP BY c.id_a, c.id_b
+          FROM sig sx
+          JOIN sig sy ON sy.doc_id > sx.doc_id AND sy.r = sx.r
+          GROUP BY sx.doc_id, sy.doc_id
         )
         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         FROM ham WHERE hamming <= {int(max_hamming)}

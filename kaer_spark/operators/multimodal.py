@@ -286,31 +286,46 @@ def image_near_dups(
     multimodal corpus (re-encoded/rescaled copies that byte dedup and
     text dedup both miss).
 
-    Banding: the 64-bit fingerprint splits into four 16-bit bands (two
-    row-bytes each — 65k distinct keys per band, not the 256 of
-    byte-bands, which is what keeps candidate buckets small on a large
-    corpus); a pair is a candidate when ANY band matches (guaranteed
-    complete for hamming ≤ 3; the standard recall heuristic above), then
-    the full 64-bit hamming verifies via bit_count(xor) folds — exactly
-    the SimHash machinery shape, one modality over. Everything after the
-    Arrow decode is Catalyst expressions with a bit-exact SQL replay.
+    Banding is COMPLETE at the declared threshold (the r11 fix — a fixed
+    four-band split silently missed pairs at distance 4..6 under the old
+    ``max_hamming=6`` default): the 64-bit fingerprint splits into
+    ``max_hamming + 1`` near-equal bit slices (pigeonhole: at most
+    ``max_hamming`` differing bits spread over ``max_hamming + 1`` bands
+    leave at least one band identical), so every pair within threshold is
+    guaranteed a candidate and banding is purely a pruning strategy —
+    the result is exactly the all-pairs answer. A pair is a candidate
+    when ANY band matches, then the full 64-bit hamming verifies via
+    bit_count(xor) folds — the SimHash machinery shape, one modality
+    over. Wider thresholds mean narrower band keys and fatter buckets
+    (the unavoidable LSH trade); everything after the Arrow decode stays
+    Catalyst expressions with a bit-exact SQL replay.
     """
     sigs = image_dhash(df, media_col, id_col, decode).localCheckpoint(
         eager=False
     )
+    # max(…, 2) keeps every band ≤ 32 bits (a 64-bit single-band key
+    # would overflow the signed long); extra bands never break the
+    # pigeonhole guarantee, they only add candidates
+    n_bands = min(max(int(max_hamming) + 1, 2), 64)
+    bounds = [i * 64 // n_bands for i in range(n_bands + 1)]
+
+    def _band_key(b: int):
+        lo, hi = bounds[b], bounds[b + 1]
+        key = F.lit(0).cast("long")
+        for j in range(lo, hi):
+            bit = F.shiftright(
+                F.element_at("dhash", j // 8 + 1), j % 8
+            ).bitwiseAND(F.lit(1))
+            key = key + (bit * F.lit(1 << (j - lo)))
+        return key
+
     bands = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.element_at("dhash", 2 * b + 1) * 256
-                            + F.element_at("dhash", 2 * b + 2)
-                        ).alias("key"),
-                    )
-                    for b in range(4)
+                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("key"))
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),

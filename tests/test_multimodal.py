@@ -170,3 +170,38 @@ def test_image_near_dups_finds_perceptual_copies(spark):
         from kaer_spark.operators.multimodal import image_dhash
 
         image_dhash(df, decode="jpeg")
+
+
+def test_image_near_dups_complete_at_threshold(spark):
+    """Pigeonhole completeness (r9 verdict item #4 / r11 fix): with
+    bands derived as max_hamming + 1, EVERY pair within the declared
+    threshold is found — verified exhaustively against all-pairs hamming
+    over the collected signatures, at thresholds the old fixed four-band
+    split was incomplete for (4..6) and beyond."""
+    from itertools import combinations
+
+    from kaer_spark.operators.multimodal import image_dhash, image_near_dups
+
+    rng_rows = [
+        (i, bytes(((i * 37 + j * 101 + (i * j) % 17) % 256) for j in range(120)))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rng_rows, "doc_id long, media binary")
+    sigs = {
+        r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    for max_hamming in (0, 4, 6, 11, 20):
+        want = {
+            (a, b, ham(sigs[a], sigs[b]))
+            for a, b in combinations(sorted(sigs), 2)
+            if ham(sigs[a], sigs[b]) <= max_hamming
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in image_near_dups(df, max_hamming=max_hamming).collect()
+        }
+        assert got == want, (max_hamming, want - got, got - want)
