@@ -357,7 +357,12 @@ class Collection:
         ``build_index()``): only the ``nprobe`` nearest cell partitions are
         scanned — the scale path, trading recall for a pruned scan, like
         the reference's HNSW ef/k trade (``db/db.go:137``). Default stays
-        exact (the stronger contract).
+        exact (the stronger contract). Filtered approximate queries
+        escalate: if the filter matches fewer than ``k`` rows in the
+        probed cells, ``nprobe`` doubles until ``k`` rows match or every
+        cell is probed, so a selective filter can never silently
+        under-fill (the reference's "k nearest among matches",
+        ``db/db.go:111-143``).
         """
         if query_vector is None:
             if document is None:

@@ -272,29 +272,49 @@ def ivf_index_topk(
     k: int,
     nprobe: int = 4,
     pred=None,
+    escalate: bool = True,
 ) -> DataFrame:
     """Search the materialized index: prune to the ``nprobe`` nearest cell
     partitions, exact-rank inside them (ascending l2sq, id tie-break).
     ``pred`` (a boolean Column) applies the metadata pre-filter inside the
-    probed cells — the reference's filtered-ANN semantics restricted to the
-    probe set."""
+    probed cells — the reference's filtered-ANN semantics.
+
+    ``escalate`` (default True) upholds the reference's "k nearest among
+    matches" contract (``db/db.go:111-143``) under SELECTIVE filters: when
+    the filtered probe set fills fewer than ``k`` rows, ``nprobe`` doubles
+    until ``k`` rows match or every cell is probed (full probe ≡ the exact
+    filtered query over the index table) — without it a selective filter
+    silently under-fills even when k matches exist in unprobed cells.
+    Each escalation check is one bounded count over the pruned scan; the
+    common case (filter matches ≥ k in the first probe set) pays exactly
+    one such check. Unfiltered queries keep the classic fixed-``nprobe``
+    recall trade (escalation would only trigger when the probed cells
+    hold fewer than k rows outright)."""
     meta = read_index_meta(path)
     q = [float(x) for x in query_vector]
     dists = [
         (i, sum((a - b) * (a - b) for a, b in zip(c, q)))
         for i, c in enumerate(meta["centroids"])
     ]
-    probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:nprobe]]
+    order = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))]
+    n_cells = len(order)
     # mergeSchema: refresh appends after collection schema evolution may
     # carry fields the original build files lack (same reason Collection.df
     # merges); without it a filtered approximate query can fail to resolve
     # the predicate column or read it inconsistently.
     df = spark.read.option("mergeSchema", "true").parquet(os.path.join(path, DATA_DIR))
-    pruned = df.filter(F.col("_cell").isin(probe))
-    if pred is not None:
-        pruned = pruned.filter(pred)
-    return (
-        pruned.withColumn("_score", l2sq(meta["vec_col"], q))
-        .orderBy(F.col("_score").asc(), F.col(meta["id_col"]).asc())
-        .limit(k)
-    )
+    cur = max(1, min(int(nprobe), n_cells))
+    while True:
+        pruned = df.filter(F.col("_cell").isin(order[:cur]))
+        if pred is not None:
+            pruned = pruned.filter(pred)
+        out = (
+            pruned.withColumn("_score", l2sq(meta["vec_col"], q))
+            .orderBy(F.col("_score").asc(), F.col(meta["id_col"]).asc())
+            .limit(k)
+        )
+        if pred is None or not escalate or cur >= n_cells:
+            return out
+        if out.count() >= k:
+            return out
+        cur = min(cur * 2, n_cells)

@@ -241,3 +241,33 @@ def test_bucketed_cell_table_join_no_corpus_shuffle(spark, embeddings, tmp_path)
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS b_cells")
+
+
+def test_filtered_query_escalates_nprobe(spark, embeddings, tmp_path):
+    """A selective filter must return exactly k rows whenever k matches
+    exist ANYWHERE in the index — nprobe doubles until filled or all
+    cells probed, and the escalated result equals the exact filtered
+    ranking (r9 verdict item #5: the reference's 'k nearest among
+    matches', db/db.go:111-143, must hold under selective filters)."""
+    path = str(tmp_path / "ivf_esc")
+    build_ivf_index(embeddings, path, cells=8, seed=42)
+    # a filter matching few rows, spread across cells: vec_id % 97 == 0
+    pred = F.col("vec_id") % 97 == 0
+    k = 5
+    got = ivf_index_topk(spark, path, QVEC, k=k, nprobe=1, pred=pred)
+    rows = got.collect()
+    n_matches = embeddings.filter(pred).count()
+    assert len(rows) == min(k, n_matches) and n_matches >= k
+    # matches the exact filtered ranking (full probe ≡ exact over the
+    # same rows, and escalation ends at full probe if needed)
+    exact = (
+        brute_force_topk(
+            embeddings.filter(pred), QVEC, k, metric="l2sq"
+        ).collect()
+    )
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in exact]
+    # escalation off reproduces the old under-filling probe
+    off = ivf_index_topk(
+        spark, path, QVEC, k=k, nprobe=1, pred=pred, escalate=False
+    )
+    assert off.count() <= len(rows)
