@@ -818,6 +818,11 @@ def dedup_clusters(
     a pair, where ``cluster_id`` is the MINIMUM id in the component (so
     the cluster id is itself the deterministic representative to keep).
 
+    Checkpoints are LAZY (``eager=False``): each round's convergence sum
+    is the action that materializes that round's label checkpoint, so the
+    loop runs exactly ONE job per round (plus the final consumer) instead
+    of a materialize-then-sum pair — the r10→r11 closure-constant trim.
+
     Algorithm: iterative min-label propagation (the standard large-graph
     connected-components shape — HashToMin): each round every node adopts
     the smallest label among itself and its neighbors; converges in
@@ -838,7 +843,7 @@ def dedup_clusters(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # undirected: propagate labels both ways each round
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -847,7 +852,7 @@ def dedup_clusters(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     def label_sum(frame: DataFrame) -> int:
         return frame.agg(F.sum("label")).collect()[0][0] or 0
@@ -867,7 +872,7 @@ def dedup_clusters(
             .union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
