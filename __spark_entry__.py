@@ -2494,6 +2494,25 @@ def _q_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_stats(docs.filter(F.col("doc_id") % 2 == 0), vocab)
 
 
+def _q_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WordPiece-style subword budgets (ranking.
+    subword_segment_counts): greedy longest-match against the corpus
+    top-20 vocabulary plus the [a-z0-9] base alphabet — per doc the word
+    count, emitted subword units, and UNK characters. Segmentation runs
+    once per DISTINCT word (Zipf dedup) and folds with one linear
+    aggregate; the oracle walks the identical greedy rule with a
+    recursive CTE."""
+    from kaer_spark.operators.ranking import build_vocab, subword_segment_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    top = build_vocab(docs, size=20).select("token")
+    alphabet = spark.createDataFrame(
+        [(c,) for c in "abcdefghijklmnopqrstuvwxyz0123456789"],
+        "token string",
+    )
+    return subword_segment_counts(docs, top.unionByName(alphabet))
+
+
 def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus passage contamination report (dedup.
     passage_overlap_between) on the parity split: per even-id doc, the
@@ -2707,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_indexed": _q_hybrid_search_indexed,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "vocab_coverage": _q_vocab_coverage,
+        "subword_budget": _q_subword_budget,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -5272,6 +5292,66 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE)
                      / (SELECT CAST(t AS DOUBLE) FROM tot) AS coverage
             FROM top
+        """,
+        # greedy longest-match subword segmentation replayed with a
+        # recursive CTE: per distinct word, `steps` holds the longest
+        # vocab piece matching at each position; the recursion advances
+        # by max(step, 1), counting units and UNK chars — the same
+        # WordPiece rule the engine folds with a linear aggregate
+        "subword_budget": """
+            WITH RECURSIVE tk AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                            END) AS tok
+              FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+            top AS (SELECT tok FROM c ORDER BY n DESC, tok LIMIT 20),
+            vocab AS (
+              SELECT tok AS piece FROM top
+              UNION
+              SELECT chr(CAST(i AS INTEGER)) FROM (SELECT unnest(generate_series(97, 122)) AS i)
+              UNION
+              SELECT chr(CAST(i AS INTEGER)) FROM (SELECT unnest(generate_series(48, 57)) AS i)
+            ),
+            uw AS (SELECT DISTINCT tok AS word FROM tk WHERE length(tok) > 0),
+            wp AS (
+              SELECT word, unnest(generate_series(0, length(word) - 1)) AS p
+              FROM uw
+            ),
+            steps AS (
+              SELECT w.word, w.p, max(length(v.piece)) AS step
+              FROM wp w
+              JOIN vocab v ON length(v.piece) <= length(w.word) - w.p
+                          AND substr(w.word, w.p + 1, length(v.piece)) = v.piece
+              GROUP BY w.word, w.p
+            ),
+            seg AS (
+              SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS n,
+                     CAST(0 AS BIGINT) AS unk
+              FROM uw
+              UNION ALL
+              SELECT s.word,
+                     s.pos + greatest(coalesce(st.step, 0), 1),
+                     s.n + 1,
+                     s.unk + CASE WHEN coalesce(st.step, 0) = 0 THEN 1 ELSE 0 END
+              FROM seg s LEFT JOIN steps st
+                ON st.word = s.word AND st.p = s.pos
+              WHERE s.pos < length(s.word)
+            ),
+            fin AS (SELECT word, n, unk FROM seg WHERE pos >= length(word)),
+            agg AS (
+              SELECT t.doc_id, count(*) AS n_words, sum(f.n) AS n_subwords,
+                     sum(f.unk) AS n_unk_chars
+              FROM tk t JOIN fin f ON f.word = t.tok
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+                   CAST(coalesce(a.n_unk_chars, 0) AS BIGINT) AS n_unk_chars
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         "multimodal_features": _sql_multimodal(),
         "bm25_scores": _sql_bm25(),

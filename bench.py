@@ -71,6 +71,7 @@ HEADLINE = [
     "ivf_knn_join",
     "bigram_lm_scores",
     "token_budget_mix",
+    "subword_budget",
     "dedup_minhash_between",
     "embedding_dups_between",
     "asof_nearest",

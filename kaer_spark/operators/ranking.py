@@ -505,3 +505,128 @@ def build_vocab(
             / F.lit(float(total))
         ).alias("coverage"),
     )
+
+
+def subword_segment_counts(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Deterministic WordPiece-style subword accounting against a
+    vocabulary → ``(id_col, n_words, n_subwords, n_unk_chars)``.
+
+    Completes the tokenizer-prep story around :func:`build_vocab` /
+    :func:`oov_stats` (r9 verdict item #7): each whitespace word segments
+    by GREEDY LONGEST-MATCH — repeatedly take the longest vocabulary
+    piece prefixing the remainder; when none matches, consume one
+    character as an UNK unit. ``n_subwords`` counts all emitted units
+    (pieces + UNKs) per document — a real subword budget for
+    ``token_budget_mix`` instead of the regex pre-token estimate
+    (``functions.text.bpe_token_count``) — and ``n_unk_chars`` counts the
+    UNK units (vocabulary-miss mass). Greedy longest-match is the
+    WordPiece inference rule (Wu et al. 2016 §4.1) minus the ``##``
+    continuation marking, chosen because it is deterministic and
+    SQL-replayable end to end (the oracle walks the same rule with a
+    recursive CTE).
+
+    Scale shape: segmentation depends only on the word string, so it runs
+    once per DISTINCT word (Zipf: distinct words ≪ token occurrences).
+    Per distinct word, all ``(position, ≤maxlen)`` substrings explode
+    (bounded by word chars × the vocabulary's max piece length — ONE
+    bounded scalar collect), match the vocabulary with a plain join
+    (map-side-combined max per position), fold to counts with a single
+    linear ``aggregate`` over positions, and the per-word result joins
+    back to occurrences (distinct-words-sized side, AQE-broadcastable)
+    for one per-doc aggregate. Nothing corpus-sized is ever collected.
+    """
+    voc = vocab.select(F.col(vocab_col).alias("piece"))
+    if lowercase:
+        voc = voc.select(F.lower(F.col("piece")).alias("piece"))
+    voc = voc.filter(F.length("piece") > 0).distinct()
+    max_len = voc.agg(F.max(F.length("piece"))).collect()[0][0]
+    L = int(max_len or 1)
+
+    tok_arr = tokens(text_col)
+    if lowercase:
+        tok_arr = F.transform(tok_arr, F.lower)
+    words = docs.select(
+        F.col(id_col).alias("id"), F.explode(tok_arr).alias("word")
+    ).filter(F.length("word") > 0)
+    uw = words.select("word").distinct()
+
+    cand = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length("word") - 1),
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(L), F.length("word") - p)),
+                lambda l: F.struct(
+                    p.alias("pos"),
+                    F.col("word").substr(p + 1, l).alias("piece"),
+                ),
+            ),
+        )
+    )
+    ex = uw.select("word", F.explode(cand).alias("c")).select(
+        "word", F.col("c.pos").alias("pos"), F.col("c.piece").alias("piece")
+    )
+    # longest vocabulary match starting at each position (absent = UNK)
+    steps = ex.join(voc, "piece").groupBy("word", "pos").agg(
+        F.max(F.length("piece")).alias("step")
+    )
+    step_map = steps.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("pos", "step"))
+        ).alias("steps")
+    )
+
+    def _stp(j):
+        return F.coalesce(F.element_at(F.col("steps"), j), F.lit(0))
+
+    fold = F.aggregate(
+        F.sequence(F.lit(0), F.length("word") - 1),
+        F.struct(
+            F.lit(0).cast("int").alias("nxt"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("unk"),
+        ),
+        lambda acc, j: F.when(
+            j == acc["nxt"],
+            F.struct(
+                (acc["nxt"] + F.greatest(_stp(j), F.lit(1)))
+                .cast("int")
+                .alias("nxt"),
+                (acc["n"] + F.lit(1)).alias("n"),
+                (
+                    acc["unk"]
+                    + F.when(_stp(j) == 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("unk"),
+            ),
+        ).otherwise(acc),
+    )
+    seg = (
+        uw.join(step_map, "word", "left")
+        .withColumn("__seg", fold)
+        .select(
+            "word",
+            F.col("__seg.n").alias("n_sub"),
+            F.col("__seg.unk").alias("n_unk"),
+        )
+    )
+    per_doc = words.join(seg, "word").groupBy("id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_sub").alias("n_subwords"),
+        F.sum("n_unk").alias("n_unk_chars"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+            F.coalesce("n_unk_chars", F.lit(0)).cast("long").alias("n_unk_chars"),
+        )
+    )

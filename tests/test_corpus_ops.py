@@ -828,3 +828,65 @@ def test_build_vocab_feeds_oov_stats(spark):
     out = {r["doc_id"]: r for r in oov_stats(docs, vocab).collect()}
     assert out[1]["n_oov"] == 1 and out[2]["n_oov"] == 1
     assert out[1]["n_tokens"] == 4
+
+
+def test_subword_segment_counts_python_replay(spark):
+    """Greedy longest-match segmentation agrees with a direct Python
+    walk of the WordPiece rule: longest vocab piece prefixing the
+    remainder, one-char UNK on miss; per-doc sums over occurrences."""
+    from kaer_spark.operators.ranking import subword_segment_counts
+
+    rows = [
+        (1, "internationalization is international"),
+        (2, "nation inter inter"),
+        (3, "XYZQ"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = ["inter", "national", "nation", "ization", "is", "al", "i", "z"]
+    vocab = spark.createDataFrame([(p,) for p in pieces], "token string")
+
+    def seg(word):
+        pos = n = unk = 0
+        while pos < len(word):
+            best = max(
+                (len(p) for p in pieces if word.startswith(p, pos)),
+                default=0,
+            )
+            pos += max(best, 1)
+            n += 1
+            unk += best == 0
+        return n, unk
+
+    want = {}
+    for did, text in rows:
+        ws = [w.lower() for w in text.split()]
+        want[did] = (
+            len(ws),
+            sum(seg(w)[0] for w in ws),
+            sum(seg(w)[1] for w in ws),
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["n_unk_chars"])
+        for r in subword_segment_counts(docs, vocab).collect()
+    }
+    assert got == want
+    # sanity on the greedy rule itself: internationalization =
+    # inter+national+ization (longest-first, NOT nation-first)
+    assert seg("internationalization") == (3, 0)
+
+
+def test_subword_segment_agrees_with_build_vocab(spark):
+    """Pairing contract with build_vocab: every word that IS a vocabulary
+    token segments to exactly one unit with zero UNKs, so a corpus fully
+    covered by its own vocab reports n_subwords == n_words."""
+    from kaer_spark.operators.ranking import build_vocab, subword_segment_counts
+
+    rows = [(i, "alpha beta gamma alpha") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(docs, size=3).select("token")
+    out = subword_segment_counts(docs, vocab).collect()
+    for r in out:
+        assert r["n_words"] == 4
+        assert r["n_subwords"] == 4  # each word = one vocab unit
+        assert r["n_unk_chars"] == 0
