@@ -189,8 +189,55 @@ def minhash_signatures(
     Each signature slot j is ``min over shingles of (a_j·fp + b_j) mod P``
     where fp is the polynomial shingle hash. All arithmetic stays below
     2^60 (a, fp < 2^30), so int64-exact — and exactly reproducible in SQL.
-    """
+
+    The char-unit hot path (r11) never materializes shingle STRINGS for
+    the signature: window fingerprints evaluate as flat power-basis sums
+    over a once-per-row codepoint array (the passage-family trick,
+    ``_win_fp``-style), and each slot takes ``array_min`` over the
+    fingerprint array with duplicates intact — ``min`` over a multiset
+    equals ``min`` over its distinct set, so the signature is provably
+    identical to the distinct-shingle definition (verified value-equal at
+    sf0.1; 2.6s → 0.25s). ``shingles`` remains in the output as an
+    independent column, so consumers that select only ``(id, sig)`` prune
+    the string work away entirely; the ``array_distinct`` on int64
+    fingerprints keeps the 16 slot-min passes short."""
     coeffs = minhash_coeffs(num_hashes, seed)
+    if unit == "char":
+        N = int(n)
+        pw = [pow(HASH_BASE, N - 1 - k, HASH_MOD) for k in range(N)]
+
+        def winfp(i: Column) -> Column:
+            h = F.lit(0).cast("long")
+            for k in range(N):
+                h = (
+                    h
+                    + F.element_at("__mh_codes", i + F.lit(k)) * F.lit(pw[k])
+                ) % F.lit(HASH_MOD)
+            return h
+
+        fps_all = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - N + 1), winfp
+            )
+        )
+        base = (
+            ensure_parallelism(df.filter(F.length(text_col) >= N))
+            .withColumn("__mh_codes", _codes_col(text_col))
+            .withColumn("__mh_fps", fps_all)
+        )
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform("__mh_fps", lambda f: (f * a + b) % HASH_MOD)
+                )
+                for a, b in coeffs
+            ]
+        )
+        return base.select(
+            F.col(id_col).alias("id"),
+            _shingle_expr(text_col, n, unit).alias("shingles"),
+            sig.alias("sig"),
+        )
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _shingle_expr(text_col, n, unit).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -222,10 +269,18 @@ def minhash_near_dups(
     identical to what the oracle computes with the same banding.
     """
     rows_per_band = num_hashes // bands
-    # localCheckpoint for the same reason as ngram_jaccard_pairs: two
-    # consumers (banding + verification), no unpersist point for a lazily
-    # returned result — checkpoint blocks are GC-reclaimed instead.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit).localCheckpoint(eager=False)
+    # signatures checkpoint WITHOUT the shingle column: banding needs only
+    # (id, sig), so the corpus-wide shingle-string arrays are pruned out
+    # of the plan entirely; exact-Jaccard verification recomputes shingles
+    # ONLY for docs that appear in a candidate pair (LEFT SEMI bounded —
+    # candidate mass, not corpus). The checkpoint still serves its two
+    # consumers (banding + the candidate self-join) with GC-reclaimed
+    # blocks.
+    sigs = (
+        minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit)
+        .select("id", "sig")
+        .localCheckpoint(eager=False)
+    )
     banded = _minhash_banded(sigs, bands, rows_per_band)
     cand = (
         banded.alias("a")
@@ -233,8 +288,21 @@ def minhash_near_dups(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    sh = sigs.select("id", "shingles")
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _shingle_expr(text_col, n, unit).alias("shingles"),
+        )
+        .join(cand_ids, "id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
@@ -300,17 +368,25 @@ def minhash_near_dups_between(
     pairs), shuffle O((|L|+|R|) × bands) plus collisions.
     """
     rows_per_band = num_hashes // bands
-    # lazy checkpoints: same lineage truncation and block reuse across the
-    # banding and verify consumers, but the signatures materialize INSIDE
-    # the first job that needs them instead of as two up-front blocking
-    # jobs — measured 5.0s vs 5.3s steady-state and no 2× first-call spike
-    # at sf0.1 (the r9 bench flagged this as the highest-variance query)
-    lsig = minhash_signatures(
-        left, left_id_col, text_col, n, num_hashes, seed, unit
-    ).localCheckpoint(eager=False)
-    rsig = minhash_signatures(
-        right, right_id_col, text_col, n, num_hashes, seed, unit
-    ).localCheckpoint(eager=False)
+    # same shape as minhash_near_dups: (id, sig)-only signatures (shingle
+    # strings pruned from the banding plan), exact-Jaccard verification
+    # over shingles recomputed LEFT SEMI bounded to each side's candidate
+    # ids; lazy checkpoints keep lineage truncation without up-front
+    # blocking jobs
+    lsig = (
+        minhash_signatures(
+            left, left_id_col, text_col, n, num_hashes, seed, unit
+        )
+        .select("id", "sig")
+        .localCheckpoint(eager=False)
+    )
+    rsig = (
+        minhash_signatures(
+            right, right_id_col, text_col, n, num_hashes, seed, unit
+        )
+        .select("id", "sig")
+        .localCheckpoint(eager=False)
+    )
     lb = _minhash_banded(lsig, bands, rows_per_band)
     rb = _minhash_banded(rsig, bands, rows_per_band)
     cand = (
@@ -318,16 +394,19 @@ def minhash_near_dups_between(
         .join(rb.alias("b"), on=["band", "key"])
         .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    sh_l = left.select(
+        F.col(left_id_col).alias("left_id"),
+        _shingle_expr(text_col, n, unit).alias("sh_a"),
+    ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
+    sh_r = right.select(
+        F.col(right_id_col).alias("right_id"),
+        _shingle_expr(text_col, n, unit).alias("sh_b"),
+    ).join(cand.select("right_id").distinct(), "right_id", "left_semi")
     return (
-        cand.join(
-            lsig.select(F.col("id").alias("left_id"), F.col("shingles").alias("sh_a")),
-            "left_id",
-        )
-        .join(
-            rsig.select(F.col("id").alias("right_id"), F.col("shingles").alias("sh_b")),
-            "right_id",
-        )
+        cand.join(sh_l, "left_id")
+        .join(sh_r, "right_id")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
