@@ -2326,6 +2326,19 @@ def _q_remove_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition transform (dedup.remove_repeated_lines):
+    a token occurring min_repeats+ times WITHIN one document collapses to
+    its first occurrence (the Gopher self-repetition signal applied as a
+    salvage transform, not a document drop); fixture 'lines' are
+    space-separated tokens like the corpus-level twin."""
+    from kaer_spark.operators.dedup import remove_repeated_lines
+
+    return remove_repeated_lines(
+        _t(spark, sf_dir, "documents"), min_repeats=3, sep=" "
+    )
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.semdedup, Abbas et al. 2023): deterministic
     spread-fit cells, within-cell cosine groups, keep the member farthest
@@ -2715,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_reps": _q_dedup_keep_best_reps,
         "dedup_keep_best": _q_dedup_keep_best,
         "remove_duplicate_lines": _q_remove_duplicate_lines,
+        "remove_repeated_lines": _q_remove_repeated_lines,
         "remove_duplicate_passages": _q_remove_duplicate_passages,
         "training_corpus_clean_stats": _q_training_corpus_clean,
         "passage_overlap_between": _q_passage_overlap_between,
@@ -5131,6 +5145,37 @@ def oracle_sql() -> dict[str, str]:
         # line-level boilerplate removal: posexplode ≡ zipped unnest with
         # generate_subscripts; the rebuild is string_agg ordered by the
         # original token position
+        # intra-doc repetition: rank each (doc, line)'s occurrences by
+        # position; occurrences >= min_repeats keep only rank 1
+        "remove_repeated_lines": """
+            WITH l AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(text, ' ')) AS ln,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+              FROM documents
+            ),
+            nz AS (SELECT * FROM l WHERE length(trim(ln)) > 0),
+            marked AS (
+              SELECT id, pos, ln,
+                     row_number() OVER (PARTITION BY id, ln ORDER BY pos) AS rn,
+                     count(*) OVER (PARTITION BY id, ln) AS occ
+              FROM nz
+            ),
+            rebuilt AS (
+              SELECT id,
+                     string_agg(CASE WHEN rn = 1 OR occ < 3 THEN ln END,
+                                ' ' ORDER BY pos) AS text_clean,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN rn = 1 OR occ < 3 THEN 1 ELSE 0 END)
+                         AS n_kept
+              FROM marked GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.text_clean, '') AS text_clean,
+                   CAST(coalesce(r.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id
+        """,
         "remove_duplicate_lines": f"""
             WITH {_sql_line_ctes()},
             counts AS (SELECT id, count(*) AS n_lines FROM nz GROUP BY id)

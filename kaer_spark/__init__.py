@@ -50,6 +50,7 @@ from kaer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     passage_overlap_between,
     remove_duplicate_lines,
+    remove_repeated_lines,
     remove_duplicate_passages,
     remove_duplicate_passages_against,
     semdedup,
@@ -151,6 +152,7 @@ __all__ = [
     "dedup_keep_best",
     "dedup_representatives",
     "remove_duplicate_lines",
+    "remove_repeated_lines",
     "remove_duplicate_passages",
     "remove_duplicate_passages_against",
     "passage_overlap_between",

@@ -35,6 +35,7 @@ from kaer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     passage_overlap_between,
     remove_duplicate_lines,
+    remove_repeated_lines,
     remove_duplicate_passages,
     remove_duplicate_passages_against,
     semdedup,
@@ -97,6 +98,7 @@ __all__ = [
     "dedup_representatives",
     "duplicate_passages",
     "remove_duplicate_lines",
+    "remove_repeated_lines",
     "remove_duplicate_passages",
     "remove_duplicate_passages_against",
     "passage_overlap_between",

@@ -1138,6 +1138,80 @@ def remove_duplicate_lines(
     )
 
 
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeats: int = 2,
+    sep: str = "\n",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Rewrite each document with its WITHIN-document repeated lines
+    collapsed to their first occurrence — the intra-doc sibling of
+    :func:`remove_duplicate_lines` (which removes corpus-wide
+    boilerplate entirely): a non-blank line occurring ``min_repeats``+
+    times in the SAME document keeps only its earliest occurrence,
+    everything else survives in original order. Output:
+    ``(id_col, text_clean, n_lines, n_kept)``.
+
+    This is the self-repetition cleanup scraped pages and chat logs need
+    (repeated nav blocks, quoted-reply pileups, copy-paste stutter) —
+    the signal Gopher's repetition rules (Rae et al. 2021 §A1.1) use to
+    DROP whole documents, applied as a transform that salvages them
+    instead. ``min_repeats`` > 2 keeps mild repetition (a line occurring
+    fewer than ``min_repeats`` times is untouched) and only collapses
+    the pathological repeats.
+
+    Scale shape: one narrow posexplode (rows = total lines), one window
+    pass partitioned by ``(id, line)`` ranking occurrences by position
+    (the shuffle is O(total lines), keyed within the document), and the
+    shared per-doc rebuild (collect_list of kept (pos, line) structs,
+    sorted — bounded by the longest document). No pair join, no UDF, no
+    collect; blank lines are formatting and are elided like the
+    corpus-level transform does.
+    """
+    if min_repeats < 2:
+        raise ValueError("min_repeats must be >= 2")
+    if join_sep is None:
+        join_sep = sep
+    lines = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "ln"),
+        )
+        .filter(F.length(F.trim("ln")) > 0)
+    )
+    w = Window.partitionBy("id", "ln")
+    marked = lines.withColumn(
+        "rn", F.row_number().over(w.orderBy("pos"))
+    ).withColumn("occ", F.count("*").over(w))
+    keep = (F.col("rn") == 1) | (F.col("occ") < int(min_repeats))
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "ln")))
+                ),
+                lambda s: s["ln"],
+            ),
+            join_sep,
+        ).alias("text_clean"),
+        F.count("*").alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-passage detection
 # ---------------------------------------------------------------------------

@@ -822,3 +822,39 @@ def test_dedup_cluster_stats_python_replay(spark):
     assert r["max_size"] == 3
     assert r["largest_cluster"] == 1  # size tie (3 vs 3) → min cluster id
     assert r["mean_size"] == 8 / 3
+
+
+def test_remove_repeated_lines_python_replay(spark):
+    """Intra-doc repetition: a line occurring min_repeats+ times in ONE
+    document keeps only its first occurrence; milder repetition and all
+    unique lines survive in order; blank lines elide; cross-document
+    repetition alone is untouched (that is remove_duplicate_lines' job)."""
+    import pytest
+
+    from kaer_spark.operators.dedup import remove_repeated_lines
+
+    rows = [
+        (1, "nav\nalpha\nnav\nbeta\nnav"),    # nav ×3 → keep first only
+        (2, "x\ny\nx"),                        # x ×2 < min_repeats=3 → keep both
+        (3, "nav\nnav\nnav\nnav"),             # all repeats → one survives
+        (4, "solo\n\n \nlines"),               # blanks elide
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+        for r in remove_repeated_lines(df, min_repeats=3).collect()
+    }
+    assert got[1] == ("nav\nalpha\nbeta", 5, 3)
+    assert got[2] == ("x\ny\nx", 3, 3)
+    assert got[3] == ("nav", 4, 1)
+    assert got[4] == ("solo\nlines", 2, 2)
+    assert got[5] == ("", 0, 0)
+    # min_repeats=2 = strict within-doc line dedup (keep first of any dup)
+    strict = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_repeated_lines(df, min_repeats=2).collect()
+    }
+    assert strict[2] == "x\ny"
+    with pytest.raises(ValueError):
+        remove_repeated_lines(df, min_repeats=1)
