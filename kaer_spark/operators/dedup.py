@@ -887,6 +887,7 @@ def dedup_clusters(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iterations: int = 20,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → one cluster id per doc.
 
@@ -897,23 +898,29 @@ def dedup_clusters(
     a pair, where ``cluster_id`` is the MINIMUM id in the component (so
     the cluster id is itself the deterministic representative to keep).
 
-    Checkpoints are LAZY (``eager=False``): each round's convergence sum
-    is the action that materializes that round's label checkpoint, so the
-    loop runs exactly ONE job per round (plus the final consumer) instead
-    of a materialize-then-sum pair — the r10→r11 closure-constant trim.
+    Adaptive execution (r11): the deduplicated edge COUNT is one bounded
+    aggregate over the already-checkpointed edges, and when it is at most
+    ``max_driver_edges`` the closure runs as a driver-side union-find
+    over the collected edge list — one job instead of O(diameter) shuffle
+    rounds, the same decision shape as a broadcast-join threshold (a
+    near-dup edge list under a million rows is a few MB; the fixture
+    graphs are thousands). Merging always attaches the larger root under
+    the smaller, so every component's root IS its minimum id — the
+    distributed path's min-label fixpoint, value-identical. Above the
+    threshold (web-scale dup graphs), the iterative min-label propagation
+    below runs unchanged.
 
-    Algorithm: iterative min-label propagation (the standard large-graph
-    connected-components shape — HashToMin): each round every node adopts
-    the smallest label among itself and its neighbors; converges in
-    O(diameter) rounds. Dedup components are near-cliques from banded
-    candidate generation, so diameter is tiny (2-3 hops); the loop exits
-    as soon as a round changes nothing. Per round: one shuffle
-    (groupBy node), with the edge list localCheckpointed once up front —
-    iterative lineage is truncated so round N's plan does not replay
-    rounds 1..N-1 (the classic iterative-DataFrame blowup).
+    Distributed path: HashToMin-style min-label propagation — each round
+    every node adopts the smallest label among itself and its neighbors;
+    converges in O(diameter) rounds (dedup components are near-cliques
+    from banded candidate generation, so diameter is tiny), exiting as
+    soon as a round changes nothing. Lazy checkpoints make each round's
+    convergence sum the action that materializes that round's labels —
+    ONE job per round, lineage truncated so round N never replays rounds
+    1..N-1.
 
     Non-relational by nature (a fixpoint), so driver checks are rows-only;
-    tests verify against a Python union-find on the collected edge list.
+    tests verify BOTH paths against a Python union-find reference.
     """
     edges = (
         pairs.select(
@@ -924,6 +931,30 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if int(max_driver_edges) > 0:
+        n_edges = edges.count()
+        if n_edges <= int(max_driver_edges):
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in edges.collect():
+                a, b = r["src"], r["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # larger root under smaller ⇒ root = min
+            out = [(x, find(x)) for x in parent]
+            return pairs.sparkSession.createDataFrame(
+                out, "id long, cluster_id long"
+            )
     # undirected: propagate labels both ways each round
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (

@@ -858,3 +858,24 @@ def test_remove_repeated_lines_python_replay(spark):
     assert strict[2] == "x\ny"
     with pytest.raises(ValueError):
         remove_repeated_lines(df, min_repeats=1)
+
+
+def test_dedup_clusters_distributed_path_matches_driver_path(spark):
+    """max_driver_edges=0 forces the distributed min-label propagation;
+    its fixpoint must equal the driver union-find's labels exactly (both
+    claim cluster_id = component minimum), including a chain whose
+    diameter needs several propagation rounds."""
+    from kaer_spark.operators.dedup import dedup_clusters
+
+    # a 7-node path graph (worst diameter), a triangle, and a pair
+    edges = [(i, i + 1) for i in range(1, 7)] + [(20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = {
+        (r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()
+    }
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in dedup_clusters(pairs, max_driver_edges=0).collect()
+    }
+    assert drv == dist
+    assert (7, 1) in drv and (22, 20) in drv and (31, 30) in drv
