@@ -72,6 +72,7 @@ HEADLINE = [
     "bigram_lm_scores",
     "token_budget_mix",
     "subword_budget",
+    "remove_repeated_lines",
     "dedup_minhash_between",
     "embedding_dups_between",
     "asof_nearest",
