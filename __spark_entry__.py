@@ -1918,6 +1918,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS = ["join", "hash", "scan"]  # high-df fixture vocabulary
 PACK_MAX_TOKENS = 2_048
 PACK_SHARDS = 8
+SHARD_MANIFEST_SHARDS = 8
 QUOTA_PER_SOURCE = 10
 SAMPLE_RATE_PERMILLE = 100  # ~10%
 # domain-reweighting mix: named sources keep these permille rates, the
@@ -2648,6 +2649,19 @@ def _q_pack_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding (operators.packing.shard_assign): docs
+    dealt to 8 shards boustrophedon over the global token-count-DESC
+    order — per-shard token totals spread ≤ one document. The global rank
+    is two-phase (range shuffle + per-range row_number + bounded offset
+    collect), never a one-reducer window."""
+    from kaer_spark.operators.packing import shard_assign, shard_manifest
+
+    return shard_manifest(
+        shard_assign(_t(spark, sf_dir, "documents"), SHARD_MANIFEST_SHARDS)
+    )
+
+
 def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """asof_join(tolerance=1h, backward): matches farther than the
     tolerance in the match direction are dropped to NULL — the staleness
@@ -2760,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "domain_quota_hash": _q_domain_quota_hash,
         "pack_overhead": _q_pack_overhead,
+        "shard_manifest": _q_shard_manifest,
         "asof_tolerance": _q_asof_tolerance,
         "duplicate_passages": _q_duplicate_passages,
         "streaming_dedup_against": _q_streaming_dedup_against,
@@ -4245,6 +4260,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM c GROUP BY 1, 2
+        """,
+        # serpentine deal over the global (n_tokens DESC, doc_id) order:
+        # row_number is the rank the engine computes two-phase
+        "shard_manifest": f"""
+            WITH t AS (SELECT doc_id, {_SQL_NTOK} AS n_tokens FROM documents),
+            r AS (
+              SELECT doc_id, n_tokens,
+                     CAST(row_number() OVER (
+                       ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rk
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN (rk // {SHARD_MANIFEST_SHARDS}) % 2 = 0
+                          THEN rk % {SHARD_MANIFEST_SHARDS}
+                          ELSE {SHARD_MANIFEST_SHARDS - 1} - (rk % {SHARD_MANIFEST_SHARDS})
+                     END AS shard
+              FROM r
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM s GROUP BY 1
         """,
         # backward as-of with a staleness cut: the latest match is the only
         # candidate that could be within tolerance (it has the max ts <= t),

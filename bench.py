@@ -63,6 +63,7 @@ HEADLINE = [
     "schemaless_exists",
     "bm25_scores",
     "pack_sequences",
+    "shard_manifest",
     "cohort_retention",
     "sliding_7d",
     "top_quality_docs",

@@ -78,3 +78,92 @@ def pack_stats(packed: DataFrame) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+    rank_partitions: int = 32,
+) -> DataFrame:
+    """Balanced output sharding: serpentine round-robin over the global
+    token-count order.
+
+    Writing a curated corpus as ``shards`` training files wants the files
+    token-balanced (a straggler shard = a straggler data-loader worker).
+    ``pack_sequences`` balances WITHIN a stream; this balances ACROSS the
+    output files. Deterministic rule: sort all docs by ``n_tokens`` DESC
+    (ties by id), 0-based global rank ``r``, then boustrophedon
+    round-robin —
+
+        shard(r) = r % S          if (r DIV S) even
+                   S-1 - (r % S)  if (r DIV S) odd
+
+    so every window of 2S consecutive ranks gives each shard one
+    larger-half and one smaller-half doc; the final spread is bounded by
+    a single document's count, independent of corpus size (the classic
+    folded-deal LPT approximation — greedy LPT itself is inherently
+    sequential and not replayable in SQL).
+
+    Scale shape: Spark has no scalable global ``row_number`` (a single
+    unpartitioned window is one reducer), so the rank is two-phase —
+    ``repartitionByRange`` on the sort key (the same machinery as a
+    global ``orderBy``; ~terasort, known to hold at 100 TB), per-range
+    ``row_number``, then per-range counts (≤ ``rank_partitions`` rows)
+    collected once and rejoined broadcast as rank offsets. Total cost:
+    one range shuffle + one bounded collect; no global window, no driver
+    loop over rows. Exactness does not depend on the range boundaries
+    (only on ranges being ordered, which RangePartitioner guarantees);
+    the key ``(n_tokens DESC, id ASC)`` is a total order, so the rank —
+    and therefore the assignment — is engine-reproducible.
+    """
+    if shards <= 0:
+        raise ValueError("shards must be positive")
+    if rank_partitions <= 0:
+        raise ValueError("rank_partitions must be positive")
+    toks = tokens_col if tokens_col is not None else token_count(text_col)
+    out = df.withColumn("n_tokens", toks.cast("long"))
+    key = [F.col("n_tokens").desc(), F.col(id_col).asc()]
+    ranged = out.repartitionByRange(int(rank_partitions), *key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # bounded collect: one row per range partition, never per data row
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid INT, __off LONG")
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*key)
+    )
+    rank = (F.col("__off") + F.col("__lr") - F.lit(1)).cast("long")
+    block_odd = F.expr(f"pmod(rank DIV {int(shards)}, 2) = 1")
+    pos = F.pmod(F.col("rank"), F.lit(int(shards)))
+    return (
+        ranged.withColumn("__lr", local)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("rank", rank)
+        .withColumn(
+            "shard",
+            F.when(block_odd, F.lit(int(shards) - 1) - pos).otherwise(pos),
+        )
+        .drop("__pid", "__lr", "__off")
+    )
+
+
+def shard_manifest(assigned: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-shard manifest of a ``shard_assign`` output — the report a
+    writer job would use to name/size the output files."""
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    )

@@ -890,3 +890,78 @@ def test_subword_segment_agrees_with_build_vocab(spark):
         assert r["n_words"] == 4
         assert r["n_subwords"] == 4  # each word = one vocab unit
         assert r["n_unk_chars"] == 0
+
+
+# ---------------------------------------------------------------------------
+# shard_assign / shard_manifest
+
+
+def _serpentine_replay(rows, shards):
+    """Pure-Python replay: sort by (tokens DESC, id ASC), folded deal."""
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    out = {}
+    for rank, (did, _tok) in enumerate(order):
+        block, pos = divmod(rank, shards)
+        out[did] = pos if block % 2 == 0 else shards - 1 - pos
+    return out
+
+
+def test_shard_assign_matches_python_replay(documents):
+    from kaer_spark.operators.packing import shard_assign
+
+    got = {
+        r["doc_id"]: (r["shard"], r["rank"], r["n_tokens"])
+        for r in shard_assign(documents, 8).collect()
+    }
+    rows = [
+        (r["doc_id"], len(r["text"].strip().split()) if r["text"].strip() else 0)
+        for r in documents.select("doc_id", "text").collect()
+    ]
+    want = _serpentine_replay(rows, 8)
+    assert len(got) == len(rows)
+    toks = dict(rows)
+    for did, (shard, rank, n_tokens) in got.items():
+        assert shard == want[did], (did, shard, want[did])
+        assert n_tokens == toks[did]
+    # global rank is a permutation of 0..n-1
+    assert sorted(r[1] for r in got.values()) == list(range(len(rows)))
+
+
+def test_shard_assign_balance_and_determinism(documents):
+    from kaer_spark.operators.packing import shard_assign, shard_manifest
+
+    man = {
+        r["shard"]: (r["n_docs"], r["sum_tokens"])
+        for r in shard_manifest(shard_assign(documents, 8)).collect()
+    }
+    assert set(man) == set(range(8))
+    sums = [v[1] for v in man.values()]
+    max_doc = documents.select(
+        F.max(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    # folded-deal guarantee: spread bounded by one document's count
+    assert max(sums) - min(sums) <= max_doc
+    # determinism across independent evaluations
+    again = {
+        r["shard"]: (r["n_docs"], r["sum_tokens"])
+        for r in shard_manifest(shard_assign(documents, 8)).collect()
+    }
+    assert again == man
+
+
+def test_shard_assign_edges(spark, documents):
+    from kaer_spark.operators.packing import shard_assign, shard_manifest
+
+    with pytest.raises(ValueError):
+        shard_assign(documents, 0)
+    with pytest.raises(ValueError):
+        shard_assign(documents, 4, rank_partitions=0)
+    # shards=1: everything in shard 0, ranks still a permutation
+    one = shard_manifest(shard_assign(documents.limit(5), 1)).collect()
+    assert len(one) == 1 and one[0]["shard"] == 0 and one[0]["n_docs"] == 5
+    # more shards than rows: each row its own shard (block 0 only)
+    few = shard_assign(documents.limit(3), 100).collect()
+    assert sorted(r["shard"] for r in few) == [0, 1, 2]
+    # empty input
+    empty = documents.limit(0)
+    assert shard_assign(empty, 4).count() == 0

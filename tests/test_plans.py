@@ -415,3 +415,19 @@ def test_passage_overlap_between_plan_shape(documents):
     assert "Python" not in plan
     assert "LeftSemi" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_shard_assign_no_global_window(documents):
+    """The balanced-shard rank is two-phase: a rangepartitioning exchange
+    (the scalable global-sort machinery) + a per-range row_number — never
+    a one-reducer global window, cartesian, or Python. The offset join
+    broadcasts the ≤rank_partitions-row side."""
+    from kaer_spark.operators.packing import shard_assign
+
+    df = shard_assign(documents, 8)
+    plan = executed_plan(df)
+    assert "rangepartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert has_broadcast_join(df)
