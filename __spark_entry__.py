@@ -1919,6 +1919,7 @@ BM25_TERMS = ["join", "hash", "scan"]  # high-df fixture vocabulary
 PACK_MAX_TOKENS = 2_048
 PACK_SHARDS = 8
 SHARD_MANIFEST_SHARDS = 8
+BPE_MERGES = 6
 QUOTA_PER_SOURCE = 10
 SAMPLE_RATE_PERMILLE = 100  # ~10%
 # domain-reweighting mix: named sources keep these permille rates, the
@@ -2527,6 +2528,18 @@ def _q_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subword_segment_counts(docs, top.unionByName(alphabet))
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge rules (ranking.bpe_train_merges): classic
+    Sennrich-style training — most frequent adjacent symbol pair, ties
+    lexicographic, greedy left-to-right fusion — as one corpus-sized
+    (word, freq) aggregate plus per-round vocab-table pair counts with a
+    1-row argmax collect; the fusion is a separator-encoded whole-stage
+    string replace, no UDF. The oracle unrolls the same rounds as CTEs."""
+    from kaer_spark.operators.ranking import bpe_merges_df
+
+    return bpe_merges_df(_t(spark, sf_dir, "documents"), BPE_MERGES)
+
+
 def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus passage contamination report (dedup.
     passage_overlap_between) on the parity split: per even-id doc, the
@@ -2755,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "vocab_coverage": _q_vocab_coverage,
         "subword_budget": _q_subword_budget,
+        "bpe_merges": _q_bpe_merges,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3487,6 +3501,63 @@ _SQL_NTOK = (
     "CAST(CASE WHEN trim(text) = '' THEN 0"
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 )
+
+
+def _sql_bpe_merges(merges: int) -> str:
+    """The BPE training loop unrolled as CTEs: round i counts adjacent
+    symbol pairs of the separator-encoded state s{i}, takes the argmax
+    with the engine's exact tie-break, and applies the same
+    left-to-right replace to form s{i+1}. ``chr(31)`` is BPE_SEP."""
+    sep1 = "chr(31)"
+    sep2 = "repeat(chr(31), 2)"
+    ctes = [
+        f"""
+        s0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS freq,
+                 {sep2} || array_to_string(
+                   regexp_split_to_array(w, ''), {sep2}) || {sep2} AS s
+          FROM (
+            SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END) AS w
+            FROM documents
+          )
+          WHERE NOT contains(w, {sep1})
+          GROUP BY w
+        )"""
+    ]
+    for i in range(merges):
+        ctes.append(
+            f"""
+        p{i} AS (
+          SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+            SELECT freq,
+                   unnest(arr[1:len(arr) - 1]) AS lhs,
+                   unnest(arr[2:len(arr)]) AS rhs
+            FROM (SELECT freq, list_filter(string_split(s, {sep2}),
+                                           x -> x != '') AS arr
+                  FROM s{i})
+          ) GROUP BY lhs, rhs
+        ),
+        b{i} AS (
+          SELECT lhs, rhs, pair_count FROM p{i}
+          ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+        ),
+        s{i + 1} AS (
+          SELECT freq, replace(s, {sep1} || lhs || {sep2} || rhs || {sep1},
+                               {sep1} || lhs || rhs || {sep1}) AS s
+          FROM s{i}, b{i}
+        )"""
+        )
+    steps = "\n          UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, pair_count FROM b{i}"
+        for i in range(merges)
+    )
+    return "WITH " + ",".join(ctes) + f"""
+        SELECT step, lhs, rhs, pair_count FROM (
+          {steps}
+        )
+    """
 
 
 def _sql_budget_case(budgets: dict[str, int], default: int) -> str:
@@ -5382,6 +5453,7 @@ def oracle_sql() -> dict[str, str]:
         # vocab piece matching at each position; the recursion advances
         # by max(step, 1), counting units and UNK chars — the same
         # WordPiece rule the engine folds with a linear aggregate
+        "bpe_merges": _sql_bpe_merges(BPE_MERGES),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

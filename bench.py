@@ -73,6 +73,7 @@ HEADLINE = [
     "bigram_lm_scores",
     "token_budget_mix",
     "subword_budget",
+    "bpe_merges",
     "remove_repeated_lines",
     "dedup_minhash_between",
     "embedding_dups_between",

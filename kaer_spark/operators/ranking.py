@@ -630,3 +630,112 @@ def subword_segment_counts(
             F.coalesce("n_unk_chars", F.lit(0)).cast("long").alias("n_unk_chars"),
         )
     )
+
+
+#: Symbol separator for BPE training state — a control char that cannot
+#: appear in whitespace tokens of normal text; words containing it are
+#: excluded from training (documented contract, zero rows on real corpora).
+BPE_SEP = "\x1f"
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    merges: int,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``merges`` byte-pair-encoding merge rules from the corpus —
+    the training half of the tokenizer-prep story (``build_vocab`` ranks
+    whole words, ``subword_segment_counts`` applies a vocabulary; this
+    LEARNS the subword units the way GPT-2/LLaMA tokenizers are built).
+
+    Classic BPE (Sennrich et al. 2016) on the word-frequency table: start
+    from character symbols, repeatedly take the most frequent adjacent
+    symbol pair (ties: lexicographically smallest left, then right — the
+    deterministic tie-break) and fuse it everywhere. Returns
+    ``[(step, lhs, rhs, pair_count), ...]`` — fewer than ``merges`` rows
+    if the corpus runs out of distinct pairs.
+
+    Spark-first shape: ONE corpus-sized job (lowercased whitespace token
+    explode → (word, freq) aggregate, the same shape as ``build_vocab``),
+    then every round runs on the distinct-WORD table, whose size is
+    corpus-independent (Heaps' law: ~millions of rows at 100 TB, not
+    trillions). Each round is a pair-count aggregate plus a 1-row
+    bounded collect for the argmax; the merge application is a plain
+    ``replace`` on a separator-encoded symbol string —
+
+        state    =  SEP SEP sym1 SEP SEP sym2 SEP SEP ... SEP SEP
+        pattern  =  SEP l SEP SEP r SEP   →   SEP l·r SEP
+
+    which is exactly left-to-right non-overlapping greedy fusion (the
+    doubled separator keeps one SEP of context on each side, so a shared
+    boundary never hides the next occurrence and a symbol-SUFFIX never
+    false-matches), in whole-stage-codegen string ops — no UDF, no
+    per-round corpus pass, and the whole procedure replays in ANSI SQL
+    (the driver oracle unrolls the rounds as CTEs).
+    """
+    if merges <= 0:
+        raise ValueError("merges must be positive")
+    sep2 = BPE_SEP + BPE_SEP
+    words = (
+        docs.select(F.explode(F.transform(tokens(text_col), F.lower)).alias("w"))
+        .filter(~F.col("w").contains(BPE_SEP))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "s",
+            # '.' in Java regex matches a full CODE POINT (a surrogate
+            # pair stays one symbol), matching RE2's ''-split in the
+            # oracle; split("") would shear non-BMP chars into halves
+            F.concat(
+                F.lit(sep2),
+                F.array_join(
+                    F.regexp_extract_all("w", F.lit("."), 0), sep2
+                ),
+                F.lit(sep2),
+            ),
+        )
+        .drop("w")
+        # pin the one corpus-sized aggregate; rounds replay only the
+        # (constant-depth) replace lineage over this vocab-sized table
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple[int, str, str, int]] = []
+    for step in range(int(merges)):
+        syms = words.withColumn(
+            "arr", F.filter(F.split("s", sep2), lambda c: c != "")
+        ).filter(F.size("arr") >= 2)
+        pairs = (
+            syms.withColumn("a1", F.slice("arr", 1, F.size("arr") - 1))
+            .withColumn("a2", F.slice("arr", 2, F.size("arr") - 1))
+            .select("freq", F.explode(F.arrays_zip("a1", "a2")).alias("p"))
+            .groupBy(F.col("p.a1").alias("lhs"), F.col("p.a2").alias("rhs"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1).collect()
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        learned.append((step, lhs, rhs, int(cnt)))
+        words = words.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + lhs + sep2 + rhs + BPE_SEP),
+                F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
+            ),
+        )
+    return learned
+
+
+def bpe_merges_df(
+    docs: DataFrame, merges: int, text_col: str = "text"
+) -> DataFrame:
+    """``bpe_train_merges`` as a DataFrame ``(step, lhs, rhs,
+    pair_count)`` — the driver-query/oracle surface."""
+    spark = docs.sparkSession
+    rows = bpe_train_merges(docs, merges, text_col=text_col)
+    return spark.createDataFrame(
+        rows or [], "step BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
+    )

@@ -965,3 +965,81 @@ def test_shard_assign_edges(spark, documents):
     # empty input
     empty = documents.limit(0)
     assert shard_assign(empty, 4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges
+
+
+def _bpe_replay(words, k):
+    """Pure-Python classic BPE on a (word, freq) table: most frequent
+    adjacent pair, ties to lexicographically smallest, greedy
+    left-to-right fusion."""
+    from collections import Counter
+
+    state = [(list(w), f) for w, f in words]
+    out = []
+    for step in range(k):
+        counts = Counter()
+        for syms, f in state:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (l, r), c = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        out.append((step, l, r, c))
+        nxt = []
+        for syms, f in state:
+            fused, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    fused.append(l + r)
+                    i += 2
+                else:
+                    fused.append(syms[i])
+                    i += 1
+            nxt.append((fused, f))
+        state = nxt
+    return out
+
+
+def test_bpe_train_matches_python_replay(documents):
+    from collections import Counter
+
+    from kaer_spark.operators.ranking import bpe_train_merges
+
+    got = bpe_train_merges(documents, 5)
+    wf = Counter()
+    for r in documents.select("text").collect():
+        for w in r["text"].strip().lower().split():
+            wf[w] += 1
+    want = _bpe_replay(sorted(wf.items()), 5)
+    assert got == want
+    assert len(got) == 5  # real corpus never runs dry in 5 merges
+
+
+def test_bpe_overlap_and_suffix_semantics(spark):
+    """The separator-encoded replace must be greedy left-to-right ('a a a'
+    fuses once, not twice) and must never match a symbol SUFFIX (learning
+    (a,x) must not fuse inside (ba,x))."""
+    from kaer_spark.operators.ranking import bpe_train_merges
+
+    rows = [(0, "aaa aaa"), (1, "ax"), (2, "bax bax bax")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = [("aaa", 2), ("ax", 1), ("bax", 3)]
+    want = _bpe_replay(sorted(wf), 4)
+    got = bpe_train_merges(docs, 4)
+    assert got == want
+
+
+def test_bpe_edges(spark):
+    from kaer_spark.operators.ranking import bpe_merges_df, bpe_train_merges
+
+    with pytest.raises(ValueError):
+        bpe_train_merges(spark.range(0).selectExpr("'' AS text"), 0)
+    # single-char words only: no pairs, zero merges
+    docs = spark.createDataFrame([(0, "a b c a")], "doc_id long, text string")
+    assert bpe_train_merges(docs, 3) == []
+    assert bpe_merges_df(docs, 3).count() == 0
