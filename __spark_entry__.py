@@ -2540,6 +2540,16 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(_t(spark, sf_dir, "documents"), BPE_MERGES)
 
 
+def _q_bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token budgets under the LEARNED 6-merge BPE (ranking.
+    bpe_token_counts): the trained state is the segmentation, so apply =
+    one symbol count per distinct word + the occurrences join-back /
+    per-doc aggregate; zero-token docs report (0, 0)."""
+    from kaer_spark.operators.ranking import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"), BPE_MERGES)
+
+
 def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus passage contamination report (dedup.
     passage_overlap_between) on the parity split: per even-id doc, the
@@ -2769,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "subword_budget": _q_subword_budget,
         "bpe_merges": _q_bpe_merges,
+        "bpe_learned_tokens": _q_bpe_learned_tokens,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3503,17 +3514,20 @@ _SQL_NTOK = (
 )
 
 
-def _sql_bpe_merges(merges: int) -> str:
+def _sql_bpe_ctes(merges: int) -> str:
     """The BPE training loop unrolled as CTEs: round i counts adjacent
     symbol pairs of the separator-encoded state s{i}, takes the argmax
     with the engine's exact tie-break, and applies the same
-    left-to-right replace to form s{i+1}. ``chr(31)`` is BPE_SEP."""
+    left-to-right replace to form s{i+1}. ``chr(31)`` is BPE_SEP; ``w``
+    rides along so the final state doubles as the per-word segmentation.
+    On an all-pairs-exhausted corpus b{i} is empty and the cross join
+    empties every later state, mirroring the engine's early break."""
     sep1 = "chr(31)"
     sep2 = "repeat(chr(31), 2)"
     ctes = [
         f"""
         s0 AS (
-          SELECT CAST(count(*) AS BIGINT) AS freq,
+          SELECT w, CAST(count(*) AS BIGINT) AS freq,
                  {sep2} || array_to_string(
                    regexp_split_to_array(w, ''), {sep2}) || {sep2} AS s
           FROM (
@@ -3544,19 +3558,56 @@ def _sql_bpe_merges(merges: int) -> str:
           ORDER BY pair_count DESC, lhs, rhs LIMIT 1
         ),
         s{i + 1} AS (
-          SELECT freq, replace(s, {sep1} || lhs || {sep2} || rhs || {sep1},
-                               {sep1} || lhs || rhs || {sep1}) AS s
+          SELECT w, freq,
+                 replace(s, {sep1} || lhs || {sep2} || rhs || {sep1},
+                         {sep1} || lhs || rhs || {sep1}) AS s
           FROM s{i}, b{i}
         )"""
         )
+    return "WITH " + ",".join(ctes)
+
+
+def _sql_bpe_merges(merges: int) -> str:
     steps = "\n          UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, pair_count FROM b{i}"
         for i in range(merges)
     )
-    return "WITH " + ",".join(ctes) + f"""
+    return _sql_bpe_ctes(merges) + f"""
         SELECT step, lhs, rhs, pair_count FROM (
           {steps}
         )
+    """
+
+
+def _sql_bpe_token_counts(merges: int) -> str:
+    """Per-doc counts from the final training state s{merges}: the
+    symbol count of each distinct word, joined back to occurrences."""
+    sep1 = "chr(31)"
+    sep2 = "repeat(chr(31), 2)"
+    return _sql_bpe_ctes(merges) + f""",
+        per_word AS (
+          SELECT w, CAST(len(list_filter(string_split(s, {sep2}),
+                                         x -> x != '')) AS BIGINT) AS n_units
+          FROM s{merges}
+        ),
+        occ AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END) AS w
+            FROM documents
+          ) WHERE NOT contains(w, {sep1})
+        ),
+        per_doc AS (
+          SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(per_word.n_units) AS BIGINT) AS n_bpe_tokens
+          FROM occ JOIN per_word USING (w) GROUP BY occ.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(per_doc.n_words, 0) AS n_words,
+               COALESCE(per_doc.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
     """
 
 
@@ -5454,6 +5505,7 @@ def oracle_sql() -> dict[str, str]:
         # by max(step, 1), counting units and UNK chars — the same
         # WordPiece rule the engine folds with a linear aggregate
         "bpe_merges": _sql_bpe_merges(BPE_MERGES),
+        "bpe_learned_tokens": _sql_bpe_token_counts(BPE_MERGES),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

@@ -673,6 +673,15 @@ def bpe_train_merges(
     per-round corpus pass, and the whole procedure replays in ANSI SQL
     (the driver oracle unrolls the rounds as CTEs).
     """
+    return _bpe_train(docs, merges, text_col)[0]
+
+
+def _bpe_train(
+    docs: DataFrame, merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared training loop → (learned merges, final per-distinct-word
+    state ``(w, freq, s)`` with ``s`` the separator-encoded symbols —
+    the trained state IS the segmentation of every corpus word)."""
     if merges <= 0:
         raise ValueError("merges must be positive")
     sep2 = BPE_SEP + BPE_SEP
@@ -694,7 +703,6 @@ def bpe_train_merges(
                 F.lit(sep2),
             ),
         )
-        .drop("w")
         # pin the one corpus-sized aggregate; rounds replay only the
         # (constant-depth) replace lineage over this vocab-sized table
         .localCheckpoint(eager=True)
@@ -726,7 +734,7 @@ def bpe_train_merges(
                 F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
             ),
         )
-    return learned
+    return learned, words
 
 
 def bpe_merges_df(
@@ -738,4 +746,51 @@ def bpe_merges_df(
     rows = bpe_train_merges(docs, merges, text_col=text_col)
     return spark.createDataFrame(
         rows or [], "step BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token counts under the LEARNED ``merges``-rule BPE →
+    ``(id_col, n_words, n_bpe_tokens)`` — the apply half of
+    :func:`bpe_train_merges`, giving ``token_budget_mix`` a budget in
+    units of the tokenizer you just trained rather than the regex
+    estimate (``functions.text.bpe_token_count``) or a fixed external
+    vocabulary (``subword_segment_counts``).
+
+    The trained state already IS the segmentation: after the k-th merge,
+    a word's symbol string holds exactly its BPE units, so applying = one
+    symbol count per DISTINCT word plus the same occurrences join-back /
+    per-doc aggregate shape as ``subword_segment_counts`` (zero-token
+    docs report (0, 0)). Words containing the reserved separator are
+    excluded from training AND counting (zero such words on real text).
+    """
+    sep2 = BPE_SEP + BPE_SEP
+    _, words = _bpe_train(docs, merges, text_col)
+    per_word = words.select(
+        "w",
+        F.size(
+            F.filter(F.split("s", sep2), lambda c: c != "")
+        ).cast("long").alias("n_units"),
+    )
+    occurrences = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("w"),
+    ).filter(~F.col("w").contains(BPE_SEP))
+    per_doc = occurrences.join(per_word, "w").groupBy("id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_units").alias("n_bpe_tokens"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
     )

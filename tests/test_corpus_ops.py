@@ -1043,3 +1043,45 @@ def test_bpe_edges(spark):
     docs = spark.createDataFrame([(0, "a b c a")], "doc_id long, text string")
     assert bpe_train_merges(docs, 3) == []
     assert bpe_merges_df(docs, 3).count() == 0
+
+
+def test_bpe_token_counts_matches_replay(documents):
+    from collections import Counter
+
+    from kaer_spark.operators.ranking import bpe_token_counts
+
+    k = 4
+    wf = Counter()
+    doc_words = {}
+    for r in documents.select("doc_id", "text").collect():
+        ws = r["text"].strip().lower().split()
+        doc_words[r["doc_id"]] = ws
+        for w in ws:
+            wf[w] += 1
+    # replay training to get final per-word unit counts
+    state = {w: [c for c in w] for w in wf}
+    merges = _bpe_replay(sorted(wf.items()), k)
+    for _step, l, rgt, _c in merges:
+        for w, syms in state.items():
+            fused, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                    fused.append(l + rgt)
+                    i += 2
+                else:
+                    fused.append(syms[i])
+                    i += 1
+            state[w] = fused
+    want = {
+        did: (len(ws), sum(len(state[w]) for w in ws))
+        for did, ws in doc_words.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(documents, k).collect()
+    }
+    assert got == want
+    # merges strictly shrink the corpus token total vs characters
+    total_units = sum(v[1] for v in got.values())
+    total_chars = sum(len(w) for ws in doc_words.values() for w in ws)
+    assert total_units < total_chars
