@@ -2550,6 +2550,19 @@ def _q_bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_t(spark, sf_dir, "documents"), BPE_MERGES)
 
 
+def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer second moments of the embedding corpus (operators.
+    pca.embedding_moments): per-batch numpy integer Gram partials over
+    mapInPandas (vectors never shuffle — only d²-sized partials), folded
+    by one map-side-combined (i, j) aggregate in DECIMAL(38,0). The
+    quantization q = floor(x·2^20 + 0.5) is exact float64 arithmetic, so
+    every engine reproduces the same integers — this is the fit input
+    for pca_components/pca_whiten (SemDeDup-style preprocessing)."""
+    from kaer_spark.operators.pca import embedding_moments
+
+    return embedding_moments(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus passage contamination report (dedup.
     passage_overlap_between) on the parity split: per even-id doc, the
@@ -2780,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_budget": _q_subword_budget,
         "bpe_merges": _q_bpe_merges,
         "bpe_learned_tokens": _q_bpe_learned_tokens,
+        "embedding_gram": _q_embedding_gram,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3565,6 +3579,40 @@ def _sql_bpe_ctes(merges: int) -> str:
         )"""
         )
     return "WITH " + ",".join(ctes)
+
+
+def _sql_embedding_gram(dim: int) -> str:
+    """embedding_moments replayed relationally: quantize each component
+    with the same exact float64 floor(x·2^20 + 0.5), then integer sums —
+    order-free, so the parallel fold and this scan agree bit-for-bit."""
+    q = "CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS HUGEINT)"
+    return f"""
+        WITH q AS (
+          SELECT list_transform(embedding, x -> {q}) AS qv
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0
+        ),
+        gram AS (
+          SELECT i.i - 1 AS i, j.j - 1 AS j,
+                 CAST(sum(qv[i.i] * qv[j.j]) AS DECIMAL(38, 0)) AS s
+          FROM q, range(1, {dim + 1}) i(i), range(1, {dim + 1}) j(j)
+          WHERE j.j >= i.i GROUP BY 1, 2
+        ),
+        firsts AS (
+          SELECT i.i - 1 AS i, -1 AS j,
+                 CAST(sum(qv[i.i]) AS DECIMAL(38, 0)) AS s
+          FROM q, range(1, {dim + 1}) i(i) GROUP BY 1
+        ),
+        cnt AS (
+          SELECT -1 AS i, -1 AS j, CAST(count(*) AS DECIMAL(38, 0)) AS s
+          FROM q
+        )
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, s FROM (
+          SELECT * FROM gram
+          UNION ALL SELECT * FROM firsts
+          UNION ALL SELECT * FROM cnt
+        )
+    """
 
 
 def _sql_bpe_merges(merges: int) -> str:
@@ -5506,6 +5554,7 @@ def oracle_sql() -> dict[str, str]:
         # WordPiece rule the engine folds with a linear aggregate
         "bpe_merges": _sql_bpe_merges(BPE_MERGES),
         "bpe_learned_tokens": _sql_bpe_token_counts(BPE_MERGES),
+        "embedding_gram": _sql_embedding_gram(len(QVEC)),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

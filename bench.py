@@ -33,11 +33,8 @@ HEADLINE = [
     "tpch_q8",
     "tpch_q17",
     "tpch_q2",
-    "tpch_q4",
     "tpch_q9",
     "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
     "tpch_q20",
     "tpch_q21",
     "revenue_by_nation",
@@ -74,6 +71,7 @@ HEADLINE = [
     "token_budget_mix",
     "subword_budget",
     "bpe_merges",
+    "embedding_gram",
     "remove_repeated_lines",
     "dedup_minhash_between",
     "embedding_dups_between",
