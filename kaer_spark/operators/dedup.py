@@ -1796,6 +1796,7 @@ def semdedup(
     cells: int = 8,
     threshold: float = 0.95,
     keep: str = "far",
+    whiten: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings into cells, find
     near-duplicate groups by pairwise cosine WITHIN each cell, and keep
@@ -1818,6 +1819,14 @@ def semdedup(
     corpus shuffles once on the cell key for the pair join; centroids are
     a ``cells``-row driver list broadcast into expressions; nothing else
     is collected.
+
+    ``whiten=k`` first projects every embedding onto the corpus's top-k
+    whitened principal axes (:func:`kaer_spark.operators.pca.pca_whiten`)
+    and runs the whole pipeline in that k-dim space — decorrelated,
+    unit-variance coordinates, so one dominant raw dimension can no
+    longer drown the cosine (the preprocessing SemDeDup-style pipelines
+    apply before clustering). Adds one bounded moments pass; the
+    projection itself is scan-shaped codegen.
     """
     if keep not in ("far", "min_id"):
         raise ValueError(f"keep must be 'far' or 'min_id', got {keep!r}")
@@ -1826,6 +1835,15 @@ def semdedup(
         ivf_assign_deterministic,
         ivf_fit_spread,
     )
+
+    if whiten is not None:
+        from kaer_spark.operators.pca import pca_whiten
+
+        proj = pca_whiten(df, int(whiten), vec_col=vec_col)
+        df = proj.withColumn(
+            vec_col,
+            F.array(*[F.col(f"p{i}") for i in range(int(whiten))]),
+        ).drop(*[f"p{i}" for i in range(int(whiten))])
 
     cents = ivf_fit_spread(df, vec_col=vec_col, id_col=id_col, cells=cells)
     assigned = ivf_assign_deterministic(df, cents, vec_col)

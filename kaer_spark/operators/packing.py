@@ -129,6 +129,13 @@ def shard_assign(
     ranged = out.repartitionByRange(int(rank_partitions), *key).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # The counts job and the final job each re-execute this range shuffle;
+    # the offsets keyed on __pid stay valid across them because (a) the
+    # RangePartitioner's boundary sample is seeded per partition index —
+    # identical input splits give identical boundaries — and (b) AQE never
+    # coalesces an explicit REPARTITION_BY_NUM exchange, so the partition
+    # index spark_partition_id() reports is the same function of the data
+    # in both executions.
     # bounded collect: one row per range partition, never per data row
     counts = sorted(
         (r["__pid"], r["cnt"])

@@ -106,3 +106,24 @@ def test_pca_edges(spark, embeddings):
     empty = embeddings.limit(0)
     with pytest.raises(ValueError):
         pca_components(empty, 2)
+
+
+def test_semdedup_whiten_equals_manual_projection(embeddings):
+    """semdedup(whiten=k) must equal projecting first and running the
+    un-whitened pipeline on the projected vectors."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.dedup import semdedup
+
+    k = 4
+    auto = semdedup(embeddings, whiten=k, threshold=0.9).collect()
+    manual_src = pca_whiten(embeddings, k).withColumn(
+        "embedding", F.array(*[F.col(f"p{i}") for i in range(k)])
+    ).drop(*[f"p{i}" for i in range(k)])
+    manual = semdedup(manual_src, threshold=0.9).collect()
+    key = lambda rows: sorted(
+        (r["vec_id"], r["cell"], r["cluster_id"], r["keep"]) for r in rows
+    )
+    assert key(auto) == key(manual)
+    # shape contract: every vec labeled, exactly one keeper per cluster
+    assert len(auto) == embeddings.count()
