@@ -1920,6 +1920,7 @@ PACK_MAX_TOKENS = 2_048
 PACK_SHARDS = 8
 SHARD_MANIFEST_SHARDS = 8
 BPE_MERGES = 6
+MINHASH_RECALL_PERMILLE = 500
 QUOTA_PER_SOURCE = 10
 SAMPLE_RATE_PERMILLE = 100  # ~10%
 # domain-reweighting mix: named sources keep these permille rates, the
@@ -2550,6 +2551,23 @@ def _q_bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_t(spark, sf_dir, "documents"), BPE_MERGES)
 
 
+def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall measured against exact ground truth (dedup.
+    minhash_recall_report) on the deterministic 50% LCG sample — the
+    eval that validates band/row settings: uncapped exact Jaccard is
+    quadratic in shingle document frequency, so production measures it
+    on a bounded sample; the verified-candidate subset invariant makes
+    the report one aggregate, no pair join."""
+    from kaer_spark.operators.dedup import minhash_recall_report
+
+    return minhash_recall_report(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+        sample_permille=MINHASH_RECALL_PERMILLE,
+    )
+
+
 def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer second moments of the embedding corpus (operators.
     pca.embedding_moments): per-batch numpy integer Gram partials over
@@ -2794,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_learned_tokens": _q_bpe_learned_tokens,
         "embedding_gram": _q_embedding_gram,
+        "minhash_recall": _q_minhash_recall,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3079,18 +3098,26 @@ def _sql_simhash() -> str:
     """
 
 
-def _sql_jaccard_pairs() -> str:
+def _sql_jaccard_pairs(
+    max_df: int | None = JACCARD_MAX_DF, extra_where: str = ""
+) -> str:
+    cap = (
+        f"""
+        keep AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {max_df}),
+        inv AS (SELECT id, g FROM inv0 JOIN keep USING (g)),"""
+        if max_df is not None
+        else """
+        inv AS (SELECT id, g FROM inv0),"""
+    )
     n = JACCARD_N
     return f"""
         WITH sh AS (
           SELECT doc_id AS id,
                  list_distinct(list_transform(range(1, length(text) - {n - 2}),
                                               i -> substr(text, i, {n}))) AS shingles
-          FROM documents WHERE length(text) >= {n}
+          FROM documents WHERE length(text) >= {n} {extra_where}
         ),
-        inv0 AS (SELECT id, unnest(shingles) AS g FROM sh),
-        keep AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {JACCARD_MAX_DF}),
-        inv AS (SELECT id, g FROM inv0 JOIN keep USING (g)),
+        inv0 AS (SELECT id, unnest(shingles) AS g FROM sh),{cap}
         sizes AS (SELECT id, count(*) AS sz FROM inv GROUP BY id),
         pairs AS (
           SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -3319,7 +3346,7 @@ def _sql_lang_id_counts() -> str:
     """
 
 
-def _sql_minhash() -> str:
+def _sql_minhash(extra_where: str = "") -> str:
     from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
 
     n = JACCARD_N
@@ -3342,7 +3369,7 @@ def _sql_minhash() -> str:
           SELECT doc_id AS id,
                  list_distinct(list_transform(range(1, length(text) - {n - 2}),
                                               i -> substr(text, i, {n}))) AS shingles
-          FROM documents WHERE length(text) >= {n}
+          FROM documents WHERE length(text) >= {n} {extra_where}
         ),
         fps AS (SELECT id, shingles,
                        list_transform(shingles, s -> {_sql_poly_hash('s')}) AS fps
@@ -3526,6 +3553,30 @@ _SQL_NTOK = (
     "CAST(CASE WHEN trim(text) = '' THEN 0"
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 )
+
+
+def _sql_minhash_recall() -> str:
+    """minhash_recall_report replayed: uncapped exact-Jaccard truth and
+    the banded+verified pair set, both on the same LCG sample; recall is
+    the same float64 division."""
+    wh = (
+        f"AND ({_sql_lcg_hk('doc_id')} % 1000) < {MINHASH_RECALL_PERMILLE}"
+    )
+    truth = _sql_jaccard_pairs(max_df=None, extra_where=wh)
+    found = _sql_minhash(extra_where=wh)
+    return f"""
+        WITH c AS (
+          SELECT (SELECT count(*) FROM ({truth})) AS n_truth,
+                 (SELECT count(*) FROM ({found})) AS n_found
+        )
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_found AS BIGINT) AS n_found,
+               CAST(n_truth - n_found AS BIGINT) AS n_missed,
+               CASE WHEN n_truth > 0
+                    THEN CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE)
+               END AS recall
+        FROM c
+    """
 
 
 def _sql_bpe_ctes(merges: int) -> str:
@@ -5555,6 +5606,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _sql_bpe_merges(BPE_MERGES),
         "bpe_learned_tokens": _sql_bpe_token_counts(BPE_MERGES),
         "embedding_gram": _sql_embedding_gram(len(QVEC)),
+        "minhash_recall": _sql_minhash_recall(),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

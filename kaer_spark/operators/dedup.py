@@ -341,6 +341,73 @@ def _minhash_banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFram
     ).select("id", "bk.band", "bk.key")
 
 
+def minhash_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    sample_permille: int = 1000,
+    unit: str = "char",
+) -> DataFrame:
+    """Measured banding recall: how many TRUE near-dup pairs does the
+    MinHash-LSH candidate generation find? → one row ``(n_truth,
+    n_found, n_missed, recall)``.
+
+    "Measure, don't guess": banding recall is the probabilistic knob of
+    the whole MinHash family (P[candidate] = 1-(1-j^r)^b), and the way
+    production dedup validates its band/row settings is exactly this —
+    compare against exact Jaccard ground truth on a SAMPLE
+    (``sample_permille`` via the engine's deterministic LCG
+    :func:`~kaer_spark.operators.sampling.hash_sample`), because
+    uncapped exact truth is quadratic in shingle document-frequency and
+    only affordable on a bounded subset. At full ``sample_permille=1000``
+    the report is exact, for test corpora.
+
+    Invariant that makes this one aggregate instead of a pair join:
+    :func:`minhash_near_dups` verifies candidates by exact Jaccard over
+    the SAME shingle definition, so its output is a subset of the truth
+    set — recall = n_found / n_truth directly (pinned by the unit
+    tests). ``recall`` is NULL when the sample holds no true pairs.
+    """
+    from kaer_spark.operators.sampling import hash_sample
+
+    sample = (
+        hash_sample(df, id_col=id_col, rate_permille=sample_permille)
+        if sample_permille < 1000
+        else df
+    )
+    truth = ngram_jaccard_pairs(
+        sample, id_col=id_col, text_col=text_col, n=n,
+        threshold=threshold, max_doc_freq=None, unit=unit,
+    )
+    found = minhash_near_dups(
+        sample, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        seed=seed, unit=unit,
+    )
+    tagged = truth.select(F.lit(1).alias("is_truth")).unionByName(
+        found.select(F.lit(0).alias("is_truth"))
+    )
+    return tagged.agg(
+        F.coalesce(F.sum("is_truth"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.lit(1) - F.col("is_truth")), F.lit(0))
+        .cast("long")
+        .alias("n_found"),
+    ).select(
+        "n_truth",
+        "n_found",
+        (F.col("n_truth") - F.col("n_found")).alias("n_missed"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_found").cast("double") / F.col("n_truth"),
+        ).alias("recall"),
+    )
+
+
 def minhash_near_dups_between(
     left: DataFrame,
     right: DataFrame,

@@ -156,3 +156,50 @@ def test_passage_against_matches_python(spark, texts):
             "".join(clean), len(spans), sum(e - s + 1 for s, e in spans)
         )
     assert got == want
+
+
+def test_minhash_recall_report_consistency(spark, sf_dir):
+    """found ⊆ truth (the verified-candidate invariant the one-aggregate
+    report relies on), and the report numbers reconcile with the two
+    underlying pair sets."""
+    from kaer_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_recall_report,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, n=8, threshold=0.4, max_doc_freq=None
+        ).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(
+            docs, n=8, num_hashes=16, bands=4, threshold=0.4, seed=42
+        ).collect()
+    }
+    assert found <= truth
+    rep = minhash_recall_report(
+        docs, n=8, num_hashes=16, bands=4, threshold=0.4, seed=42
+    ).collect()[0]
+    assert rep["n_truth"] == len(truth)
+    assert rep["n_found"] == len(found)
+    assert rep["n_missed"] == len(truth) - len(found)
+    if truth:
+        assert rep["recall"] == len(found) / len(truth)
+    else:
+        assert rep["recall"] is None
+
+
+def test_minhash_recall_empty_sample(spark):
+    from kaer_spark.operators.dedup import minhash_recall_report
+
+    docs = spark.createDataFrame(
+        [(1, "short")], "doc_id long, text string"
+    )
+    rep = minhash_recall_report(docs, sample_permille=0).collect()[0]
+    assert (rep["n_truth"], rep["n_found"], rep["n_missed"]) == (0, 0, 0)
+    assert rep["recall"] is None
