@@ -2551,6 +2551,21 @@ def _q_bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_t(spark, sf_dir, "documents"), BPE_MERGES)
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between the label-parity halves (operators.pca.
+    embedding_drift): mean-shift and per-side total variance, all mass
+    integer-exact (quantized moment sums; one float64 division at the
+    end) — the drift monitor diagnostic. Corpora never join row-wise;
+    only d-sized moment rows meet."""
+    from kaer_spark.operators.pca import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+    )
+
+
 def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding recall measured against exact ground truth (dedup.
     minhash_recall_report) on the deterministic 50% LCG sample — the
@@ -2813,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned_tokens": _q_bpe_learned_tokens,
         "embedding_gram": _q_embedding_gram,
         "minhash_recall": _q_minhash_recall,
+        "embedding_drift": _q_embedding_drift,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3553,6 +3569,60 @@ _SQL_NTOK = (
     "CAST(CASE WHEN trim(text) = '' THEN 0"
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 )
+
+
+def _sql_embedding_drift(dim: int) -> str:
+    """embedding_drift replayed: the same quantization, HUGEINT moment
+    sums per parity side, the identical integer mass folds, and the same
+    left-associated final float64 divisions (2^40 is the bits=20 scale²)."""
+    q = "CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS HUGEINT)"
+    scale2 = float((1 << 20) ** 2)
+
+    def side(tag: str, par: int) -> str:
+        return f"""
+        q{tag} AS (
+          SELECT list_transform(embedding, x -> {q}) AS qv
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0
+            AND (label % 2) = {par}
+        ),
+        s{tag} AS (
+          SELECT i.i AS i,
+                 CAST(sum(qv[i.i]) AS HUGEINT) AS m,
+                 CAST(sum(qv[i.i] * qv[i.i]) AS HUGEINT) AS g
+          FROM q{tag}, range(1, {dim + 1}) i(i) GROUP BY 1
+        ),
+        n{tag} AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q{tag})"""
+
+    return f"""
+        WITH {side('a', 0)},
+        {side('b', 1)},
+        per AS (
+          SELECT (sa.m * nb.n - sb.m * na.n) * (sa.m * nb.n - sb.m * na.n)
+                   AS gap2,
+                 na.n * sa.g - sa.m * sa.m AS v_a,
+                 nb.n * sb.g - sb.m * sb.m AS v_b,
+                 na.n AS n_a, nb.n AS n_b
+          FROM sa JOIN sb USING (i), na, nb
+        )
+        , tot AS (
+          SELECT n_a, n_b, sum(gap2) AS sgap2, sum(v_a) AS sv_a,
+                 sum(v_b) AS sv_b
+          FROM per GROUP BY n_a, n_b
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(sgap2 AS DOUBLE)
+                 / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                    * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                 / {scale2!r} AS mean_shift_l2sq,
+               CAST(sv_a AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                 / {scale2!r} AS var_trace_a,
+               CAST(sv_b AS DOUBLE)
+                 / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 / {scale2!r} AS var_trace_b
+        FROM tot
+    """
 
 
 def _sql_minhash_recall() -> str:
@@ -5607,6 +5677,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learned_tokens": _sql_bpe_token_counts(BPE_MERGES),
         "embedding_gram": _sql_embedding_gram(len(QVEC)),
         "minhash_recall": _sql_minhash_recall(),
+        "embedding_drift": _sql_embedding_drift(len(QVEC)),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

@@ -220,3 +220,94 @@ def pca_whiten(
         df, mean, comps, eigenvalues=vals, vec_col=vec_col,
         out_prefix=out_prefix,
     )
+
+
+def embedding_drift(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = SCALE_BITS,
+) -> DataFrame:
+    """Distribution drift between two embedding corpora from their exact
+    integer moments → one row ``(n_a, n_b, mean_shift_l2sq,
+    var_trace_a, var_trace_b)``.
+
+    ``mean_shift_l2sq`` is ‖mean_a − mean_b‖² and ``var_trace_*`` the
+    total variance per side — the two first diagnostics of an embedding
+    drift monitor (new crawl vs reference corpus, pre/post model swap).
+    All mass terms are integer-exact until ONE final float64 division:
+    the squared mean gap folds as Σ_i (S_aᵢ·n_b − S_bᵢ·n_a)² over the
+    common denominator (n_a·n_b)², every numerator a DECIMAL product of
+    quantized sums — order-free, engine-reproducible, no float
+    accumulation across dimensions. Cost: one bounded moments pass per
+    side (the corpora never join row-wise — only d-sized moment rows
+    meet)."""
+    la = embedding_moments(left, vec_col, scale_bits)
+    lb = embedding_moments(right, vec_col, scale_bits)
+    scale2 = float((1 << int(scale_bits)) ** 2)
+
+    def _split(m: DataFrame, tag: str):
+        n = m.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+            F.col("s").cast("decimal(19,0)").alias(f"n_{tag}")
+        )
+        firsts = m.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+            "i", F.col("s").cast("decimal(19,0)").alias(f"m_{tag}")
+        )
+        diag = m.filter((F.col("j") >= 0) & (F.col("i") == F.col("j"))).select(
+            "i", F.col("s").cast("decimal(38,0)").alias(f"g_{tag}")
+        )
+        return n, firsts, diag
+
+    na, fa, da = _split(la, "a")
+    nb, fb, db = _split(lb, "b")
+    dims = (
+        fa.join(fb, "i")
+        .join(da, "i")
+        .join(db, "i")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    gap = F.col("m_a") * F.col("n_b") - F.col("m_b") * F.col("n_a")
+    per_dim = dims.select(
+        "n_a",
+        "n_b",
+        (gap * gap).cast("decimal(38,0)").alias("gap2"),
+        # n·Σx² − (Σx)²  =  n²·variance (integer-exact per side)
+        (F.col("n_a") * F.col("g_a") - F.col("m_a") * F.col("m_a"))
+        .cast("decimal(38,0)")
+        .alias("v_a"),
+        (F.col("n_b") * F.col("g_b") - F.col("m_b") * F.col("m_b"))
+        .cast("decimal(38,0)")
+        .alias("v_b"),
+    )
+    agg = per_dim.groupBy("n_a", "n_b").agg(
+        F.sum("gap2").alias("sgap2"),
+        F.sum("v_a").alias("sv_a"),
+        F.sum("v_b").alias("sv_b"),
+    )
+    denom_ab = (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("sgap2").cast("double")
+            / (denom_ab * denom_ab)
+            / F.lit(scale2)
+        ).alias("mean_shift_l2sq"),
+        (
+            F.col("sv_a").cast("double")
+            / (
+                F.col("n_a").cast("double") * F.col("n_a").cast("double")
+            )
+            / F.lit(scale2)
+        ).alias("var_trace_a"),
+        (
+            F.col("sv_b").cast("double")
+            / (
+                F.col("n_b").cast("double") * F.col("n_b").cast("double")
+            )
+            / F.lit(scale2)
+        ).alias("var_trace_b"),
+    )

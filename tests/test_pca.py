@@ -127,3 +127,32 @@ def test_semdedup_whiten_equals_manual_projection(embeddings):
     assert key(auto) == key(manual)
     # shape contract: every vec labeled, exactly one keeper per cluster
     assert len(auto) == embeddings.count()
+
+
+def test_embedding_drift_matches_numpy(embeddings):
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.pca import embedding_drift
+
+    left = embeddings.filter(F.col("label") % 2 == 0)
+    right = embeddings.filter(F.col("label") % 2 == 1)
+    row = embedding_drift(left, right).collect()[0]
+
+    scale = float(1 << SCALE_BITS)
+    qa = np.floor(_fixture_matrix(left) * scale + 0.5)
+    qb = np.floor(_fixture_matrix(right) * scale + 0.5)
+    assert (row["n_a"], row["n_b"]) == (len(qa), len(qb))
+    ma, mb = qa.mean(axis=0) / scale, qb.mean(axis=0) / scale
+    assert row["mean_shift_l2sq"] == pytest.approx(
+        float(((ma - mb) ** 2).sum()), rel=1e-12
+    )
+    assert row["var_trace_a"] == pytest.approx(
+        float(qa.var(axis=0).sum() / (scale * scale)), rel=1e-12
+    )
+    assert row["var_trace_b"] == pytest.approx(
+        float(qb.var(axis=0).sum() / (scale * scale)), rel=1e-12
+    )
+    # identical corpora drift to exactly zero (integer mass cancels)
+    same = embedding_drift(left, left).collect()[0]
+    assert same["mean_shift_l2sq"] == 0.0
+    assert same["var_trace_a"] == same["var_trace_b"]
