@@ -388,6 +388,21 @@ def _q_pq_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("_score").alias("adc_l2sq"))
 
 
+def _q_pq_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (similarity.pq_topk_refined): deterministic-PQ ADC
+    shortlist of 50, then EXACT float64 re-rank of the survivors — the
+    FAISS IndexRefineFlat / Jegou-et-al re-ranking shape. Stage 1 reads
+    only codes, stage 2 touches 50 raw vectors; reported scores are exact
+    distances. Fully deterministic, both stages value-replayed by the
+    oracle."""
+    from kaer_spark.operators.similarity import pq_topk_refined
+
+    return pq_topk_refined(
+        _t(spark, sf_dir, "embeddings"), QVEC, topk=10, shortlist=50,
+        m=8, k=16,
+    ).select("vec_id", F.col("_score").alias("l2sq"))
+
+
 def _q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 vs nprobe for the IVF path: the recall/latency trade the
     reference exposes via HNSW ef (db/hnsw.go ef=200), quantified for our
@@ -2566,6 +2581,25 @@ def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical drift between the English and German sub-corpora
+    (operators.ranking.token_divergence): KL both ways + Jensen-Shannon
+    over add-0.5-smoothed unigram distributions on the union vocabulary —
+    embedding_drift's token-space sibling, the corpus-shift check run
+    before admitting a new source into a training mix. Quantized-decimal
+    aggregation (14,6) makes the log sums order-free and
+    oracle-replayable."""
+    from kaer_spark.operators.ranking import token_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "de"),
+        alpha=0.5,
+        quantize=(14, 6),
+    )
+
+
 def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding recall measured against exact ground truth (dedup.
     minhash_recall_report) on the deterministic 50% LCG sample — the
@@ -2829,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": _q_embedding_gram,
         "minhash_recall": _q_minhash_recall,
         "embedding_drift": _q_embedding_drift,
+        "token_divergence": _q_token_divergence,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -2859,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
         "pq_knn_det": _q_pq_knn_det,
+        "pq_knn_refined": _q_pq_knn_refined,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_dedup": _q_streaming_dedup,
         "bm25_scores": _q_bm25_scores,
@@ -3192,14 +3228,16 @@ def _sql_lsh_knn_det() -> str:
     """
 
 
-def _sql_pq_knn_det() -> str:
+def _sql_pq_knn_det(limit: int = 10) -> str:
     """Replay of similarity.pq_topk_deterministic: codebooks re-derived
     relationally (slices of vec_id<16 rows), encode = per-subspace
     (dist, cid) rank, ADC = per-subspace literal-query slice distances,
     summed in the SAME fixed association order as Spark's fold (eight
     joins + explicit parens, NOT a float SUM() whose order would drift).
     Subspace width derives from the query literal (len(QVEC) / m), like
-    the engine's dim // m."""
+    the engine's dim // m. ``limit`` sizes the ADC cut — 10 for the
+    direct top-k query, ``shortlist`` when reused as the refined path's
+    stage-1 subquery."""
     m, k = 8, 16
     d = len(QVEC) // m
 
@@ -3257,7 +3295,23 @@ def _sql_pq_knn_det() -> str:
         FROM enc
             {joins}
         ORDER BY adc_l2sq ASC, enc.vec_id ASC
-        LIMIT 10
+        LIMIT {limit}
+    """
+
+
+def _sql_pq_knn_refined(shortlist: int = 50, topk: int = 10) -> str:
+    """Replay of similarity.pq_topk_refined: stage 1 is the det-PQ ADC
+    replay above cut at ``shortlist``, stage 2 joins the survivors back to
+    their raw vectors and re-ranks by the EXACT literal-query l2sq (the
+    same explicit left-assoc product chain as every exact-distance
+    oracle). Both stages order by (score, id), so the replay is
+    value-identical, not just rank-identical."""
+    return f"""
+        SELECT s.vec_id, {_sql_l2sq_lit('e.embedding', QVEC)} AS l2sq
+        FROM ({_sql_pq_knn_det(limit=shortlist)}) s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        ORDER BY l2sq ASC, s.vec_id ASC
+        LIMIT {topk}
     """
 
 
@@ -3569,6 +3623,55 @@ _SQL_NTOK = (
     "CAST(CASE WHEN trim(text) = '' THEN 0"
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 )
+
+
+def _sql_token_divergence(
+    lang_a: str = "en", lang_b: str = "de", alpha: float = 0.5,
+    cell_d: int = 14, out_d: int = 6,
+) -> str:
+    """Replay of ranking.token_divergence: same whitespace tokenization,
+    same union-vocab full-outer counts, the smoothed probabilities built
+    with the IDENTICAL float64 op tree (int→double conversions exact,
+    op order matched term for term), each per-token term quantized to the
+    same DECIMAL(28,14) grid before the exact decimal sum — ln()'s
+    last-ulp JVM/libm disagreement dies below the grid, the order-free
+    decimal sum kills shuffle-order drift, and the final 1e-6 rounding
+    absorbs boundary stragglers (the bigram_lm machinery)."""
+    toks = (
+        "CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+    a = repr(float(alpha))
+    pa = f"(CAST(ca AS DOUBLE) + {a}) / (CAST(na AS DOUBLE) + {a} * CAST(v AS DOUBLE))"
+    pb = f"(CAST(cb AS DOUBLE) + {a}) / (CAST(nb AS DOUBLE) + {a} * CAST(v AS DOUBLE))"
+
+    def q(term: str) -> str:
+        return (
+            f"round(CAST(sum(CAST({term} AS DECIMAL(28,{cell_d}))) AS DOUBLE),"
+            f" {out_d})"
+        )
+
+    return f"""
+        WITH ta AS (SELECT unnest({toks}) AS w FROM documents
+                    WHERE lang = '{lang_a}'),
+        tb AS (SELECT unnest({toks}) AS w FROM documents
+               WHERE lang = '{lang_b}'),
+        ka AS (SELECT w, count(*) AS ca FROM ta GROUP BY w),
+        kb AS (SELECT w, count(*) AS cb FROM tb GROUP BY w),
+        j AS (SELECT coalesce(ka.ca, 0) AS ca, coalesce(kb.cb, 0) AS cb
+              FROM ka FULL OUTER JOIN kb ON ka.w = kb.w),
+        tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                       CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+                       count(*) AS v FROM j),
+        terms AS (SELECT na, nb, v, {pa} AS pa, {pb} AS pb FROM j, tot)
+        SELECT CAST(coalesce(max(na), 0) AS BIGINT) AS n_tokens_a,
+               CAST(coalesce(max(nb), 0) AS BIGINT) AS n_tokens_b,
+               count(*) AS vocab_union,
+               {q('pa * ln(pa / pb)')} AS kl_ab,
+               {q('pb * ln(pb / pa)')} AS kl_ba,
+               {q('(pa * ln(pa / ((pa + pb) / 2.0)) + pb * ln(pb / ((pa + pb) / 2.0))) / 2.0')} AS js_div
+        FROM terms
+    """
 
 
 def _sql_embedding_drift(dim: int) -> str:
@@ -5678,6 +5781,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram": _sql_embedding_gram(len(QVEC)),
         "minhash_recall": _sql_minhash_recall(),
         "embedding_drift": _sql_embedding_drift(len(QVEC)),
+        "token_divergence": _sql_token_divergence(),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,
@@ -5877,6 +5981,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_knn_det": _sql_lsh_knn_det(),
         "pq_knn_det": _sql_pq_knn_det(),
+        "pq_knn_refined": _sql_pq_knn_refined(),
         "weighted_mix": f"""
             WITH b AS (
               SELECT source, doc_id,

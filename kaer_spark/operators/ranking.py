@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -377,6 +377,101 @@ def perplexity_buckets(
         F.col(by),
         F.col("avg_logp"),
         F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+
+
+def token_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    quantize: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Lexical drift between two corpora: KL and Jensen-Shannon divergence
+    of their add-``alpha``-smoothed unigram distributions — the
+    token-level sibling of ``operators.pca.embedding_drift`` (same
+    question, answered in vocabulary space instead of embedding space).
+    This is the standard corpus-shift diagnostic run before mixing a new
+    crawl into a training blend: JS near 0 means the new source is
+    lexically redundant, a large KL(b||a) means corpus b spends mass where
+    a has none (new domains — or garbage).
+
+    Distributions are over the UNION vocabulary with add-``alpha``
+    smoothing (``p(w) = (c(w)+α) / (n+α·|V|)``), so every term is finite
+    even for tokens one side never saw. Output is ONE row:
+    ``(n_tokens_a, n_tokens_b, vocab_union, kl_ab, kl_ba, js_div)`` with
+    ``kl_ab = KL(P_a‖P_b)`` in nats. Both corpora empty → zero counts and
+    NULL divergences.
+
+    Scale shape (100 TB): two scan-stage token explodes into two
+    map-side-combined ``w``-keyed counts, one vocab-sized full-outer join,
+    a 3-scalar totals aggregate broadcast back, and one global sum over
+    the per-token terms — the corpus rows themselves never shuffle, only
+    (token, count) pairs do, and nothing vocab-sized is collected.
+
+    ``quantize=(cell_decimals, out_decimals)`` switches on the
+    oracle-replayable aggregation (same machinery as
+    :func:`bigram_lm_scores`): each per-token term is quantized once to a
+    fixed decimal grid, summed exactly (order-independent), and the final
+    value rounded — ``log()``'s last-ulp JVM/libm disagreement vanishes
+    below the grid. The driver entry uses ``(14, 6)``: terms are ≤ ~1 in
+    magnitude so a 1e-14 grid loses nothing, and a vocab-sized sum of
+    1e-14-grid roundings stays far inside the 1e-6 output rounding.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (smoothing keeps KL finite)")
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = (
+        _counts(df_a, "ca")
+        .join(_counts(df_b, "cb"), "w", "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = joined.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("na"),
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    al = F.lit(float(alpha))
+    pa = (F.col("ca") + al) / (F.col("na") + al * F.col("v"))
+    pb = (F.col("cb") + al) / (F.col("nb") + al * F.col("v"))
+    mid = (pa + pb) / F.lit(2.0)
+    t_ab = pa * F.log(pa / pb)
+    t_ba = pb * F.log(pb / pa)
+    t_js = (pa * F.log(pa / mid) + pb * F.log(pb / mid)) / F.lit(2.0)
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        "na", "nb", "v", t_ab.alias("t_ab"), t_ba.alias("t_ba"),
+        t_js.alias("t_js"),
+    )
+    if quantize is not None:
+        cell_d, out_d = int(quantize[0]), int(quantize[1])
+
+        def _q(c: str) -> Column:
+            return F.round(
+                F.sum(F.col(c).cast(f"decimal(28,{cell_d})")).cast("double"),
+                out_d,
+            )
+
+        sums = [_q("t_ab").alias("kl_ab"), _q("t_ba").alias("kl_ba"),
+                _q("t_js").alias("js_div")]
+    else:
+        sums = [F.sum("t_ab").alias("kl_ab"), F.sum("t_ba").alias("kl_ba"),
+                F.sum("t_js").alias("js_div")]
+    return terms.agg(
+        F.coalesce(F.max("na"), F.lit(0)).alias("n_tokens_a"),
+        F.coalesce(F.max("nb"), F.lit(0)).alias("n_tokens_b"),
+        F.count(F.lit(1)).alias("vocab_union"),
+        *sums,
     )
 
 

@@ -695,6 +695,64 @@ def pq_topk_deterministic(
     )
 
 
+def pq_topk_refined(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    topk: int,
+    shortlist: int = 50,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval: deterministic-PQ ADC shortlist → EXACT re-rank
+    — the production IVF-PQ serving shape (Jegou et al. 2011 §V-A
+    re-ranking with source vectors; what FAISS calls ``IndexRefineFlat``).
+    The reference's HNSW (``/root/reference/db/hnsw.go``) always scores
+    full vectors; at 100 TB the winning layout is compressed codes for the
+    corpus-wide stage and raw vectors only for the ``shortlist`` survivors.
+
+    Stage 1 reads only the m-int code column (32× less IO than raw
+    vectors at m=8/dim=64 float32) and heap-selects ``shortlist`` rows by
+    ADC distance — TakeOrderedAndProject, no global sort. Stage 2 computes
+    the exact float64 l2sq for those rows only and returns the ``topk``
+    best. Returned ``_score`` is the EXACT distance: a hit's reported
+    score carries no quantization error, and recall is the only
+    approximation (missed candidates, bounded by ``shortlist``; at
+    ``shortlist`` ≥ corpus size the result ≡ ``brute_force_topk``).
+
+    Deterministic end to end (sample-fit codebooks, fixed-association
+    folds, (score, id) ordering both stages), so a SQL oracle replays both
+    stages value-exactly — the refine family's fully oracle-checked member.
+    """
+    if topk > shortlist:
+        raise ValueError(f"topk {topk} > shortlist {shortlist}")
+    books = pq_fit_deterministic(corpus, vec_col, id_col, m, k)
+    d = len(books[0][0])
+    q = [float(x) for x in query_vector]
+    tables = [
+        [py_l2sq(q[j * d : (j + 1) * d], c) for c in books[j]] for j in range(m)
+    ]
+    encoded = pq_encode_deterministic(corpus, books, vec_col)
+    tables_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    adc = F.aggregate(
+        F.zip_with(F.col("pq_code"), tables_lit, lambda c, t: t[c]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        encoded.withColumn("_adc", adc)
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(int(shortlist))
+    )
+    return (
+        short.withColumn("_score", l2sq(vec_col, q))
+        .orderBy(F.col("_score").asc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(id_col, "_score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar quantization (SQ, int8) — the oracle-checkable compression path
 # ---------------------------------------------------------------------------

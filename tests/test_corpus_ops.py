@@ -1085,3 +1085,77 @@ def test_bpe_token_counts_matches_replay(documents):
     total_units = sum(v[1] for v in got.values())
     total_chars = sum(len(w) for ws in doc_words.values() for w in ws)
     assert total_units < total_chars
+
+
+# ---------------------------------------------------------------------------
+# token_divergence (r11): lexical corpus-drift diagnostic
+# ---------------------------------------------------------------------------
+def test_token_divergence_matches_python_reference(documents):
+    """KL/JS over smoothed unigram distributions ≡ a direct Python/math
+    replay on the same tokenization (float tolerance: the engine's decimal
+    quantization changes sum order, not value, so agreement is to the
+    output rounding)."""
+    import math
+
+    from kaer_spark.operators.ranking import token_divergence
+
+    a = documents.filter(F.col("lang") == "en")
+    b = documents.filter(F.col("lang") == "de")
+    row = token_divergence(a, b, alpha=0.5, quantize=(14, 6)).collect()[0]
+
+    def counts(df):
+        out: dict[str, int] = {}
+        for r in df.select("text").collect():
+            for w in r["text"].strip().split():
+                out[w] = out.get(w, 0) + 1
+        return out
+
+    ca, cb = counts(a), counts(b)
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    kl_ab = kl_ba = js = 0.0
+    for w in vocab:
+        pa = (ca.get(w, 0) + 0.5) / (na + 0.5 * v)
+        pb = (cb.get(w, 0) + 0.5) / (nb + 0.5 * v)
+        m = (pa + pb) / 2.0
+        kl_ab += pa * math.log(pa / pb)
+        kl_ba += pb * math.log(pb / pa)
+        js += (pa * math.log(pa / m) + pb * math.log(pb / m)) / 2.0
+    assert row["n_tokens_a"] == na and row["n_tokens_b"] == nb
+    assert row["vocab_union"] == v
+    assert abs(row["kl_ab"] - kl_ab) < 1e-5
+    assert abs(row["kl_ba"] - kl_ba) < 1e-5
+    assert abs(row["js_div"] - js) < 1e-5
+    # divergences are non-negative; JS is bounded by ln(2)
+    assert row["kl_ab"] >= 0 and row["kl_ba"] >= 0
+    assert 0 <= row["js_div"] <= math.log(2.0) + 1e-9
+
+
+def test_token_divergence_self_is_zero(documents):
+    """A corpus diverges from itself by exactly 0 (pa ≡ pb ⇒ every
+    ln-ratio term is ln(1) = 0, no tolerance needed)."""
+    from kaer_spark.operators.ranking import token_divergence
+
+    a = documents.filter(F.col("lang") == "en")
+    row = token_divergence(a, a, quantize=(14, 6)).collect()[0]
+    assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0
+    assert row["js_div"] == 0.0
+
+
+def test_token_divergence_empty_and_validation(spark, documents):
+    import pytest as _pytest
+
+    from kaer_spark.operators.ranking import token_divergence
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = token_divergence(empty, empty).collect()[0]
+    assert row["n_tokens_a"] == 0 and row["n_tokens_b"] == 0
+    assert row["vocab_union"] == 0
+    assert row["kl_ab"] is None and row["js_div"] is None
+    # one empty side stays finite (smoothing): uniform vs corpus
+    a = documents.filter(F.col("lang") == "en").limit(5)
+    row2 = token_divergence(a, empty).collect()[0]
+    assert row2["n_tokens_b"] == 0 and row2["kl_ab"] is not None
+    assert row2["kl_ab"] > 0
+    with _pytest.raises(ValueError, match="alpha"):
+        token_divergence(a, a, alpha=0.0)

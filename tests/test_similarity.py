@@ -488,3 +488,56 @@ def test_ivf_fit_spread_pmod_discipline(spark):
     expect = [[float(x) for x in vec] for _, _, vec in keyed[:4]]
     assert cents == expect
     assert ivf_fit_spread(df, "embedding", "vec_id", cells=4) == cents
+
+
+def test_pq_refined_full_shortlist_equals_exact(spark, embeddings):
+    """pq_topk_refined with shortlist >= corpus size degrades to exact
+    brute force: the ADC stage keeps everything, so the re-rank IS the
+    exact top-k — ids AND float64 scores identical."""
+    from kaer_spark.operators.similarity import pq_topk_refined
+
+    n = embeddings.count()
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    refined = pq_topk_refined(
+        embeddings, QVEC, topk=10, shortlist=n, m=8, k=16
+    )
+    assert [(r["vec_id"], r["_score"]) for r in refined.collect()] == [
+        (r["vec_id"], r["_score"]) for r in exact.collect()
+    ]
+
+
+def test_pq_refined_scores_exact_and_recall_beats_adc(spark, embeddings):
+    """The refined path's reported scores are EXACT distances (match the
+    brute-force score for the same id bit-for-bit), and re-ranking a
+    50-candidate shortlist recovers at least the recall of the raw ADC
+    ranking it refines."""
+    from kaer_spark.operators.similarity import (
+        pq_topk_deterministic,
+        pq_topk_refined,
+        py_l2sq,
+        recall_at_k,
+    )
+
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    refined = pq_topk_refined(
+        embeddings, QVEC, topk=10, shortlist=50, m=8, k=16
+    )
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embeddings.collect()
+    }
+    for r in refined.collect():
+        assert r["_score"] == py_l2sq(vecs[r["vec_id"]], QVEC)
+    adc = pq_topk_deterministic(embeddings, QVEC, topk=10, m=8, k=16)
+    assert recall_at_k(refined, exact, "vec_id") >= recall_at_k(
+        adc, exact, "vec_id"
+    )
+
+
+def test_pq_refined_validates_topk_le_shortlist(spark, embeddings):
+    import pytest as _pytest
+
+    from kaer_spark.operators.similarity import pq_topk_refined
+
+    with _pytest.raises(ValueError, match="shortlist"):
+        pq_topk_refined(embeddings, QVEC, topk=20, shortlist=10)
