@@ -2581,6 +2581,21 @@ def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (dedup.fuzzy_near_dups): pairs whose
+    normalized 32-char prefix keys are within 2 Levenshtein edits,
+    via complete PassJoin-style segment blocking + exact levenshtein
+    verify. Blocking is COMPLETE at the declared threshold, so the oracle
+    is the brute-force quadratic — the engine's banded join must equal
+    exhaustive ground truth, the strongest correctness contract in the
+    dedup family."""
+    from kaer_spark.operators.dedup import fuzzy_near_dups
+
+    return fuzzy_near_dups(
+        _t(spark, sf_dir, "documents"), max_edits=2, key_len=32
+    )
+
+
 def _q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical drift between the English and German sub-corpora
     (operators.ranking.token_divergence): KL both ways + Jensen-Shannon
@@ -2864,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": _q_minhash_recall,
         "embedding_drift": _q_embedding_drift,
         "token_divergence": _q_token_divergence,
+        "fuzzy_near_dups": _q_fuzzy_near_dups,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3623,6 +3639,29 @@ _SQL_NTOK = (
     "CAST(CASE WHEN trim(text) = '' THEN 0"
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 )
+
+
+def _sql_fuzzy_near_dups(max_edits: int = 2, key_len: int = 32) -> str:
+    """Brute-force ground truth for dedup.fuzzy_near_dups: the SAME
+    normalized fixed-width key, then the exhaustive quadratic
+    levenshtein filter. No blocking replay — the engine's segment
+    blocking is complete at the threshold, so it must MATCH exhaustive
+    enumeration, not merely its own candidate generation."""
+    key = (
+        "rpad(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+        f" 1, {key_len}), {key_len}, ' ')"
+    )
+    return f"""
+        WITH k AS (
+          SELECT doc_id, {key} AS key
+          FROM documents
+          WHERE length(trim(text)) > 0
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
+        FROM k a JOIN k b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.key, b.key) <= {max_edits}
+    """
 
 
 def _sql_token_divergence(
@@ -5782,6 +5821,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_recall": _sql_minhash_recall(),
         "embedding_drift": _sql_embedding_drift(len(QVEC)),
         "token_divergence": _sql_token_divergence(),
+        "fuzzy_near_dups": _sql_fuzzy_near_dups(),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

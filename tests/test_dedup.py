@@ -879,3 +879,105 @@ def test_dedup_clusters_distributed_path_matches_driver_path(spark):
     }
     assert drv == dist
     assert (7, 1) in drv and (22, 20) in drv and (31, 30) in drv
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_near_dups (r11): complete edit-distance similarity join
+# ---------------------------------------------------------------------------
+def _py_lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[-1]
+
+
+def _py_fuzzy_truth(rows, max_edits, key_len):
+    import itertools
+    import re
+
+    keyed = sorted(
+        (i, re.sub(r"\s+", " ", t).strip().lower()[:key_len].ljust(key_len))
+        for i, t in rows
+        if t.strip()
+    )
+    return {
+        (ia, ib, _py_lev(ka, kb))
+        for (ia, ka), (ib, kb) in itertools.combinations(keyed, 2)
+        if _py_lev(ka, kb) <= max_edits
+    }
+
+
+def test_fuzzy_near_dups_equals_brute_force(spark):
+    """The segment blocking is COMPLETE at the threshold: blocked join +
+    levenshtein verify ≡ exhaustive quadratic, on an adversarial set
+    (in-place substitutions, deletions that shift every later segment,
+    edits concentrated in one segment)."""
+    from kaer_spark.operators.dedup import fuzzy_near_dups
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # tail subst
+        (3, "the quick crown fox jumps over the lazy dog"),   # mid subst
+        (4, "he quick brown fox jumps over the lazy dog"),    # head delete
+        (5, "thee quick brown fox jumps over the lazy dog"),  # head insert
+        (6, "xy quick brown fox jumps over the lazy dog"),    # 2 edits head
+        (7, "completely different text with no relation at all"),
+        (8, "the  quick   brown fox\tjumps over the lazy dog"),  # ws only
+        (9, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),   # case only
+        (10, "ab"),
+        (11, "ac"),   # short pair, distance 1 after padding
+        (12, "   "),  # blank: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, klen in [(1, 32), (2, 32), (3, 24)]:
+        got = {
+            (r["id_a"], r["id_b"], r["edit_distance"])
+            for r in fuzzy_near_dups(
+                df, max_edits=k, key_len=klen
+            ).collect()
+        }
+        assert got == _py_fuzzy_truth(rows, k, klen), (k, klen)
+
+
+def test_fuzzy_near_dups_property(spark):
+    """Randomized completeness: on small random strings over a tiny
+    alphabet (maximizing near-collisions), blocked ≡ brute force."""
+    import random
+
+    from kaer_spark.operators.dedup import fuzzy_near_dups
+
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("ab ") for _ in range(rng.randint(1, 14))))
+        for i in range(60)
+    ]
+    rows = [(i, t) for i, t in rows if t.strip()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["edit_distance"])
+        for r in fuzzy_near_dups(df, max_edits=2, key_len=12).collect()
+    }
+    assert got == _py_fuzzy_truth(rows, 2, 12)
+
+
+def test_fuzzy_near_dups_cap_and_validation(spark):
+    import pytest as _pytest
+
+    from kaer_spark.operators.dedup import fuzzy_near_dups
+
+    rows = [(i, f"shared boilerplate header {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # all 20 share every early segment; a tiny cap kills those keys and,
+    # since ALL matches route through capped keys, the result empties —
+    # the documented recall trade, never silent by default
+    full = fuzzy_near_dups(df, max_edits=1, key_len=24)
+    capped = fuzzy_near_dups(df, max_edits=1, key_len=24, max_key_df=2)
+    assert full.count() > 0 and capped.count() == 0
+    with _pytest.raises(ValueError, match="max_edits"):
+        fuzzy_near_dups(df, max_edits=0)
+    with _pytest.raises(ValueError, match="key_len"):
+        fuzzy_near_dups(df, max_edits=7, key_len=8)
