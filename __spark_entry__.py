@@ -2581,6 +2581,19 @@ def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (ranking.zipf_profile): least-squares
+    slope + R² of ln(freq) vs ln(rank) over the top-200 tokens — the
+    corpus-health curve check (natural text ≈ slope −1; spam/template
+    corpora bend it). Heap top-R cut, bounded window, quantized-decimal
+    sums make the ln arithmetic order-free and oracle-replayable."""
+    from kaer_spark.operators.ranking import zipf_profile
+
+    return zipf_profile(
+        _t(spark, sf_dir, "documents"), top_ranks=200, quantize=(12, 6)
+    )
+
+
 def _q_fuzzy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join (dedup.fuzzy_near_dups): pairs whose
     normalized 32-char prefix keys are within 2 Levenshtein edits,
@@ -2880,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "token_divergence": _q_token_divergence,
         "fuzzy_near_dups": _q_fuzzy_near_dups,
+        "zipf_profile": _q_zipf_profile,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3639,6 +3653,56 @@ _SQL_NTOK = (
     "CAST(CASE WHEN trim(text) = '' THEN 0"
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 )
+
+
+def _sql_zipf_profile(
+    top_ranks: int = 200, cell_d: int = 12, out_d: int = 6
+) -> str:
+    """Replay of ranking.zipf_profile: same tokenization and
+    (freq DESC, token) rank order, the five ln-product sums quantized to
+    the same decimal grid (order-free), and the slope/R² float64
+    arithmetic parenthesized exactly as the engine's expression tree."""
+    toks = (
+        "CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+
+    def q(term: str, name: str) -> str:
+        return (
+            f"CAST(sum(CAST({term} AS DECIMAL(28,{cell_d}))) AS DOUBLE)"
+            f" AS {name}"
+        )
+
+    x = "ln(CAST(r AS DOUBLE))"
+    y = "ln(CAST(c AS DOUBLE))"
+    cov = "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+    varx = "(CAST(n AS DOUBLE) * sxx - sx * sx)"
+    vary = "(CAST(n AS DOUBLE) * syy - sy * sy)"
+    return f"""
+        WITH cnt AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest({toks}) AS w FROM documents)
+          GROUP BY w
+        ),
+        tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+                       count(*) AS vocab FROM cnt),
+        top AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC
+                LIMIT {top_ranks}),
+        ranked AS (SELECT c,
+                          row_number() OVER (ORDER BY c DESC, w ASC) AS r
+                   FROM top),
+        sums AS (SELECT count(*) AS n, {q(x, 'sx')}, {q(y, 'sy')},
+                        {q(f'{x} * {y}', 'sxy')}, {q(f'{x} * {x}', 'sxx')},
+                        {q(f'{y} * {y}', 'syy')}
+                 FROM ranked)
+        SELECT n_tokens, vocab, CAST(n AS BIGINT) AS ranks_used,
+               CASE WHEN {varx} > 0
+                    THEN round({cov} / {varx}, {out_d}) END AS zipf_slope,
+               CASE WHEN {varx} > 0 AND {vary} > 0
+                    THEN round({cov} * {cov} / ({varx} * {vary}), {out_d})
+               END AS zipf_r2
+        FROM tot, sums
+    """
 
 
 def _sql_fuzzy_near_dups(max_edits: int = 2, key_len: int = 32) -> str:
@@ -5822,6 +5886,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _sql_embedding_drift(len(QVEC)),
         "token_divergence": _sql_token_divergence(),
         "fuzzy_near_dups": _sql_fuzzy_near_dups(),
+        "zipf_profile": _sql_zipf_profile(),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

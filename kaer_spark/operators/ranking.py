@@ -475,6 +475,99 @@ def token_divergence(
     )
 
 
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ranks: int = 200,
+    quantize: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus's top tokens: least-squares
+    slope (and R²) of ``ln(freq)`` against ``ln(rank)`` — natural language
+    sits near slope −1 (Zipf's law); machine-generated spam, template
+    boilerplate, and over-deduplicated corpora bend the curve, making the
+    (slope, R²) pair a cheap corpus-health check alongside
+    :func:`token_divergence`.
+
+    Output: ONE row ``(n_tokens, vocab, ranks_used, zipf_slope, zipf_r2)``.
+    ``ranks_used = min(top_ranks, vocab)``; fewer than 2 ranks → NULL fit.
+    Ranks order by (freq DESC, token) so ties are deterministic.
+
+    Scale shape (100 TB): one scan-stage token explode into a
+    map-side-combined count aggregate, a heap top-``top_ranks`` cut
+    (``TakeOrderedAndProject`` — the vocab never sorts globally), rank
+    assignment by ``row_number`` over the ``top_ranks``-row remainder
+    (bounded single-partition window), and one 5-scalar aggregate. The
+    corpus-sized side never shuffles anything wider than (token, count).
+
+    ``quantize=(cell_decimals, out_decimals)``: the five ln-product sums
+    are quantized to a fixed decimal grid and summed exactly (the
+    :func:`bigram_lm_scores` machinery), making the fit order-free and
+    oracle-replayable; slope/R² are then a handful of float64 ops on the
+    five scalars, rounded to ``out_decimals``.
+    """
+    if top_ranks < 2:
+        raise ValueError("top_ranks must be >= 2 to fit a line")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        int(top_ranks)
+    )
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .alias("r"),
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    if quantize is not None:
+        cell_d, out_d = int(quantize[0]), int(quantize[1])
+
+        def _s(e: Column, name: str) -> Column:
+            return (
+                F.sum(e.cast(f"decimal(28,{cell_d})"))
+                .cast("double")
+                .alias(name)
+            )
+    else:
+        out_d = None
+
+        def _s(e: Column, name: str) -> Column:
+            return F.sum(e).alias(name)
+
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        _s(x, "sx"),
+        _s(y, "sy"),
+        _s(x * y, "sxy"),
+        _s(x * x, "sxx"),
+        _s(y * y, "syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(varx > 0, cov / varx)
+    r2 = F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary))
+    if out_d is not None:
+        slope, r2 = F.round(slope, out_d), F.round(r2, out_d)
+    return tot.crossJoin(F.broadcast(sums)).select(
+        "n_tokens",
+        "vocab",
+        F.col("n").alias("ranks_used"),
+        slope.alias("zipf_slope"),
+        r2.alias("zipf_r2"),
+    )
+
+
 def oov_stats(
     docs: DataFrame,
     vocab: DataFrame,

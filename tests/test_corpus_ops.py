@@ -1159,3 +1159,49 @@ def test_token_divergence_empty_and_validation(spark, documents):
     assert row2["kl_ab"] > 0
     with _pytest.raises(ValueError, match="alpha"):
         token_divergence(a, a, alpha=0.0)
+
+
+def test_zipf_profile_matches_python_reference(documents):
+    """Slope/R² of the ln-ln rank-frequency fit ≡ a direct Python least
+    squares on the same (freq DESC, token) top-200 ranking."""
+    import math
+
+    from kaer_spark.operators.ranking import zipf_profile
+
+    row = zipf_profile(documents, top_ranks=200, quantize=(12, 6)).collect()[0]
+    counts: dict[str, int] = {}
+    for r in documents.select("text").collect():
+        for w in r["text"].strip().split():
+            counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = float(len(ranked))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert row["n_tokens"] == sum(counts.values())
+    assert row["vocab"] == len(counts)
+    assert row["ranks_used"] == len(ranked)
+    assert abs(row["zipf_slope"] - cov / varx) < 1e-5
+    assert abs(row["zipf_r2"] - cov * cov / (varx * vary)) < 1e-5
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
+    assert 0 <= row["zipf_r2"] <= 1 + 1e-9
+
+
+def test_zipf_profile_edges(spark):
+    import pytest as _pytest
+
+    from kaer_spark.operators.ranking import zipf_profile
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = zipf_profile(empty).collect()[0]
+    assert row["n_tokens"] == 0 and row["vocab"] == 0
+    assert row["zipf_slope"] is None and row["zipf_r2"] is None
+    # single-token corpus: one rank, no line to fit
+    one = spark.createDataFrame([(1, "hello hello")], "doc_id long, text string")
+    row1 = zipf_profile(one).collect()[0]
+    assert row1["ranks_used"] == 1 and row1["zipf_slope"] is None
+    with _pytest.raises(ValueError, match="top_ranks"):
+        zipf_profile(one, top_ranks=1)
