@@ -2581,6 +2581,20 @@ def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (similarity.mmr_rerank): exact cosine
+    top-40 pool, then greedy maximal-marginal-relevance selection of 10
+    (λ=0.5) so near-duplicate hits can't crowd the result list — the
+    Carbonell-Goldstein re-rank production RAG serves after ANN. Greedy
+    picks are fixed-association float64 with min-id ties; the oracle
+    replays the whole selection as a recursive CTE, pick by pick."""
+    from kaer_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(
+        _t(spark, sf_dir, "embeddings"), QVEC, k=10, pool=40, lam=0.5
+    )
+
+
 def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit (ranking.zipf_profile): least-squares
     slope + R² of ln(freq) vs ln(rank) over the top-200 tokens — the
@@ -2894,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_divergence": _q_token_divergence,
         "fuzzy_near_dups": _q_fuzzy_near_dups,
         "zipf_profile": _q_zipf_profile,
+        "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
         "image_near_dups": _q_image_near_dups,
         # == (1a) new in round 7 — never driver-checked ===================
@@ -3653,6 +3668,62 @@ _SQL_NTOK = (
     "CAST(CASE WHEN trim(text) = '' THEN 0"
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 )
+
+
+def _sql_mmr_rerank(k: int = 10, pool: int = 40, lam: float = 0.5) -> str:
+    """Replay of similarity.mmr_rerank as a recursive CTE: the same
+    cosine pool cut (rel DESC, id), pairwise sims through the identical
+    left-assoc dot chains and sqrt norms, and each greedy pick re-derived
+    by ORDER BY (λ·rel − (1−λ)·max-sim-to-selected) DESC, id LIMIT 1 with
+    the selected set carried as a LIST column — empty-set max-sim pinned
+    to 0.0 exactly like the engine's ``default=0.0``."""
+    lam_f = float(lam)
+    inv = 1.0 - lam_f
+    cos = _sql_cosine_lit("embedding", QVEC)
+    simab = (
+        f"({_sql_dot_cols('a.embedding', 'b.embedding')})"
+        f" / (sqrt({_sql_dot_cols('a.embedding', 'a.embedding')})"
+        f" * sqrt({_sql_dot_cols('b.embedding', 'b.embedding')}))"
+    )
+    score = (
+        f"({lam_f!r} * c.rel - {inv!r} * coalesce("
+        f"(SELECT max(p.sim) FROM sims p WHERE p.ia = c.id"
+        f" AND list_contains(s.ids, p.ib)), 0.0))"
+    )
+    return f"""
+        WITH RECURSIVE pool AS (
+          SELECT vec_id AS id, embedding, {cos} AS rel
+          FROM embeddings
+          WHERE {cos} IS NOT NULL
+          ORDER BY rel DESC, vec_id ASC
+          LIMIT {pool}
+        ),
+        sims AS (
+          SELECT a.id AS ia, b.id AS ib, {simab} AS sim
+          FROM pool a JOIN pool b ON a.id <> b.id
+        ),
+        first_pick AS (
+          SELECT id FROM pool
+          ORDER BY ({lam_f!r} * rel) DESC, id ASC LIMIT 1
+        ),
+        sel AS (
+          SELECT 1 AS step, id, [id] AS ids FROM first_pick
+          UNION ALL
+          SELECT s.step + 1, pick.id, list_append(s.ids, pick.id)
+          FROM sel s, LATERAL (
+            SELECT c.id
+            FROM pool c
+            WHERE NOT list_contains(s.ids, c.id)
+            ORDER BY {score} DESC, c.id ASC
+            LIMIT 1
+          ) pick
+          WHERE s.step < {k}
+        )
+        SELECT CAST(s.step AS BIGINT) AS rank, s.id AS vec_id,
+               p.rel AS relevance
+        FROM sel s JOIN pool p ON p.id = s.id
+        ORDER BY rank
+    """
 
 
 def _sql_zipf_profile(
@@ -5887,6 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         "token_divergence": _sql_token_divergence(),
         "fuzzy_near_dups": _sql_fuzzy_near_dups(),
         "zipf_profile": _sql_zipf_profile(),
+        "mmr_rerank": _sql_mmr_rerank(),
         "subword_budget": """
             WITH RECURSIVE tk AS (
               SELECT doc_id,

@@ -753,6 +753,87 @@ def pq_topk_refined(
     )
 
 
+def _py_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Left-assoc float64 dot — the same fold order as the engine's
+    ``functions.vector.dot`` and the oracle's explicit ``+`` chain."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    pool: int = 50,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    diversity-aware top-k — each step greedily picks the candidate
+    maximizing ``lam·rel(c) − (1−lam)·max_{s∈S} sim(c, s)``, so near-dup
+    results can't crowd the result list (the RAG retrieval polish the
+    similarity family needs once the corpus is dedup-worthy). ``lam=1``
+    degrades to plain relevance ranking; ``lam=0`` maximizes diversity.
+
+    Output: ``(rank, id, relevance)`` — ``rank`` is selection order,
+    ``relevance`` the exact cosine to the query. Zero vectors (NULL
+    cosine) are excluded from the pool.
+
+    Scale shape: stage 1 is the exact cosine top-``pool`` cut
+    (``TakeOrderedAndProject`` — the only corpus-sized work, identical
+    envelope to ``brute_force_topk``). The greedy itself is inherently
+    sequential (each pick depends on all previous picks), so it runs
+    driver-side over the COLLECTED pool — bounded by ``pool`` rows
+    (≤ pool²·dim float ops), the same k-bounded envelope as returning the
+    result set; nothing corpus-sized is ever collected. All arithmetic is
+    fixed-association float64 (left-assoc dots, ``math.sqrt`` norms,
+    ties to min id), so a DuckDB recursive-CTE oracle replays every pick
+    bit-for-bit.
+    """
+    import math
+
+    if not 0.0 <= float(lam) <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k > pool:
+        raise ValueError(f"k {k} > pool {pool}")
+    rel = cosine_similarity(vec_col, list(query_vector))
+    rows = (
+        corpus.withColumn("_rel", rel)
+        .filter(F.col("_rel").isNotNull())
+        .orderBy(F.col("_rel").desc(), F.col(id_col).asc())
+        .limit(int(pool))
+        .select(id_col, vec_col, "_rel")
+        .collect()
+    )
+    vecs = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
+    rels = {r[id_col]: float(r["_rel"]) for r in rows}
+    norms = {i: math.sqrt(_py_dot(v, v)) for i, v in vecs.items()}
+    lam_f, inv = float(lam), 1.0 - float(lam)
+
+    def sim(a, b):
+        return _py_dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+
+    selected: list = []
+    remaining = sorted(vecs)
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for cid in remaining:
+            msim = max((sim(cid, s) for s in selected), default=0.0)
+            score = lam_f * rels[cid] - inv * msim
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        selected.append(best_id)
+        remaining.remove(best_id)
+    out = [(i + 1, sid, rels[sid]) for i, sid in enumerate(selected)]
+    id_field = corpus.schema[id_col].dataType.simpleString()
+    return corpus.sparkSession.createDataFrame(
+        out, f"rank long, {id_col} {id_field}, relevance double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar quantization (SQ, int8) — the oracle-checkable compression path
 # ---------------------------------------------------------------------------

@@ -541,3 +541,60 @@ def test_pq_refined_validates_topk_le_shortlist(spark, embeddings):
 
     with _pytest.raises(ValueError, match="shortlist"):
         pq_topk_refined(embeddings, QVEC, topk=20, shortlist=10)
+
+
+def test_mmr_lam1_equals_relevance_ranking(embeddings):
+    """lam=1 removes the diversity term: MMR == plain cosine top-k
+    (ids AND order), scores == brute-force cosine."""
+    from kaer_spark.operators.similarity import mmr_rerank
+
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="cosine")
+    got = mmr_rerank(embeddings, QVEC, k=10, pool=40, lam=1.0).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact.collect()]
+    assert [r["relevance"] for r in got] == [r["_score"] for r in exact.collect()]
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_mmr_diversifies_clustered_results(spark):
+    """Three tight clusters near the query: plain top-3 drowns in the
+    closest cluster; MMR at lam=0.5 picks one per cluster."""
+    from kaer_spark.operators.similarity import mmr_rerank
+
+    def v(base, eps):
+        out = [0.0] * 8
+        out[base] = 1.0
+        out[(base + 1) % 8] = eps
+        return out
+
+    rows = []
+    vid = 0
+    for c in range(3):
+        for j in range(4):
+            rows.append((vid, v(c, 0.01 * (j + 1))))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.6, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+    plain = mmr_rerank(df, q, k=3, pool=12, lam=1.0).collect()
+    mmr = mmr_rerank(df, q, k=3, pool=12, lam=0.3).collect()
+    cluster = lambda i: i // 4
+    assert len({cluster(r["vec_id"]) for r in plain}) == 1
+    assert len({cluster(r["vec_id"]) for r in mmr}) == 3
+    # invariants: distinct picks, rank 1 is the relevance argmax
+    assert len({r["vec_id"] for r in mmr}) == 3
+    assert mmr[0]["vec_id"] == plain[0]["vec_id"]
+
+
+def test_mmr_validation_and_zero_vectors(spark, embeddings):
+    import pytest as _pytest
+
+    from kaer_spark.operators.similarity import mmr_rerank
+
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_rerank(embeddings, QVEC, k=5, pool=10, lam=1.5)
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_rerank(embeddings, QVEC, k=20, pool=10)
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_rerank(df, [1.0, 0.0], k=3, pool=3, lam=0.5).collect()
+    # the zero vector (NULL cosine) is excluded; both others selected
+    assert [r["vec_id"] for r in got] == [2, 3]
