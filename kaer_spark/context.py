@@ -500,6 +500,51 @@ class Collection:
         )
         return fused.withColumnRenamed("id", ID_COL)
 
+    def query_mmr(
+        self,
+        document: str | None = None,
+        k: int = 10,
+        filter: Mapping[str, Any] | None = None,
+        query_vector: Sequence[float] | None = None,
+        pool: int = 50,
+        lam: float = 0.5,
+    ) -> DataFrame:
+        """Diversity-aware retrieval: metadata-pre-filtered cosine pool of
+        ``pool`` candidates, then maximal-marginal-relevance greedy
+        selection of ``k`` (``operators.similarity.mmr_rerank``) so
+        near-duplicate documents can't crowd the result — the re-rank RAG
+        stacks apply after ANN, on the engine that can also DEDUP the
+        corpus (the two views of the same problem). Returns the full
+        document rows plus ``(rank, relevance)``, ascending selection
+        rank; ``lam=1`` is plain cosine ranking. Relevance is cosine (the
+        MMR paper's similarity), not the ``query()`` L2 contract — the
+        two orders agree for normalized embedding providers.
+
+        The pool cut honors the same filter dialect as ``query()``; MMR's
+        sequential greedy runs on the collected ``pool``-row candidate
+        set (bounded — same envelope as returning the results), never on
+        the corpus."""
+        from kaer_spark.operators.similarity import mmr_rerank
+
+        if query_vector is None:
+            if document is None:
+                raise ValueError("need document or query_vector")
+            provider = self.ctx.provider_for(self.meta)
+            query_vector = embed_texts_local([document], provider)[0]
+        pred: Column = (
+            compile_filter_json(filter, META_COL)
+            if self.meta.get("schemaless")
+            else compile_filter(filter)
+        )
+        picked = mmr_rerank(
+            self.df().filter(pred), list(query_vector), k=k, pool=pool,
+            lam=lam, vec_col=EMB_COL, id_col=ID_COL,
+        )
+        return (
+            picked.join(self.df(), ID_COL)
+            .orderBy(F.col("rank").asc())
+        )
+
     def query_batch(
         self,
         queries: DataFrame,

@@ -770,3 +770,26 @@ def test_query_hybrid_index_is_transparent(spark, tmp_path):
     col2.insert(texts)
     a2 = [tuple(r) for r in col2.query_hybrid("zzzmissing", k=4, pool=2).collect()]
     assert b2 == a2
+
+
+def test_query_mmr_diversifies_and_filters(ctx):
+    """query_mmr: near-duplicate docs can't crowd the top-k; the filter
+    dialect applies to the pool; lam=1 degrades to plain cosine order."""
+    c = ctx.create_collection("mmr")
+    c.insert(
+        ["alpha beta gamma", "alpha beta gamma", "alpha beta gamma",
+         "totally different words here", "another unrelated document"],
+        [{"grp": i} for i in range(5)],
+    )
+    out = c.query_mmr("alpha beta gamma", k=3, lam=0.4).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert len({r["_m_id"] for r in out}) == 3
+    # with three exact dup docs, diversity must pull in a non-dup by k=3
+    docs = [r["_m_doc"] for r in out]
+    assert len(set(docs)) >= 2, docs
+    # lam=1: pure relevance — the three exact dups win in id order
+    rel = c.query_mmr("alpha beta gamma", k=3, lam=1.0).collect()
+    assert [r["_m_doc"] for r in rel] == ["alpha beta gamma"] * 3
+    # filter restricts the pool
+    filt = c.query_mmr("alpha beta gamma", k=5, filter={"grp": {"$gte": 3}})
+    assert {r["grp"] for r in filt.collect()} == {3, 4}
