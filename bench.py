@@ -85,6 +85,14 @@ HEADLINE = [
     "remove_duplicate_passages",
     "dedup_keep_best",
     "semdedup",
+    # round-11 additions: complete edit-distance join (new banded-join
+    # family), two-stage PQ refine, MMR re-rank, and the two corpus-drift
+    # diagnostics
+    "fuzzy_near_dups",
+    "pq_knn_refined",
+    "mmr_rerank",
+    "token_divergence",
+    "zipf_profile",
 ]
 
 
