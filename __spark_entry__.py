@@ -242,6 +242,22 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment pairs (dedup.ngram_containment_pairs): one
+    doc's distinct 8-gram set ≥80% contained in the other's — the
+    asymmetric quote/subset/expanded-revision relation Jaccard
+    structurally under-weights (a short quote in a long article has tiny
+    Jaccard but containment ≈ 1). Same inverted-index plan and
+    heavy-hitter cap as dedup_ngram_jaccard; both directions reported so
+    the superset side is identifiable."""
+    from kaer_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N, threshold=0.8, max_doc_freq=JACCARD_MAX_DF,
+    )
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dups with banded sign-LSH candidate generation — the
     scale-safe blocking (high-cardinality band keys, not `label`); the
@@ -2954,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_7d": _q_sliding_7d,
         # == (2) stalest driver rows — latest green is round 3 ============
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "ngram_containment": _q_ngram_containment,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simhash": _q_simhash,
         "sq_knn": _q_sq_knn,
@@ -3227,6 +3244,46 @@ def _sql_jaccard_pairs(
         JOIN sizes sa ON sa.id = p.id_a
         JOIN sizes sb ON sb.id = p.id_b
         WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= {JACCARD_THRESHOLD!r}
+    """
+
+
+def _sql_containment_pairs(
+    threshold: float, max_df: int | None = JACCARD_MAX_DF
+) -> str:
+    """Containment twin of _sql_jaccard_pairs: identical shingle/cap/pair
+    CTEs, the final projection scores Broder containment both ways and
+    filters on the greater direction."""
+    cap = (
+        f"""
+        keep AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {max_df}),
+        inv AS (SELECT id, g FROM inv0 JOIN keep USING (g)),"""
+        if max_df is not None
+        else """
+        inv AS (SELECT id, g FROM inv0),"""
+    )
+    n = JACCARD_N
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                              i -> substr(text, i, {n}))) AS shingles
+          FROM documents WHERE length(text) >= {n}
+        ),
+        inv0 AS (SELECT id, unnest(shingles) AS g FROM sh),{cap}
+        sizes AS (SELECT id, count(*) AS sz FROM inv GROUP BY id),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM inv a JOIN inv b USING (g)
+          WHERE a.id < b.id GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(p.inter AS DOUBLE) / sa.sz AS containment_a_in_b,
+               CAST(p.inter AS DOUBLE) / sb.sz AS containment_b_in_a
+        FROM pairs p
+        JOIN sizes sa ON sa.id = p.id_a
+        JOIN sizes sb ON sb.id = p.id_b
+        WHERE greatest(CAST(p.inter AS DOUBLE) / sa.sz,
+                       CAST(p.inter AS DOUBLE) / sb.sz) >= {threshold!r}
     """
 
 
@@ -4912,6 +4969,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sq_knn": _sql_sq_knn(),
         "dedup_ngram_jaccard": _sql_jaccard_pairs(),
+        "ngram_containment": _sql_containment_pairs(0.8),
         "dedup_embedding_cosine": _sql_embedding_dups(),
         "simhash": _sql_simhash(),
         "doc_fingerprint": f"SELECT doc_id, {_sql_poly_hash('text')} AS fp FROM documents",

@@ -130,6 +130,33 @@ def ngram_jaccard_pairs(
     this spills, which is still far cheaper than re-evaluating the shingle
     expressions per consumer.
     """
+    return (
+        _shingle_pair_counts(df, id_col, text_col, n, max_doc_freq, unit)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    unit: str,
+) -> DataFrame:
+    """Shared inverted-index core of the shingle-overlap family:
+    ``(id_a < id_b, inter, sz_a, sz_b)`` — distinct-shingle intersection
+    counts plus both set sizes, from ONE exploded index self-joined on the
+    shingle (the candidate stage) and one count aggregate per pair. The
+    resemblance (Jaccard) and containment scorers are pure projections on
+    top, so they share plan shape, the ``max_doc_freq`` heavy-hitter cap,
+    and the checkpoint discipline."""
     # localCheckpoint, not persist(): three consumers need the shingle
     # arrays, but a plain persist is never unpersisted (the consumer is a
     # lazy DataFrame we return) and leaks cache until session end;
@@ -159,16 +186,47 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return pairs.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    unit: str = "char",
+) -> DataFrame:
+    """Pairs where one document's distinct ``n``-gram set is mostly
+    CONTAINED in the other's: Broder's containment ``c(A,B) =
+    |A∩B| / |A|`` (Broder 1997, "resemblance and containment") — the
+    asymmetric overlap Jaccard structurally under-weights. A short quote
+    embedded in a long article has tiny Jaccard (the union is
+    article-sized) but containment ≈ 1; this is the detector for
+    subset/quote/expanded-revision relations, the complement of
+    :func:`ngram_jaccard_pairs`' same-size near-dup detector.
+
+    Output: ``(id_a < id_b, containment_a_in_b, containment_b_in_a)``
+    filtered to ``greatest(both) >= threshold`` — both directions
+    reported so the caller knows WHICH side is the subset (the kept doc
+    in a salvage pipeline is usually the superset).
+
+    Same single-inverted-index plan, heavy-hitter cap, and checkpoint
+    discipline as the Jaccard scorer (shared ``_shingle_pair_counts``);
+    with a cap the semantics become containment over kept shingles, with
+    sizes recomputed over the same kept sets."""
+    counts = _shingle_pair_counts(df, id_col, text_col, n, max_doc_freq, unit)
+    c_ab = F.col("inter").cast("double") / F.col("sz_a")
+    c_ba = F.col("inter").cast("double") / F.col("sz_b")
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        counts.withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= threshold
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a")
     )
 
 

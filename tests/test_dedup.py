@@ -981,3 +981,58 @@ def test_fuzzy_near_dups_cap_and_validation(spark):
         fuzzy_near_dups(df, max_edits=0)
     with _pytest.raises(ValueError, match="key_len"):
         fuzzy_near_dups(df, max_edits=7, key_len=8)
+
+
+def test_ngram_containment_catches_quotes_jaccard_misses(spark):
+    """A short passage embedded verbatim in a long article: containment
+    of the quote in the article ≈ 1 while Jaccard stays tiny — the
+    asymmetric relation this operator exists for. Scores replayed in
+    Python on the same distinct-shingle sets."""
+    from kaer_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler[: len(filler) // 2] + " " + quote + " " + filler),
+        (3, "entirely unrelated content with no shared substrings at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_containment_pairs(df, n=8, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+
+    def sh(t):
+        return {t[i : i + 8] for i in range(len(t) - 7)}
+
+    s1, s2 = sh(rows[0][1]), sh(rows[1][1])
+    inter = len(s1 & s2)
+    assert got[0]["containment_a_in_b"] == inter / len(s1)
+    assert got[0]["containment_b_in_a"] == inter / len(s2)
+    assert got[0]["containment_a_in_b"] > 0.9  # quote ⊂ article
+    # ...and Jaccard at the same strength misses the pair entirely
+    jac = ngram_jaccard_pairs(df, n=8, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_ngram_containment_cap_shares_jaccard_semantics(spark):
+    """With max_doc_freq, sizes are recomputed over KEPT shingles (the
+    documented cap semantics shared with the Jaccard scorer through
+    _shingle_pair_counts)."""
+    from kaer_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [
+        (1, "common common common common rare1 rare1 rare1"),
+        (2, "common common common common rare1 rare1 rare1"),
+        (3, "common common common common other other other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(
+            df, n=6, threshold=0.99, unit="char"
+        ).collect()
+    }
+    assert (1, 2) in uncapped and (1, 3) not in uncapped
