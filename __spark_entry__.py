@@ -404,6 +404,20 @@ def _q_pq_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("_score").alias("adc_l2sq"))
 
 
+def _q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ serving stack (similarity.ivf_pq_topk): probe 3 of 8
+    coarse cells, ADC over the probed rows' codes only, 50-row shortlist,
+    exact refine — the FAISS IVFx,PQy+RefineFlat layout with every stage
+    deterministic, so the oracle replays the ENTIRE pipeline value-exactly
+    at partial probe (no full-probe escape hatch)."""
+    from kaer_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"), QVEC, topk=10, cells=8, nprobe=3,
+        shortlist=50, m=8, codebook_k=16,
+    ).select("vec_id", F.col("_score").alias("l2sq"))
+
+
 def _q_pq_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN (similarity.pq_topk_refined): deterministic-PQ ADC
     shortlist of 50, then EXACT float64 re-rank of the survivors — the
@@ -2956,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_det": _q_lsh_knn_det,
         "pq_knn_det": _q_pq_knn_det,
         "pq_knn_refined": _q_pq_knn_refined,
+        "ivf_pq_knn": _q_ivf_pq_knn,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_dedup": _q_streaming_dedup,
         "bm25_scores": _q_bm25_scores,
@@ -3398,6 +3413,113 @@ def _sql_pq_knn_det(limit: int = 10) -> str:
             {joins}
         ORDER BY adc_l2sq ASC, enc.vec_id ASC
         LIMIT {limit}
+    """
+
+
+def _sql_ivf_pq_topk(
+    cells: int = 8,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    topk: int = 10,
+    m: int = 8,
+    k: int = 16,
+) -> str:
+    """Replay of similarity.ivf_pq_topk at PARTIAL probe: coarse
+    centroids + argmin assignment + probe rank (the ivf_knn_det CTEs),
+    PQ encode/ADC restricted to the probed rows (the pq_knn_det CTEs
+    re-sourced), ADC shortlist, exact re-rank — every stage value-exact,
+    no full-probe escape hatch."""
+    d = len(QVEC) // m
+
+    def slice_dist(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            for i in range(s * d + 1, s * d + d + 1)
+        )
+
+    def slice_dist_lit(vec: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) - ({QVEC[i]!r}))"
+            f" * (CAST({vec}[{i + 1}] AS DOUBLE) - ({QVEC[i]!r}))"
+            for i in range(s * d, s * d + d)
+        )
+
+    cd = "\n          UNION ALL ".join(
+        f"SELECT e.vec_id, c.cid, {s} AS s,"
+        f" {slice_dist('e.embedding', 'c.cvec', s)} AS dist"
+        f" FROM probed e CROSS JOIN cb c"
+        for s in range(m)
+    )
+    adc = "\n          UNION ALL ".join(
+        f"SELECT cid, {s} AS s, {slice_dist_lit('cvec', s)} AS dist FROM cb"
+        for s in range(m)
+    )
+    enc_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m)
+    )
+    joins = "\n            ".join(
+        f"JOIN adc a{s} ON a{s}.s = {s} AND a{s}.cid = enc.c{s}"
+        for s in range(m)
+    )
+    score = "a0.dist"
+    for s in range(1, m):
+        score = f"({score} + a{s}.dist)"
+    return f"""
+        WITH co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                           embedding AS cvec
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT {cells})),
+        celld AS (
+          SELECT e.vec_id, co.j,
+                 {_sql_l2sq_cols('e.embedding', 'co.cvec')} AS dist
+          FROM embeddings e CROSS JOIN co
+        ),
+        ar AS (
+          SELECT vec_id, j,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+          FROM celld
+        ),
+        assigned AS (SELECT vec_id, j AS cell FROM ar WHERE rn = 1),
+        pr AS (
+          SELECT j, row_number() OVER (
+            ORDER BY {_sql_l2sq_lit('cvec', QVEC)}, j) AS pr
+          FROM co
+        ),
+        probed AS (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e
+          JOIN assigned ON assigned.vec_id = e.vec_id
+          JOIN pr ON pr.j = assigned.cell
+          WHERE pr.pr <= {nprobe}
+        ),
+        cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                      embedding AS cvec
+               FROM (SELECT vec_id, embedding FROM embeddings
+                     ORDER BY vec_id LIMIT {k})),
+        cd AS (
+          {cd}
+        ),
+        r AS (
+          SELECT vec_id, s, cid,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+          FROM cd
+        ),
+        enc AS (SELECT vec_id, {enc_cols} FROM r WHERE rn = 1 GROUP BY vec_id),
+        adc AS (
+          {adc}
+        ),
+        short AS (
+          SELECT enc.vec_id, {score} AS adc_l2sq
+          FROM enc
+            {joins}
+          ORDER BY adc_l2sq ASC, enc.vec_id ASC
+          LIMIT {shortlist}
+        )
+        SELECT s.vec_id, {_sql_l2sq_lit('e.embedding', QVEC)} AS l2sq
+        FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+        ORDER BY l2sq ASC, s.vec_id ASC
+        LIMIT {topk}
     """
 
 
@@ -6217,6 +6339,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_knn_det": _sql_lsh_knn_det(),
         "pq_knn_det": _sql_pq_knn_det(),
         "pq_knn_refined": _sql_pq_knn_refined(),
+        "ivf_pq_knn": _sql_ivf_pq_topk(),
         "weighted_mix": f"""
             WITH b AS (
               SELECT source, doc_id,

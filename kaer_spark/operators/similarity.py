@@ -728,12 +728,29 @@ def pq_topk_refined(
     if topk > shortlist:
         raise ValueError(f"topk {topk} > shortlist {shortlist}")
     books = pq_fit_deterministic(corpus, vec_col, id_col, m, k)
-    d = len(books[0][0])
+    return _pq_adc_refine(
+        corpus, books, query_vector, topk, shortlist, vec_col, id_col
+    )
+
+
+def _pq_adc_refine(
+    rows: DataFrame,
+    books: list[list[list[float]]],
+    query_vector: Sequence[float],
+    topk: int,
+    shortlist: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared refine tail: Catalyst argmin encode of ``rows`` under
+    ``books``, driver-computed ADC tables (engine-shared left-assoc fold),
+    ADC heap shortlist, exact-l2sq re-rank → ``(id, _score)``."""
+    m, d = len(books), len(books[0][0])
     q = [float(x) for x in query_vector]
     tables = [
         [py_l2sq(q[j * d : (j + 1) * d], c) for c in books[j]] for j in range(m)
     ]
-    encoded = pq_encode_deterministic(corpus, books, vec_col)
+    encoded = pq_encode_deterministic(rows, books, vec_col)
     tables_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
     adc = F.aggregate(
         F.zip_with(F.col("pq_code"), tables_lit, lambda c, t: t[c]),
@@ -750,6 +767,54 @@ def pq_topk_refined(
         .orderBy(F.col("_score").asc(), F.col(id_col).asc())
         .limit(topk)
         .select(id_col, "_score")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    topk: int,
+    cells: int = 8,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    m: int = 8,
+    codebook_k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with exact refine — the full billion-scale serving stack
+    (Jegou et al. 2011 IVFADC §V + re-ranking; FAISS
+    ``IVFx,PQy`` + ``RefineFlat``), composed from the deterministic
+    members of both families so the WHOLE pipeline carries a value-level
+    oracle at PARTIAL probe (not the full-probe-≡-exact escape hatch):
+
+    1. coarse quantizer: ``cells`` smallest-id centroids, argmin cell
+       assignment (at rest this is the cell-partitioned ``index_store``
+       table — a query scans ``nprobe`` partitions, not the corpus);
+    2. probe the ``nprobe`` query-nearest cells (driver arithmetic over
+       ``cells`` centroids, the engine-shared ``py_l2sq`` fold);
+    3. ADC over the probed cells only, reading the m-int code column —
+       corpus-level codebooks, so codes are comparable across cells;
+    4. ``shortlist`` heap cut by ADC, exact float64 re-rank → ``topk``
+       with EXACT reported distances.
+
+    Recall factors cleanly: cell recall (the IVF envelope, missed only
+    when a true neighbor lives outside all probed cells) × shortlist
+    recall (the PQ envelope, bounded by ``shortlist``); at
+    ``nprobe=cells`` and ``shortlist`` ≥ corpus this IS
+    ``brute_force_topk``. Reference parity: the HNSW ef/k trade
+    (``/root/reference/db/hnsw.go`` ef=200) with explicit, separately
+    tunable knobs instead of one opaque graph parameter.
+    """
+    if topk > shortlist:
+        raise ValueError(f"topk {topk} > shortlist {shortlist}")
+    cents = ivf_fit_deterministic(corpus, vec_col, id_col, cells)
+    assigned = ivf_assign_deterministic(corpus, cents, vec_col)
+    probe = ivf_probe_cells(cents, query_vector, nprobe)
+    probed = assigned.filter(F.col("_cell").isin(probe)).drop("_cell")
+    books = pq_fit_deterministic(corpus, vec_col, id_col, m, codebook_k)
+    return _pq_adc_refine(
+        probed, books, query_vector, topk, shortlist, vec_col, id_col
     )
 
 

@@ -598,3 +598,57 @@ def test_mmr_validation_and_zero_vectors(spark, embeddings):
     got = mmr_rerank(df, [1.0, 0.0], k=3, pool=3, lam=0.5).collect()
     # the zero vector (NULL cosine) is excluded; both others selected
     assert [r["vec_id"] for r in got] == [2, 3]
+
+
+def test_ivf_pq_full_knobs_equals_exact(spark, embeddings):
+    """At nprobe=cells and shortlist>=corpus, the composed IVF-PQ stack
+    degrades to exact brute force (ids and float64 scores)."""
+    from kaer_spark.operators.similarity import ivf_pq_topk
+
+    n = embeddings.count()
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    got = ivf_pq_topk(
+        embeddings, QVEC, topk=10, cells=8, nprobe=8, shortlist=n
+    )
+    assert [(r["vec_id"], r["_score"]) for r in got.collect()] == [
+        (r["vec_id"], r["_score"]) for r in exact.collect()
+    ]
+
+
+def test_ivf_pq_partial_probe_recall_and_exact_scores(spark, embeddings):
+    """Partial probe: reported scores are EXACT distances for the ids
+    returned, and recall against brute force stays useful (the probed
+    cells carry the query's neighborhood)."""
+    from kaer_spark.operators.similarity import (
+        ivf_pq_topk,
+        py_l2sq,
+        recall_at_k,
+    )
+
+    exact = brute_force_topk(embeddings, QVEC, 10, metric="l2sq")
+    got = ivf_pq_topk(
+        embeddings, QVEC, topk=10, cells=8, nprobe=3, shortlist=50
+    )
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embeddings.collect()
+    }
+    rows = got.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["_score"] == py_l2sq(vecs[r["vec_id"]], QVEC)
+    # widening either knob recovers recall on this (deterministic)
+    # fixture: 0.2 @ (3,50) → 0.5 @ (6,50) → 0.9 @ (8,200)
+    r3 = recall_at_k(got, exact, "vec_id")
+    r6 = recall_at_k(
+        ivf_pq_topk(embeddings, QVEC, topk=10, cells=8, nprobe=6,
+                    shortlist=50),
+        exact, "vec_id",
+    )
+    r8 = recall_at_k(
+        ivf_pq_topk(embeddings, QVEC, topk=10, cells=8, nprobe=8,
+                    shortlist=200),
+        exact, "vec_id",
+    )
+    assert r3 <= r6 <= r8
+    assert r8 >= 0.8
