@@ -2638,6 +2638,21 @@ def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint overlap pairs (dedup.winnow_overlap_pairs):
+    MOSS winnowing (Schleimer et al. 2003) — rightmost-min of every
+    8-hash window over 16-char grams (~2/9 posting density, guaranteed
+    detection of any 23+-char shared passage), pairs sharing ≥5 selected
+    fingerprints. The sampled operating point of the exact passage
+    report; selection and pairing replayed hash-for-hash by the
+    oracle."""
+    from kaer_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=16, window=8, min_shared=5
+    )
+
+
 def _q_fuzzy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join (dedup.fuzzy_near_dups): pairs whose
     normalized 32-char prefix keys are within 2 Levenshtein edits,
@@ -2937,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "token_divergence": _q_token_divergence,
         "fuzzy_near_dups": _q_fuzzy_near_dups,
+        "winnow_overlap": _q_winnow_overlap,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -4816,6 +4832,66 @@ def _sql_image_near_dups(max_hamming: int) -> str:
     """
 
 
+def _sql_winnow_overlap(
+    k: int = 16, w: int = 8, min_shared: int = 5
+) -> str:
+    """Replay of dedup.winnow_overlap_pairs: codepoint k-gram paired-
+    moduli fingerprints as FLAT power-basis sums (every intermediate
+    < 2^56, so plain bigint arithmetic replays Spark's incremental-mod
+    fold exactly), rightmost-min-per-window selection via a (h ASC,
+    p DESC) rank over the exploded (window, position) grid, then the
+    distinct-fingerprint pair join. Short docs (< window hashes) form
+    one truncated window — the engine's greatest(…, 1) convention."""
+    from kaer_spark.operators.dedup import (
+        HASH_BASE,
+        HASH_BASE2,
+        HASH_MOD,
+        HASH_MOD2,
+    )
+
+    pw1 = [pow(HASH_BASE, k - 1 - j, HASH_MOD) for j in range(k)]
+    pw2 = [pow(HASH_BASE2, k - 1 - j, HASH_MOD2) for j in range(k)]
+    h1 = " + ".join(f"codes[CAST(i + {j} AS INT)] * {pw1[j]}" for j in range(k))
+    h2 = " + ".join(f"codes[CAST(i + {j} AS INT)] * {pw2[j]}" for j in range(k))
+    fp = f"(({h1}) % {HASH_MOD}) * {HASH_MOD2} + (({h2}) % {HASH_MOD2})"
+    return f"""
+        WITH cd AS (
+          SELECT doc_id AS id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+                   AS codes,
+                 length(text) - {k} + 1 AS nh
+          FROM documents WHERE length(text) >= {k}
+        ),
+        hs AS (
+          SELECT id, nh, unnest(range(1, nh + 1)) AS p,
+                 unnest(list_transform(range(1, nh + 1), i -> {fp})) AS h
+          FROM cd
+        ),
+        js AS (
+          SELECT id, unnest(range(1, greatest(nh - {w} + 1, 1) + 1)) AS j
+          FROM cd
+        ),
+        wp AS (
+          SELECT hs.id, js.j, hs.p, hs.h
+          FROM hs JOIN js ON js.id = hs.id
+          WHERE hs.p >= js.j AND hs.p <= js.j + {w} - 1
+        ),
+        rk AS (
+          SELECT id, j, p, h,
+                 row_number() OVER (PARTITION BY id, j
+                                    ORDER BY h ASC, p DESC) AS rn
+          FROM wp
+        ),
+        sel AS (SELECT DISTINCT id, h AS fp FROM rk WHERE rn = 1)
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        FROM sel a JOIN sel b USING (fp)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
+
+
 def _sql_passage_windows() -> str:
     """Shared windows CTE for the passage-dedup oracle family: every
     24-char window's CONTENT with its 1-based start position. The engine
@@ -6137,6 +6213,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _sql_embedding_drift(len(QVEC)),
         "token_divergence": _sql_token_divergence(),
         "fuzzy_near_dups": _sql_fuzzy_near_dups(),
+        "winnow_overlap": _sql_winnow_overlap(),
         "zipf_profile": _sql_zipf_profile(),
         "mmr_rerank": _sql_mmr_rerank(),
         "subword_budget": """

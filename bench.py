@@ -89,6 +89,7 @@ HEADLINE = [
     # family), two-stage PQ refine, MMR re-rank, and the two corpus-drift
     # diagnostics
     "fuzzy_near_dups",
+    "winnow_overlap",
     "pq_knn_refined",
     "mmr_rerank",
     "token_divergence",

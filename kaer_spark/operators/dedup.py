@@ -1891,6 +1891,105 @@ def _excise_spans(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local fingerprinting algorithm): from every run of
+    ``window`` consecutive ``k``-gram hashes keep only the MINIMUM (ties
+    → rightmost, the paper's rule), giving ~``2/(window+1)`` selection
+    density with the winnowing GUARANTEE: any shared substring of length
+    ≥ ``k + window − 1`` yields at least one shared selected fingerprint.
+    This is the passage family's sampled operating point — Lee-et-al
+    ``duplicate_passages`` posts EVERY window (exact, 1× density),
+    winnowing posts ~an eighth of them and still can't miss a long match,
+    which is the posting-volume trade web-scale plagiarism/overlap
+    detection actually ships.
+
+    Output: distinct ``(id, pos0, fp)`` selections (0-based window
+    start, the engine-wide ~60-bit paired-moduli fingerprint).
+
+    Documents shorter than ``k`` contribute nothing; documents with
+    fewer than ``window`` hashes form one truncated window (its min is
+    selected) — same convention both engine- and oracle-side.
+
+    Scale shape: codepoint array materialized once per row, the hash
+    sequence built scan-side, per-window struct ``array_min`` over
+    slices (window ≤ 8 structs a slice), one posexplode of the SELECTED
+    windows only, one distinct. Nothing leaves the scan stage until the
+    (id, pos, fp) rows — already winnowed — hit the distinct's exchange.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be positive")
+    K, w = int(k), int(window)
+    n_h = F.length(text_col) - K + 1
+    hstructs = F.transform(
+        F.sequence(F.lit(1), n_h),
+        lambda i: F.struct(
+            _win_fp("__codes", i, K).alias("h"), (-i).alias("np")
+        ),
+    )
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__h") - w + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice("__h", j, w)),
+    )
+    # the checkpoint is a PLAN BARRIER, not just lineage hygiene: the
+    # selection transform references __h exactly once, so CollapseProject
+    # would inline the whole hash-array expression into every per-window
+    # slice — O(n_hashes² · k) per document, measured 20× slower at
+    # sf0.01. Materializing (id, __h) pins one-hash-evaluation-per-window
+    # the way the passage family's multi-reference __codes pattern does.
+    hashed = (
+        ensure_parallelism(df.filter(F.length(text_col) >= K))
+        .withColumn("__codes", _codes_col(text_col))
+        .select(F.col(id_col).alias("id"), hstructs.alias("__h"))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        hashed.select("id", F.explode(sel).alias("s"))
+        .select(
+            "id",
+            (-F.col("s.np") - 1).cast("long").alias("pos0"),
+            F.col("s.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` distinct winnowed
+    fingerprints — the MOSS similarity report built on
+    :func:`winnow_fingerprints`. By the winnowing guarantee a pair
+    sharing any passage of ``k + window − 1``+ chars shares at least one
+    selected fingerprint, at ~1/8th the posting volume of the exact
+    passage report (the inverted-index join cost scales with postings²
+    per key, so the density cut is the whole point at corpus scale).
+
+    Output: ``(id_a < id_b, n_shared)``, descending share count."""
+    sel = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        "id", "fp"
+    ).distinct()
+    return (
+        sel.alias("a")
+        .join(sel.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def remove_duplicate_passages(
     df: DataFrame,
     id_col: str = "doc_id",

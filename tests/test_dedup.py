@@ -1036,3 +1036,92 @@ def test_ngram_containment_cap_shares_jaccard_semantics(spark):
         ).collect()
     }
     assert (1, 2) in uncapped and (1, 3) not in uncapped
+
+
+# ---------------------------------------------------------------------------
+# winnowing (r11): MOSS sampled fingerprints
+# ---------------------------------------------------------------------------
+def _py_winnow(text, k, w):
+    MOD1, B1, MOD2, B2 = 1_000_000_007, 31, 1_000_000_009, 131
+    if len(text) < k:
+        return set()
+    cs = [ord(c) for c in text]
+    n = len(text) - k + 1
+    hs = []
+    for i in range(n):
+        h1 = h2 = 0
+        for j in range(k):
+            h1 = (h1 + cs[i + j] * pow(B1, k - 1 - j, MOD1)) % MOD1
+            h2 = (h2 + cs[i + j] * pow(B2, k - 1 - j, MOD2)) % MOD2
+        hs.append(h1 * MOD2 + h2)
+    sel = set()
+    for j in range(max(n - w + 1, 1)):
+        win = hs[j : j + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        p = j + max(i for i, h in enumerate(win) if h == m)
+        sel.add((p, hs[p]))
+    return sel
+
+
+def test_winnow_matches_python_replay(spark):
+    """Selected (pos, fp) ≡ an independent Python winnower, including the
+    rightmost-tie rule (periodic text makes hash ties real) and the
+    truncated-window convention for short docs."""
+    from kaer_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "abababababababababababab"),     # periodic: equal hashes, ties
+        (3, "exactly sixteen!"),             # len == k: one hash
+        (4, "short doc here yes"),           # fewer hashes than window
+        (5, "x" * 40),                       # constant: all hashes equal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=16, window=8).collect():
+        got.setdefault(r["id"], set()).add((r["pos0"], r["fp"]))
+    for did, text in rows:
+        assert got.get(did, set()) == _py_winnow(text, 16, 8), did
+
+
+def test_winnow_guarantee_and_density(documents):
+    """The winnowing guarantee: docs sharing a (k+window-1)-char passage
+    share ≥1 selected fingerprint — checked via the exact passage report
+    at the guarantee length; density stays near 2/(w+1)."""
+    from kaer_spark.operators.dedup import (
+        _window_fp_explode,
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+    from pyspark.sql import functions as SF
+
+    k, w = 16, 8
+    t = k + w - 1  # 23
+    # pairs of docs sharing an exact 23-char window
+    shared = (
+        _window_fp_explode(documents, "doc_id", "text", t)
+        .select("id", "fp")
+        .distinct()
+    )
+    truth_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in shared.alias("a")
+        .join(shared.alias("b"), "fp")
+        .filter(SF.col("a.id") < SF.col("b.id"))
+        .select(SF.col("a.id").alias("id_a"), SF.col("b.id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    win_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(
+            documents, k=k, window=w, min_shared=1
+        ).collect()
+    }
+    assert truth_pairs <= win_pairs, truth_pairs - win_pairs
+    sel = winnow_fingerprints(documents, k=k, window=w).count()
+    total = documents.selectExpr(
+        f"sum(greatest(length(text) - {k - 1}, 0))"
+    ).first()[0]
+    assert 1.2 / (w + 1) < sel / total < 3.5 / (w + 1)
