@@ -2625,6 +2625,37 @@ def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_dups_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus edit-distance decontamination
+    (dedup.fuzzy_near_dups_between): even-id docs within 2 edits (on the
+    normalized 32-char key) of an odd-id doc — the typo/OCR-variant
+    screen exact and shingle decontamination miss. Complete blocking ⇒
+    brute-force cross-product oracle."""
+    from kaer_spark.operators.dedup import fuzzy_near_dups_between
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_near_dups_between(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        max_edits=2, key_len=32,
+    )
+
+
+def _q_winnow_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus winnowed overlap (dedup.winnow_overlap_between):
+    even-id docs sharing ≥3 selected fingerprints with an odd-id doc —
+    passage_overlap_between at MOSS-winnowed density (guaranteed for
+    23+-char shared passages at ~1/4 the postings)."""
+    from kaer_spark.operators.dedup import winnow_overlap_between
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_between(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=16, window=8, min_shared=3,
+    )
+
+
 def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit (ranking.zipf_profile): least-squares
     slope + R² of ln(freq) vs ln(rank) over the top-200 tokens — the
@@ -2953,6 +2984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_divergence": _q_token_divergence,
         "fuzzy_near_dups": _q_fuzzy_near_dups,
         "winnow_overlap": _q_winnow_overlap,
+        "fuzzy_dups_between": _q_fuzzy_dups_between,
+        "winnow_between": _q_winnow_between,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -3994,6 +4027,26 @@ def _sql_fuzzy_near_dups(max_edits: int = 2, key_len: int = 32) -> str:
     """
 
 
+def _sql_fuzzy_dups_between(max_edits: int = 2, key_len: int = 32) -> str:
+    """Brute-force cross-product ground truth for
+    dedup.fuzzy_near_dups_between over the even × odd parity split."""
+    key = (
+        "rpad(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+        f" 1, {key_len}), {key_len}, ' ')"
+    )
+    return f"""
+        WITH k AS (
+          SELECT doc_id, {key} AS key
+          FROM documents
+          WHERE length(trim(text)) > 0
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
+        FROM k a JOIN k b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        WHERE levenshtein(a.key, b.key) <= {max_edits}
+    """
+
+
 def _sql_token_divergence(
     lang_a: str = "en", lang_b: str = "de", alpha: float = 0.5,
     cell_d: int = 14, out_d: int = 6,
@@ -4833,7 +4886,7 @@ def _sql_image_near_dups(max_hamming: int) -> str:
 
 
 def _sql_winnow_overlap(
-    k: int = 16, w: int = 8, min_shared: int = 5
+    k: int = 16, w: int = 8, min_shared: int = 5, between: bool = False
 ) -> str:
     """Replay of dedup.winnow_overlap_pairs: codepoint k-gram paired-
     moduli fingerprints as FLAT power-basis sums (every intermediate
@@ -4849,6 +4902,19 @@ def _sql_winnow_overlap(
         HASH_MOD2,
     )
 
+    if between:
+        final = f"""SELECT a.id AS left_id, b.id AS right_id,
+               count(*) AS n_shared
+        FROM sel a JOIN sel b USING (fp)
+        WHERE a.id % 2 = 0 AND b.id % 2 = 1
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}"""
+    else:
+        final = f"""SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        FROM sel a JOIN sel b USING (fp)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}"""
     pw1 = [pow(HASH_BASE, k - 1 - j, HASH_MOD) for j in range(k)]
     pw2 = [pow(HASH_BASE2, k - 1 - j, HASH_MOD2) for j in range(k)]
     h1 = " + ".join(f"codes[CAST(i + {j} AS INT)] * {pw1[j]}" for j in range(k))
@@ -4884,11 +4950,7 @@ def _sql_winnow_overlap(
           FROM wp
         ),
         sel AS (SELECT DISTINCT id, h AS fp FROM rk WHERE rn = 1)
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
-        FROM sel a JOIN sel b USING (fp)
-        WHERE a.id < b.id
-        GROUP BY 1, 2
-        HAVING count(*) >= {min_shared}
+        {final}
     """
 
 
@@ -6214,6 +6276,8 @@ def oracle_sql() -> dict[str, str]:
         "token_divergence": _sql_token_divergence(),
         "fuzzy_near_dups": _sql_fuzzy_near_dups(),
         "winnow_overlap": _sql_winnow_overlap(),
+        "fuzzy_dups_between": _sql_fuzzy_dups_between(),
+        "winnow_between": _sql_winnow_overlap(min_shared=3, between=True),
         "zipf_profile": _sql_zipf_profile(),
         "mmr_rerank": _sql_mmr_rerank(),
         "subword_budget": """

@@ -1990,6 +1990,140 @@ def winnow_overlap_pairs(
     )
 
 
+def fuzzy_near_dups_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edits: int = 2,
+    key_len: int = 32,
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """CROSS-corpus edit-distance pairs: ``(left_id, right_id,
+    edit_distance)`` for left documents within ``max_edits`` Levenshtein
+    edits (on the normalized fixed-width key) of a right document — the
+    typo-variant decontamination shape: an eval prompt that entered the
+    crawl with OCR noise or small in-place edits passes exact and
+    shingle screens but not this one. Same complete segment blocking as
+    :func:`fuzzy_near_dups` (left = index side, right = probe side —
+    the pigeonhole lemma needs only ONE side segmented), joined strictly
+    across corpora, exact ``levenshtein`` verify. With the default
+    ``max_key_df=None`` the result equals the brute-force cross product,
+    which is what the oracle runs."""
+    if max_edits < 1:
+        raise ValueError("max_edits must be >= 1 (0 is exact matching)")
+    if key_len < (max_edits + 1) * 2:
+        raise ValueError(
+            f"key_len {key_len} too small for {max_edits + 1} segments"
+        )
+    bounds = _fuzzy_bounds(key_len, max_edits)
+
+    def keyed(df: DataFrame, id_col: str) -> DataFrame:
+        return (
+            ensure_parallelism(df)
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(
+                F.col(id_col).alias("id"),
+                _fuzzy_key(text_col, key_len).alias("key"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    lk, rk = keyed(left, left_id_col), keyed(right, right_id_col)
+    idx = lk.select(
+        "id",
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring("key", p + 1, l).alias("seg"),
+                    )
+                    for i, (p, l) in enumerate(bounds)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "key", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+    probe_cols = []
+    for i, (p, l) in enumerate(bounds):
+        for s in range(-max_edits, max_edits + 1):
+            start = p + s
+            if start < 0 or start + l > key_len:
+                continue
+            probe_cols.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.substring("key", start + 1, l).alias("seg"),
+                )
+            )
+    probe = rk.select(
+        "id", "key", F.explode(F.array(*probe_cols)).alias("s")
+    ).select("id", "key", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+    if max_key_df is not None:
+        hot = (
+            probe.groupBy("i", "seg")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > int(max_key_df))
+            .select("i", "seg")
+        )
+        idx = idx.join(F.broadcast(hot), ["i", "seg"], "left_anti")
+        probe = probe.join(F.broadcast(hot), ["i", "seg"], "left_anti")
+    return (
+        idx.alias("a")
+        .join(probe.alias("b"), ["i", "seg"])
+        .select(
+            F.col("a.id").alias("left_id"),
+            F.col("b.id").alias("right_id"),
+            F.col("a.key").alias("__ka"),
+            F.col("b.key").alias("__kb"),
+        )
+        .distinct()
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("__ka"), F.col("__kb")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= max_edits)
+        .select("left_id", "right_id", "edit_distance")
+    )
+
+
+def winnow_overlap_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """CROSS-corpus winnowed overlap: ``(left_id, right_id, n_shared)``
+    for left documents sharing ≥ ``min_shared`` selected fingerprints
+    with a right document — ``passage_overlap_between`` at winnowed
+    density (~2/(window+1) of the postings) while the winnowing
+    guarantee still detects every shared passage of ``k + window − 1``+
+    chars. The eval-decontamination screen you can afford to run against
+    the FULL training corpus on every refresh; escalate flagged pairs to
+    the exact passage report when byte accounting matters."""
+    lsel = winnow_fingerprints(left, left_id_col, text_col, k, window).select(
+        "id", "fp"
+    ).distinct()
+    rsel = winnow_fingerprints(right, right_id_col, text_col, k, window).select(
+        "id", "fp"
+    ).distinct()
+    return (
+        lsel.alias("a")
+        .join(rsel.alias("b"), "fp")
+        .groupBy(
+            F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def remove_duplicate_passages(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1125,3 +1125,81 @@ def test_winnow_guarantee_and_density(documents):
         f"sum(greatest(length(text) - {k - 1}, 0))"
     ).first()[0]
     assert 1.2 / (w + 1) < sel / total < 3.5 / (w + 1)
+
+
+def test_fuzzy_between_equals_brute_force(spark):
+    """Cross-corpus edit-distance blocking ≡ brute-force cross product,
+    and within-corpus pairs never appear."""
+    import itertools
+    import re
+
+    from kaer_spark.operators.dedup import fuzzy_near_dups_between
+
+    left = [
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (4, "an entirely separate left document"),
+        (6, "shared nearly identical text body"),
+    ]
+    right = [
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (3, "shared nearly identical text bodX"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (7, "an entirely separate left documen"),  # 1 deletion from id 4
+    ]
+    ldf = spark.createDataFrame(left, "doc_id long, text string")
+    rdf = spark.createDataFrame(right, "doc_id long, text string")
+    got = {
+        (r["left_id"], r["right_id"], r["edit_distance"])
+        for r in fuzzy_near_dups_between(
+            ldf, rdf, max_edits=2, key_len=32
+        ).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t).strip().lower()[:32].ljust(32)
+
+    truth = {
+        (li, ri, _py_lev(norm(lt), norm(rt)))
+        for (li, lt), (ri, rt) in itertools.product(left, right)
+        if _py_lev(norm(lt), norm(rt)) <= 2
+    }
+    assert got == truth and len(truth) >= 3
+    # strictly cross-corpus: no left-left ids even though 2 and 6 differ
+    assert all(l % 2 == 0 and r % 2 == 1 for l, r, _ in got)
+
+
+def test_winnow_between_matches_global_selection(documents):
+    """Cross-corpus winnowed overlap over the parity split ≡ winnowing
+    the whole corpus once and pairing across the split (selection is a
+    per-document function of its own text)."""
+    from pyspark.sql import functions as SF
+
+    from kaer_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_between,
+    )
+
+    even = documents.filter(SF.col("doc_id") % 2 == 0)
+    odd = documents.filter(SF.col("doc_id") % 2 == 1)
+    got = {
+        (r["left_id"], r["right_id"], r["n_shared"])
+        for r in winnow_overlap_between(
+            even, odd, k=16, window=8, min_shared=3
+        ).collect()
+    }
+    sel = winnow_fingerprints(documents, k=16, window=8).select(
+        "id", "fp"
+    ).distinct()
+    truth = {
+        (r["left_id"], r["right_id"], r["n_shared"])
+        for r in sel.alias("a")
+        .join(sel.alias("b"), "fp")
+        .filter((SF.col("a.id") % 2 == 0) & (SF.col("b.id") % 2 == 1))
+        .groupBy(
+            SF.col("a.id").alias("left_id"), SF.col("b.id").alias("right_id")
+        )
+        .agg(SF.count("*").alias("n_shared"))
+        .filter(SF.col("n_shared") >= 3)
+        .collect()
+    }
+    assert got == truth and len(got) > 0
