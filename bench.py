@@ -97,6 +97,24 @@ HEADLINE = [
 ]
 
 
+def stdout_queries(med: dict[str, float]) -> dict[str, float]:
+    """Per-query dict for the SIZE-BUDGETED stdout line: the 21 stable
+    TPC-H rows collapse into one ``tpch_total`` entry; everything else
+    stays per-query. At 70+ headline queries the full dict outgrew the
+    driver's ~2000-char tail capture (the r7 `parsed: null` failure mode);
+    the full per-query medians AND mins always live in the committed
+    bench_detail.json, so nothing is lost — only the stdout line is
+    summarized. Membership is deterministic (name prefix), so the driver's
+    cross-round series stays comparable."""
+    out = {
+        "tpch_total": round(
+            sum(v for k, v in med.items() if k.startswith("tpch_q")), 3
+        )
+    }
+    out.update({k: v for k, v in med.items() if not k.startswith("tpch_q")})
+    return out
+
+
 def _machine_load() -> dict:
     """Environment-noise fingerprint recorded alongside the timings, so a
     contaminated run (concurrent pytest, another Spark JVM) is
@@ -202,7 +220,9 @@ def main() -> int:
     # (per-query min, machine load) goes to bench_detail.json + stderr.
     detail = {
         "runs": reps,
+        "queries_med": med,
         "queries_min": best,
+        "value": round(sum(med.values()), 3),
         "value_min": round(sum(best.values()), 3),
         "loaded_start": loaded_start,
         "load": {"before": load_before, "after": _machine_load()},
@@ -234,9 +254,10 @@ def main() -> int:
             "unit": "sec",
             "runs": reps,
             "loaded_start": loaded_start,
-            "queries": med,
+            "queries": stdout_queries(med),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
+        },
+        separators=(",", ":"),
     )
     print(line)
     return 0

@@ -56,10 +56,11 @@ def test_bench_json_line_fits_driver_tail_buffer():
         "unit": "sec",
         "runs": 3,
         "loaded_start": False,
-        "queries": {n: 9999.999 for n in bench.HEADLINE},
+        "queries": bench.stdout_queries({n: 9999.999 for n in bench.HEADLINE}),
         "sf": 0.1,
     }
-    assert len(json.dumps(worst)) < 1900
+    # same serialization bench.py uses (compact separators)
+    assert len(json.dumps(worst, separators=(",", ":"))) < 1900
 
 
 def test_det_ann_oracle_on_shifted_id_fixture(spark, tmp_path):
