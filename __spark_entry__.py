@@ -1871,6 +1871,31 @@ def _q_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_fraction(ev, train, n=CONTAM_N, unit="word")
 
 
+BLOOM_M_BITS = 1 << 16  # undersized on purpose so FPs are exercised at scale
+BLOOM_K = 4
+BLOOM_SEED = 1337
+
+
+def _q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitset decontamination (contamination.bloom_contamination_
+    report): train docs (doc_id % 97 != 0) with ≥1 word 3-gram whose k=4
+    Bloom bits are all set in the 2^16-bit bitset built from the benchmark
+    slice — the constant-size-broadcast twin of contamination_report whose
+    corpus side is a pure scan+filter (the bitset crossJoins in as ONE
+    broadcast row; membership is inline int64 bit arithmetic). The
+    deterministic universal-hash family makes the exact false-positive set
+    SQL-replayable: the oracle recomputes every bit position."""
+    from kaer_spark.operators.contamination import bloom_contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % CONTAM_TEST_MOD == 0)
+    train = docs.filter(F.col("doc_id") % CONTAM_TEST_MOD != 0)
+    return bloom_contamination_report(
+        train, test, n=CONTAM_N, unit="word",
+        m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K, seed=BLOOM_SEED,
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_GAP_NS = 24 * 3600 * 1_000_000_000  # each step within 24h of the last
 
@@ -3076,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "anti_join_empty_orders": _q_anti_join,
             "asof_signup": _q_asof_signup,
             "contamination_report": _q_contamination_report,
+            "bloom_decontam": _q_bloom_decontam,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
             "dedup_cluster_assign": _q_dedup_cluster_assign,
@@ -4024,6 +4050,55 @@ def _sql_fuzzy_near_dups(max_edits: int = 2, key_len: int = 32) -> str:
                CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
         FROM k a JOIN k b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.key, b.key) <= {max_edits}
+    """
+
+
+def _sql_bloom_decontam() -> str:
+    """Replay of contamination.bloom_contamination_report: same word
+    3-grams (distinct per doc), same polynomial fingerprint, same
+    LCG-derived universal-hash constants, same mod-m bit positions — the
+    bitset is semantically the SET of set positions, so the oracle checks
+    membership against that set (packing into 63-bit words is storage,
+    not semantics). Reproduces the exact false-positive set."""
+    from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
+
+    coeffs = minhash_coeffs(BLOOM_K, BLOOM_SEED)
+
+    def pos(j: int) -> str:
+        a, b = coeffs[j]
+        return f"(((fp * {a} + {b}) % {HASH_MOD}) % {BLOOM_M_BITS})"
+
+    bits_union = " UNION ".join(
+        f"SELECT {pos(j)} AS p FROM tef" for j in range(BLOOM_K)
+    )
+    member = " AND ".join(
+        f"{pos(j)} IN (SELECT p FROM bits)" for j in range(BLOOM_K)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(ws) >= 3
+                 THEN list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                 ELSE [] END) AS grams
+          FROM w
+        ),
+        teg AS (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0),
+        tef AS (SELECT {_sql_poly_hash('g')} AS fp FROM teg),
+        bits AS ({bits_union}),
+        trg AS (SELECT doc_id, unnest(grams) AS g FROM sh
+                WHERE doc_id % 97 <> 0),
+        trf AS (SELECT doc_id, {_sql_poly_hash('g')} AS fp FROM trg)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+        FROM trf
+        WHERE {member}
+        GROUP BY doc_id
     """
 
 
@@ -5789,6 +5864,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot ON tot.doc_id = d.doc_id
             LEFT JOIN hit ON hit.doc_id = d.doc_id
         """,
+        "bloom_decontam": _sql_bloom_decontam(),
         "contamination_report": """
             WITH w AS (
               SELECT doc_id,

@@ -94,6 +94,8 @@ HEADLINE = [
     "mmr_rerank",
     "token_divergence",
     "zipf_profile",
+    # constant-size-broadcast decontamination (scan-shaped corpus probe)
+    "bloom_decontam",
 ]
 
 

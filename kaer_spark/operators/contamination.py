@@ -170,3 +170,181 @@ def overlap_fraction(
             ).alias("overlap_frac"),
         )
     )
+
+
+# --- Bloom-filter decontamination -----------------------------------------
+#
+# The broadcast in ``decontaminate`` above carries the test set's DISTINCT
+# gram STRINGS — fine for one benchmark, but a decontamination service
+# screening against hundreds of eval suites ships gigabytes of strings to
+# every executor. The Bloom variant compresses the whole eval gram set into
+# an m-bit bitset (packed 63 bits per int64 word so the oracle can replay
+# the arithmetic without touching the sign bit): the broadcast is O(m/8)
+# bytes REGARDLESS of eval-suite size, and the corpus-side probe is pure
+# bit arithmetic fused into the parquet scan — no join, no shuffle, no UDF.
+# False positives are a quantifiable (1-e^{-kn/m})^k over-flagging rate —
+# the safe direction for decontamination (never misses real contamination)
+# — and because every hash is deterministic integer arithmetic the EXACT
+# false-positive set is replayed by the DuckDB oracle.
+
+_BITS_PER_WORD = 63
+
+
+def _bit_positions(fp: Column, coeffs: list[tuple[int, int]], m_bits: int) -> list[Column]:
+    """The k Bloom positions of an int64 fingerprint: universal-hash family
+    ``((fp·a_j + b_j) mod P) mod m`` with the same LCG-derived (a_j, b_j)
+    constants the MinHash family uses (dedup.minhash_coeffs), so the oracle
+    embeds identical integers. fp < P ≈ 2^30 and a_j < P keep the product
+    inside int64."""
+    from kaer_spark.operators.dedup import HASH_MOD
+
+    return [
+        ((fp * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)) % F.lit(m_bits)
+        for a, b in coeffs
+    ]
+
+
+def bloom_build(
+    test: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    unit: str = "word",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 1337,
+) -> DataFrame:
+    """ONE-ROW DataFrame ``(m_bits, k_hashes, seed, n_set_bits, words)``:
+    the Bloom bitset of every distinct test-set n-gram, packed 63 bits per
+    word in ``words: array<long>``.
+
+    Build shape: gram explode → polynomial fingerprint → k positions →
+    ``groupBy(word index)`` with a ``bit_or`` of single-bit words (bit_or is
+    idempotent, so no distinct pass is needed anywhere) → one map-assembly
+    aggregate that scatters the set words into the dense array. The only
+    shuffle is keyed on the word index (≤ m/63 rows). The result is meant
+    to be ``F.broadcast``-crossJoined into a corpus scan by the probes
+    below, or persisted and reused across corpus refreshes."""
+    from kaer_spark.operators.dedup import _poly_hash, minhash_coeffs
+
+    if m_bits < _BITS_PER_WORD:
+        raise ValueError("m_bits must be >= 63")
+    coeffs = minhash_coeffs(k_hashes, seed)
+    n_words = (m_bits + _BITS_PER_WORD - 1) // _BITS_PER_WORD
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(_BITS_PER_WORD)])
+    fp = _poly_hash(F.col("g"))
+    pos = test.select(
+        F.explode(_grams(text_col, n, unit)).alias("g")
+    ).select(F.explode(F.array(*_bit_positions(fp, coeffs, m_bits))).alias("pos"))
+    words = pos.select(
+        F.floor(F.col("pos") / _BITS_PER_WORD).cast("int").alias("w"),
+        (F.col("pos") % _BITS_PER_WORD).cast("int").alias("bit"),
+    ).groupBy("w").agg(
+        F.bit_or(F.element_at(pow2, F.col("bit") + 1)).alias("word")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("word")))
+        ).alias("wm")
+    ).select(
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(k_hashes).cast("int").alias("k_hashes"),
+        F.lit(seed).cast("long").alias("seed"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wm"), i), F.lit(0).cast("long")
+            ),
+        ).alias("words"),
+    ).withColumn(
+        "n_set_bits",
+        F.aggregate(
+            "words",
+            F.lit(0).cast("long"),
+            lambda acc, wd: acc + F.bit_count(wd),
+        ),
+    )
+
+
+def _bloom_member(
+    fp: Column, words: Column, coeffs: list[tuple[int, int]], m_bits: int
+) -> Column:
+    """True iff all k Bloom bits of ``fp`` are set in ``words`` — a pure
+    Catalyst expression (element_at + bitwiseAND against a pow2 literal),
+    so the probe fuses into whole-stage codegen inside the corpus scan."""
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(_BITS_PER_WORD)])
+    cond = F.lit(True)
+    for pos in _bit_positions(fp, coeffs, m_bits):
+        word = F.element_at(
+            words, F.floor(pos / _BITS_PER_WORD).cast("int") + 1
+        )
+        bit = F.element_at(pow2, (pos % _BITS_PER_WORD).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def bloom_contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    unit: str = "word",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 1337,
+) -> DataFrame:
+    """Bloom twin of :func:`contamination_report`: (``doc_id``,
+    ``n_flagged``) where ``n_flagged`` counts the train doc's distinct
+    grams whose k Bloom bits are all set — contamination hits plus the
+    deterministic false-positive overhang (superset of the exact report's
+    doc set; never misses a true hit). The corpus side is scan-shaped: one
+    broadcast crossJoin of the ONE-ROW bitset, membership evaluated inline
+    per gram, then a hit-only groupBy."""
+    from kaer_spark.operators.dedup import _poly_hash, minhash_coeffs
+    from kaer_spark.operators.util import ensure_parallelism
+
+    coeffs = minhash_coeffs(k_hashes, seed)
+    bloom = bloom_build(test, text_col, n, unit, m_bits, k_hashes, seed)
+    probed = (
+        ensure_parallelism(train)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            _grams(text_col, n, unit).alias("grams"),
+        )
+        .crossJoin(F.broadcast(bloom))
+    )
+    fps = F.transform("grams", lambda g: _poly_hash(g))
+    n_flagged = F.size(
+        F.filter(fps, lambda fp: _bloom_member(fp, F.col("words"), coeffs, m_bits))
+    ).cast("long")
+    return probed.select(
+        "doc_id", n_flagged.alias("n_flagged")
+    ).filter(F.col("n_flagged") > 0)
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    unit: str = "word",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 1337,
+) -> DataFrame:
+    """Train corpus minus every doc with a Bloom-positive gram — the
+    constant-size-broadcast twin of :func:`decontaminate`. Strictly a
+    SUBSET of the exact survivors (false positives only ever remove more),
+    and — unlike the exact path — a single scan-shaped filter with NO join
+    back: the NOT-EXISTS membership test runs inside the train scan."""
+    from kaer_spark.operators.dedup import _poly_hash, minhash_coeffs
+
+    coeffs = minhash_coeffs(k_hashes, seed)
+    bloom = bloom_build(test, text_col, n, unit, m_bits, k_hashes, seed)
+    probed = train.crossJoin(F.broadcast(bloom))
+    fps = F.transform(_grams(text_col, n, unit), lambda g: _poly_hash(g))
+    clean = ~F.exists(
+        fps, lambda fp: _bloom_member(fp, F.col("words"), coeffs, m_bits)
+    )
+    return probed.filter(clean).select(*train.columns)

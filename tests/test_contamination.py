@@ -103,3 +103,145 @@ def test_overlap_fraction_bounds_and_values(spark):
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (4, 1, 0.25)
     assert got[4] == (0, 0, None)
+
+
+# --- Bloom-filter decontamination ------------------------------------------
+
+
+def _py_bloom(test_texts, m_bits, k_hashes, seed, n=3):
+    """Python replay of bloom_build: the set of set bit positions."""
+    from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
+
+    coeffs = minhash_coeffs(k_hashes, seed)
+    bits = set()
+    for t in test_texts:
+        for g in _py_grams(t, n):
+            fp = _py_poly(g)
+            for a, b in coeffs:
+                bits.add(((fp * a + b) % HASH_MOD) % m_bits)
+    return bits, coeffs
+
+
+def _py_grams(text, n):
+    toks = text.strip().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_poly(s):
+    from kaer_spark.operators.dedup import HASH_BASE, HASH_MOD
+
+    h = 0
+    for ch in s:
+        h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+    return h
+
+
+def _py_member(g, bits, coeffs, m_bits):
+    from kaer_spark.operators.dedup import HASH_MOD
+
+    fp = _py_poly(g)
+    return all(((fp * a + b) % HASH_MOD) % m_bits in bits for a, b in coeffs)
+
+
+def test_bloom_report_replays_exactly_with_false_positives(spark, corpus_pair):
+    """Tiny m forces false positives; the report must equal the python
+    replay bit for bit — the FP set is deterministic, not incidental."""
+    from kaer_spark.operators.contamination import bloom_contamination_report
+
+    train, test = corpus_pair
+    m_bits, k = 127, 2  # deliberately undersized, non-multiple of 63
+    bits, coeffs = _py_bloom([r["text"] for r in test.collect()], m_bits, k, 7)
+    want = {}
+    for r in train.collect():
+        n_flag = sum(
+            1 for g in _py_grams(r["text"], 3) if _py_member(g, bits, coeffs, m_bits)
+        )
+        if n_flag:
+            want[r["doc_id"]] = n_flag
+    got = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination_report(
+            train, test, n=3, m_bits=m_bits, k_hashes=k, seed=7
+        ).collect()
+    }
+    assert got == want and len(want) >= 3
+
+
+def test_bloom_never_misses_true_contamination(spark, corpus_pair):
+    """Superset guarantee: every exact hit is bloom-flagged at ANY m, and
+    per-doc the bloom count >= the exact count."""
+    from kaer_spark.operators.contamination import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    train, test = corpus_pair
+    exact = {
+        r["doc_id"]: r["hits"]
+        for r in contamination_report(train, test, n=3).collect()
+    }
+    for m in (127, 1 << 14):
+        bloom = {
+            r["doc_id"]: r["n_flagged"]
+            for r in bloom_contamination_report(
+                train, test, n=3, m_bits=m
+            ).collect()
+        }
+        assert set(exact) <= set(bloom)
+        assert all(bloom[d] >= h for d, h in exact.items())
+
+
+def test_bloom_decontaminate_consistency(spark, corpus_pair):
+    """Survivors = train minus flagged ids; subset of exact survivors; at
+    a well-sized m (no FPs on this fixture) exactly the exact survivors."""
+    from kaer_spark.operators.contamination import (
+        bloom_contamination_report,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    train, test = corpus_pair
+    flagged = {
+        r["doc_id"]
+        for r in bloom_contamination_report(
+            train, test, n=3, m_bits=1 << 14
+        ).collect()
+    }
+    surv = {
+        r["doc_id"]
+        for r in bloom_decontaminate(train, test, n=3, m_bits=1 << 14).collect()
+    }
+    all_ids = {r["doc_id"] for r in train.collect()}
+    assert surv == all_ids - flagged
+    exact_surv = {r["doc_id"] for r in decontaminate(train, test, n=3).collect()}
+    assert surv <= exact_surv
+    assert surv == exact_surv  # m=16k over ~6 grams: FP-free by margin
+
+
+def test_bloom_empty_test_set_flags_nothing(spark, corpus_pair):
+    from kaer_spark.operators.contamination import (
+        bloom_build,
+        bloom_decontaminate,
+    )
+
+    train, test = corpus_pair
+    empty = test.filter(F.lit(False))
+    row = bloom_build(empty, n=3, m_bits=1 << 10).collect()[0]
+    assert row["n_set_bits"] == 0 and all(w == 0 for w in row["words"])
+    assert bloom_decontaminate(train, empty, n=3).count() == train.count()
+
+
+def test_bloom_probe_never_shuffles_the_corpus(spark, corpus_pair):
+    """100 TB contract: the train side of bloom_decontaminate is pure
+    scan+filter — the ONLY hash exchange in the whole plan is the bitset
+    build's word-index groupBy (bounded by m/63 rows), and the bitset
+    arrives by broadcast."""
+    from kaer_spark.operators.contamination import bloom_decontaminate
+
+    train, test = corpus_pair
+    plan = (
+        bloom_decontaminate(train, test, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
