@@ -2681,6 +2681,24 @@ def _q_winnow_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_W = 16
+CDC_DIVISOR = 64
+
+
+def _q_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup accounting (dedup.cdc_dedup_stats):
+    Rabin-style boundaries (cut after any 16-char window whose paired-
+    moduli fingerprint ≡ 0 mod 64, ≈64-char chunks), chunk fingerprints
+    deduped corpus-wide — the insertion-robust dedup-by-parts number
+    fixed windows can't give. Oracle replays boundary hashes AND chunk
+    folds hash-for-hash."""
+    from kaer_spark.operators.dedup import cdc_dedup_stats
+
+    return cdc_dedup_stats(
+        _t(spark, sf_dir, "documents"), w=CDC_W, divisor=CDC_DIVISOR
+    )
+
+
 def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit (ranking.zipf_profile): least-squares
     slope + R² of ln(freq) vs ln(rank) over the top-200 tokens — the
@@ -3011,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "fuzzy_dups_between": _q_fuzzy_dups_between,
         "winnow_between": _q_winnow_between,
+        "cdc_stats": _q_cdc_stats,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -4050,6 +4069,83 @@ def _sql_fuzzy_near_dups(max_edits: int = 2, key_len: int = 32) -> str:
                CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
         FROM k a JOIN k b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.key, b.key) <= {max_edits}
+    """
+
+
+def _sql_cdc_stats() -> str:
+    """Replay of dedup.cdc_dedup_stats hash-for-hash: same flat power-
+    basis window fingerprints (the winnowing arithmetic at w=16), same
+    boundary rule (cut after windows ≡ 0 mod divisor; 0 and len always
+    bound), same paired Horner fold over each chunk's codepoints.
+    list_reduce seeds from the first element, which equals the fold's
+    first step since chunks are never empty."""
+    from kaer_spark.operators.dedup import (
+        HASH_BASE,
+        HASH_BASE2,
+        HASH_MOD,
+        HASH_MOD2,
+    )
+
+    w, d = CDC_W, CDC_DIVISOR
+    pw1 = [pow(HASH_BASE, w - 1 - j, HASH_MOD) for j in range(w)]
+    pw2 = [pow(HASH_BASE2, w - 1 - j, HASH_MOD2) for j in range(w)]
+    h1 = " + ".join(f"codes[CAST(i + {j} AS INT)] * {pw1[j]}" for j in range(w))
+    h2 = " + ".join(f"codes[CAST(i + {j} AS INT)] * {pw2[j]}" for j in range(w))
+    winfp = f"(({h1}) % {HASH_MOD}) * {HASH_MOD2} + (({h2}) % {HASH_MOD2})"
+    fold = (
+        f"list_reduce(list_transform(range(s + 1, e + 1),"
+        f" i -> codes[CAST(i AS INT)]),"
+        f" (a, x) -> (a * {{b}} + x) % {{m}})"
+    )
+    chfp = (
+        f"({fold.format(b=HASH_BASE, m=HASH_MOD)}) * {HASH_MOD2}"
+        f" + ({fold.format(b=HASH_BASE2, m=HASH_MOD2)})"
+    )
+    return f"""
+        WITH cd AS (
+          SELECT doc_id AS id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+                   AS codes,
+                 length(text) AS n, length(text) - {w} + 1 AS nh
+          FROM documents WHERE length(text) > 0
+        ),
+        hs AS (
+          SELECT id, unnest(range(1, greatest(nh, 0) + 1)) AS i, codes
+          FROM cd
+        ),
+        cuts AS (
+          SELECT id, i + {w} - 1 AS b FROM hs WHERE ({winfp}) % {d} = 0
+        ),
+        bounds AS (
+          SELECT DISTINCT id, b FROM (
+            SELECT id, 0 AS b FROM cd
+            UNION ALL SELECT id, n AS b FROM cd
+            UNION ALL SELECT id, b FROM cuts
+          )
+        ),
+        sp AS (
+          SELECT id, b AS s,
+                 lead(b) OVER (PARTITION BY id ORDER BY b) AS e
+          FROM bounds
+        ),
+        ck AS (
+          SELECT sp.id, sp.s, sp.e, cd.codes
+          FROM sp JOIN cd ON cd.id = sp.id WHERE sp.e IS NOT NULL
+        ),
+        fps AS (SELECT id, e - s AS clen, {chfp} AS fp FROM ck),
+        per AS (
+          SELECT fp, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(max(clen) AS BIGINT) AS clen
+          FROM fps GROUP BY fp
+        )
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(sum(cnt * clen) AS BIGINT) AS total_chars,
+               CAST(sum(clen) AS BIGINT) AS distinct_chars,
+               1.0 - CAST(sum(clen) AS DOUBLE)
+                   / CAST(sum(cnt * clen) AS DOUBLE) AS dedup_ratio
+        FROM per
     """
 
 
@@ -5865,6 +5961,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hit ON hit.doc_id = d.doc_id
         """,
         "bloom_decontam": _sql_bloom_decontam(),
+        "cdc_stats": _sql_cdc_stats(),
         "contamination_report": """
             WITH w AS (
               SELECT doc_id,

@@ -96,6 +96,8 @@ HEADLINE = [
     "zipf_profile",
     # constant-size-broadcast decontamination (scan-shaped corpus probe)
     "bloom_decontam",
+    # content-defined chunking: insertion-robust dedup-by-parts
+    "cdc_stats",
 ]
 
 

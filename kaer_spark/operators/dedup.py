@@ -2420,3 +2420,133 @@ def dedup_cluster_stats(clusters: DataFrame) -> DataFrame:
             / F.count("*")
         ).alias("mean_size"),
     )
+
+
+# --- Content-defined chunking (CDC) ----------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunks per document: ``(id, chunk_idx,
+    chunk_start, chunk_len, chunk_fp)`` — Rabin-style CDC (the
+    LBFS/rsync/storage-dedup primitive): a chunk boundary falls AFTER any
+    ``w``-char window whose rolling fingerprint ≡ 0 mod ``divisor``, so
+    expected chunk length ≈ ``divisor`` chars and — the whole point —
+    boundaries are a function of LOCAL content: an insertion or deletion
+    re-synchronizes within one window instead of shifting every
+    downstream boundary the way fixed-width blocks do. This is the
+    dedup-by-parts primitive the fixed-window passage family can't give:
+    re-crawled documents with small in-place edits share every chunk
+    outside the edit region.
+
+    Conventions (identical on the oracle side): windows are the same
+    paired-moduli ~60-bit fingerprints as the passage/winnowing family
+    (``_win_fp``); cut offsets are window-end positions (0-based
+    ``i + w − 1`` for 1-based window start ``i``); 0 and ``len(text)``
+    are always boundaries; documents shorter than ``w`` are one chunk;
+    empty documents contribute nothing. ``chunk_fp`` is the paired
+    Horner fold of the chunk's codepoints (~60 collision bits).
+
+    Scale shape: the codepoint array and the window-hash array
+    materialize once per row behind a plan-barrier ``localCheckpoint``
+    (the winnowing CollapseProject lesson — without it every boundary
+    probe re-evaluates the whole hash array); boundaries and chunk spans
+    are per-row array expressions; ONE posexplode emits chunks; the
+    chunk fold visits each character once per modulus. Nothing shuffles
+    — downstream dedup keys on the int64 ``chunk_fp``."""
+    W, D = int(w), int(divisor)
+    if W < 2 or D < 2:
+        raise ValueError("w and divisor must be >= 2")
+    n_h = F.length(text_col) - W + 1
+    hstructs = F.when(
+        n_h >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_h),
+            lambda i: F.struct(
+                _win_fp("__codes", i, W).alias("h"), i.alias("i")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<h:bigint,i:int>>)"))
+    base = (
+        ensure_parallelism(df.filter(F.length(text_col) > 0))
+        .withColumn("__codes", _codes_col(text_col))
+        .select(F.col(id_col).alias("id"), "__codes", hstructs.alias("__h"))
+        .localCheckpoint(eager=False)
+    )
+    n = F.size("__codes").cast("long")
+    cuts = F.transform(
+        F.filter("__h", lambda s: s["h"] % D == 0),
+        lambda s: (s["i"] + (W - 1)).cast("long"),
+    )
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0).cast("long")), cuts, F.array(n))
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(bounds) - 2),
+        lambda j: F.struct(
+            F.element_at(bounds, j + 1).alias("s"),
+            (F.element_at(bounds, j + 2) - F.element_at(bounds, j + 1)).alias(
+                "len"
+            ),
+        ),
+    )
+    ch = base.select(
+        "id", "__codes", F.posexplode(spans).alias("chunk_idx", "c")
+    )
+    chunk_codes = F.slice(
+        "__codes", F.col("c.s").cast("int") + 1, F.col("c.len").cast("int")
+    )
+    h1 = F.aggregate(
+        chunk_codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE + x) % HASH_MOD,
+    )
+    h2 = F.aggregate(
+        chunk_codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
+    )
+    return ch.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.s").alias("chunk_start"),
+        F.col("c.len").alias("chunk_len"),
+        (h1 * F.lit(HASH_MOD2) + h2).alias("chunk_fp"),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """ONE-ROW corpus chunk-dedup accounting over :func:`cdc_chunks`:
+    ``(n_chunks, n_distinct_chunks, total_chars, distinct_chars,
+    dedup_ratio)`` where ``dedup_ratio = 1 − distinct/total`` chars — the
+    content-addressed-store compression number, and at corpus scale the
+    honest upper bound on how much of the corpus is re-crawled/boiler-
+    plated content that survives small edits. One int64-keyed shuffle
+    (groupBy chunk_fp, map-side combinable) then a scalar fold."""
+    per_fp = (
+        cdc_chunks(df, id_col, text_col, w, divisor)
+        .groupBy("chunk_fp")
+        .agg(F.count("*").alias("cnt"), F.max("chunk_len").alias("clen"))
+    )
+    return per_fp.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("total_chars"),
+        F.sum("clen").alias("distinct_chars"),
+        (
+            F.lit(1.0)
+            - F.sum("clen").cast("double")
+            / F.sum(F.col("cnt") * F.col("clen")).cast("double")
+        ).alias("dedup_ratio"),
+    )

@@ -1203,3 +1203,124 @@ def test_winnow_between_matches_global_selection(documents):
         .collect()
     }
     assert got == truth and len(got) > 0
+
+
+# --- content-defined chunking ----------------------------------------------
+
+
+def _py_cdc(text, w, divisor):
+    """Python replay of cdc_chunks: [(start, length, fp)] per doc."""
+    from kaer_spark.operators.dedup import (
+        HASH_BASE,
+        HASH_BASE2,
+        HASH_MOD,
+        HASH_MOD2,
+    )
+
+    codes = [ord(c) for c in text]
+    n = len(codes)
+    if n == 0:
+        return []
+
+    def winfp(i):  # 1-based start, width w
+        h1 = h2 = 0
+        for c in codes[i - 1 : i - 1 + w]:
+            h1 = (h1 * HASH_BASE + c) % HASH_MOD
+            h2 = (h2 * HASH_BASE2 + c) % HASH_MOD2
+        return h1 * HASH_MOD2 + h2
+
+    cuts = sorted(
+        {0, n}
+        | {
+            i + w - 1
+            for i in range(1, n - w + 2)
+            if winfp(i) % divisor == 0
+        }
+    )
+    out = []
+    for s, e in zip(cuts, cuts[1:]):
+        h1 = h2 = 0
+        for c in codes[s:e]:
+            h1 = (h1 * HASH_BASE + c) % HASH_MOD
+            h2 = (h2 * HASH_BASE2 + c) % HASH_MOD2
+        out.append((s, e - s, h1 * HASH_MOD2 + h2))
+    return out
+
+
+@pytest.fixture(scope="module")
+def cdc_fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep dark woods tonight under a pale moon "
+                "while owls watch from the branches above the silent river"),
+            (2, "the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep dark woods tonight under a pale moon "
+                "while owls watch from the branches above the silent river"),
+            (3, "the quick brown XX fox jumps over the lazy dog and runs far "
+                "away into the deep dark woods tonight under a pale moon "
+                "while owls watch from the branches above the silent river"),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_cdc_chunks_replay_exactly(spark, cdc_fixture):
+    from kaer_spark.operators.dedup import cdc_chunks
+
+    got = {}
+    for r in cdc_chunks(cdc_fixture, w=8, divisor=16).collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_fp"])
+        )
+    for rs in got.values():
+        rs.sort()
+    want = {
+        r["doc_id"]: [
+            (i, s, ln, fp)
+            for i, (s, ln, fp) in enumerate(_py_cdc(r["text"], 8, 16))
+        ]
+        for r in cdc_fixture.collect()
+        if r["text"]
+    }
+    assert got == want
+    assert 5 not in got  # empty doc contributes nothing
+    assert len(got[4]) == 1 and got[4][0][2] == 4  # shorter than w: one chunk
+
+
+def test_cdc_insertion_resynchronizes(spark, cdc_fixture):
+    """The whole point of CDC: after a small insertion, every chunk past
+    one window of the edit is IDENTICAL (fixed-width blocks would shift
+    all of them)."""
+    from kaer_spark.operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(cdc_fixture, w=8, divisor=16).collect()
+    fps1 = {r["chunk_fp"] for r in ch if r["id"] == 1}
+    fps3 = {r["chunk_fp"] for r in ch if r["id"] == 3}
+    fps2 = {r["chunk_fp"] for r in ch if r["id"] == 2}
+    assert fps1 == fps2  # exact dup: identical chunk set
+    shared = fps1 & fps3
+    assert shared  # the edited doc still shares the resynced tail chunks
+    # the shared chunks cover most of the unedited doc's bytes
+    lens = {r["chunk_fp"]: r["chunk_len"] for r in ch if r["id"] == 1}
+    assert sum(lens[f] for f in shared) >= sum(lens.values()) * 0.5
+
+
+def test_cdc_stats_match_python(spark, cdc_fixture):
+    from kaer_spark.operators.dedup import cdc_dedup_stats
+
+    rows = [r for r in cdc_fixture.collect() if r["text"]]
+    chunks = [c for r in rows for c in _py_cdc(r["text"], 8, 16)]
+    by_fp = {}
+    for s, ln, fp in chunks:
+        by_fp.setdefault(fp, [0, ln])[0] += 1
+    total = sum(cnt * ln for cnt, ln in by_fp.values())
+    distinct = sum(ln for _, ln in by_fp.values())
+    got = cdc_dedup_stats(cdc_fixture, w=8, divisor=16).collect()[0]
+    assert got["n_chunks"] == len(chunks)
+    assert got["n_distinct_chunks"] == len(by_fp)
+    assert got["total_chars"] == total
+    assert got["distinct_chars"] == distinct
+    assert got["dedup_ratio"] == 1.0 - distinct / total
