@@ -2681,6 +2681,33 @@ def _q_winnow_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 12
+
+
+def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate (sketches.hll_distinct_tokens)
+    — the replayable sketch: register state and estimator are identical
+    integer/float64 arithmetic on both engines, so a SKETCH passes the
+    value-hash gate (approx_count_distinct can't). This corpus's tiny
+    vocabulary drives the linear-counting branch."""
+    from kaer_spark.operators.sketches import hll_distinct_tokens
+
+    return hll_distinct_tokens(_t(spark, sf_dir, "documents"), p=HLL_P)
+
+
+def _q_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL over lineitem.l_orderkey (decimal-string form; ~15k distinct at
+    sf0.01): exercises the raw harmonic-mean branch — distinct counting
+    with NO distinct shuffle, one map-side-combined groupBy over 4096
+    registers instead of hash-partitioning 6M key occurrences."""
+    from kaer_spark.operators.sketches import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("v")
+    )
+    return hll_distinct(li, "v", p=HLL_P)
+
+
 CDC_W = 16
 CDC_DIVISOR = 64
 
@@ -3030,6 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dups_between": _q_fuzzy_dups_between,
         "winnow_between": _q_winnow_between,
         "cdc_stats": _q_cdc_stats,
+        "hll_tokens": _q_hll_tokens,
+        "hll_orderkeys": _q_hll_orderkeys,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -4069,6 +4098,61 @@ def _sql_fuzzy_near_dups(max_edits: int = 2, key_len: int = 32) -> str:
                CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
         FROM k a JOIN k b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.key, b.key) <= {max_edits}
+    """
+
+
+def _sql_hll(source_sql: str) -> str:
+    """Replay of sketches.hll_distinct over a ``v``-producing subquery:
+    same paired folds, same five-round alternating-modulus Lehmer mixer
+    (the avalanche — see sketches.py), same trailing-zeros rank via
+    length(bin(r & -r)) (no leading zeros on either engine), INTEGER
+    harmonic numerator (order-free — no float accumulation hazard),
+    alpha and the combined raw-estimate numerator embedded as the
+    identical Python-computed literals, linear-counting branch on the
+    same condition."""
+    from kaer_spark.operators.sketches import _MIX, HLL_Q, hll_alpha
+
+    m = 1 << HLL_P
+    q1 = HLL_Q + 1  # 26
+    c1 = hll_alpha(m) * float(m) * float(m) * float(1 << q1)
+
+    def mix(a: str, b: str) -> str:
+        u = f"(({a}) * {_MIX[0][0]} + ({b})) % {PM}"
+        for (mul, add), mod in zip(_MIX[1:], [PM2, PM, PM2, PM]):
+            u = f"(({u}) * {mul} + {add}) % {mod}"
+        return u
+
+    fold2 = (
+        f"(CASE WHEN length(v) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform(range(1, length(v) + 1), "
+        f"i -> CAST(ascii(substr(v, i, 1)) AS BIGINT)), "
+        f"(a, x) -> (a * {PB2} + x) % {PM2}) END)"
+    )
+    z = f"zp + ({m} - used) * {1 << q1}"
+    raw = f"({c1!r} / CAST({z} AS DOUBLE))"
+    return f"""
+        WITH src AS ({source_sql}),
+        f AS (SELECT {_sql_poly_hash('v')} AS h1, {fold2} AS h2 FROM src),
+        s AS (SELECT ({mix('h1', 'h2')}) % {m} AS idx,
+                     ({mix('h2', 'h1')}) AS r
+              FROM f),
+        r AS (SELECT idx, max(CASE WHEN r = 0 THEN {q1}
+                                   ELSE least(length(bin(r & (-r))), {q1})
+                              END) AS mj
+              FROM s GROUP BY idx),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS used,
+                     CAST(coalesce(sum(1::BIGINT << ({q1} - mj)), 0)
+                          AS BIGINT) AS zp
+              FROM r)
+        SELECT CAST({m} AS BIGINT) AS m,
+               used AS used_registers,
+               CAST({m} - used AS BIGINT) AS zero_registers,
+               CAST({z} AS BIGINT) AS z_num,
+               CASE WHEN {raw} <= {2.5 * m!r} AND {m} - used > 0
+                    THEN {float(m)!r}
+                         * ln({float(m)!r} / CAST({m} - used AS DOUBLE))
+                    ELSE {raw} END AS estimate
+        FROM a
     """
 
 
@@ -5962,6 +6046,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),
+        "hll_tokens": _sql_hll(
+            "SELECT unnest(CASE WHEN trim(text) = '' THEN [] "
+            "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS v "
+            "FROM documents"
+        ),
+        "hll_orderkeys": _sql_hll(
+            "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem"
+        ),
         "contamination_report": """
             WITH w AS (
               SELECT doc_id,

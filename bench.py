@@ -98,6 +98,8 @@ HEADLINE = [
     "bloom_decontam",
     # content-defined chunking: insertion-robust dedup-by-parts
     "cdc_stats",
+    # replayable HLL: distinct counting with no distinct shuffle
+    "hll_orderkeys",
 ]
 
 

