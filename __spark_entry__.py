@@ -2461,6 +2461,24 @@ def _q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "bm25")
 
 
+PHRASE_QUERY = "fast table"
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over the POSITIONAL index (text_index.
+    search_phrase): docs containing the consecutive token sequence
+    'fast table', with overlapping-occurrence counts — the per-(term,
+    doc) position lists turn the BM25 index into a phrase index (no
+    corpus re-scan; bucket-pruned postings, candidate-bounded pivot,
+    consecutive test as a pure array expression). Oracle: token-window
+    count over raw documents."""
+    from kaer_spark.operators.text_index import search_phrase
+
+    path = _build_fixture_text_index(spark, sf_dir)
+    out = search_phrase(spark, path, PHRASE_QUERY)
+    return out.select(F.col("id").alias("doc_id"), "n_occurrences")
+
+
 def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-accelerated hybrid retrieval (the r9-verdict gap): the
     lexical pool reads the MATERIALIZED text index (partition-pruned
@@ -3043,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_search": _q_text_index_search,
         "hybrid_search": _q_hybrid_search,
         "hybrid_search_indexed": _q_hybrid_search_indexed,
+        "phrase_search_indexed": _q_phrase_search,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "vocab_coverage": _q_vocab_coverage,
         "subword_budget": _q_subword_budget,
@@ -6043,6 +6062,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) d
             LEFT JOIN tot ON tot.doc_id = d.doc_id
             LEFT JOIN hit ON hit.doc_id = d.doc_id
+        """,
+        "phrase_search_indexed": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END,
+                       t -> lower(t)) AS ws
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(range(1, len(ws)),
+                       i -> ws[i] = 'fast' AND ws[i + 1] = 'table'))
+                       AS BIGINT) AS n_occurrences
+              FROM w WHERE len(ws) >= 2
+            )
+            SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),

@@ -7,11 +7,15 @@ powering the BM25 relevance cut without re-tokenizing the corpus per
 query. The index is a plain parquet layout, so the same recovery story
 as everything else (atomic sidecar, no daemon):
 
-``<path>/postings/``   (term, id, tf) partitioned by ``bucket`` =
-                       pmod(polyhash(term), n_buckets) — query terms map
-                       to buckets DRIVER-SIDE, so a search reads only
-                       the matching partitions (partition pruning, same
-                       trick as the IVF cell directory).
+``<path>/postings/``   (term, id, tf, positions) partitioned by
+                       ``bucket`` = pmod(polyhash(term), n_buckets) —
+                       query terms map to buckets DRIVER-SIDE, so a
+                       search reads only the matching partitions
+                       (partition pruning, same trick as the IVF cell
+                       directory). ``positions`` (sorted 0-based token
+                       offsets) makes it a POSITIONAL index: exact
+                       phrase search without re-tokenizing the corpus
+                       (``search_phrase``).
 ``<path>/doclens/``    (id, dl) — per-doc token counts for BM25 length
                        normalization.
 ``<path>/index.json``  {n_docs, sum_dl, n_buckets, ...} corpus stats
@@ -121,12 +125,22 @@ def build_text_index(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), F.lower).alias("__toks"),
     )
+    # positional postings: per (term, doc) keep the sorted 0-based token
+    # positions next to tf — what turns the BM25 index into a phrase/
+    # proximity index (Lucene's positional-postings trade: bigger lists,
+    # exact phrase match with no corpus re-scan). collect_list is bounded
+    # by one document's occurrences of one term.
     exploded = ensure_parallelism(toks).select(
-        "id", F.explode("__toks").alias("term")
+        "id", F.posexplode("__toks").alias("pos", "term")
     )
     postings = (
         exploded.groupBy("term", "id")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(
+                F.collect_list(F.col("pos").cast("int"))
+            ).alias("positions"),
+        )
         .withColumn(
             "bucket", F.pmod(_term_hash_col(F.col("term")), F.lit(n_buckets))
         )
@@ -152,6 +166,7 @@ def build_text_index(
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "text_col": text_col,
+        "positional": True,
     }
     _write_meta(path, meta)
     return meta
@@ -206,10 +221,20 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
     ).collect()[0]
     if not stats["n"]:
         return meta  # nothing to replay
+    aggs = [F.count("*").cast("long").alias("tf")]
+    if meta.get("positional"):
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.col("pos").cast("int"))
+            ).alias("positions")
+        )
+    # an index built before the positional layout keeps appending the
+    # (term, id, tf) shape it was built with — mixed parquet schemas in
+    # one postings dir would make reads schema-dependent on file order
     postings = (
-        toks.select("id", F.explode("__toks").alias("term"))
+        toks.select("id", F.posexplode("__toks").alias("pos", "term"))
         .groupBy("term", "id")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(*aggs)
         .withColumn(
             "bucket",
             F.pmod(_term_hash_col(F.col("term")), F.lit(meta["n_buckets"])),
@@ -327,3 +352,89 @@ def search_text_index(
         .orderBy(F.col("bm25").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def search_phrase(
+    spark: SparkSession,
+    path: str,
+    phrase: str | list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Exact-phrase search over the positional index → ``(id,
+    n_occurrences)`` for every document containing the query tokens at
+    CONSECUTIVE positions (occurrences may overlap, each start counts),
+    optionally top-``k`` by (count desc, id asc).
+
+    This is what the per-(term, doc) position lists exist for: phrase
+    match without re-tokenizing the corpus. Plan shape mirrors
+    ``search_text_index`` — query buckets prune the postings scan
+    driver-side, the pruned postings pivot to ONE row per candidate doc
+    (the position array of each distinct query term), docs missing any
+    term drop at the pivot, and the consecutive-position test is a pure
+    array expression (filter + array_contains over the first term's
+    positions): no join against the corpus, no shuffle beyond the pivot's
+    candidate-bounded aggregate. A single-token phrase degenerates to the
+    term's tf."""
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    meta = read_text_index_meta(path)
+    if not meta.get("positional"):
+        raise ValueError(
+            "index at %r predates the positional layout — rebuild with "
+            "build_text_index to enable phrase search" % path
+        )
+    uterms = list(dict.fromkeys(terms))
+    slot = {t: i for i, t in enumerate(uterms)}
+    if meta["n_docs"] == 0:
+        doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
+        return doclens.select(
+            "id", F.lit(0).cast("long").alias("n_occurrences")
+        ).limit(0)
+    buckets = sorted({py_term_hash(t) % meta["n_buckets"] for t in uterms})
+    postings = (
+        spark.read.parquet(os.path.join(path, POSTINGS_DIR))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(uterms))
+    )
+    # one row per candidate doc: the position array of each distinct
+    # query term ((term, id) rows are unique, so first() is THE array)
+    per_doc = postings.groupBy("id").agg(
+        *[
+            F.first(
+                F.when(F.col("term") == t, F.col("positions")),
+                ignorenulls=True,
+            ).alias(f"__p{i}")
+            for i, t in enumerate(uterms)
+        ]
+    )
+    has_all = None
+    for i in range(len(uterms)):
+        c = F.col(f"__p{i}").isNotNull()
+        has_all = c if has_all is None else has_all & c
+    starts = F.filter(
+        F.col(f"__p{slot[terms[0]]}"),
+        lambda p: _consecutive(p, terms, slot),
+    )
+    out = (
+        per_doc.filter(has_all)
+        .select("id", F.size(starts).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.col("n_occurrences").desc(), F.col("id").asc()
+        ).limit(int(k))
+    return out
+
+
+def _consecutive(p, terms: list[str], slot: dict) -> "F.Column":
+    """True iff a phrase occurrence starts at position ``p``: every later
+    term's position list contains ``p + j``."""
+    cond = F.lit(True)
+    for j in range(1, len(terms)):
+        cond = cond & F.array_contains(
+            F.col(f"__p{slot[terms[j]]}"), p + F.lit(j)
+        )
+    return cond

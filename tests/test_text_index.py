@@ -272,3 +272,98 @@ def test_doclens_broadcast_contract(spark, corpus, tmp_path, monkeypatch):
     assert "leftHint=(strategy=broadcast)" in small_opt, small_opt
     # results identical either way
     assert [tuple(r) for r in big.collect()] == [tuple(r) for r in small.collect()]
+
+
+# --- positional phrase search ----------------------------------------------
+
+
+def _py_phrase_count(text, phrase):
+    toks = [t.lower() for t in text.strip().split()]
+    ph = [t.lower() for t in phrase.split()]
+    return sum(
+        1
+        for i in range(len(toks) - len(ph) + 1)
+        if toks[i : i + len(ph)] == ph
+    )
+
+
+def test_phrase_search_matches_scan_counts(spark, corpus, tmp_path):
+    from kaer_spark.operators.text_index import build_text_index, search_phrase
+
+    path = str(tmp_path / "phr")
+    build_text_index(corpus, path, n_buckets=8)
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for phrase in ("hash join", "scan scan", "join the hash", "spark", "no such"):
+        got = {
+            r["id"]: r["n_occurrences"]
+            for r in search_phrase(spark, path, phrase).collect()
+        }
+        want = {
+            i: _py_phrase_count(t, phrase)
+            for i, t in rows.items()
+            if _py_phrase_count(t, phrase) > 0
+        }
+        assert got == want, phrase
+    # overlapping occurrences each count: "scan scan" in doc 4 -> 3
+    assert (
+        search_phrase(spark, path, "scan scan")
+        .filter("id = 4").collect()[0]["n_occurrences"] == 3
+    )
+    # single-token phrase degenerates to tf
+    assert (
+        search_phrase(spark, path, "scan")
+        .filter("id = 4").collect()[0]["n_occurrences"] == 4
+    )
+
+
+def test_phrase_terms_present_but_not_adjacent_excluded(spark, corpus, tmp_path):
+    from kaer_spark.operators.text_index import build_text_index, search_phrase
+
+    path = str(tmp_path / "phr2")
+    build_text_index(corpus, path, n_buckets=8)
+    # doc 2 has both "table" and "now" but not adjacent as "now table"
+    assert search_phrase(spark, path, "now table").count() == 0
+    # top-k ordering: count desc, id asc
+    top = search_phrase(spark, path, "join", k=1).collect()
+    assert top[0]["id"] == 1 and top[0]["n_occurrences"] == 2
+
+
+def test_phrase_search_after_refresh(spark, corpus, tmp_path):
+    from kaer_spark.operators.text_index import (
+        build_text_index,
+        refresh_text_index,
+        search_phrase,
+    )
+
+    path = str(tmp_path / "phr3")
+    build_text_index(corpus, path, n_buckets=8)
+    late = spark.createDataFrame(
+        [(9, "hash join hash join festival")], "doc_id long, text string"
+    )
+    refresh_text_index(late, path)
+    got = {
+        r["id"]: r["n_occurrences"]
+        for r in search_phrase(spark, path, "hash join").collect()
+    }
+    assert got == {1: 1, 9: 2}
+
+
+def test_phrase_search_requires_positional_index(spark, corpus, tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from kaer_spark.operators.text_index import (
+        META_FILE,
+        build_text_index,
+        search_phrase,
+    )
+
+    path = str(tmp_path / "phr4")
+    build_text_index(corpus, path, n_buckets=8)
+    meta = json.load(open(os.path.join(path, META_FILE)))
+    meta.pop("positional")
+    json.dump(meta, open(os.path.join(path, META_FILE), "w"))
+    with _pytest.raises(ValueError, match="positional"):
+        search_phrase(spark, path, "hash join")
