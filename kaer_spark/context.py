@@ -335,6 +335,30 @@ class Collection:
 
         return refresh_text_index(self.df(), self.text_index_path)
 
+    def query_phrase(
+        self, phrase: str, k: int | None = None
+    ) -> DataFrame:
+        """Exact-phrase search over the collection's POSITIONAL text
+        index → ``(_m_id, n_occurrences)`` for documents containing the
+        consecutive token sequence (overlapping occurrences each count),
+        optionally top-``k`` by (count desc, id asc). Requires
+        :meth:`build_text_index`; inserts keep the index current, so a
+        phrase lands in results as soon as its document commits. The
+        retrieval mode embeddings can't express — exact identifiers,
+        code fragments, quoted spans — served from the same index that
+        accelerates :meth:`query_hybrid`, at O(query-term postings)."""
+        if not self.meta.get("has_text_index"):
+            raise ValueError(
+                "phrase search reads the positional text index — call "
+                "build_text_index() first"
+            )
+        from kaer_spark.operators.text_index import search_phrase
+
+        out = search_phrase(
+            self.ctx.spark, self.text_index_path, phrase, k=k
+        )
+        return out.select(F.col("id").alias(ID_COL), "n_occurrences")
+
     # -- query (reference O5, db/db.go:111-143) --------------------------
     def query(
         self,

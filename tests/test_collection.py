@@ -793,3 +793,40 @@ def test_query_mmr_diversifies_and_filters(ctx):
     # filter restricts the pool
     filt = c.query_mmr("alpha beta gamma", k=5, filter={"grp": {"$gte": 3}})
     assert {r["grp"] for r in filt.collect()} == {3, 4}
+
+
+def test_query_phrase_through_collection(spark, tmp_path):
+    """Collection.query_phrase: exact consecutive-token match over the
+    positional index, current after inserts (catch-up), and refused
+    before build_text_index."""
+    import pytest as _pytest
+
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer_phr"))
+    ctx.create_collection("pc")
+    col = ctx.get_collection("pc")
+    col.insert(
+        [
+            "the quick brown fox",
+            "quick brown shoes on sale",
+            "brown quick inverted order",
+        ]
+    )
+    with _pytest.raises(ValueError, match="build_text_index"):
+        col.query_phrase("quick brown")
+    col.build_text_index(n_buckets=8)
+    got = {
+        r["_m_id"]: r["n_occurrences"]
+        for r in col.query_phrase("quick brown").collect()
+    }
+    assert len(got) == 2 and all(v == 1 for v in got.values())
+    assert col.query_phrase("brown fox shoes").count() == 0
+    # inserts keep the index current: the new doc is phrase-searchable
+    col.insert(["quick brown quick brown quick"])
+    counts = sorted(
+        r["n_occurrences"] for r in col.query_phrase("quick brown").collect()
+    )
+    assert counts == [1, 1, 2]
+    top = col.query_phrase("quick brown", k=1).collect()
+    assert top[0]["n_occurrences"] == 2
