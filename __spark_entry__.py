@@ -1871,6 +1871,20 @@ def _q_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_fraction(ev, train, n=CONTAM_N, unit="word")
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty (ranking.ngram_novelty): fraction of the doc's
+    distinct word 3-grams occurring in NO other document — the
+    self-corpus boilerplate/template signal (low novelty = assembled
+    from text the corpus already has; the quality-cut dimension dedup
+    passes miss). One gram-keyed df count + join back, nothing
+    collected."""
+    from kaer_spark.operators.ranking import ngram_novelty
+
+    return ngram_novelty(
+        _t(spark, sf_dir, "documents"), n=CONTAM_N
+    )
+
+
 BLOOM_M_BITS = 1 << 16  # undersized on purpose so FPs are exercised at scale
 BLOOM_K = 4
 BLOOM_SEED = 1337
@@ -3169,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_signup": _q_asof_signup,
             "contamination_report": _q_contamination_report,
             "bloom_decontam": _q_bloom_decontam,
+            "ngram_novelty": _q_ngram_novelty,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
             "dedup_cluster_assign": _q_dedup_cluster_assign,
@@ -6080,6 +6095,38 @@ def oracle_sql() -> dict[str, str]:
               FROM w WHERE len(ws) >= 2
             )
             SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+        """,
+        "ngram_novelty": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                     ELSE [] END) AS grams
+              FROM w
+            ),
+            g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            dfq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g),
+            per AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_unique
+              FROM g JOIN dfq USING (g) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_grams, 0) AS n_grams,
+                   COALESCE(per.n_unique, 0) AS n_unique,
+                   CAST(per.n_unique AS DOUBLE)
+                     / CAST(per.n_grams AS DOUBLE) AS novelty
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per ON per.doc_id = d.doc_id
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),

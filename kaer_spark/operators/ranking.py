@@ -982,3 +982,63 @@ def bpe_token_counts(
             F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of its DISTINCT word n-grams
+    that occur in NO other document → ``(doc_id, n_grams, n_unique,
+    novelty)``, NULL novelty for docs too short for one n-gram.
+
+    The self-corpus complement of :func:`~kaer_spark.operators.
+    contamination.overlap_fraction` (which scores an eval set against a
+    train corpus): low novelty = the document is assembled from text the
+    corpus already has elsewhere — boilerplate, mirrored pages, template
+    farms — the rows a dedup pass hasn't caught yet but a quality cut
+    should down-weight; high novelty = genuinely new content. The n-gram
+    document frequency is the SAME quantity the line-level and Jaccard
+    dedup families key on, so the score is a cheap corpus-health
+    dimension next to them.
+
+    Scale shape: one explode of per-doc distinct grams, one gram-keyed
+    df count (map-side combinable), one join back to the exploded grams
+    (both sides already gram-partitioned — AQE plans it shuffle-reusing),
+    one per-doc aggregate. No strings leave the gram stages except as
+    join keys; nothing is collected."""
+    from kaer_spark.functions.text import word_shingles
+    from kaer_spark.operators.util import ensure_parallelism
+
+    grams = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            word_shingles(text_col, n=n, distinct=True)
+        ).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    per_doc = (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            (
+                F.col("n_unique").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -1205,3 +1205,28 @@ def test_zipf_profile_edges(spark):
     assert row1["ranks_used"] == 1 and row1["zipf_slope"] is None
     with _pytest.raises(ValueError, match="top_ranks"):
         zipf_profile(one, top_ranks=1)
+
+
+def test_ngram_novelty_exact_fractions(spark):
+    """Fully-unique doc scores 1.0, a doc whose every gram also lives in
+    another doc scores 0.0, partial overlap lands on its integer
+    fraction, gram-less docs get NULL with zero counts."""
+    from kaer_spark.operators.ranking import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # grams: ab g, b g d
+            (2, "alpha beta gamma nine"),          # shares "alpha beta gamma"
+            (3, "one two three four five"),        # fully unique (3 grams)
+            (4, "too short"),                      # no 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty"])
+        for r in ngram_novelty(df, n=3).collect()
+    }
+    assert got[1] == (2, 1, 0.5)   # "beta gamma delta" unique, shared first
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (0, 0, None)
