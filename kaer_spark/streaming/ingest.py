@@ -281,3 +281,44 @@ def streaming_dedup_against(
     ref_fps = reference.select(F.col(fp_col)).distinct()
     novel = stream_df.join(ref_fps, fp_col, "left_anti")
     return streaming_dedup(novel, fp_col, id_col, ttl_minutes)
+
+
+def streaming_bloom_decontaminate(
+    stream_df: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    unit: str = "word",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 1337,
+) -> DataFrame:
+    """Streaming twin of ``contamination.bloom_decontaminate``: drop every
+    arrival containing a Bloom-positive n-gram against the STATIC bitset
+    built by ``contamination.bloom_build`` (``bloom`` is that one-row
+    DataFrame; the m_bits/k_hashes/seed parameters must match the build).
+
+    Why the Bloom shape specifically for streams: the exact stream-static
+    LEFT ANTI screen (:func:`streaming_dedup_against`) joins every
+    micro-batch against the reference's distinct-fingerprint set — fine
+    when the reference is one corpus, but an eval-decontamination screen
+    covering hundreds of benchmark suites re-reads and re-joins that whole
+    set per batch. Here the static side is ONE row (O(m/8) bytes however
+    many suites the bitset absorbs); the stream-static inner join
+    broadcasts it, the membership test is inline bit arithmetic inside the
+    batch's scan, and — because the static side is re-planned per
+    micro-batch — REBUILDING the bitset file-backed picks up newly
+    registered benchmarks without restarting the stream or touching any
+    state store (the operator is stateless; false positives only ever
+    over-drop, the safe direction for decontamination).
+    """
+    from kaer_spark.operators.contamination import _bloom_member, _grams
+    from kaer_spark.operators.dedup import _poly_hash, minhash_coeffs
+
+    coeffs = minhash_coeffs(k_hashes, seed)
+    joined = stream_df.join(F.broadcast(bloom), F.lit(True), "inner")
+    fps = F.transform(_grams(text_col, n, unit), lambda g: _poly_hash(g))
+    clean = ~F.exists(
+        fps, lambda fp: _bloom_member(fp, F.col("words"), coeffs, m_bits)
+    )
+    return joined.filter(clean).select(*stream_df.columns)

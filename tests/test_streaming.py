@@ -420,3 +420,60 @@ def test_stream_insert_keeps_text_index_current(spark, tmp_path):
     }
     want = {i for i, d in docs.items() if "needle" in d}
     assert hits == want and len(hits) == 2  # one per batch
+
+
+def test_streaming_bloom_decontaminate(spark, tmp_path):
+    """Stateless Bloom screen on a stream: contaminated arrivals (sharing
+    a word 3-gram with the benchmark set) are dropped in every
+    micro-batch, clean arrivals pass, and the stream result equals the
+    batch operator on the union of batches (stream ≡ batch contract)."""
+    from kaer_spark.operators.contamination import (
+        bloom_build,
+        bloom_decontaminate,
+    )
+    from kaer_spark.streaming.ingest import streaming_bloom_decontaminate
+
+    src = tmp_path / "bloomsrc"
+    os.makedirs(src)
+    schema = "doc_id LONG, text STRING"
+    b0 = [(1, "the secret eval question about turtles"),
+          (2, "a perfectly ordinary training document")]
+    b1 = [(3, "another clean crawl page with words"),
+          (4, "question about turtles and other copied eval text")]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+    test_set = spark.createDataFrame(
+        [(100, "the secret eval question about turtles today")], schema
+    )
+    kw = dict(n=3, m_bits=1 << 12, k_hashes=4, seed=7)
+    bloom = bloom_build(test_set, m_bits=kw["m_bits"], n=3,
+                        k_hashes=4, seed=7)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        streaming_bloom_decontaminate(stream, bloom, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bloom_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM bloom_stream_out").collect()
+    }
+    batch_all = spark.createDataFrame(b0 + b1, schema)
+    want = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            batch_all, test_set, n=3, m_bits=kw["m_bits"],
+            k_hashes=4, seed=7,
+        ).collect()
+    }
+    assert got == want == {2, 3}
