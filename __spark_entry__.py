@@ -206,6 +206,17 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "cosine")
 
 
+def _q_knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS top-10 (knn.exact_knn metric='dot'): descending inner product
+    against QVEC — the ranking dot-product-trained retrieval models need
+    (≠ cosine unless pre-normalized). Same TakeOrderedAndProject shape as
+    the other exact kNN paths."""
+    return exact_knn(
+        _corpus(spark, sf_dir), QVEC, 10, vec_col="embedding",
+        id_col="doc_id", metric="dot", dist_col="dot", keep_dist=True,
+    ).select("doc_id", "lang", "dot")
+
+
 def _q_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference O6 (getNextID): intent = max id (its min/max bug fixed)
     return _t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("max_id"))
@@ -3194,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_fingerprint": _q_fingerprint,
             "events_sessionize": _q_events_sessionize,
             "knn_cosine": _q_knn_cosine,
+            "knn_dot": _q_knn_dot,
             "knn_empty_filter": _q_knn({"n_chars": {"$gt": 10**9}}, 5),
             "knn_filtered_and": _q_knn(KNN_FILTER_AND, 5),
             "knn_filtered_eq": _q_knn(KNN_FILTER_EQ, 5),
@@ -3300,6 +3312,14 @@ def _sql_dot_cols(a: str, b: str) -> str:
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
         for i in range(1, len(QVEC) + 1)
     )
+
+
+def _sql_dot_lit(vec: str, q: list[float]) -> str:
+    """Inner product against a literal vector — the left-assoc sum
+    functions.vector.dot produces (identical IEEE op tree)."""
+    return "(" + " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * ({v!r})" for i, v in enumerate(q)
+    ) + ")"
 
 
 def _sql_cosine_lit(vec: str, q: list[float]) -> str:
@@ -5483,6 +5503,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_filtered_eq": _sql_knn(KNN_FILTER_EQ, 5),
         "knn_filtered_and": _sql_knn(KNN_FILTER_AND, 5),
         "knn_empty_filter": _sql_knn({"n_chars": {"$gt": 10**9}}, 5),
+        "knn_dot": f"""
+            SELECT d.doc_id, d.lang, {_sql_dot_lit('e.embedding', QVEC)} AS dot
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ORDER BY dot DESC, d.doc_id ASC
+            LIMIT 10
+        """,
         "knn_cosine": f"""
             SELECT d.doc_id, d.lang, {_sql_cosine_lit('e.embedding', QVEC)} AS cosine
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id

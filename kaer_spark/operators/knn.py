@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kaer_spark.filters import compile_filter
-from kaer_spark.functions.vector import l2sq, cosine_similarity
+from kaer_spark.functions.vector import cosine_similarity, dot, l2sq
 
 
 def exact_knn(
@@ -53,7 +53,10 @@ def exact_knn(
     (Mongo-style or Column) predicate; ties broken by id.
 
     ``metric="l2sq"`` ranks ascending squared-L2 (the reference's metric);
-    ``metric="cosine"`` ranks descending cosine similarity.
+    ``metric="cosine"`` ranks descending cosine similarity;
+    ``metric="dot"`` ranks descending inner product (MIPS — the ranking
+    recommendation/retrieval models trained with dot-product losses need;
+    NOT equivalent to cosine unless vectors are pre-normalized).
     """
     if filter is not None:
         pred = compile_filter(filter) if pred is None else pred & compile_filter(filter)
@@ -64,11 +67,16 @@ def exact_knn(
     if metric == "cosine":
         score = cosine_similarity(vec_col, list(query_vector))
         order = [F.col(dist_col).desc(), F.col(id_col).asc()]
+    elif metric == "dot":
+        score = dot(vec_col, list(query_vector))
+        order = [F.col(dist_col).desc(), F.col(id_col).asc()]
     elif metric == "l2sq":
         score = l2sq(vec_col, list(query_vector))
         order = [F.col(dist_col).asc(), F.col(id_col).asc()]
     else:
-        raise ValueError(f"metric must be 'l2sq' or 'cosine', got {metric!r}")
+        raise ValueError(
+            f"metric must be 'l2sq', 'cosine' or 'dot', got {metric!r}"
+        )
     out = df.withColumn(dist_col, score).orderBy(*order).limit(k)
     return out if keep_dist else out.drop(dist_col)
 
@@ -115,6 +123,9 @@ def knn_join(
         order = [F.col("__score").asc(), F.col(corpus_id_col).asc()]
     elif metric == "cosine":
         score = cosine_similarity(F.col(corpus_vec_col), F.col("__qvec"))
+        order = [F.col("__score").desc(), F.col(corpus_id_col).asc()]
+    elif metric == "dot":
+        score = dot(F.col(corpus_vec_col), F.col("__qvec"))
         order = [F.col("__score").desc(), F.col(corpus_id_col).asc()]
     else:
         raise ValueError(f"unknown metric {metric}")

@@ -205,3 +205,30 @@ def test_knn_join_legacy_fold_prunes_before_exchange(corpus, embeddings):
     ]
     assert len(exchanges) == 1
     assert exchanges[0] < plan.index("MapInPandas")
+
+
+def test_exact_knn_dot_metric(spark):
+    """MIPS: descending inner product, ties to min id; disagrees with
+    cosine when magnitudes differ (the reason it's a separate metric)."""
+    from kaer_spark.operators.knn import exact_knn
+
+    rows = [
+        (1, [1.0, 0.0]),    # dot 1, cos 1
+        (2, [10.0, -1.0]),  # dot 10, cos < 1
+        (3, [0.5, 0.5]),    # dot 0.5
+        (4, [-3.0, 0.0]),   # dot -3
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = exact_knn(
+        df, [1.0, 0.0], 3, vec_col="vec", id_col="id",
+        metric="dot", dist_col="dot", keep_dist=True,
+    ).collect()
+    assert [r["id"] for r in got] == [2, 1, 3]
+    assert [r["dot"] for r in got] == [10.0, 1.0, 0.5]
+    # cosine would rank 1 before 2 — dot is magnitude-sensitive
+    from kaer_spark.operators.knn import knn_join
+
+    q = spark.createDataFrame([(7, [1.0, 0.0])], "query_id long, embedding array<double>")
+    c = df.select(F.col("id").alias("doc_id"), F.col("vec").alias("embedding"))
+    j = knn_join(q, c, k=2, metric="dot").collect()
+    assert [(r["doc_id"], r["rank"]) for r in sorted(j, key=lambda r: r["rank"])] == [(2, 1), (1, 2)]
