@@ -824,10 +824,18 @@ class Collection:
         lightly-edited copies); ``method="embedding"`` matches on vectors
         (embedding_near_dups_between over ``_m_embedding``, shared sign-LSH
         planes across both corpora; catches paraphrases the lexical path
-        misses). Extra ``operator_kwargs`` pass through to the operator
-        (bands, seeds, shingle width, ...). Matched-id sets stay DataFrames
-        through the anti-join — never collected — and the rewrite is the
-        same atomic swap + index rebuild as :meth:`deduplicate`.
+        misses); ``method="ngram"`` is GPT-3-style exact n-gram-collision
+        decontamination (contamination.contamination_report — ANY shared
+        word n-gram flags the doc; ``other`` is the benchmark set, its
+        gram set broadcast); ``method="bloom"`` is the same contract
+        through the constant-size Bloom bitset (contamination.bloom_
+        contamination_report — scan-shaped probe, false positives only
+        over-remove). ``threshold`` applies to minhash/embedding only.
+        Extra ``operator_kwargs`` pass through to the operator (bands,
+        seeds, shingle width, n, m_bits, ...). Matched-id sets stay
+        DataFrames through the anti-join — never collected — and the
+        rewrite is the same atomic swap + index rebuild as
+        :meth:`deduplicate`.
         """
         if not self.meta.get("has_data"):
             return 0
@@ -851,9 +859,28 @@ class Collection:
                 threshold=0.95 if threshold is None else threshold,
                 **operator_kwargs,
             )
+        elif method == "ngram":
+            from kaer_spark.operators.contamination import (
+                contamination_report,
+            )
+
+            hits = contamination_report(
+                self.df(), other.df(),
+                text_col=DOC_COL, id_col=ID_COL, **operator_kwargs,
+            ).select(F.col("doc_id").alias("left_id"))
+        elif method == "bloom":
+            from kaer_spark.operators.contamination import (
+                bloom_contamination_report,
+            )
+
+            hits = bloom_contamination_report(
+                self.df(), other.df(),
+                text_col=DOC_COL, id_col=ID_COL, **operator_kwargs,
+            ).select(F.col("doc_id").alias("left_id"))
         else:
             raise ValueError(
-                f"method must be 'minhash' or 'embedding', got {method!r}"
+                "method must be 'minhash', 'embedding', 'ngram' or "
+                f"'bloom', got {method!r}"
             )
         drop = hits.select(F.col("left_id").alias(ID_COL)).distinct()
         if drop.isEmpty():

@@ -830,3 +830,41 @@ def test_query_phrase_through_collection(spark, tmp_path):
     assert counts == [1, 1, 2]
     top = col.query_phrase("quick brown", k=1).collect()
     assert top[0]["n_occurrences"] == 2
+
+
+def test_deduplicate_against_ngram_and_bloom(spark, tmp_path):
+    """Collection-level decontamination: method='ngram' removes docs
+    sharing any word n-gram with the reference collection, method='bloom'
+    removes at least those (FPs only over-remove; none at this m)."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.context import KaerContext
+
+    def fresh(name, texts):
+        c = ctx.create_collection(name)
+        c.insert(texts)
+        return c
+
+    train_texts = [
+        "the secret benchmark question verbatim here",
+        "a totally clean document about gardening",
+        "another clean doc discussing cooking pasta",
+    ]
+    bench_texts = ["the secret benchmark question appears again"]
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer_ng"))
+    tr = fresh("tr", train_texts)
+    be = fresh("be", bench_texts)
+    removed = tr.deduplicate_against(be, method="ngram", n=3)
+    assert removed == 1
+    assert tr.df().count() == 2
+    assert tr.df().filter(
+        F.col("_m_doc").contains("secret")
+    ).count() == 0
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer_bl"))
+    tr2 = fresh("tr2", train_texts)
+    be2 = fresh("be2", bench_texts)
+    removed2 = tr2.deduplicate_against(be2, method="bloom", n=3, m_bits=1 << 14)
+    assert removed2 == 1
+    assert tr2.df().count() == 2
