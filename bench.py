@@ -202,11 +202,21 @@ def main() -> int:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     med: dict[str, float] = {}
     best: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         fn = qs[name]
         runs, n = [], 0
         for _ in range(reps):
             spark.catalog.clearCache()  # drop operator-internal persists
+            # localCheckpoint RDD blocks (the passage/winnow/CDC plan
+            # barriers) are freed by the ContextCleaner only after their
+            # RDDs are garbage-collected on BOTH sides; without the nudge
+            # they accumulate over 70+ queries x 3 reps and the late-list
+            # rows degrade ~3x under block-manager/heap pressure
+            # (measured: winnow_overlap 2.1s early-run vs 7.1s late-run)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
