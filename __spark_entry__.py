@@ -2738,6 +2738,20 @@ def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_tokens(_t(spark, sf_dir, "documents"), p=HLL_P)
 
 
+def _q_hll_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL (sketches.hll_distinct_by): distinct-token estimate
+    PER LANGUAGE — registers shuffle as (lang, idx) keys (bounded by
+    groups x 2^p, map-side combined) instead of the full token stream a
+    GROUP BY count(DISTINCT) must move."""
+    from kaer_spark.functions.text import tokens as _toks
+    from kaer_spark.operators.sketches import hll_distinct_by
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(_toks(F.col("text"))).alias("v")
+    )
+    return hll_distinct_by(docs, ["lang"], "v", p=HLL_P)
+
+
 def _q_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL over lineitem.l_orderkey (decimal-string form; ~15k distinct at
     sf0.01): exercises the raw harmonic-mean branch — distinct counting
@@ -3103,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats": _q_cdc_stats,
         "hll_tokens": _q_hll_tokens,
         "hll_orderkeys": _q_hll_orderkeys,
+            "hll_tokens_by_lang": _q_hll_tokens_by_lang,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -4155,7 +4170,7 @@ def _sql_fuzzy_near_dups(max_edits: int = 2, key_len: int = 32) -> str:
     """
 
 
-def _sql_hll(source_sql: str) -> str:
+def _sql_hll(source_sql: str, group_cols: list[str] | None = None) -> str:
     """Replay of sketches.hll_distinct over a ``v``-producing subquery:
     same paired folds, same five-round alternating-modulus Lehmer mixer
     (the avalanche — see sketches.py), same trailing-zeros rank via
@@ -4184,21 +4199,26 @@ def _sql_hll(source_sql: str) -> str:
     )
     z = f"zp + ({m} - used) * {1 << q1}"
     raw = f"({c1!r} / CAST({z} AS DOUBLE))"
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    gby_r = ("GROUP BY " + ", ".join(g + ["idx"])) if g else "GROUP BY idx"
+    gby_a = ("GROUP BY " + ", ".join(g)) if g else ""
     return f"""
         WITH src AS ({source_sql}),
-        f AS (SELECT {_sql_poly_hash('v')} AS h1, {fold2} AS h2 FROM src),
-        s AS (SELECT ({mix('h1', 'h2')}) % {m} AS idx,
+        f AS (SELECT {gsel}{_sql_poly_hash('v')} AS h1, {fold2} AS h2
+              FROM src),
+        s AS (SELECT {gsel}({mix('h1', 'h2')}) % {m} AS idx,
                      ({mix('h2', 'h1')}) AS r
               FROM f),
-        r AS (SELECT idx, max(CASE WHEN r = 0 THEN {q1}
+        r AS (SELECT {gsel}idx, max(CASE WHEN r = 0 THEN {q1}
                                    ELSE least(length(bin(r & (-r))), {q1})
                               END) AS mj
-              FROM s GROUP BY idx),
-        a AS (SELECT CAST(count(*) AS BIGINT) AS used,
+              FROM s {gby_r}),
+        a AS (SELECT {gsel}CAST(count(*) AS BIGINT) AS used,
                      CAST(coalesce(sum(1::BIGINT << ({q1} - mj)), 0)
                           AS BIGINT) AS zp
-              FROM r)
-        SELECT CAST({m} AS BIGINT) AS m,
+              FROM r {gby_a})
+        SELECT {gsel}CAST({m} AS BIGINT) AS m,
                used AS used_registers,
                CAST({m} - used AS BIGINT) AS zero_registers,
                CAST({z} AS BIGINT) AS z_num,
@@ -6163,6 +6183,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_orderkeys": _sql_hll(
             "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem"
+        ),
+        "hll_tokens_by_lang": _sql_hll(
+            "SELECT lang, unnest(CASE WHEN trim(text) = '' THEN [] "
+            "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS v "
+            "FROM documents",
+            group_cols=["lang"],
         ),
         "contamination_report": """
             WITH w AS (

@@ -187,3 +187,84 @@ def hll_distinct_tokens(
         F.explode(tokens(F.col(text_col))).alias("v")
     )
     return hll_distinct(toks, "v", p)
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "v",
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL: one row per distinct ``group_cols`` combination →
+    ``(*group_cols, m, used_registers, zero_registers, z_num, estimate)``
+    — the GROUP BY form of :func:`hll_distinct` (distinct users per day,
+    distinct tokens per language, …) with the same replay guarantee.
+
+    Scale: the register update shuffles (group, idx) keys — bounded by
+    groups × 2^p and map-side combined — instead of hash-partitioning
+    every (group, value) occurrence the way ``GROUP BY g, count(DISTINCT
+    v)`` must (which shuffles the full value stream AND forces a
+    two-phase Expand in Spark). Estimator arithmetic is identical to the
+    global form, applied per row."""
+    m = 1 << int(p)
+    alpha = hll_alpha(m)
+    codes = F.transform(
+        F.split(F.col(value_col), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    h1 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE + x) % HASH_MOD,
+    )
+    h2 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
+    )
+    gcols = [F.col(c) for c in group_cols]
+    slots = df.select(
+        *gcols,
+        (_mix(h1, h2) % m).alias("idx"),
+        _mix(h2, h1).alias("r"),
+    )
+    low = F.col("r").bitwiseAND(-F.col("r"))
+    rho = (
+        F.when(F.col("r") == 0, F.lit(HLL_Q + 1))
+        .otherwise(F.least(F.length(F.bin(low)), F.lit(HLL_Q + 1)))
+        .cast("int")
+    )
+    regs = (
+        slots.select(*group_cols, "idx", rho.alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+    pow2 = F.array(
+        *[F.lit(1 << (HLL_Q + 1 - i)).cast("long") for i in range(HLL_Q + 2)]
+    )
+    full = F.lit(1 << (HLL_Q + 1)).cast("long")
+    counts = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("used_registers"),
+        F.sum(F.element_at(pow2, F.col("mj") + 1)).alias("zp"),
+    )
+    row = counts.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        "used_registers",
+        (F.lit(m).cast("long") - F.col("used_registers")).alias(
+            "zero_registers"
+        ),
+        (F.col("zp") + (F.lit(m) - F.col("used_registers")) * full).alias(
+            "z_num"
+        ),
+    )
+    c1 = alpha * float(m) * float(m) * float(1 << (HLL_Q + 1))
+    raw = F.lit(c1) / F.col("z_num").cast("double")
+    small = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("zero_registers").cast("double")
+    )
+    return row.withColumn(
+        "estimate",
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0), small
+        ).otherwise(raw),
+    )

@@ -13,6 +13,7 @@ from kaer_spark.operators.sketches import (
     HLL_Q,
     hll_alpha,
     hll_distinct,
+    hll_distinct_by,
     hll_distinct_tokens,
 )
 
@@ -132,3 +133,23 @@ def test_hll_never_shuffles_values_by_key(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "idx" in plan.split("Exchange hashpartitioning")[1][:80]
+
+
+def test_hll_by_group_matches_per_group_global(spark):
+    """Grouped HLL row ≡ running the global operator on each group's
+    slice (same registers, same estimate), and groups are independent."""
+    rows = [("a", f"x{i}") for i in range(300)] + [
+        ("b", f"y{i}") for i in range(40)
+    ] + [("b", "y0")] * 5
+    df = spark.createDataFrame(rows, "g string, v string")
+    by = {
+        r["g"]: (r["used_registers"], r["z_num"], r["estimate"])
+        for r in hll_distinct_by(df, ["g"], "v").collect()
+    }
+    for g in ("a", "b"):
+        glob = hll_distinct(df.filter(F.col("g") == g), "v").collect()[0]
+        assert by[g] == (
+            glob["used_registers"], glob["z_num"], glob["estimate"]
+        )
+    assert abs(by["a"][2] - 300) / 300 < 0.08
+    assert abs(by["b"][2] - 40) / 40 < 0.08
