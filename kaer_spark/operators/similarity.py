@@ -642,7 +642,13 @@ def pq_encode_deterministic(
     ``array_min`` over (distance, centroid) structs — the same direct
     (x-c)² left-assoc fold the oracle unrolls (NOT the numpy expanded form
     ``x·x - 2x·c + c·c``, whose different rounding could flip an argmin).
-    Stays in codegen; nothing leaves the JVM."""
+    Stays in codegen; nothing leaves the JVM.
+
+    Measured dead end (r11): unrolling these folds into literal
+    element_at sums — the _win_fp trick that wins for 16–24-term hash
+    windows — is 2.5× SLOWER here: m·k·d ≈ 1024 terms per row blows past
+    the codegen method limits and the whole expression falls back to
+    interpreted eval. The zip_with/aggregate HOF stays."""
     m, d = len(codebooks), len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     codes = []
