@@ -203,3 +203,40 @@ def test_minhash_recall_empty_sample(spark):
     rep = minhash_recall_report(docs, sample_permille=0).collect()[0]
     assert (rep["n_truth"], rep["n_found"], rep["n_missed"]) == (0, 0, 0)
     assert rep["recall"] is None
+
+
+# --- CDC chunking (r11) ------------------------------------------------------
+
+_ctext = st.text(alphabet="abc xyz", min_size=0, max_size=60)
+
+
+@given(texts=st.lists(_ctext, min_size=1, max_size=6),
+       divisor=st.sampled_from([4, 8, 16]))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cdc_chunks_match_python(spark, texts, divisor):
+    """Random small corpora: every (start, len, fp) chunk row equals the
+    pure-python Rabin-boundary replay — boundary rule, truncation, short-
+    doc and empty-doc conventions all pinned (w=4 over a 7-symbol alphabet
+    forces frequent boundaries AND frequent none-at-all)."""
+    from kaer_spark.operators.dedup import cdc_chunks
+    from tests.test_dedup import _py_cdc
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df, w=4, divisor=divisor).collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_fp"])
+        )
+    for v in got.values():
+        v.sort()
+    want = {
+        i: [(j, s, ln, fp) for j, (s, ln, fp) in enumerate(_py_cdc(t, 4, divisor))]
+        for i, t in rows
+        if t
+    }
+    assert got == want
