@@ -2504,6 +2504,22 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_occurrences")
 
 
+NEAR_SLOP = 2
+
+
+def _q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity search (text_index.search_near): docs with
+    'fast' followed by 'table' within slop=2 interleaved tokens — the
+    greedy min-next chain is exact for existence and a pure array
+    expression (slop=0 would equal the exact phrase). Oracle:
+    window-bounded exists over raw token positions."""
+    from kaer_spark.operators.text_index import search_near
+
+    path = _build_fixture_text_index(spark, sf_dir)
+    out = search_near(spark, path, PHRASE_QUERY, slop=NEAR_SLOP)
+    return out.select(F.col("id").alias("doc_id"), "n_matches")
+
+
 def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-accelerated hybrid retrieval (the r9-verdict gap): the
     lexical pool reads the MATERIALIZED text index (partition-pruned
@@ -3101,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _q_hybrid_search,
         "hybrid_search_indexed": _q_hybrid_search_indexed,
         "phrase_search_indexed": _q_phrase_search,
+        "near_search_indexed": _q_near_search,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "vocab_coverage": _q_vocab_coverage,
         "subword_budget": _q_subword_budget,
@@ -6173,6 +6190,33 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(per.n_grams AS DOUBLE) AS novelty
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        "near_search_indexed": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END,
+                       t -> lower(t)) AS ws
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id,
+                     list_filter(range(1, len(ws) + 1), i -> ws[i] = 'fast')
+                       AS p0,
+                     list_filter(range(1, len(ws) + 1), i -> ws[i] = 'table')
+                       AS p1
+              FROM w
+            ),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(p0, pp ->
+                       len(list_filter(p1,
+                         x -> x > pp AND x <= pp + {1 + NEAR_SLOP})) > 0))
+                       AS BIGINT) AS n_matches
+              FROM p
+            )
+            SELECT doc_id, n_matches FROM c WHERE n_matches > 0
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),

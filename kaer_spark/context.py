@@ -359,6 +359,25 @@ class Collection:
         )
         return out.select(F.col("id").alias(ID_COL), "n_occurrences")
 
+    def query_near(
+        self, phrase: str, slop: int = 2, k: int | None = None
+    ) -> DataFrame:
+        """Ordered proximity search over the positional text index →
+        ``(_m_id, n_matches)``: documents containing the query tokens IN
+        ORDER within ``slop`` interleaved tokens (``slop=0`` ≡
+        :meth:`query_phrase`). Same index, same currency guarantees."""
+        if not self.meta.get("has_text_index"):
+            raise ValueError(
+                "proximity search reads the positional text index — call "
+                "build_text_index() first"
+            )
+        from kaer_spark.operators.text_index import search_near
+
+        out = search_near(
+            self.ctx.spark, self.text_index_path, phrase, slop=slop, k=k
+        )
+        return out.select(F.col("id").alias(ID_COL), "n_matches")
+
     # -- query (reference O5, db/db.go:111-143) --------------------------
     def query(
         self,

@@ -438,3 +438,89 @@ def _consecutive(p, terms: list[str], slot: dict) -> "F.Column":
             F.col(f"__p{slot[terms[j]]}"), p + F.lit(j)
         )
     return cond
+
+
+def search_near(
+    spark: SparkSession,
+    path: str,
+    terms: list[str] | str,
+    slop: int = 2,
+    k: int | None = None,
+) -> DataFrame:
+    """Ordered proximity search over the positional index → ``(id,
+    n_matches)``: documents containing the query terms IN ORDER with at
+    most ``slop`` extra tokens interleaved (total span ≤ len(terms) +
+    slop). ``slop=0`` ≡ exact phrase.
+
+    Match counting is per start position of the FIRST term, with the
+    GREEDY chain: each later term takes its smallest position after the
+    previous term's. Greedy-min is exact for existence (if any in-order
+    chain fits the span, the greedy one does — each greedy pick is ≤ the
+    alternative's, so the span never grows), and it makes the count a
+    deterministic pure-array expression both engines replay. Plan shape
+    identical to :func:`search_phrase`: driver-pruned buckets,
+    candidate-bounded pivot, no corpus re-scan."""
+    terms = terms.split() if isinstance(terms, str) else list(terms)
+    terms = [t.lower() for t in terms if t]
+    if len(terms) < 1:
+        raise ValueError("terms must contain at least one token")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    meta = read_text_index_meta(path)
+    if not meta.get("positional"):
+        raise ValueError(
+            "index at %r predates the positional layout — rebuild with "
+            "build_text_index to enable proximity search" % path
+        )
+    uterms = list(dict.fromkeys(terms))
+    slot = {t: i for i, t in enumerate(uterms)}
+    if meta["n_docs"] == 0:
+        doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
+        return doclens.select(
+            "id", F.lit(0).cast("long").alias("n_matches")
+        ).limit(0)
+    buckets = sorted({py_term_hash(t) % meta["n_buckets"] for t in uterms})
+    postings = (
+        spark.read.parquet(os.path.join(path, POSTINGS_DIR))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(uterms))
+    )
+    per_doc = postings.groupBy("id").agg(
+        *[
+            F.first(
+                F.when(F.col("term") == t, F.col("positions")),
+                ignorenulls=True,
+            ).alias(f"__p{i}")
+            for i, t in enumerate(uterms)
+        ]
+    )
+    has_all = None
+    for i in range(len(uterms)):
+        c = F.col(f"__p{i}").isNotNull()
+        has_all = c if has_all is None else has_all & c
+
+    span = len(terms) + int(slop)  # max allowed end - start + 1
+
+    def _next_after(arr, lo):
+        # NB: a two-arg lambda here would be read by Spark as the
+        # (element, index) filter form — keep it unary, close over lo
+        return F.array_min(F.filter(arr, lambda x: x > lo))
+
+    def match_at(p):
+        prev = p
+        for j in range(1, len(terms)):
+            prev = _next_after(F.col(f"__p{slot[terms[j]]}"), prev)
+        # NULL prev (chain broke) compares NULL -> filtered out
+        return prev.isNotNull() & (prev - p <= F.lit(span - 1))
+
+    starts = F.filter(F.col(f"__p{slot[terms[0]]}"), match_at)
+    out = (
+        per_doc.filter(has_all)
+        .select("id", F.size(starts).cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.col("n_matches").desc(), F.col("id").asc()
+        ).limit(int(k))
+    return out

@@ -868,3 +868,18 @@ def test_deduplicate_against_ngram_and_bloom(spark, tmp_path):
     removed2 = tr2.deduplicate_against(be2, method="bloom", n=3, m_bits=1 << 14)
     assert removed2 == 1
     assert tr2.df().count() == 2
+
+
+def test_query_near_through_collection(spark, tmp_path):
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer_near"))
+    c = ctx.create_collection("nr")
+    c.insert(["quick red brown fox", "quick fox", "fox quick"])
+    c.build_text_index(n_buckets=8)
+    got = {
+        r["_m_id"]: r["n_matches"]
+        for r in c.query_near("quick fox", slop=2).collect()
+    }
+    assert len(got) == 2 and all(v == 1 for v in got.values())  # not id 3
+    assert c.query_near("quick fox", slop=0).count() == 1  # phrase only

@@ -367,3 +367,62 @@ def test_phrase_search_requires_positional_index(spark, corpus, tmp_path):
     json.dump(meta, open(os.path.join(path, META_FILE), "w"))
     with _pytest.raises(ValueError, match="positional"):
         search_phrase(spark, path, "hash join")
+
+
+def _py_near_count(text, terms, slop):
+    toks = [t.lower() for t in text.strip().split()]
+    terms = [t.lower() for t in terms]
+    count = 0
+    for p, tok in enumerate(toks):
+        if tok != terms[0]:
+            continue
+        prev, ok = p, True
+        for t in terms[1:]:
+            nxt = [i for i in range(prev + 1, len(toks)) if toks[i] == t]
+            if not nxt:
+                ok = False
+                break
+            prev = nxt[0]
+        if ok and prev - p <= len(terms) - 1 + slop:
+            count += 1
+    return count
+
+
+def test_search_near_matches_python_and_phrase(spark, corpus, tmp_path):
+    from kaer_spark.operators.text_index import (
+        build_text_index,
+        search_near,
+        search_phrase,
+    )
+
+    path = str(tmp_path / "near")
+    build_text_index(corpus, path, n_buckets=8)
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for terms, slop in (
+        (["hash", "join"], 0),
+        (["hash", "join"], 2),
+        (["spark", "join"], 1),   # "spark shuffle join" needs slop >= 1
+        (["spark", "join"], 0),
+        (["join", "scan"], 3),
+        (["scan", "scan"], 1),
+    ):
+        got = {
+            r["id"]: r["n_matches"]
+            for r in search_near(spark, path, terms, slop=slop).collect()
+        }
+        want = {
+            i: _py_near_count(t, terms, slop)
+            for i, t in rows.items()
+            if _py_near_count(t, terms, slop) > 0
+        }
+        assert got == want, (terms, slop)
+    # slop=0 == exact phrase, on every doc
+    ph = {
+        r["id"]: r["n_occurrences"]
+        for r in search_phrase(spark, path, "hash join").collect()
+    }
+    nr = {
+        r["id"]: r["n_matches"]
+        for r in search_near(spark, path, ["hash", "join"], slop=0).collect()
+    }
+    assert ph == nr
