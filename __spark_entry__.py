@@ -2768,6 +2768,36 @@ def _q_hll_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_by(docs, ["lang"], "v", p=HLL_P)
 
 
+def _q_hll_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY through the driver gate: sketch the even-id and
+    odd-id documents' tokens separately, merge the register tables
+    (union + per-register max), estimate — the oracle is the GLOBAL
+    sketch replay, so the driver hash-checks that merge-of-splits is
+    bit-identical to sketching the whole corpus (the property that makes
+    persisted per-snapshot registers accumulate without re-scans)."""
+    from kaer_spark.functions.text import tokens as _toks
+    from kaer_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(_toks(F.col("text"))).alias("v")
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(_toks(F.col("text"))).alias("v")
+    )
+    return hll_estimate(
+        hll_merge(
+            hll_registers(even, "v", p=HLL_P),
+            hll_registers(odd, "v", p=HLL_P),
+        ),
+        p=HLL_P,
+    )
+
+
 def _q_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL over lineitem.l_orderkey (decimal-string form; ~15k distinct at
     sf0.01): exercises the raw harmonic-mean branch — distinct counting
@@ -3135,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens": _q_hll_tokens,
         "hll_orderkeys": _q_hll_orderkeys,
             "hll_tokens_by_lang": _q_hll_tokens_by_lang,
+            "hll_merge_parity": _q_hll_merge_parity,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -6227,6 +6258,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_orderkeys": _sql_hll(
             "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem"
+        ),
+        "hll_merge_parity": _sql_hll(
+            "SELECT unnest(CASE WHEN trim(text) = '' THEN [] "
+            "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS v "
+            "FROM documents"
         ),
         "hll_tokens_by_lang": _sql_hll(
             "SELECT lang, unnest(CASE WHEN trim(text) = '' THEN [] "

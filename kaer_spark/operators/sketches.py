@@ -95,80 +95,17 @@ def hll_distinct(
     p: int = 12,
 ) -> DataFrame:
     """ONE-ROW HyperLogLog estimate of ``count(DISTINCT value_col)`` →
-    ``(m, used_registers, zero_registers, z_num, estimate)``.
+    ``(m, used_registers, zero_registers, z_num, estimate)`` —
+    :func:`hll_estimate` over :func:`hll_registers` (persist/merge the
+    register table instead when the sketch should accumulate across
+    corpus snapshots).
 
     ``z_num`` is the exact integer numerator Σ 2^(26−M_j) + V·2^26 of the
     harmonic mean — exposing it makes the row's float content a single
     literal-over-integer division, so the oracle comparison is bit-exact.
-    No distinct, no token-keyed shuffle: one map-side-combinable
+    No distinct, no value-keyed shuffle: one map-side-combinable
     ``groupBy`` over at most 2^p register indices."""
-    m = 1 << int(p)
-    alpha = hll_alpha(m)
-    codes = F.transform(
-        F.split(F.col(value_col), ""), lambda ch: F.ascii(ch).cast("long")
-    )
-    h1 = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda a, x: (a * HASH_BASE + x) % HASH_MOD,
-    )
-    h2 = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
-    )
-    hs = df.select(h1.alias("h1"), h2.alias("h2"))
-    slots = hs.select(
-        (_mix(F.col("h1"), F.col("h2")) % m).alias("idx"),
-        _mix(F.col("h2"), F.col("h1")).alias("r"),
-    )
-    # rank = trailing zeros + 1 via the lowest-set-bit trick; r = 0 caps
-    low = F.col("r").bitwiseAND(-F.col("r"))
-    rho = (
-        F.when(F.col("r") == 0, F.lit(HLL_Q + 1))
-        .otherwise(F.least(F.length(F.bin(low)), F.lit(HLL_Q + 1)))
-        .cast("int")
-    )
-    regs = (
-        slots.select("idx", rho.alias("rho"))
-        .groupBy("idx")
-        .agg(F.max("rho").alias("mj"))
-    )
-    # element_at(pow2, mj + 1) == 2^(26 - mj); mj ∈ [1, 26]
-    pow2 = F.array(
-        *[F.lit(1 << (HLL_Q + 1 - i)).cast("long") for i in range(HLL_Q + 2)]
-    )
-    counts = regs.agg(
-        F.count("*").cast("long").alias("used_registers"),
-        F.coalesce(
-            F.sum(F.element_at(pow2, F.col("mj") + 1)), F.lit(0).cast("long")
-        ).alias("zp"),
-    )
-    full = F.lit(1 << (HLL_Q + 1)).cast("long")  # 2^26: a zero register's term
-    v = (F.lit(m).cast("long") - F.col("used_registers")).alias(
-        "zero_registers"
-    )
-    row = counts.select(
-        F.lit(m).cast("long").alias("m"),
-        "used_registers",
-        v,
-        (F.col("zp") + (F.lit(m) - F.col("used_registers")) * full).alias(
-            "z_num"
-        ),
-    )
-    # raw = alpha * m^2 * 2^26 / z_num — everything left of the division is
-    # one Python-computed literal, so the float path is a single IEEE op
-    c1 = alpha * float(m) * float(m) * float(1 << (HLL_Q + 1))
-    raw = F.lit(c1) / F.col("z_num").cast("double")
-    small = F.lit(float(m)) * F.log(
-        F.lit(float(m)) / F.col("zero_registers").cast("double")
-    )
-    return row.withColumn(
-        "estimate",
-        F.when(
-            (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0), small
-        ).otherwise(raw),
-    )
+    return hll_estimate(hll_registers(df, value_col, p), p)
 
 
 def hll_distinct_tokens(
@@ -248,6 +185,102 @@ def hll_distinct_by(
     )
     row = counts.select(
         *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        "used_registers",
+        (F.lit(m).cast("long") - F.col("used_registers")).alias(
+            "zero_registers"
+        ),
+        (F.col("zp") + (F.lit(m) - F.col("used_registers")) * full).alias(
+            "z_num"
+        ),
+    )
+    c1 = alpha * float(m) * float(m) * float(1 << (HLL_Q + 1))
+    raw = F.lit(c1) / F.col("z_num").cast("double")
+    small = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("zero_registers").cast("double")
+    )
+    return row.withColumn(
+        "estimate",
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0), small
+        ).otherwise(raw),
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str = "v",
+    p: int = 12,
+) -> DataFrame:
+    """The sketch STATE: ``(idx, mj)`` max-rank per touched register —
+    what makes HLL operationally useful at 100 TB: registers are tiny
+    (≤ 2^p rows), PERSISTABLE (a parquet file per corpus snapshot), and
+    MERGEABLE (:func:`hll_merge`), so "distinct tokens all-time" is a
+    register-table union away from the daily sketches — no re-scan of
+    old data, ever. Same hashing/rank conventions as
+    :func:`hll_distinct` (which is estimate∘registers)."""
+    m = 1 << int(p)
+    codes = F.transform(
+        F.split(F.col(value_col), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    h1 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE + x) % HASH_MOD,
+    )
+    h2 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
+    )
+    slots = df.select(
+        (_mix(h1, h2) % m).alias("idx"),
+        _mix(h2, h1).alias("r"),
+    )
+    low = F.col("r").bitwiseAND(-F.col("r"))
+    rho = (
+        F.when(F.col("r") == 0, F.lit(HLL_Q + 1))
+        .otherwise(F.least(F.length(F.bin(low)), F.lit(HLL_Q + 1)))
+        .cast("int")
+    )
+    return (
+        slots.select("idx", rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketch states: union + per-register max. EXACT — max per
+    register commutes with multiset union, so
+    ``estimate(merge(regs(A), regs(B))) == estimate(regs(A ∪ B))``
+    bit for bit (driver-checked: the merged-parity query's oracle IS the
+    global sketch replay)."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    out = register_tables[0]
+    for r in register_tables[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("idx").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Estimator over a register table (same arithmetic as
+    :func:`hll_distinct`'s tail): ONE row ``(m, used_registers,
+    zero_registers, z_num, estimate)``."""
+    m = 1 << int(p)
+    alpha = hll_alpha(m)
+    pow2 = F.array(
+        *[F.lit(1 << (HLL_Q + 1 - i)).cast("long") for i in range(HLL_Q + 2)]
+    )
+    counts = registers.agg(
+        F.count("*").cast("long").alias("used_registers"),
+        F.coalesce(
+            F.sum(F.element_at(pow2, F.col("mj") + 1)), F.lit(0).cast("long")
+        ).alias("zp"),
+    )
+    full = F.lit(1 << (HLL_Q + 1)).cast("long")
+    row = counts.select(
         F.lit(m).cast("long").alias("m"),
         "used_registers",
         (F.lit(m).cast("long") - F.col("used_registers")).alias(

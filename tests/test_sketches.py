@@ -153,3 +153,29 @@ def test_hll_by_group_matches_per_group_global(spark):
         )
     assert abs(by["a"][2] - 300) / 300 < 0.08
     assert abs(by["b"][2] - 40) / 40 < 0.08
+
+
+def test_hll_merge_equals_union(spark):
+    """The mergeability contract: estimate(merge(regs(A), regs(B))) is
+    BIT-identical to estimate(regs(A ∪ B)) — including overlapping
+    values — and hll_distinct ≡ estimate∘registers."""
+    from kaer_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(400).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    b = spark.range(200, 700).select(  # overlaps a on 200..399
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    merged = hll_estimate(
+        hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    ).collect()[0]
+    whole = hll_estimate(hll_registers(a.unionByName(b), "v")).collect()[0]
+    assert merged.asDict() == whole.asDict()
+    direct = hll_distinct(a.unionByName(b), "v").collect()[0]
+    assert merged.asDict() == direct.asDict()
+    assert abs(merged["estimate"] - 700) / 700 < 0.08
