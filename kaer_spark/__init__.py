@@ -27,6 +27,9 @@ from kaer_spark.filters import compile_filter, filter_to_sql
 from kaer_spark.operators.asof import asof_join
 from kaer_spark.operators.cohort import cohort_retention
 from kaer_spark.operators.contamination import (
+    bloom_build,
+    bloom_contamination_report,
+    bloom_decontaminate,
     contamination_report,
     decontaminate,
     overlap_fraction,
@@ -56,19 +59,47 @@ from kaer_spark.operators.dedup import (
     semdedup,
     simhash,
     simhash_near_dups,
+    ngram_containment_pairs,
+    fuzzy_near_dups,
+    fuzzy_near_dups_between,
+    minhash_recall_report,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+    winnow_overlap_between,
+    cdc_chunks,
+    cdc_dedup_stats,
 )
 from kaer_spark.operators.interval import interval_join, time_bucket_join
 from kaer_spark.operators.knn import exact_knn, knn_join
-from kaer_spark.operators.similarity import ivf_knn_join
+from kaer_spark.operators.similarity import (
+    ivf_knn_join,
+    ivf_pq_topk,
+    mmr_rerank,
+    pq_topk_refined,
+)
+from kaer_spark.operators.sketches import (
+    hll_distinct,
+    hll_distinct_by,
+    hll_distinct_tokens,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 from kaer_spark.operators.packing import pack_sequences, pack_stats
 from kaer_spark.operators.ranking import (
     bigram_lm_fit,
     bigram_lm_scores,
     bm25_scores,
+    bpe_token_counts,
+    bpe_train_merges,
     build_vocab,
-    oov_stats,
     dsir_scores,
+    ngram_novelty,
+    oov_stats,
     perplexity_buckets,
+    subword_segment_counts,
+    token_divergence,
+    zipf_profile,
 )
 from kaer_spark.operators.sampling import (
     hash_sample,
@@ -82,6 +113,9 @@ from kaer_spark.operators.multimodal import image_dhash, image_near_dups
 from kaer_spark.operators.skew import salted_join
 from kaer_spark.operators.text_index import (
     build_text_index,
+    refresh_text_index,
+    search_near,
+    search_phrase,
     search_text_index,
 )
 from kaer_spark.pipelines import (
@@ -169,5 +203,36 @@ __all__ = [
     "histogram",
     "stratified_split",
     "top_quality_fraction",
+    # r11 additions
+    "ngram_containment_pairs",
+    "fuzzy_near_dups",
+    "fuzzy_near_dups_between",
+    "minhash_recall_report",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "winnow_overlap_between",
+    "cdc_chunks",
+    "cdc_dedup_stats",
+    "bloom_build",
+    "bloom_contamination_report",
+    "bloom_decontaminate",
+    "hll_distinct",
+    "hll_distinct_by",
+    "hll_distinct_tokens",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "ivf_pq_topk",
+    "mmr_rerank",
+    "pq_topk_refined",
+    "refresh_text_index",
+    "search_phrase",
+    "search_near",
+    "ngram_novelty",
+    "token_divergence",
+    "zipf_profile",
+    "subword_segment_counts",
+    "bpe_train_merges",
+    "bpe_token_counts",
 ]
 __version__ = "0.1.0"
