@@ -2768,6 +2768,31 @@ def _q_hll_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_by(docs, ["lang"], "v", p=HLL_P)
 
 
+CMS_WIDTH = 1 << 12
+CMS_DEPTH = 4
+CMS_SEED = 2027
+
+
+def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token frequencies (sketches.cms_build/cms_query):
+    occurrence estimates for the BM25_TERMS vocabulary from a
+    depth×width counter sketch — frequency estimation with NO
+    token-keyed shuffle (the one exchange is (j, pos)-keyed, ≤
+    depth·width cells). Estimates are exact-or-over; the oracle rebuilds
+    the sketch cell-for-cell, so even a collision inflation replays."""
+    from kaer_spark.functions.text import tokens as _toks
+    from kaer_spark.operators.sketches import cms_build, cms_query
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(_toks(F.col("text"))).alias("v")
+    )
+    cms = cms_build(toks, "v", width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED)
+    return cms_query(
+        spark, cms, list(BM25_TERMS),
+        width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED,
+    )
+
+
 def _q_hll_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL MERGEABILITY through the driver gate: sketch the even-id and
     odd-id documents' tokens separately, merge the register tables
@@ -3166,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_orderkeys": _q_hll_orderkeys,
             "hll_tokens_by_lang": _q_hll_tokens_by_lang,
             "hll_merge_parity": _q_hll_merge_parity,
+            "cms_token_counts": _q_cms_token_counts,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,
@@ -4275,6 +4301,68 @@ def _sql_hll(source_sql: str, group_cols: list[str] | None = None) -> str:
                          * ln({float(m)!r} / CAST({m} - used AS DOUBLE))
                     ELSE {raw} END AS estimate
         FROM a
+    """
+
+
+def _sql_cms_token_counts() -> str:
+    """Replay of sketches.cms_build + cms_query over the documents token
+    stream: same folds, same mixer, same universal-hash cells, integer
+    counter sums (order-free), min-over-depth probe with literal (v, j,
+    pos) rows computed from the same constants."""
+    from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
+    from kaer_spark.operators.sketches import _MIX
+
+    coeffs = minhash_coeffs(CMS_DEPTH, CMS_SEED)
+
+    def mix(a: str, b: str) -> str:
+        u = f"(({a}) * {_MIX[0][0]} + ({b})) % {PM}"
+        for (mul, add), mod in zip(_MIX[1:], [PM2, PM, PM2, PM]):
+            u = f"(({u}) * {mul} + {add}) % {mod}"
+        return u
+
+    def py_mix(a: int, b: int) -> int:
+        u = (a * _MIX[0][0] + b) % PM
+        for (mul, add), mod in zip(_MIX[1:], [PM2, PM, PM2, PM]):
+            u = (u * mul + add) % mod
+        return u
+
+    fold2 = (
+        f"(CASE WHEN length(v) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform(range(1, length(v) + 1), "
+        f"i -> CAST(ascii(substr(v, i, 1)) AS BIGINT)), "
+        f"(a, x) -> (a * {PB2} + x) % {PM2}) END)"
+    )
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, (((u * {a} + {b}) % {HASH_MOD}) % {CMS_WIDTH}) AS pos FROM u"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    probes = []
+    for v in BM25_TERMS:
+        x1 = x2 = 0
+        for ch in v:
+            x1 = (x1 * PB + ord(ch)) % PM
+            x2 = (x2 * PB2 + ord(ch)) % PM2
+        u = py_mix(x1, x2)
+        for j, (a, b) in enumerate(coeffs):
+            probes.append(f"('{v}', {j}, {((u * a + b) % PM) % CMS_WIDTH})")
+    return f"""
+        WITH t AS (
+          SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                             ELSE regexp_split_to_array(trim(text), '\\s+')
+                        END) AS v
+          FROM documents
+        ),
+        h AS (SELECT {_sql_poly_hash('v')} AS h1, {fold2} AS h2 FROM t),
+        u AS (SELECT ({mix('h1', 'h2')}) AS u FROM h),
+        cells AS ({cell_rows}),
+        cnt AS (SELECT j, pos, CAST(count(*) AS BIGINT) AS cnt
+                FROM cells GROUP BY j, pos),
+        probes(v, j, pos) AS (VALUES {', '.join(probes)})
+        SELECT probes.v,
+               CAST(min(coalesce(cnt.cnt, 0)) AS BIGINT) AS estimate
+        FROM probes LEFT JOIN cnt
+          ON cnt.j = probes.j AND cnt.pos = probes.pos
+        GROUP BY probes.v
     """
 
 
@@ -6251,6 +6339,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),
+        "cms_token_counts": _sql_cms_token_counts(),
         "hll_tokens": _sql_hll(
             "SELECT unnest(CASE WHEN trim(text) = '' THEN [] "
             "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS v "

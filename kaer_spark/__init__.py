@@ -84,6 +84,9 @@ from kaer_spark.operators.sketches import (
     hll_estimate,
     hll_merge,
     hll_registers,
+    cms_build,
+    cms_merge,
+    cms_query,
 )
 from kaer_spark.operators.packing import pack_sequences, pack_stats
 from kaer_spark.operators.ranking import (
@@ -222,6 +225,9 @@ __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_estimate",
+    "cms_build",
+    "cms_merge",
+    "cms_query",
     "ivf_pq_topk",
     "mmr_rerank",
     "pq_topk_refined",

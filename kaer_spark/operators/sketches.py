@@ -301,3 +301,134 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
             (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0), small
         ).otherwise(raw),
     )
+
+
+# --- Count-Min Sketch -------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str = "v",
+    width: int = 1 << 12,
+    depth: int = 4,
+    seed: int = 2027,
+) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) of a value
+    column's multiset → ``(j, pos, cnt)``: ``depth`` rows of ``width``
+    counters, cell ``(j, h_j(v) mod width)`` accumulating occurrence
+    counts. ≤ depth·width rows regardless of corpus size.
+
+    Why it fits this engine: every ingredient is already replayable —
+    the paired folds + Lehmer mixer for value hashing, the
+    ``minhash_coeffs`` universal family for the per-row hashes, integer
+    sums (order-free) for the counters — so the ORACLE rebuilds the
+    exact sketch and the exact estimates, FPs and all. And like the HLL
+    registers the state is persistable and MERGEABLE (cell-wise SUM:
+    counts of a union = sum of counts — exact), so per-snapshot sketches
+    accumulate with no re-scan.
+
+    Scale shape: frequency estimation with NO value-keyed shuffle — the
+    one exchange is keyed on (j, pos) (≤ depth·width keys, map-side
+    combined), against the full-token-stream shuffle a ``groupBy(value)``
+    needs. Estimates are upper bounds (collisions only ever ADD):
+    ``cms_query`` ≤ true + ε·N with ε = e/width at the usual guarantees.
+    """
+    from kaer_spark.operators.dedup import minhash_coeffs
+
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    coeffs = minhash_coeffs(depth, seed)
+    codes = F.transform(
+        F.split(F.col(value_col), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    h1 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE + x) % HASH_MOD,
+    )
+    h2 = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
+    )
+    u = _mix(h1, h2)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((u * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)) % width)
+                .cast("int")
+                .alias("pos"),
+            )
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select(F.col("c.j").alias("j"), F.col("c.pos").alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS states cell-wise (union of multisets = sum of counts —
+    exact, like the HLL register max)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "pos").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_query(
+    spark: SparkSession,
+    sketch: DataFrame,
+    values: list[str],
+    width: int = 1 << 12,
+    depth: int = 4,
+    seed: int = 2027,
+) -> DataFrame:
+    """Point-estimate the multiset count of each value → ``(v,
+    estimate)``: min over the ``depth`` cells (absent cell = 0). The
+    width/depth/seed must match the build. Estimates are exact-or-over,
+    never under. Plan: the queried (j, pos) set is tiny and computed
+    driver-side, so the probe is a broadcast semi-lookup against the
+    ≤ depth·width-row sketch — no corpus access at all."""
+    from pyspark.sql import SparkSession as _S  # noqa: F401  (sig clarity)
+
+    from kaer_spark.operators.dedup import (
+        HASH_BASE as B1,
+        HASH_BASE2 as B2,
+        HASH_MOD as M1,
+        HASH_MOD2 as M2,
+        minhash_coeffs,
+    )
+
+    if not values:
+        raise ValueError("values must be non-empty")
+    coeffs = minhash_coeffs(depth, seed)
+
+    def py_mix(a: int, b: int) -> int:
+        u = (a * _MIX[0][0] + b) % M1
+        for (mul, add), mod in zip(_MIX[1:], [M2, M1, M2, M1]):
+            u = (u * mul + add) % mod
+        return u
+
+    probes = []
+    for v in values:
+        x1 = x2 = 0
+        for ch in v:
+            x1 = (x1 * B1 + ord(ch)) % M1
+            x2 = (x2 * B2 + ord(ch)) % M2
+        u = py_mix(x1, x2)
+        for j, (a, b) in enumerate(coeffs):
+            probes.append((v, j, ((u * a + b) % M1) % width))
+    pdf = spark.createDataFrame(probes, "v string, j int, pos int")
+    return (
+        F.broadcast(pdf)
+        .join(sketch, ["j", "pos"], "left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("estimate"))
+    )

@@ -179,3 +179,54 @@ def test_hll_merge_equals_union(spark):
     direct = hll_distinct(a.unionByName(b), "v").collect()[0]
     assert merged.asDict() == direct.asDict()
     assert abs(merged["estimate"] - 700) / 700 < 0.08
+
+
+# --- Count-Min Sketch --------------------------------------------------------
+
+
+def test_cms_upper_bound_and_exactness(spark):
+    """Estimates are exact-or-over, never under; at a roomy width they
+    are exactly the true counts; merge(A, B) == build(A ∪ B)."""
+    from kaer_spark.operators.sketches import cms_build, cms_merge, cms_query
+
+    rows = (
+        [("apple",)] * 50 + [("banana",)] * 7 + [("cherry",)] * 1
+        + [(f"noise{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    cms = cms_build(df, "v", width=1 << 12, depth=4)
+    got = {
+        r["v"]: r["estimate"]
+        for r in cms_query(
+            spark, cms, ["apple", "banana", "cherry", "absent"],
+            width=1 << 12, depth=4,
+        ).collect()
+    }
+    true = {"apple": 50, "banana": 7, "cherry": 1, "absent": 0}
+    for v, t in true.items():
+        assert got[v] >= t
+    assert got == true  # width 4096 >> 203 distinct: collision-free
+
+    # tight width forces collisions: still never under
+    tight = cms_build(df, "v", width=16, depth=2)
+    gt = {
+        r["v"]: r["estimate"]
+        for r in cms_query(spark, tight, ["apple", "banana"], width=16, depth=2).collect()
+    }
+    assert gt["apple"] >= 50 and gt["banana"] >= 7
+
+    a = spark.createDataFrame(rows[:100], "v string")
+    b = spark.createDataFrame(rows[100:], "v string")
+    merged = cms_merge(cms_build(a, "v"), cms_build(b, "v"))
+    whole = cms_build(df, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_no_value_keyed_shuffle(spark):
+    from kaer_spark.operators.sketches import cms_build
+
+    big = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+    plan = cms_build(big, "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
