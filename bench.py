@@ -100,6 +100,10 @@ HEADLINE = [
     "cdc_stats",
     # replayable HLL: distinct counting with no distinct shuffle
     "hll_orderkeys",
+    # round-11 closers: corpus-unique-gram novelty scoring and the
+    # Count-Min token-frequency sketch
+    "ngram_novelty",
+    "cms_token_counts",
 ]
 
 
