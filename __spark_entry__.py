@@ -1882,6 +1882,24 @@ def _q_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_fraction(ev, train, n=CONTAM_N, unit="word")
 
 
+PMI_MIN_COUNT = 20
+PMI_TOP_N = 50
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI (ranking.pmi_bigrams): adjacent token
+    pairs scored by exact PMI lift (= exp(PMI); same ranking, bit-exact
+    replay where ln drifts 1 ulp cross-engine) against the pair
+    distribution's marginals, support floor 20 — the tokenizer-prep
+    collocation extractor."""
+    from kaer_spark.operators.ranking import pmi_bigrams
+
+    return pmi_bigrams(
+        _t(spark, sf_dir, "documents"),
+        min_count=PMI_MIN_COUNT, top_n=PMI_TOP_N,
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty (ranking.ngram_novelty): fraction of the doc's
     distinct word 3-grams occurring in NO other document — the
@@ -3284,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contamination_report": _q_contamination_report,
             "bloom_decontam": _q_bloom_decontam,
             "ngram_novelty": _q_ngram_novelty,
+            "pmi_bigrams": _q_pmi_bigrams,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
             "dedup_cluster_assign": _q_dedup_cluster_assign,
@@ -6336,6 +6355,34 @@ def oracle_sql() -> dict[str, str]:
               FROM p
             )
             SELECT doc_id, n_matches FROM c WHERE n_matches > 0
+        """,
+        "pmi_bigrams": f"""
+            WITH w AS (
+              SELECT CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END
+                       AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(ws)),
+                       i -> struct_pack(w := ws[i], v := ws[i + 1]))) AS p
+              FROM w WHERE len(ws) >= 2
+            ),
+            pair AS (SELECT p.w AS w, p.v AS v,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM g GROUP BY p.w, p.v),
+            l AS (SELECT w, CAST(sum(c) AS BIGINT) AS cl FROM pair GROUP BY w),
+            r AS (SELECT v, CAST(sum(c) AS BIGINT) AS cr FROM pair GROUP BY v),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pair)
+            SELECT pair.w, pair.v, pair.c AS n_pair,
+                   CAST(pair.c * t.n AS DOUBLE)
+                     / CAST(l.cl * r.cr AS DOUBLE) AS lift
+            FROM pair, t
+            JOIN l ON l.w = pair.w
+            JOIN r ON r.v = pair.v
+            WHERE pair.c >= {PMI_MIN_COUNT}
+            ORDER BY lift DESC, pair.w ASC, pair.v ASC
+            LIMIT {PMI_TOP_N}
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),

@@ -99,6 +99,7 @@ from kaer_spark.operators.ranking import (
     dsir_scores,
     ngram_novelty,
     oov_stats,
+    pmi_bigrams,
     perplexity_buckets,
     subword_segment_counts,
     token_divergence,
@@ -235,6 +236,7 @@ __all__ = [
     "search_phrase",
     "search_near",
     "ngram_novelty",
+    "pmi_bigrams",
     "token_divergence",
     "zipf_profile",
     "subword_segment_counts",

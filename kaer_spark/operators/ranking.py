@@ -1042,3 +1042,58 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information → ``(w, v,
+    n_pair, lift)`` where ``lift = c(wv)·N / (c(w·)·c(·v))`` is the
+    exact PMI ratio (PMI = ln(lift); ln is strictly monotone, so the
+    ranking is PMI's) against the pair distribution's own marginals,
+    ``min_count`` support floor (PMI's rare-pair pathology),
+    deterministic (lift desc, w, v) top-``top_n``. The ratio is reported
+    instead of its log because it replays BIT-exactly (one float64
+    division of exact int64 products) — engine `ln`s disagree by 1 ulp
+    on some arguments (measured vs DuckDB), and a score that can't pass
+    the value-hash gate is worth less than its monotone twin that can.
+
+    The collocation extractor of tokenizer prep and corpus analysis:
+    high-PMI pairs ("Hong Kong", "ice cream") are the units BPE/WordPiece
+    should learn as one token and the phrases a dedup/quality reviewer
+    reads first. Tokenization matches the bigram-LM family
+    (``_doc_bigrams``: whitespace, case-preserving).
+
+    Exactness: both ln arguments are exact int64 products cast once to
+    float64 and divided once — the single-ln replay discipline the LM
+    scorers established. Scale shape: one (w, v)-keyed shuffle of the
+    corpus bigram stream (map-side combined); the marginals derive from
+    the DISTINCT-pair table (vocab²-bounded, not corpus-bounded); the
+    corpus total crossJoins as one broadcast row; final cut is
+    TakeOrderedAndProject."""
+    _, grams = _doc_bigrams(df, id_col, text_col)
+    pair = grams.groupBy("w", "v").agg(F.count("*").cast("long").alias("c"))
+    left = pair.groupBy("w").agg(F.sum("c").cast("long").alias("cl"))
+    right = pair.groupBy("v").agg(F.sum("c").cast("long").alias("cr"))
+    tot = pair.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        pair.filter(F.col("c") >= int(min_count))
+        .join(left, "w")
+        .join(right, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "v",
+            F.col("c").alias("n_pair"),
+            (
+                (F.col("c") * F.col("n")).cast("double")
+                / (F.col("cl") * F.col("cr")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("w").asc(), F.col("v").asc())
+        .limit(int(top_n))
+    )

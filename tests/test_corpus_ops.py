@@ -1230,3 +1230,45 @@ def test_ngram_novelty_exact_fractions(spark):
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (3, 3, 1.0)
     assert got[4] == (0, 0, None)
+
+
+def test_pmi_bigrams_exact(spark):
+    """PMI lift values equal the python replay; min_count floors rare
+    pairs; ordering is (lift desc, w, v) — identical to PMI's."""
+    from collections import Counter
+
+    from kaer_spark.operators.ranking import pmi_bigrams
+
+    texts = [
+        "hong kong hong kong hong kong",
+        "new york and new york",
+        "the cat and the dog and the cat",
+        "hong kong again",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = Counter()
+    for t in texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] += 1
+    n = sum(pairs.values())
+    cl, cr = Counter(), Counter()
+    for (a, b), c in pairs.items():
+        cl[a] += c
+        cr[b] += c
+    want = sorted(
+        (
+            (a, b, c, (c * n) / (cl[a] * cr[b]))
+            for (a, b), c in pairs.items()
+            if c >= 2
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    got = [
+        (r["w"], r["v"], r["n_pair"], r["lift"])
+        for r in pmi_bigrams(df, min_count=2, top_n=50).collect()
+    ]
+    assert got == want
+    assert ("hong", "kong") in {(w, v) for w, v, _, _ in got}
