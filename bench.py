@@ -104,6 +104,7 @@ HEADLINE = [
     # Count-Min token-frequency sketch
     "ngram_novelty",
     "cms_token_counts",
+    "pmi_bigrams",
 ]
 
 
