@@ -251,6 +251,53 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    # --- round-11 probes: constant Bloom broadcast, bounded HLL/CMS
+    # state, linear CDC ------------------------------------------------
+    from kaer_spark.operators.contamination import bloom_build, bloom_decontaminate
+    from kaer_spark.operators.dedup import cdc_dedup_stats
+    from kaer_spark.operators.sketches import hll_registers
+
+    test = docs.filter(F.col("doc_id") % 97 == 0)
+    for label, t_side in (("1x", test), ("10x", amplify(test, "doc_id", TIMES))):
+        row = bloom_build(t_side, n=3, m_bits=1 << 16).collect()[0]
+        results[f"bloom_bitset_{label}"] = {
+            "n_words": len(row["words"]), "n_set_bits": int(row["n_set_bits"])
+        }
+        print(
+            f"bloom bitset {label}: {len(row['words'])} words "
+            f"({row['n_set_bits']} bits set) — broadcast size CONSTANT in "
+            f"eval-set size",
+            file=sys.stderr,
+        )
+    for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
+        bloom_decontaminate(d, test, n=3, m_bits=1 << 16).count()
+        t, n = timed(
+            lambda dd=d: bloom_decontaminate(
+                dd, test, n=3, m_bits=1 << 16
+            ).count()
+        )
+        results[f"bloom_decontam_{label}"] = {"sec": t, "rows": n}
+        print(f"bloom_decontaminate {label}: {t}s ({n} rows)", file=sys.stderr)
+
+    from kaer_spark.functions.text import tokens as _tok
+
+    for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
+        toks = d.select(F.explode(_tok(F.col("text"))).alias("v"))
+        regs = hll_registers(toks, "v", p=12)
+        t, n = timed(lambda r=regs: r.count())
+        results[f"hll_registers_{label}"] = {"sec": t, "rows": n}
+        print(
+            f"hll_registers {label}: {t}s ({n} rows — state bounded by 2^p "
+            f"regardless of corpus size)",
+            file=sys.stderr,
+        )
+
+    for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
+        cdc_dedup_stats(d).count()
+        t, n = timed(lambda dd=d: cdc_dedup_stats(dd).count())
+        results[f"cdc_stats_{label}"] = {"sec": t, "rows": n}
+        print(f"cdc_dedup_stats {label}: {t}s", file=sys.stderr)
+
     print(json.dumps(results))
     return 0
 
