@@ -1900,6 +1900,17 @@ def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exemplars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-review exemplars (sampling.exemplars_per_
+    group): exactly 3 rows per language ranked by (LCG hash of id, id) —
+    replayable "random-looking" samples; WindowGroupLimit bounds each
+    map task's contribution at k per group (plan-contracted in tests)."""
+    from kaer_spark.operators.sampling import exemplars_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exemplars_per_group(docs, "lang", k=3)
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty (ranking.ngram_novelty): fraction of the doc's
     distinct word 3-grams occurring in NO other document — the
@@ -3303,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_decontam": _q_bloom_decontam,
             "ngram_novelty": _q_ngram_novelty,
             "pmi_bigrams": _q_pmi_bigrams,
+            "exemplars_by_lang": _q_exemplars_by_lang,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
             "dedup_cluster_assign": _q_dedup_cluster_assign,
@@ -6383,6 +6395,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE pair.c >= {PMI_MIN_COUNT}
             ORDER BY lift DESC, pair.w ASC, pair.v ASC
             LIMIT {PMI_TOP_N}
+        """,
+        "exemplars_by_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761 + 40503)
+                                  % 1000000007 ASC,
+                                doc_id ASC) AS rk
+              FROM documents
+            ) WHERE rk <= 3
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),

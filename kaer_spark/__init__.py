@@ -106,6 +106,7 @@ from kaer_spark.operators.ranking import (
     zipf_profile,
 )
 from kaer_spark.operators.sampling import (
+    exemplars_per_group,
     hash_sample,
     quota_per_group,
     temperature_rates,
@@ -202,6 +203,7 @@ __all__ = [
     "oov_stats",
     "build_vocab",
     "hash_sample",
+    "exemplars_per_group",
     "quota_per_group",
     "weighted_mix",
     "histogram",

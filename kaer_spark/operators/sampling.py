@@ -236,3 +236,35 @@ def quota_per_group(
         .filter(F.col("__rank") <= quota)
         .drop("__rank")
     )
+
+
+def exemplars_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY ``min(k, group size)`` deterministic exemplar rows per
+    group — the "show me 5 random-looking docs from every source/language/
+    cluster" operation of corpus review, with the retry/engine stability
+    every sampler in this module guarantees: rank rows inside each group
+    by (LCG hash of id, id) and keep rank ≤ k. Unlike the rate-based
+    :func:`hash_sample` / :func:`quota_per_group` cap (which cannot
+    promise a floor), the count is exact; unlike ``ORDER BY rand()``
+    the selection replays bit-for-bit in the SQL oracle.
+
+    Scale: one shuffle keyed on ``group_col`` with a rank window — and
+    because only rank ≤ k survives, Spark plans the per-partition
+    WindowGroupLimit fold, so each map task forwards at most k rows per
+    group to the exchange (the same pre-exchange bound the kNN join
+    relies on). Skewed groups therefore do NOT ship their full mass."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(id_col, 1_000_000_007).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )

@@ -1272,3 +1272,41 @@ def test_pmi_bigrams_exact(spark):
     ]
     assert got == want
     assert ("hong", "kong") in {(w, v) for w, v, _, _ in got}
+
+
+def test_exemplars_per_group_exact_and_deterministic(spark):
+    from kaer_spark.operators.sampling import (
+        SAMPLE_A,
+        SAMPLE_C,
+        SAMPLE_MOD,
+        exemplars_per_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(50)] + [(99, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    got = [
+        (r["g"], r["doc_id"])
+        for r in exemplars_per_group(df, "g", k=4, id_col="doc_id").collect()
+    ]
+    from collections import Counter
+
+    sizes = Counter(g for g, _ in got)
+    assert sizes == {"g0": 4, "g1": 4, "g2": 4, "solo": 1}
+    # python replay of the (LCG, id) rank
+    def key(i):
+        return ((i * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD, i)
+
+    want = set()
+    by_g = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        for i in sorted(ids, key=key)[:4]:
+            want.add((g, i))
+    assert set(got) == want
+    # WindowGroupLimit: map tasks forward at most k rows per group
+    plan = (
+        exemplars_per_group(df, "g", k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
