@@ -1677,6 +1677,27 @@ def _q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(_events(spark, sf_dir), 900 * 1_000_000_000, dims=["event_type"])
 
 
+PAD_NS = 1_800_000_000_000  # 30 min
+
+
+def _q_event_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage (interval.merge_intervals /
+    interval_coverage): each event opens a [ts, ts+30min) window; islands
+    coalesce in ONE key shuffle + two window passes (no self-join), then
+    total covered nanos, island count, and the largest inactivity gap —
+    the gaps-and-islands primitive exposed as a public operator (the
+    passage excision's span merge uses the same formulation). Oracle:
+    the lag/running-max SQL islands."""
+    from kaer_spark.operators.interval import interval_coverage
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.lit(PAD_NS)).alias("end"),
+    )
+    return interval_coverage(ev, ["user_id"])
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap per user —
     lag + conditional cumsum windows (the standard Spark sessionize shape)."""
@@ -3315,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_novelty": _q_ngram_novelty,
             "pmi_bigrams": _q_pmi_bigrams,
             "exemplars_by_lang": _q_exemplars_by_lang,
+            "event_coverage": _q_event_coverage,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
             "dedup_cluster_assign": _q_dedup_cluster_assign,
@@ -6406,6 +6428,50 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS rk
               FROM documents
             ) WHERE rk <= 3
+        """,
+        "event_coverage": f"""
+            WITH iv AS (
+              SELECT user_id, epoch_ns(ts) AS s,
+                     epoch_ns(ts) + {1_800_000_000_000} AS e
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER (
+                              PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) IS NULL
+                            OR s > max(e) OVER (
+                              PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                     sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+              FROM flagged
+            ),
+            merged AS (
+              SELECT user_id, island, min(s) AS island_start,
+                     max(e) AS island_end
+              FROM isl GROUP BY user_id, island
+            ),
+            gaps AS (
+              SELECT user_id, island_start, island_end,
+                     island_start - lag(island_end) OVER (
+                       PARTITION BY user_id ORDER BY island_start) AS gap
+              FROM merged
+            )
+            SELECT user_id,
+                   CAST(sum(island_end - island_start) AS BIGINT) AS covered,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(max(gap) AS BIGINT) AS max_gap
+            FROM gaps GROUP BY user_id
         """,
         "bloom_decontam": _sql_bloom_decontam(),
         "cdc_stats": _sql_cdc_stats(),

@@ -69,7 +69,12 @@ from kaer_spark.operators.dedup import (
     cdc_chunks,
     cdc_dedup_stats,
 )
-from kaer_spark.operators.interval import interval_join, time_bucket_join
+from kaer_spark.operators.interval import (
+    interval_coverage,
+    interval_join,
+    merge_intervals,
+    time_bucket_join,
+)
 from kaer_spark.operators.knn import exact_knn, knn_join
 from kaer_spark.operators.similarity import (
     ivf_knn_join,
@@ -160,6 +165,8 @@ __all__ = [
     "asof_join",
     "interval_join",
     "time_bucket_join",
+    "merge_intervals",
+    "interval_coverage",
     "salted_join",
     "image_dhash",
     "image_near_dups",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def interval_join(
@@ -77,3 +78,91 @@ def time_bucket_join(
         & (rb[right_ts] <= lb[left_ts])
     )
     return lb.join(rb, cond, how).drop("_bkt")
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Per key, coalesce overlapping/touching half-open intervals
+    ``[start, end)`` into maximal islands → ``(*key_cols, island_start,
+    island_end, n_merged)``.
+
+    The gaps-and-islands primitive the passage-excision transform uses
+    internally (``dedup._excise_spans``' span merge), exposed as a public
+    operator: uptime/coverage from heartbeat windows, session spans from
+    padded events, availability windows from bookings. Classic one-pass
+    formulation — an island starts where ``start`` exceeds the running
+    max of previous ends — so the cost is ONE shuffle on the keys and two
+    window passes; no self-join, no explosion, and the running max is
+    size-independent state (at 100 TB the shuffle carries exactly the
+    interval rows, nothing quadratic).
+
+    Intervals where ``end <= start`` are rejected loudly rather than
+    silently merged (a reversed interval corrupts the running max)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    s = F.col(start_col)
+    # the guard is woven into the END value itself (a pruned side-channel
+    # check column would be optimized away and never evaluated)
+    e_checked = F.when(F.col(end_col) > s, F.col(end_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("merge_intervals: end <= start for key "),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in key_cols]),
+            )
+        )
+    )
+    checked = df.withColumn(end_col, e_checked)
+    e = F.col(end_col)
+    w_order = Window.partitionBy(*key_cols).orderBy(
+        s.asc(), e.asc()
+    )
+    prev_max_end = F.max(e).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = checked.withColumn(
+        "__new_island",
+        F.when(prev_max_end.isNull() | (s > prev_max_end), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(*key_cols, "__island")
+        .agg(
+            F.min(s).alias("island_start"),
+            F.max(e).alias("island_end"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Per key: total covered span, island count, and largest gap between
+    islands → ``(*key_cols, covered, n_islands, max_gap)`` (``max_gap``
+    NULL for single-island keys) — the uptime/SLA accounting readout over
+    :func:`merge_intervals`."""
+    isl = merge_intervals(df, key_cols, start_col, end_col)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("island_start").asc())
+    gap = F.col("island_start") - F.lag("island_end").over(w)
+    with_gap = isl.withColumn("__gap", gap)
+    return with_gap.groupBy(*key_cols).agg(
+        F.sum(
+            F.col("island_end") - F.col("island_start")
+        ).cast("long").alias("covered"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("__gap").cast("long").alias("max_gap"),
+    )

@@ -63,3 +63,34 @@ def test_salted_join_equals_plain_join(spark):
         r["rid"] for r in want.collect()
     )
     assert "_salt" not in got.columns
+
+
+def test_merge_intervals_islands(spark):
+    """Overlap, touch (half-open: [1,3)+[3,5) merge), containment, gap,
+    multi-key isolation, and the reversed-interval guard."""
+    import pytest as _pytest
+
+    from kaer_spark.operators.interval import interval_coverage, merge_intervals
+
+    rows = [
+        ("a", 1, 3), ("a", 2, 4),   # overlap -> [1,4)
+        ("a", 4, 6),                # touches -> extends to [1,6)
+        ("a", 10, 12),              # gap -> second island
+        ("a", 10, 11),              # contained
+        ("b", 5, 7),                # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, start long, end long")
+    got = {
+        (r["k"], r["island_start"], r["island_end"], r["n_merged"])
+        for r in merge_intervals(df, ["k"]).collect()
+    }
+    assert got == {("a", 1, 6, 3), ("a", 10, 12, 2), ("b", 5, 7, 1)}
+    cov = {
+        r["k"]: (r["covered"], r["n_islands"], r["max_gap"])
+        for r in interval_coverage(df, ["k"]).collect()
+    }
+    assert cov == {"a": (7, 2, 4), "b": (2, 1, None)}
+
+    bad = spark.createDataFrame([("x", 5, 5)], "k string, start long, end long")
+    with _pytest.raises(Exception, match="end <= start"):
+        merge_intervals(bad, ["k"]).collect()
