@@ -2990,10 +2990,19 @@ def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     by one map-side-combined (i, j) aggregate in DECIMAL(38,0). The
     quantization q = floor(x·2^20 + 0.5) is exact float64 arithmetic, so
     every engine reproduces the same integers — this is the fit input
-    for pca_components/pca_whiten (SemDeDup-style preprocessing)."""
+    for pca_components/pca_whiten (SemDeDup-style preprocessing).
+
+    The public `s` column is emitted as its exact integer TEXT (not
+    DECIMAL): pandas materializes Spark DECIMAL as `Decimal` objects but
+    DuckDB DECIMAL(38,0) as float64, so any stringifying hash of the two
+    diverges ("123" vs "123.0") even when every value matches — the r11
+    driver hash failure. A canonical string is representation-stable on
+    both engines at any magnitude; the internal math stays DECIMAL."""
     from kaer_spark.operators.pca import embedding_moments
 
-    return embedding_moments(_t(spark, sf_dir, "embeddings"))
+    return embedding_moments(_t(spark, sf_dir, "embeddings")).withColumn(
+        "s", F.col("s").cast("string")
+    )
 
 
 def _q_passage_overlap_between(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4771,7 +4780,8 @@ def _sql_embedding_gram(dim: int) -> str:
           SELECT -1 AS i, -1 AS j, CAST(count(*) AS DECIMAL(38, 0)) AS s
           FROM q
         )
-        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, s FROM (
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               CAST(s AS VARCHAR) AS s FROM (
           SELECT * FROM gram
           UNION ALL SELECT * FROM firsts
           UNION ALL SELECT * FROM cnt

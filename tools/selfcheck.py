@@ -1,7 +1,13 @@
 """Self-check harness replicating the driver's correctness gate locally:
 runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet, then compares row count, column names, and
-order-insensitive values (exact — the engine claims bit-identical math).
+order-insensitive values (exact — the engine claims bit-identical math)
+PLUS a driver-hash-faithful representation check: each cell stringified
+(str/repr, the way any canonicalizing hasher sees it) and compared, so a
+Spark ``Decimal('123')`` vs a DuckDB ``123.0`` is flagged HERE instead of
+as a surprise ``hash_match: false`` in the driver's CORRECTNESS gate
+(the r11 ``embedding_gram`` failure mode: Python ``==`` says equal,
+string forms differ).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
@@ -45,6 +51,45 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     return True, "ok"
 
 
+def _cell_str(x) -> str:
+    """One cell → the canonical text a stringifying hasher would see.
+
+    Deliberately type-sensitive: ``Decimal('123')`` → '123' but float
+    ``123.0`` → '123.0', int ``123`` → '123'. Python ``==`` treats all
+    three as equal, so only this check catches representation divergence
+    (the driver hashes stringified cells; its r11 ``embedding_gram``
+    hash-fail was exactly Spark-Decimal-vs-DuckDB-float with matching
+    values). NaN/None both normalize to '<null>'."""
+    if x is None:
+        return "<null>"
+    if isinstance(x, float):
+        if pd.isna(x):
+            return "<null>"
+        return repr(x)
+    try:
+        if pd.isna(x):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass  # arrays / lists: pd.isna is elementwise
+    return str(x)
+
+
+def repr_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    """Driver-hash-faithful comparison: stringified-cell equality over the
+    canonically sorted frames. A pass here predicts ``hash_match: true``
+    in the driver's CORRECTNESS gate; a fail with ``values_equal`` green
+    means the output REPRESENTATION (dtype/formatting) diverges between
+    engines and must be canonicalized (cast to string/bigint/double on
+    both sides) before the driver sees it."""
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            sx, sy = _cell_str(x), _cell_str(y)
+            if sx != sy:
+                return False, f"{col}[{i}] repr: {sx!r} != {sy!r}"
+    return True, "ok"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -81,6 +126,10 @@ def main() -> int:
             t0 = time.time()
             ddf = canon(con.sql(oracles[name]).df())
             ok, why = values_equal(sdf, ddf)
+            if ok:
+                ok, why = repr_equal(sdf, ddf)
+                if not ok:
+                    why = f"values match but driver-hash repr diverges: {why}"
             status = "OK " if ok else "FAIL"
             print(f"  {name:28s} rows={len(sdf):6d}  {status} "
                   f"spark={t_spark:.1f}s duck={time.time() - t0:.1f}s"
