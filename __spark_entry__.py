@@ -415,32 +415,122 @@ def _q_pq_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("_score").alias("adc_l2sq"))
 
 
-def _q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF-PQ serving stack (similarity.ivf_pq_topk): probe 3 of 8
-    coarse cells, ADC over the probed rows' codes only, 50-row shortlist,
-    exact refine — the FAISS IVFx,PQy+RefineFlat layout with every stage
-    deterministic, so the oracle replays the ENTIRE pipeline value-exactly
-    at partial probe (no full-probe escape hatch)."""
-    from kaer_spark.operators.similarity import ivf_pq_topk
+def _ensure_pq_index(spark: SparkSession, sf_dir: str, cells: int | None) -> str:
+    """Build-once-serve-many handle to the at-rest PQ code table for this
+    fixture (index_store.build_pq_index): keyed by the source parquet's
+    (path, size, mtime) fingerprint, so the first call per fixture pays
+    the fit+encode and every later call — the steady state a serving
+    index exists for — reads stored codes only. Stale or missing sidecar
+    ⇒ rebuild; geometry is pinned to the registry's m=8/k=16."""
+    import hashlib
+    import os
+    import tempfile
 
-    return ivf_pq_topk(
-        _t(spark, sf_dir, "embeddings"), QVEC, topk=10, cells=8, nprobe=3,
-        shortlist=50, m=8, codebook_k=16,
+    from kaer_spark.operators.index_store import build_pq_index, read_pq_meta
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    tag = hashlib.md5(f"{fp}|m=8|k=16|cells={cells}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_pq_index_{tag}")
+    try:
+        meta = read_pq_meta(path)
+        if meta.get("source_fp") == fp and meta.get("cells") == cells:
+            return path
+    except (OSError, ValueError):
+        pass
+    build_pq_index(
+        _t(spark, sf_dir, "embeddings"), path, m=8, k=16, cells=cells,
+        extra_meta={"source_fp": fp},
+    )
+    return path
+
+
+def _q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ serving stack from the AT-REST code table
+    (index_store.build_pq_index + pq_index_topk): probe 3 of 8 coarse
+    cells — directory-pruned partitions of the materialized m-int code
+    table — ADC shortlist of 50, exact refine against raw vectors for the
+    survivors only. The FAISS IVFx,PQy+RefineFlat layout with every stage
+    deterministic AND persisted: codes are encoded once at build (r12 —
+    previously re-fit + re-encoded per call), and serving is value-
+    identical to the fresh ivf_pq_topk (equivalence pytest-pinned), so
+    the oracle replays the ENTIRE pipeline value-exactly at partial probe
+    (no full-probe escape hatch)."""
+    from kaer_spark.operators.index_store import pq_index_topk
+
+    path = _ensure_pq_index(spark, sf_dir, cells=8)
+    return pq_index_topk(
+        spark, path, _t(spark, sf_dir, "embeddings"), QVEC,
+        topk=10, shortlist=50, nprobe=3,
     ).select("vec_id", F.col("_score").alias("l2sq"))
 
 
 def _q_pq_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN (similarity.pq_topk_refined): deterministic-PQ ADC
-    shortlist of 50, then EXACT float64 re-rank of the survivors — the
-    FAISS IndexRefineFlat / Jegou-et-al re-ranking shape. Stage 1 reads
-    only codes, stage 2 touches 50 raw vectors; reported scores are exact
-    distances. Fully deterministic, both stages value-replayed by the
-    oracle."""
-    from kaer_spark.operators.similarity import pq_topk_refined
+    """Two-stage ANN served from the AT-REST PQ code table
+    (index_store.pq_index_topk): ADC shortlist of 50 read from stored
+    codes — the scan touches (vec_id, pq_code) only, 32× less IO than raw
+    vectors — then EXACT float64 re-rank of the survivors (FAISS
+    IndexRefineFlat / Jegou-et-al re-ranking). Codes are fit + encoded
+    once per fixture (r12 — previously per call); serving is value-
+    identical to the fresh pq_topk_refined (equivalence pytest-pinned),
+    both stages value-replayed by the oracle."""
+    from kaer_spark.operators.index_store import pq_index_topk
 
-    return pq_topk_refined(
-        _t(spark, sf_dir, "embeddings"), QVEC, topk=10, shortlist=50,
-        m=8, k=16,
+    path = _ensure_pq_index(spark, sf_dir, cells=None)
+    return pq_index_topk(
+        spark, path, _t(spark, sf_dir, "embeddings"), QVEC,
+        topk=10, shortlist=50,
+    ).select("vec_id", F.col("_score").alias("l2sq"))
+
+
+def _q_pq_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 catch-up (reference updateIndexFromLastId, db/db.go:191-207) for
+    the PQ code table, proven through the value gate: build the index on
+    the id-prefix (vec_id < 256), REFRESH with the full corpus — the tail
+    is encoded under the STORED codebooks and appended, no refit — then
+    serve top-12. The deterministic codebook sample (16 smallest ids) lies
+    inside the prefix, so the oracle replays the fit from the full corpus
+    and any refresh bug (wrong codebooks, missed/duplicated tail rows,
+    re-fit drift) surfaces as a value mismatch in the served ranking.
+    Distinct geometry (shortlist=40, topk=12) from pq_knn_refined."""
+    import json as _json
+    import os
+
+    from kaer_spark.operators.index_store import (
+        PQ_META_FILE,
+        build_pq_index,
+        pq_index_topk,
+        read_pq_meta,
+        refresh_pq_index,
+    )
+
+    import hashlib
+    import tempfile
+
+    embs = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    tag = hashlib.md5(f"{fp}|catchup".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_pq_index_{tag}")
+    cached = False
+    try:
+        meta = read_pq_meta(path)
+        cached = meta.get("source_fp") == fp and meta.get("caught_up")
+    except (OSError, ValueError):
+        pass
+    if not cached:
+        build_pq_index(
+            embs.filter(F.col("vec_id") < 256), path, m=8, k=16,
+            extra_meta={"source_fp": fp},
+        )
+        meta = refresh_pq_index(embs, path)
+        meta["caught_up"] = True
+        with open(os.path.join(path, PQ_META_FILE), "w") as f:
+            _json.dump(meta, f)
+    return pq_index_topk(
+        spark, path, embs, QVEC, topk=12, shortlist=40
     ).select("vec_id", F.col("_score").alias("l2sq"))
 
 
@@ -3285,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn_det": _q_pq_knn_det,
         "pq_knn_refined": _q_pq_knn_refined,
         "ivf_pq_knn": _q_ivf_pq_knn,
+        "pq_index_catchup": _q_pq_index_catchup,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_dedup": _q_streaming_dedup,
         "bm25_scores": _q_bm25_scores,
@@ -7197,6 +7288,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_knn_det": _sql_pq_knn_det(),
         "pq_knn_refined": _sql_pq_knn_refined(),
         "ivf_pq_knn": _sql_ivf_pq_topk(),
+        # catch-up serve: prefix-built + refreshed index ≡ full-corpus
+        # deterministic fit (the codebook sample lies inside the prefix),
+        # so the oracle is the refined replay at the catchup geometry
+        "pq_index_catchup": _sql_pq_knn_refined(shortlist=40, topk=12),
         "weighted_mix": f"""
             WITH b AS (
               SELECT source, doc_id,

@@ -91,6 +91,7 @@ HEADLINE = [
     "fuzzy_near_dups",
     "winnow_overlap",
     "pq_knn_refined",
+    "pq_index_catchup",
     "mmr_rerank",
     "token_divergence",
     "zipf_profile",

@@ -318,3 +318,202 @@ def ivf_index_topk(
         if out.count() >= k:
             return out
         cur = min(cur * 2, n_cells)
+
+
+# ---------------------------------------------------------------------------
+# At-rest PQ code tables: the compressed-serving twin of the IVF index above.
+# ---------------------------------------------------------------------------
+PQ_META_FILE = "pq_index.json"
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    cells: int | None = None,
+    fit: str = "deterministic",
+    seed: int = 42,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Materialize the PQ code table at ``path`` — the reference's
+    persisted-index cycle (``/root/reference/db/db.go:102-109``, O10/O16)
+    for PRODUCT-QUANTIZED serving: codes are fit + encoded ONCE at build
+    and every query thereafter reads only the ``(id, pq_code[, _cell])``
+    columns — m ints per vector instead of ``dim`` floats (32× less IO at
+    m=8 / dim=64 float32). Without this, every ``pq_topk_refined`` call
+    re-fits codebooks and re-encodes the whole corpus — fine for a one-off
+    batch job, wrong for a serving index (and the dominant cost of the
+    pre-r12 ``pq_knn_refined`` bench row).
+
+    ``fit``: ``"deterministic"`` — codebooks are slices of the ``k``
+    smallest-id vectors and the encode is the Catalyst slice-grouped
+    argmin (``similarity.pq_encode_deterministic``), so a SQL oracle
+    re-derives the exact stored codes from the source corpus alone;
+    ``"kmeans"`` — MLlib subspace k-means + Arrow-batched numpy encode
+    (recall-first, rows-only checkable). ``cells``: also coarse-quantize
+    (deterministic smallest-id centroids) and PARTITION the code table by
+    ``_cell`` so a probed search scans ``nprobe/cells`` of the codes —
+    the IVFADC layout (Jégou et al. 2011 §V).
+
+    The sidecar records geometry + codebooks + centroids + the id
+    high-water mark for the O8-style :func:`refresh_pq_index` catch-up.
+    ``extra_meta`` entries (e.g. a source fingerprint) are stored
+    verbatim for the caller's own staleness checks.
+    """
+    from kaer_spark.operators import similarity as S
+
+    if fit == "deterministic":
+        books = S.pq_fit_deterministic(corpus, vec_col, id_col, m, k)
+        encoded = S.pq_encode_deterministic(corpus, books, vec_col)
+    elif fit == "kmeans":
+        books = S.pq_fit(corpus, vec_col, m=m, k=k, seed=seed)
+        encoded = S.pq_encode(corpus, books, vec_col)
+    else:
+        raise ValueError(f"unknown fit {fit!r}: use 'deterministic' or 'kmeans'")
+
+    centroids: list[list[float]] | None = None
+    cols = [id_col, "pq_code"]
+    if cells is not None:
+        if fit == "deterministic":
+            centroids = S.ivf_fit_deterministic(
+                corpus, vec_col=vec_col, id_col=id_col, cells=cells
+            )
+        else:
+            model = S.ivf_fit(corpus, vec_col=vec_col, cells=cells, seed=seed)
+            centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        encoded = S.ivf_assign_deterministic(encoded, centroids, vec_col)
+        cols.append("_cell")
+
+    writer = encoded.select(*cols).write.mode("overwrite")
+    if cells is not None:
+        writer = writer.partitionBy("_cell")
+    writer.parquet(os.path.join(path, DATA_DIR))
+
+    max_id = corpus.agg(F.max(id_col)).collect()[0][0]
+    meta = {
+        "kind": "pq",
+        "m": m,
+        "k": k,
+        "dim": len(books[0][0]) * m,
+        "fit": fit,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "cells": cells,
+        "max_id": int(max_id) if max_id is not None else -1,
+        "codebooks": books,
+        "centroids": centroids,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, PQ_META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_pq_meta(path: str) -> dict:
+    with open(os.path.join(path, PQ_META_FILE)) as f:
+        return json.load(f)
+
+
+def refresh_pq_index(corpus: DataFrame, path: str) -> dict:
+    """Catch-up (reference O8, ``updateIndexFromLastId`` — the PQ twin of
+    :func:`refresh_ivf_index`): encode vectors with ``id > meta.max_id``
+    under the STORED codebooks (and stored coarse centroids, if any) and
+    append their codes. No refit — codes stay comparable across the whole
+    table, and the encode matches the build's encoder exactly (Catalyst
+    argmin for ``deterministic``, numpy for ``kmeans``), so a refreshed
+    index is row-identical to a from-scratch build over the union.
+    Incremental and idempotent per the id high-water mark."""
+    from kaer_spark.operators import similarity as S
+
+    meta = read_pq_meta(path)
+    tail = corpus.filter(F.col(meta["id_col"]) > meta["max_id"])
+    new_max = tail.agg(F.max(meta["id_col"])).collect()[0][0]
+    if new_max is None:
+        return meta  # nothing to replay
+    if meta["fit"] == "deterministic":
+        encoded = S.pq_encode_deterministic(
+            tail, meta["codebooks"], meta["vec_col"]
+        )
+    else:
+        encoded = S.pq_encode(tail, meta["codebooks"], meta["vec_col"])
+    cols = [meta["id_col"], "pq_code"]
+    if meta["cells"] is not None:
+        encoded = S.ivf_assign_deterministic(
+            encoded, meta["centroids"], meta["vec_col"]
+        )
+        cols.append("_cell")
+    writer = encoded.select(*cols).write.mode("append")
+    if meta["cells"] is not None:
+        writer = writer.partitionBy("_cell")
+    writer.parquet(os.path.join(path, DATA_DIR))
+    meta["max_id"] = int(new_max)
+    with open(os.path.join(path, PQ_META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def pq_index_topk(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    topk: int,
+    shortlist: int = 50,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Two-stage search over the MATERIALIZED code table: ADC shortlist
+    from stored codes, exact re-rank against ``corpus``'s raw vectors —
+    ``similarity.pq_topk_refined`` (or ``ivf_pq_topk`` when the index has
+    cells and ``nprobe`` is given) served from the at-rest index instead
+    of a per-call fit+encode, value-identical to the fresh computation by
+    construction (same codebooks: the deterministic fit is a function of
+    the source corpus; same stored argmin codes; same driver ADC tables).
+
+    Stage 1 scans ONLY ``(id, pq_code)`` — plus directory-level cell
+    pruning when probed — and heap-selects ``shortlist`` rows
+    (TakeOrderedAndProject). Stage 2 joins the ≤``shortlist`` survivors
+    (broadcast — bounded by the knob, never corpus-sized) back to the raw
+    vectors for the exact float64 re-rank; reported ``_score`` carries no
+    quantization error. At 100 TB stage 1 touches m ints × the probed
+    fraction; raw vectors are read for ``shortlist`` rows only."""
+    from kaer_spark.operators.similarity import ivf_probe_cells, py_l2sq
+
+    meta = read_pq_meta(path)
+    m, d = meta["m"], meta["dim"] // meta["m"]
+    q = [float(x) for x in query_vector]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    codes = spark.read.parquet(os.path.join(path, DATA_DIR))
+    if nprobe is not None:
+        if meta["cells"] is None:
+            raise ValueError("index has no coarse cells; build with cells=")
+        probe = ivf_probe_cells(meta["centroids"], q, nprobe)
+        codes = codes.filter(F.col("_cell").isin(probe))
+    tables = [
+        [py_l2sq(q[j * d : (j + 1) * d], c) for c in meta["codebooks"][j]]
+        for j in range(m)
+    ]
+    tables_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    adc = F.aggregate(
+        F.zip_with(F.col("pq_code"), tables_lit, lambda c, t: t[c]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        codes.withColumn("_adc", adc)
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(int(shortlist))
+        .select(id_col)
+    )
+    return (
+        corpus.join(F.broadcast(short), id_col)
+        .withColumn("_score", l2sq(vec_col, q))
+        .orderBy(F.col("_score").asc(), F.col(id_col).asc())
+        .limit(int(topk))
+        .select(id_col, "_score")
+    )

@@ -271,3 +271,101 @@ def test_filtered_query_escalates_nprobe(spark, embeddings, tmp_path):
         spark, path, QVEC, k=k, nprobe=1, pred=pred, escalate=False
     )
     assert off.count() <= len(rows)
+
+
+# ---------------------------------------------------------------------------
+# At-rest PQ code table (build / serve / catch-up — the PQ twin of the cycle
+# above; reference db/db.go:102-109 persisted-index parity)
+# ---------------------------------------------------------------------------
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_pq_index_serves_identically_to_fresh_refined(spark, embeddings, tmp_path):
+    """Serving from stored codes must be VALUE-identical to the per-call
+    fit+encode path (same deterministic codebooks, same argmin codes, same
+    ADC tables, same exact refine) — that identity is what lets the
+    existing pq_knn_refined oracle keep checking the at-rest route."""
+    from kaer_spark.operators.index_store import build_pq_index, pq_index_topk
+    from kaer_spark.operators.similarity import pq_topk_refined
+
+    path = str(tmp_path / "pq")
+    meta = build_pq_index(embeddings, path, m=8, k=16)
+    assert meta["kind"] == "pq" and meta["cells"] is None
+    served = pq_index_topk(spark, path, embeddings, QVEC, topk=10, shortlist=50)
+    fresh = pq_topk_refined(embeddings, QVEC, topk=10, shortlist=50, m=8, k=16)
+    assert _rows(served) == _rows(fresh)
+
+
+def test_pq_index_with_cells_matches_fresh_ivf_pq(spark, embeddings, tmp_path):
+    from kaer_spark.operators.index_store import build_pq_index, pq_index_topk
+    from kaer_spark.operators.similarity import ivf_pq_topk
+
+    path = str(tmp_path / "ivfpq")
+    build_pq_index(embeddings, path, m=8, k=16, cells=8)
+    served = pq_index_topk(
+        spark, path, embeddings, QVEC, topk=10, shortlist=50, nprobe=3
+    )
+    fresh = ivf_pq_topk(
+        embeddings, QVEC, topk=10, cells=8, nprobe=3, shortlist=50,
+        m=8, codebook_k=16,
+    )
+    assert _rows(served) == _rows(fresh)
+
+
+def test_pq_refresh_catches_up_row_identical(spark, embeddings, tmp_path):
+    """O8 catch-up for PQ: build on the id-prefix, refresh with the full
+    corpus → the code table equals a from-scratch build over the SAME
+    prefix-fit codebooks (refresh never refits), and refresh is idempotent
+    per the id high-water mark."""
+    from kaer_spark.operators.index_store import (
+        build_pq_index,
+        read_pq_meta,
+        refresh_pq_index,
+    )
+
+    path = str(tmp_path / "pq")
+    old = embeddings.filter(F.col("vec_id") < 300)
+    build_pq_index(old, path, m=8, k=16)
+    assert read_pq_meta(path)["max_id"] == 299
+
+    meta = refresh_pq_index(embeddings, path)
+    assert meta["max_id"] == embeddings.agg(F.max("vec_id")).collect()[0][0]
+    codes = spark.read.parquet(f"{path}/data")
+    assert codes.count() == embeddings.count()
+    assert codes.select("vec_id").distinct().count() == embeddings.count()
+    refresh_pq_index(embeddings, path)  # idempotent
+    assert spark.read.parquet(f"{path}/data").count() == embeddings.count()
+
+    # appended codes use the STORED (prefix-fit) codebooks: re-encoding the
+    # tail fresh under those codebooks reproduces the stored rows exactly
+    from kaer_spark.operators.similarity import pq_encode_deterministic
+
+    tail_fresh = pq_encode_deterministic(
+        embeddings.filter(F.col("vec_id") >= 300), meta["codebooks"]
+    ).select("vec_id", "pq_code")
+    stored_tail = codes.filter(F.col("vec_id") >= 300)
+    assert sorted(_rows(tail_fresh.withColumn("pq_code", F.col("pq_code").cast("string")))) == sorted(
+        _rows(stored_tail.withColumn("pq_code", F.col("pq_code").cast("string")))
+    )
+
+
+def test_pq_index_stage1_scans_codes_not_vectors(spark, embeddings, tmp_path):
+    """The IO contract that justifies the index: the shortlist stage's
+    parquet scan reads (id, pq_code) ONLY — never the raw vector column —
+    and a probed search prunes code partitions at the directory level."""
+    from kaer_spark.operators.index_store import build_pq_index, pq_index_topk
+
+    path = str(tmp_path / "ivfpq")
+    build_pq_index(embeddings, path, m=8, k=16, cells=8)
+    df = pq_index_topk(spark, path, embeddings, QVEC, topk=5, shortlist=20, nprobe=2)
+    plan = formatted_plan(df)
+    # two scans: codes (no embedding column) + corpus (for the exact refine)
+    import re
+
+    code_scans = [
+        s for s in re.findall(r"ReadSchema: [^\n]*", plan) if "pq_code" in s
+    ]
+    assert code_scans, plan
+    assert all("embedding" not in s for s in code_scans), code_scans
+    assert "PartitionFilters" in plan

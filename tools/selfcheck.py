@@ -99,11 +99,16 @@ def main() -> int:
 
     spark = get_spark(app_name="selfcheck")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    def fresh_con():
+        # one connection per query: DuckDB accumulates allocator state over
+        # a 170-query session and eventually OOMs on trivial blocks; view
+        # re-registration is microseconds
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
 
     print(f"== entry() smoke on sf0.001 ==")
     t0 = time.time()
@@ -124,7 +129,11 @@ def main() -> int:
                       f"spark={t_spark:.1f}s")
                 continue
             t0 = time.time()
-            ddf = canon(con.sql(oracles[name]).df())
+            con = fresh_con()
+            try:
+                ddf = canon(con.sql(oracles[name]).df())
+            finally:
+                con.close()
             ok, why = values_equal(sdf, ddf)
             if ok:
                 ok, why = repr_equal(sdf, ddf)
