@@ -156,6 +156,27 @@ def _machine_load() -> dict:
         info["other_jvm_py_procs"] = others
     except OSError:
         pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    info["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    # single-core speed canary: a fixed deterministic workload, timed.
+    # r11→r12 forensics showed ~1.4-1.9× min inflation on UNTOUCHED queries
+    # with byte-identical plans that reproduced in fresh JVMs — i.e. the
+    # HOST got slower between rounds, which no load-average can show. This
+    # number makes cross-round environment drift a recorded fact: compare
+    # cpu_probe_sec before believing any fleet-wide ratio.
+    import hashlib
+
+    t0 = time.time()
+    h = b"kaer-bench-canary"
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    info["cpu_probe_sec"] = round(time.time() - t0, 4)
     return info
 
 
