@@ -1224,8 +1224,15 @@ def dedup_clusters(
                         ra, rb = rb, ra
                     parent[rb] = ra  # larger root under smaller ⇒ root = min
             out = [(x, find(x)) for x in parent]
+            # Arrow path: a list-of-tuples createDataFrame round-trips
+            # through pickled RDD slices (~0.4-1.5s of fixed driver
+            # overhead measured at 477 rows); the pandas conversion ships
+            # one Arrow batch (~0.1s)
+            import pandas as pd
+
             return pairs.sparkSession.createDataFrame(
-                out, "id long, cluster_id long"
+                pd.DataFrame(out, columns=["id", "cluster_id"]).astype("int64"),
+                "id long, cluster_id long",
             )
     # undirected: propagate labels both ways each round
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
