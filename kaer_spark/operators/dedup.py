@@ -1671,32 +1671,6 @@ def _window_str(text_col_name: str, pos0_col: str, length: int) -> Column:
     )
 
 
-def _window_fp_explode_str(
-    df: DataFrame, id_col: str, text_col: str, length: int
-) -> DataFrame:
-    """``_window_fp_explode`` widened with the window CONTENT: exploded
-    ``(id, pos0, fp, wstr)`` rows, where ``wstr`` is the literal
-    ``length``-char window. The content rides the SAME single generate
-    (an ``arrays_zip``-style struct array), so the verified transforms
-    keep the unverified family's two-explode envelope; the string is
-    pipelined within the stage and only ever shuffles after map-side
-    min/max partials collapse it to two values per (fp, id) per task."""
-    L = int(length)
-    win = F.transform(
-        F.sequence(F.lit(1), F.length(text_col) - L + 1),
-        lambda i: F.struct(
-            _win_fp("__codes", i, L).alias("fp"),
-            F.col(text_col).substr(i, F.lit(L)).alias("wstr"),
-        ),
-    )
-    return (
-        ensure_parallelism(df.filter(F.length(text_col) >= L))
-        .withColumn("__codes", _codes_col(text_col))
-        .select(F.col(id_col).alias("id"), F.posexplode(win).alias("pos0", "w"))
-        .select("id", "pos0", F.col("w.fp").alias("fp"), F.col("w.wstr").alias("wstr"))
-    )
-
-
 def _flagged_verified_self(
     df: DataFrame,
     id_col: str,
@@ -1709,56 +1683,58 @@ def _flagged_verified_self(
     distinct documents — a fingerprint collision can never flag
     non-duplicate text.
 
-    The r11 re-key: verification is folded INTO the duplicate-counting
-    aggregate instead of re-joining candidates afterwards, so the
-    verified plan has the unverified plan's exact shape — two window
-    explodes, a two-level aggregate, one fp join:
+    The r12 shape: the COUNTING stage is byte-for-byte the unverified
+    path (int64 fingerprints only — no window string is ever built
+    corpus-wide), and content materializes ONLY for candidate rows, by
+    joining the flagged ``(id, pos0)`` positions back to the original
+    text and slicing there:
 
-    * level 1 groups by ``(fp, id)`` carrying ``min(wstr)``/``max(wstr)``
-      partials — map-side combine collapses contents to two 24-char
-      values per group per task, so the exchange stays int64-keyed and
-      only ~2× wider than the unverified ``countDistinct`` partials;
-    * level 2 rolls up to ``fp``: ``min == max`` across every occurrence
-      in every doc ⇒ the fp holds ONE content ⇒ the content's
-      distinct-doc count IS the fp's (decided with zero extra work);
-    * the flag join carries the keyset's min/max, so the collision
-      fallback (``min ≠ max`` ⇒ ≥2 contents, ~2^-60 rate — expected
-      empty) recounts by content over an already-materialized,
-      filter-empty branch of the SAME join, never re-reading the corpus.
+    * ``fp``-level distinct-doc count ≥ ``min_docs`` → candidate rows
+      (a content's fp-count is ≥ its content-count, so no qualifying
+      content can be missed at this stage);
+    * candidates join their doc's text once (equi-join on id; text
+      never explodes) and slice ``wstr`` in the projection — string
+      work ∝ candidate mass, not corpus chars;
+    * a content-level distinct-doc recount over the candidate-sized rows
+      keeps exactly the contents in ``min_docs``+ docs — identical
+      contents always share an fp, so the recount is complete per
+      content and grouping by ``wstr`` alone is sound.
+
+    The candidate subtree is deliberately NOT checkpointed: its double
+    evaluation re-runs int64 window hashing (codegen-cached, scan-shaped
+    — the cheap part), while a localCheckpoint pays a full plan compile
+    plus block materialization per call (measured 2.9s vs 1.2s min at
+    sf0.1). On a cluster where the recompute is the dominant cost,
+    ``.persist()`` the input instead.
+
+    (The r11 design instead carried min/max-``wstr`` agreement partials
+    through the counting aggregate — correct, but it built every window
+    string twice corpus-wide; measured 2.2s vs the 0.9s unverified floor
+    at sf0.1. This shape restores the unverified counting cost.)
     """
-    ev = _window_fp_explode_str(df, id_col, text_col, length)
-    per_doc = ev.groupBy("fp", "id").agg(
-        F.min("wstr").alias("w_lo"), F.max("wstr").alias("w_hi")
+    L = int(length)
+    exploded = _window_fp_explode(df, id_col, text_col, length)
+    dup_fps = (
+        exploded.groupBy("fp")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("fp")
     )
-    per_fp = per_doc.groupBy("fp").agg(
-        F.count("*").alias("n_docs"),
-        F.min("w_lo").alias("w_lo"),
-        F.max("w_hi").alias("w_hi"),
+    cand = exploded.join(dup_fps, "fp", "left_semi")
+    cand_w = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(cand, "id")
+        .select("id", "pos0", _window_str("__t", "pos0", L).alias("wstr"))
     )
-    keyset = per_fp.filter(
-        (F.col("w_lo") != F.col("w_hi"))
-        | (F.col("n_docs") >= int(min_docs))
-    ).select("fp", "w_lo", "w_hi")
-    j = _window_fp_explode_str(df, id_col, text_col, length).join(
-        keyset, "fp"
-    )
-    fast = j.filter(F.col("w_lo") == F.col("w_hi")).select("id", "pos0")
-    # content-keyed recount ONLY for colliding fps: every occurrence of
-    # every content of a colliding fp is in `slowc` (the join keys on fp
-    # and contents are nested within fps), so the recount is complete
-    slowc = j.filter(F.col("w_lo") != F.col("w_hi")).select(
-        "id", "pos0", "wstr"
-    )
-    slow_keys = (
-        slowc.groupBy("wstr", "id")
+    ok_contents = (
+        cand_w.groupBy("wstr", "id")
         .agg(F.count("*").alias("occ"))
         .groupBy("wstr")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= int(min_docs))
         .select("wstr")
     )
-    slow = slowc.join(slow_keys, "wstr", "left_semi").select("id", "pos0")
-    return fast.unionByName(slow)
+    return cand_w.join(ok_contents, "wstr", "left_semi").select("id", "pos0")
 
 
 def _flagged_verified_against(
@@ -1773,38 +1749,37 @@ def _flagged_verified_against(
     cross-corpus transforms: exactly the left windows whose CONTENT
     appears verbatim somewhere in the RIGHT corpus.
 
-    Same integrated shape as :func:`_flagged_verified_self`: the right
-    explode collapses to ``min(wstr)``/``max(wstr)`` per fp (map-side
-    combined, int64-keyed — this REPLACES the unverified path's
-    ``distinct`` at the same two-phase cost), and the left explode joins
-    that keyset once. ``r_lo == r_hi`` ⇒ the fp holds ONE right content ⇒
-    a left occurrence is verified iff its content equals it, decided
-    row-local in the join output (identical content always yields an
-    identical fp, so the right side is complete for every left fp). Only
-    fps whose right contents collide (``r_lo != r_hi``, ~2^-60 rate —
-    expected empty) fall back to a content-keyed membership probe, whose
-    right re-explode is LEFT SEMI bounded to the colliding fps."""
-    rv = _window_fp_explode_str(right, right_id_col, text_col, length)
-    r_per_fp = rv.groupBy("fp").agg(
-        F.min("wstr").alias("r_lo"), F.max("wstr").alias("r_hi")
+    Same r12 shape as :func:`_flagged_verified_self`: BOTH explodes stay
+    int64-only (no corpus-wide window strings); candidate left positions
+    and the right positions sharing their fps each join back to their
+    own corpus's text once, slice content in the projection (string work
+    ∝ candidate mass on both sides), and the final LEFT SEMI on
+    ``(fp, wstr)`` keeps exactly the left windows whose content exists
+    verbatim on the right — identical content always yields an identical
+    fp, so the fp-candidate set is complete for every qualifying
+    content and a collision can never verify."""
+    L = int(length)
+    rexp = _window_fp_explode(right, right_id_col, text_col, length)
+    lexp = _window_fp_explode(left, left_id_col, text_col, length)
+    lcand = lexp.join(rexp.select("fp").distinct(), "fp", "left_semi")
+    lcand_w = (
+        left.select(F.col(left_id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(lcand, "id")
+        .select("id", "pos0", "fp", _window_str("__t", "pos0", L).alias("wstr"))
     )
-    lv = _window_fp_explode_str(left, left_id_col, text_col, length)
-    j = lv.join(r_per_fp, "fp")
-    fast = j.filter(
-        (F.col("r_lo") == F.col("r_hi")) & (F.col("wstr") == F.col("r_lo"))
-    ).select("id", "pos0")
-    slowc = j.filter(F.col("r_lo") != F.col("r_hi")).select(
-        "id", "pos0", "wstr"
-    )
-    bad_fps = r_per_fp.filter(F.col("r_lo") != F.col("r_hi")).select("fp")
-    slow_rstr = (
-        _window_fp_explode_str(right, right_id_col, text_col, length)
-        .join(bad_fps, "fp", "left_semi")
-        .select("wstr")
+    cand_fps = lcand_w.select("fp").distinct()
+    rcand = rexp.join(cand_fps, "fp", "left_semi")
+    rcand_w = (
+        right.select(
+            F.col(right_id_col).alias("id"), F.col(text_col).alias("__t")
+        )
+        .join(rcand, "id")
+        .select("fp", _window_str("__t", "pos0", L).alias("wstr"))
         .distinct()
     )
-    slow = slowc.join(slow_rstr, "wstr", "left_semi").select("id", "pos0")
-    return fast.unionByName(slow)
+    return lcand_w.join(rcand_w, ["fp", "wstr"], "left_semi").select(
+        "id", "pos0"
+    )
 
 
 def _excise_spans(
