@@ -3368,9 +3368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats": _q_cdc_stats,
         "hll_tokens": _q_hll_tokens,
         "hll_orderkeys": _q_hll_orderkeys,
-            "hll_tokens_by_lang": _q_hll_tokens_by_lang,
-            "hll_merge_parity": _q_hll_merge_parity,
-            "cms_token_counts": _q_cms_token_counts,
+        "hll_tokens_by_lang": _q_hll_tokens_by_lang,
+        "hll_merge_parity": _q_hll_merge_parity,
+        "cms_token_counts": _q_cms_token_counts,
         "zipf_profile": _q_zipf_profile,
         "mmr_rerank": _q_mmr_rerank,
         "corpus_datasheet": _q_corpus_datasheet,

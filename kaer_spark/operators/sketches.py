@@ -368,18 +368,48 @@ def cms_build(
         .select(F.col("c.j").alias("j"), F.col("c.pos").alias("pos"))
         .groupBy("j", "pos")
         .agg(F.count("*").cast("long").alias("cnt"))
+        # build geometry rides every cell row (like bloom_build's one-row
+        # metadata): cms_query/cms_merge assert against it, because a
+        # probe or merge under mismatched width/depth/seed returns
+        # plausible-looking WRONG counts instead of failing
+        .select(
+            "j", "pos", "cnt",
+            F.lit(int(width)).cast("int").alias("width"),
+            F.lit(int(depth)).cast("int").alias("depth"),
+            F.lit(int(seed)).cast("long").alias("seed"),
+        )
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge CMS states cell-wise (union of multisets = sum of counts —
-    exact, like the HLL register max)."""
+    exact, like the HLL register max). Refuses to merge sketches whose
+    recorded (width, depth, seed) geometries differ — cell-wise sums
+    across different hash layouts are meaningless but would otherwise
+    produce a plausible-looking sketch."""
     if not sketches:
         raise ValueError("need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("j", "pos").agg(F.sum("cnt").cast("long").alias("cnt"))
+    meta_ok = out.agg(
+        (
+            F.count_distinct(F.struct("width", "depth", "seed")) <= 1
+        ).alias("__ok")
+    )
+    guard = F.when(F.col("__ok"), F.lit(True)).otherwise(
+        F.raise_error(
+            F.lit("cms geometry mismatch: cannot merge sketches built "
+                  "with different (width, depth, seed)")
+        ).cast("boolean")
+    )
+    return (
+        out.join(F.broadcast(meta_ok), F.lit(True), "inner")
+        .filter(guard)
+        .groupBy("j", "pos", "width", "depth", "seed")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select("j", "pos", "cnt", "width", "depth", "seed")
+    )
 
 
 def cms_query(
@@ -392,10 +422,13 @@ def cms_query(
 ) -> DataFrame:
     """Point-estimate the multiset count of each value → ``(v,
     estimate)``: min over the ``depth`` cells (absent cell = 0). The
-    width/depth/seed must match the build. Estimates are exact-or-over,
-    never under. Plan: the queried (j, pos) set is tiny and computed
-    driver-side, so the probe is a broadcast semi-lookup against the
-    ≤ depth·width-row sketch — no corpus access at all."""
+    width/depth/seed must match the build — and are ASSERTED against the
+    geometry the sketch rows record (a mismatched probe reads wrong
+    cells and returns plausible-looking wrong counts; with this guard it
+    raises instead). Estimates are exact-or-over, never under. Plan: the
+    queried (j, pos) set is tiny and computed driver-side, so the probe
+    is a broadcast semi-lookup against the ≤ depth·width-row sketch — no
+    corpus access at all."""
     from pyspark.sql import SparkSession as _S  # noqa: F401  (sig clarity)
 
     from kaer_spark.operators.dedup import (
@@ -426,9 +459,30 @@ def cms_query(
         for j, (a, b) in enumerate(coeffs):
             probes.append((v, j, ((u * a + b) % M1) % width))
     pdf = spark.createDataFrame(probes, "v string, j int, pos int")
+    # geometry guard on matched cells (an unmatched probe row has NULL
+    # metadata and legitimately means count 0)
+    meta_ok = (
+        F.col("width").isNull()
+        | (
+            (F.col("width") == F.lit(int(width)))
+            & (F.col("depth") == F.lit(int(depth)))
+            & (F.col("seed") == F.lit(int(seed)))
+        )
+    )
+    guard = F.when(meta_ok, F.lit(True)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "cms geometry mismatch: probe (width=%s, depth=%s, "
+                "seed=%s) vs built (width=%%s, depth=%%s, seed=%%s)"
+                % (int(width), int(depth), int(seed)),
+                F.col("width"), F.col("depth"), F.col("seed"),
+            )
+        ).cast("boolean")
+    )
     return (
         F.broadcast(pdf)
         .join(sketch, ["j", "pos"], "left")
+        .filter(guard)
         .groupBy("v")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("estimate"))
     )

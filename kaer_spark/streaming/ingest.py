@@ -321,4 +321,28 @@ def streaming_bloom_decontaminate(
     clean = ~F.exists(
         fps, lambda fp: _bloom_member(fp, F.col("words"), coeffs, m_bits)
     )
-    return joined.filter(clean).select(*stream_df.columns)
+    # geometry guard: probing with mismatched m_bits/k_hashes/seed would
+    # silently fail OPEN (contaminated docs pass the screen — the unsafe
+    # direction), so the filter refuses to evaluate against a bitset row
+    # whose recorded build parameters differ from the probe's. Woven into
+    # the per-batch expression (not checked once at setup) because the
+    # static side re-plans every micro-batch: a bitset REBUILT mid-stream
+    # with different geometry must also fail loudly.
+    meta_ok = (
+        (F.col("m_bits") == F.lit(int(m_bits)))
+        & (F.col("k_hashes") == F.lit(int(k_hashes)))
+        & (F.col("seed") == F.lit(int(seed)))
+    )
+    guard = F.when(
+        meta_ok, F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "bloom geometry mismatch: probe (m_bits=%s, k_hashes=%s, "
+                "seed=%s) vs built (m_bits=%%s, k_hashes=%%s, seed=%%s)"
+                % (int(m_bits), int(k_hashes), int(seed)),
+                F.col("m_bits"), F.col("k_hashes"), F.col("seed"),
+            )
+        ).cast("boolean")
+    )
+    return joined.filter(guard & clean).select(*stream_df.columns)

@@ -230,3 +230,26 @@ def test_cms_no_value_keyed_shuffle(spark):
     big = spark.range(2000).select(F.col("id").cast("string").alias("v"))
     plan = cms_build(big, "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cms_geometry_guards(spark):
+    """Probing or merging with mismatched (width, depth, seed) raises
+    instead of returning plausible-looking wrong counts (advice r11)."""
+    import pytest
+
+    from kaer_spark.operators.sketches import cms_build, cms_merge, cms_query
+
+    df = spark.createDataFrame([("apple",), ("apple",), ("pear",)], "v string")
+    cms = cms_build(df, "v", width=1 << 10, depth=3, seed=11)
+    ok = {
+        r["v"]: r["estimate"]
+        for r in cms_query(
+            spark, cms, ["apple"], width=1 << 10, depth=3, seed=11
+        ).collect()
+    }
+    assert ok["apple"] >= 2
+    with pytest.raises(Exception, match="cms geometry mismatch"):
+        cms_query(spark, cms, ["apple"], width=1 << 11, depth=3, seed=11).collect()
+    other = cms_build(df, "v", width=1 << 9, depth=3, seed=11)
+    with pytest.raises(Exception, match="cms geometry mismatch"):
+        cms_merge(cms, other).collect()

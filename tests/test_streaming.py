@@ -477,3 +477,31 @@ def test_streaming_bloom_decontaminate(spark, tmp_path):
         ).collect()
     }
     assert got == want == {2, 3}
+
+
+def test_streaming_bloom_geometry_mismatch_fails_loudly(spark):
+    """A probe whose m_bits/k_hashes/seed differ from the bitset row's
+    recorded build parameters must RAISE, not silently fail open (a
+    mismatched probe reads wrong bit positions and passes contaminated
+    docs). The guard is woven into the filter expression, so it fires on
+    batch evaluation too — tested here without a stream for speed."""
+    import pytest
+
+    from kaer_spark.operators.contamination import bloom_build
+    from kaer_spark.streaming.ingest import streaming_bloom_decontaminate
+
+    schema = "doc_id LONG, text STRING"
+    docs = spark.createDataFrame([(1, "some words in a row here")], schema)
+    bloom = bloom_build(
+        spark.createDataFrame([(9, "benchmark words in a row")], schema),
+        n=3, m_bits=1 << 12, k_hashes=4, seed=7,
+    )
+    # matching geometry: evaluates fine
+    streaming_bloom_decontaminate(
+        docs, bloom, n=3, m_bits=1 << 12, k_hashes=4, seed=7
+    ).collect()
+    # mismatched m_bits: must raise, not return rows
+    with pytest.raises(Exception, match="bloom geometry mismatch"):
+        streaming_bloom_decontaminate(
+            docs, bloom, n=3, m_bits=1 << 13, k_hashes=4, seed=7
+        ).collect()
