@@ -304,12 +304,19 @@ def fuzzy_near_dups(
     """
     if max_edits < 1:
         raise ValueError("max_edits must be >= 1 (0 is exact_dedup)")
-    if key_len < (max_edits + 1) * 2:
-        raise ValueError(
-            f"key_len {key_len} too small for {max_edits + 1} segments"
-        )
-    bounds = _fuzzy_bounds(key_len, max_edits)
-    keyed = (
+    keyed = _fuzzy_keyed(df, id_col, text_col, key_len)
+    return _fuzzy_pairs(
+        keyed, keyed, key_len, max_edits, max_key_df, same_corpus=True
+    )
+
+
+def _fuzzy_keyed(
+    df: DataFrame, id_col: str, text_col: str, key_len: int
+) -> DataFrame:
+    """Normalized fixed-width ``(id, key)`` frame — blank docs excluded
+    (all-padding keys pair with everything), checkpointed because both
+    the segment and probe explodes read it."""
+    return (
         ensure_parallelism(df)
         .filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
@@ -318,7 +325,30 @@ def fuzzy_near_dups(
         )
         .localCheckpoint(eager=False)
     )
-    idx = keyed.select(
+
+
+def _fuzzy_pairs(
+    index_keyed: DataFrame,
+    probe_keyed: DataFrame,
+    key_len: int,
+    max_edits: int,
+    max_key_df: int | None,
+    same_corpus: bool,
+) -> DataFrame:
+    """Shared PassJoin core for the self-join and cross-corpus variants
+    (one body, per the r11 advice: the DuckDB oracles mirror this
+    expression-for-expression, so two forks were a divergence hazard):
+    segment explode on the index side, shifted-substring explode on the
+    probe side, complete ``(i, seg)`` equi-join, optional heavy-hitter
+    cap, exact ``levenshtein`` verify. Output ``(id_a, id_b,
+    edit_distance)``; ``same_corpus`` adds the ``a.id < b.id``
+    canonicalization."""
+    if key_len < (max_edits + 1) * 2:
+        raise ValueError(
+            f"key_len {key_len} too small for {max_edits + 1} segments"
+        )
+    bounds = _fuzzy_bounds(key_len, max_edits)
+    idx = index_keyed.select(
         "id",
         "key",
         F.explode(
@@ -345,7 +375,7 @@ def fuzzy_near_dups(
                     F.substring("key", start + 1, l).alias("seg"),
                 )
             )
-    probe = keyed.select(
+    probe = probe_keyed.select(
         "id", "key", F.explode(F.array(*probe_cols)).alias("s")
     ).select("id", "key", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
     if max_key_df is not None:
@@ -357,11 +387,11 @@ def fuzzy_near_dups(
         )
         idx = idx.join(F.broadcast(hot), ["i", "seg"], "left_anti")
         probe = probe.join(F.broadcast(hot), ["i", "seg"], "left_anti")
+    j = idx.alias("a").join(probe.alias("b"), ["i", "seg"])
+    if same_corpus:
+        j = j.filter(F.col("a.id") < F.col("b.id"))
     return (
-        idx.alias("a")
-        .join(probe.alias("b"), ["i", "seg"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
+        j.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.key").alias("__ka"),
@@ -1998,79 +2028,14 @@ def fuzzy_near_dups_between(
     which is what the oracle runs."""
     if max_edits < 1:
         raise ValueError("max_edits must be >= 1 (0 is exact matching)")
-    if key_len < (max_edits + 1) * 2:
-        raise ValueError(
-            f"key_len {key_len} too small for {max_edits + 1} segments"
-        )
-    bounds = _fuzzy_bounds(key_len, max_edits)
-
-    def keyed(df: DataFrame, id_col: str) -> DataFrame:
-        return (
-            ensure_parallelism(df)
-            .filter(F.length(F.trim(F.col(text_col))) > 0)
-            .select(
-                F.col(id_col).alias("id"),
-                _fuzzy_key(text_col, key_len).alias("key"),
-            )
-            .localCheckpoint(eager=False)
-        )
-
-    lk, rk = keyed(left, left_id_col), keyed(right, right_id_col)
-    idx = lk.select(
-        "id",
-        "key",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.substring("key", p + 1, l).alias("seg"),
-                    )
-                    for i, (p, l) in enumerate(bounds)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", "key", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
-    probe_cols = []
-    for i, (p, l) in enumerate(bounds):
-        for s in range(-max_edits, max_edits + 1):
-            start = p + s
-            if start < 0 or start + l > key_len:
-                continue
-            probe_cols.append(
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.substring("key", start + 1, l).alias("seg"),
-                )
-            )
-    probe = rk.select(
-        "id", "key", F.explode(F.array(*probe_cols)).alias("s")
-    ).select("id", "key", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
-    if max_key_df is not None:
-        hot = (
-            probe.groupBy("i", "seg")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > int(max_key_df))
-            .select("i", "seg")
-        )
-        idx = idx.join(F.broadcast(hot), ["i", "seg"], "left_anti")
-        probe = probe.join(F.broadcast(hot), ["i", "seg"], "left_anti")
-    return (
-        idx.alias("a")
-        .join(probe.alias("b"), ["i", "seg"])
-        .select(
-            F.col("a.id").alias("left_id"),
-            F.col("b.id").alias("right_id"),
-            F.col("a.key").alias("__ka"),
-            F.col("b.key").alias("__kb"),
-        )
-        .distinct()
-        .withColumn(
-            "edit_distance",
-            F.levenshtein(F.col("__ka"), F.col("__kb")).cast("long"),
-        )
-        .filter(F.col("edit_distance") <= max_edits)
-        .select("left_id", "right_id", "edit_distance")
+    return _fuzzy_pairs(
+        _fuzzy_keyed(left, left_id_col, text_col, key_len),
+        _fuzzy_keyed(right, right_id_col, text_col, key_len),
+        key_len, max_edits, max_key_df, same_corpus=False,
+    ).select(
+        F.col("id_a").alias("left_id"),
+        F.col("id_b").alias("right_id"),
+        "edit_distance",
     )
 
 

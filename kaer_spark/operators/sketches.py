@@ -142,9 +142,29 @@ def hll_distinct_by(
     every (group, value) occurrence the way ``GROUP BY g, count(DISTINCT
     v)`` must (which shuffles the full value stream AND forces a
     two-phase Expand in Spark). Estimator arithmetic is identical to the
-    global form, applied per row."""
+    global form, applied per row (shared helpers — one place to tweak
+    for BOTH engine paths and the oracle, per the r11 advice)."""
     m = 1 << int(p)
-    alpha = hll_alpha(m)
+    regs = (
+        _hll_rho_slots(df, value_col, m, group_cols)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+    counts = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("used_registers"),
+        F.sum(F.element_at(_hll_pow2(), F.col("mj") + 1)).alias("zp"),
+    )
+    return _hll_estimator(counts, m, group_cols)
+
+
+def _hll_rho_slots(
+    df: DataFrame, value_col: str, m: int, group_cols: list[str] | tuple = ()
+) -> DataFrame:
+    """Shared sketch front end → ``(*group_cols, idx, rho)``: paired
+    Horner folds over the value's codepoints, cross-moduli Lehmer mix,
+    register index ``mix(h1,h2) mod m`` and capped trailing-zero rank
+    from ``mix(h2,h1)`` (module-docstring conventions — the oracle SQL
+    mirrors exactly these expressions)."""
     codes = F.transform(
         F.split(F.col(value_col), ""), lambda ch: F.ascii(ch).cast("long")
     )
@@ -158,9 +178,8 @@ def hll_distinct_by(
         F.lit(0).cast("long"),
         lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
     )
-    gcols = [F.col(c) for c in group_cols]
     slots = df.select(
-        *gcols,
+        *[F.col(c) for c in group_cols],
         (_mix(h1, h2) % m).alias("idx"),
         _mix(h2, h1).alias("r"),
     )
@@ -170,19 +189,24 @@ def hll_distinct_by(
         .otherwise(F.least(F.length(F.bin(low)), F.lit(HLL_Q + 1)))
         .cast("int")
     )
-    regs = (
-        slots.select(*group_cols, "idx", rho.alias("rho"))
-        .groupBy(*group_cols, "idx")
-        .agg(F.max("rho").alias("mj"))
-    )
-    pow2 = F.array(
+    return slots.select(*group_cols, "idx", rho.alias("rho"))
+
+
+def _hll_pow2() -> Column:
+    """Literal ``2^(Q+1-i)`` lookup array for the integer Z numerator."""
+    return F.array(
         *[F.lit(1 << (HLL_Q + 1 - i)).cast("long") for i in range(HLL_Q + 2)]
     )
+
+
+def _hll_estimator(
+    counts: DataFrame, m: int, group_cols: list[str] | tuple = ()
+) -> DataFrame:
+    """Shared estimator tail over a ``(*group_cols, used_registers, zp)``
+    frame → ``(*group_cols, m, used_registers, zero_registers, z_num,
+    estimate)``: exact-integer Z numerator, one float64 division, the
+    published linear-counting small-range branch."""
     full = F.lit(1 << (HLL_Q + 1)).cast("long")
-    counts = regs.groupBy(*group_cols).agg(
-        F.count("*").cast("long").alias("used_registers"),
-        F.sum(F.element_at(pow2, F.col("mj") + 1)).alias("zp"),
-    )
     row = counts.select(
         *group_cols,
         F.lit(m).cast("long").alias("m"),
@@ -194,7 +218,7 @@ def hll_distinct_by(
             "z_num"
         ),
     )
-    c1 = alpha * float(m) * float(m) * float(1 << (HLL_Q + 1))
+    c1 = hll_alpha(m) * float(m) * float(m) * float(1 << (HLL_Q + 1))
     raw = F.lit(c1) / F.col("z_num").cast("double")
     small = F.lit(float(m)) * F.log(
         F.lit(float(m)) / F.col("zero_registers").cast("double")
@@ -220,31 +244,8 @@ def hll_registers(
     old data, ever. Same hashing/rank conventions as
     :func:`hll_distinct` (which is estimate∘registers)."""
     m = 1 << int(p)
-    codes = F.transform(
-        F.split(F.col(value_col), ""), lambda ch: F.ascii(ch).cast("long")
-    )
-    h1 = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda a, x: (a * HASH_BASE + x) % HASH_MOD,
-    )
-    h2 = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
-    )
-    slots = df.select(
-        (_mix(h1, h2) % m).alias("idx"),
-        _mix(h2, h1).alias("r"),
-    )
-    low = F.col("r").bitwiseAND(-F.col("r"))
-    rho = (
-        F.when(F.col("r") == 0, F.lit(HLL_Q + 1))
-        .otherwise(F.least(F.length(F.bin(low)), F.lit(HLL_Q + 1)))
-        .cast("int")
-    )
     return (
-        slots.select("idx", rho.alias("rho"))
+        _hll_rho_slots(df, value_col, m)
         .groupBy("idx")
         .agg(F.max("rho").alias("mj"))
     )
@@ -266,41 +267,19 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
 
 def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     """Estimator over a register table (same arithmetic as
-    :func:`hll_distinct`'s tail): ONE row ``(m, used_registers,
-    zero_registers, z_num, estimate)``."""
+    :func:`hll_distinct_by`'s tail — shared :func:`_hll_estimator`): ONE
+    row ``(m, used_registers, zero_registers, z_num, estimate)``. The
+    ``coalesce`` keeps an EMPTY register table well-defined (zp = 0 →
+    the linear-counting branch yields ln-based 0-ish estimates on V=m)."""
     m = 1 << int(p)
-    alpha = hll_alpha(m)
-    pow2 = F.array(
-        *[F.lit(1 << (HLL_Q + 1 - i)).cast("long") for i in range(HLL_Q + 2)]
-    )
     counts = registers.agg(
         F.count("*").cast("long").alias("used_registers"),
         F.coalesce(
-            F.sum(F.element_at(pow2, F.col("mj") + 1)), F.lit(0).cast("long")
+            F.sum(F.element_at(_hll_pow2(), F.col("mj") + 1)),
+            F.lit(0).cast("long"),
         ).alias("zp"),
     )
-    full = F.lit(1 << (HLL_Q + 1)).cast("long")
-    row = counts.select(
-        F.lit(m).cast("long").alias("m"),
-        "used_registers",
-        (F.lit(m).cast("long") - F.col("used_registers")).alias(
-            "zero_registers"
-        ),
-        (F.col("zp") + (F.lit(m) - F.col("used_registers")) * full).alias(
-            "z_num"
-        ),
-    )
-    c1 = alpha * float(m) * float(m) * float(1 << (HLL_Q + 1))
-    raw = F.lit(c1) / F.col("z_num").cast("double")
-    small = F.lit(float(m)) * F.log(
-        F.lit(float(m)) / F.col("zero_registers").cast("double")
-    )
-    return row.withColumn(
-        "estimate",
-        F.when(
-            (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0), small
-        ).otherwise(raw),
-    )
+    return _hll_estimator(counts, m)
 
 
 # --- Count-Min Sketch -------------------------------------------------------
