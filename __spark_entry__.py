@@ -3215,6 +3215,25 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "n_chars")
 
 
+PPS_K = 97
+
+
+def _q_pps_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted document sample, probability proportional to size
+    (sampling.pps_systematic_sample — Madow systematic PPS): ~97 docs
+    selected by char-count weight, so long documents are represented per
+    CHARACTER, not per row (the bias a uniform hash_sample has when the
+    unit of interest is tokens). Selection is pure DECIMAL(38,0) integer
+    arithmetic on the two-phase global cumsum — no rand(), no
+    transcendental sort key — so the oracle replays the exact row set
+    with a window cumsum."""
+    from kaer_spark.operators.sampling import pps_systematic_sample
+
+    return pps_systematic_sample(
+        _t(spark, sf_dir, "documents"), PPS_K, "n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_domain_quota_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quota_per_group(order="hash"): the r6 unbiased-representative mode —
     each source keeps its 10 smallest-LCG-hash docs instead of its 10
@@ -3466,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_novelty": _q_ngram_novelty,
             "pmi_bigrams": _q_pmi_bigrams,
             "exemplars_by_lang": _q_exemplars_by_lang,
+            "pps_sample_chars": _q_pps_sample_chars,
             "event_coverage": _q_event_coverage,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
@@ -6559,6 +6579,23 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS rk
               FROM documents
             ) WHERE rk <= 3
+        """,
+        "pps_sample_chars": f"""
+            WITH w AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(sum(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS HUGEINT) AS ci
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            tot AS (
+              SELECT CAST(sum(n_chars) AS HUGEINT) AS W
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, source, n_chars
+            FROM w, tot
+            WHERE (ci * {PPS_K}) // W > ((ci - n_chars) * {PPS_K}) // W
         """,
         "event_coverage": f"""
             WITH iv AS (

@@ -227,14 +227,23 @@ def main() -> int:
     # "value_min") — it is the statistic rounds <= 6 recorded, so
     # cross-round comparisons against BENCH_r06 and earlier should use it.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    med: dict[str, float] = {}
-    best: dict[str, float] = {}
     import gc
+    import random
 
-    for name in HEADLINE:
-        fn = qs[name]
-        runs, n = [], 0
-        for _ in range(reps):
+    # rep-MAJOR with a per-rep seeded shuffle (r12): the old query-major
+    # loop gave every query's three reps the same session position, so
+    # heap/codegen-state drift over a 77-query session biased late rows
+    # consistently across reps — mins couldn't average it out. Shuffling
+    # the order per rep (deterministic seeds, so two bench runs are
+    # identical) decorrelates session position from query identity; the
+    # per-query min then reflects the query, not its slot.
+    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for rep in range(reps):
+        order = list(HEADLINE)
+        random.Random(rep).shuffle(order)
+        for name in order:
+            fn = qs[name]
             spark.catalog.clearCache()  # drop operator-internal persists
             # localCheckpoint RDD blocks (the passage/winnow/CDC plan
             # barriers) are freed by the ContextCleaner only after their
@@ -245,14 +254,17 @@ def main() -> int:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        runs.sort()
+            rows[name] = fn(spark, sf_dir).count()
+            times[name].append(time.time() - t0)
+    med: dict[str, float] = {}
+    best: dict[str, float] = {}
+    for name in HEADLINE:
+        runs = sorted(times[name])
         med[name] = round(runs[len(runs) // 2], 3)
         best[name] = round(runs[0], 3)
         print(
             f"  {name:28s} med={med[name]:7.3f}s min={best[name]:7.3f}s"
-            f"  rows={n}",
+            f"  rows={rows[name]}",
             file=sys.stderr,
         )
 

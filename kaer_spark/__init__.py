@@ -114,6 +114,7 @@ from kaer_spark.operators.sampling import (
     exemplars_per_group,
     hash_sample,
     quota_per_group,
+    pps_systematic_sample,
     temperature_rates,
     token_budget_mix,
     weighted_mix,
@@ -212,6 +213,7 @@ __all__ = [
     "hash_sample",
     "exemplars_per_group",
     "quota_per_group",
+    "pps_systematic_sample",
     "weighted_mix",
     "histogram",
     "stratified_split",

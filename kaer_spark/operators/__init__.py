@@ -17,6 +17,7 @@ from kaer_spark.operators.ranking import (
 from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
+    pps_systematic_sample,
     temperature_rates,
     token_budget_mix,
     weighted_mix,
@@ -72,6 +73,7 @@ __all__ = [
     "build_vocab",
     "hash_sample",
     "quota_per_group",
+    "pps_systematic_sample",
     "token_budget_mix",
     "temperature_rates",
     "weighted_mix",

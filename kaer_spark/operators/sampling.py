@@ -268,3 +268,81 @@ def exemplars_per_group(
         .filter(F.col("__rk") <= int(k))
         .drop("__rk")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    rank_partitions: int = 32,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample of ~``k`` rows
+    (Madow 1949): walk the id-ordered corpus with a stride of
+    ``W_total / k`` cumulative weight and keep each row a stride boundary
+    lands in — the weighted-sampling primitive behind "pick 1M documents
+    proportional to token count" that a uniform ``hash_sample`` gets
+    wrong (it over-represents short documents per token).
+
+    Exactly-integer selection rule: with inclusive cumulative weight
+    ``c_i`` (ordered by id) and total ``W``, row ``i`` is kept iff
+    ``(c_i · k) div W > (c_{i-1} · k) div W`` — i.e. its weight interval
+    contains a multiple of ``W/k``. All arithmetic is DECIMAL(38,0)
+    integer multiply/divide, so the row set is bit-reproducible on every
+    engine (no transcendental key like Efraimidis–Spirakis ``u^(1/w)``,
+    whose libm pow/log can differ by an ulp across engines and flip a
+    rank). Deterministic: no randomness at all — the "random start" of
+    classic systematic PPS is pinned to the stride end. Selects exactly
+    ``k`` rows when no single weight exceeds ``W/k``; a heavier row is
+    selected once however many boundaries it swallows (so ≤ ``k``
+    overall, with heavy rows ALWAYS selected — the PPS certainty-unit
+    property). Rows with NULL or non-positive weight are excluded.
+
+    Scale shape: Spark has no scalable global running sum (an
+    unpartitioned window is one reducer), so the cumsum is two-phase
+    like ``packing.shard_assign``'s global rank: ``repartitionByRange``
+    on the id, per-range window cumsum, per-range totals (≤
+    ``rank_partitions`` rows) collected once and rejoined broadcast as
+    offsets. One range shuffle + one bounded collect; selection itself
+    is a row-local predicate.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if rank_partitions <= 0:
+        raise ValueError("rank_partitions must be positive")
+    w = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__w", F.col(weight_col).cast("long"))
+    ranged = w.repartitionByRange(
+        int(rank_partitions), F.col(id_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    # bounded collect: one row per range partition (see shard_assign for
+    # why __pid is stable across the two executions of this exchange)
+    counts = sorted(
+        (r["__pid"], r["s"])
+        for r in ranged.groupBy("__pid").agg(F.sum("__w").alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in counts:
+        offsets.append((pid, acc))
+        acc += int(s)
+    total = acc
+    if total == 0:
+        return df.filter(F.lit(False))
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid INT, __off LONG")
+    local_cum = F.sum("__w").over(
+        Window.partitionBy("__pid")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ci = (F.col("__off") + local_cum).cast("decimal(38,0)")
+    sel = F.expr(
+        f"(__ci * {int(k)}) div {total} > ((__ci - __w) * {int(k)}) div {total}"
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__ci", ci)
+        .filter(sel)
+        .drop("__pid", "__off", "__ci", "__w")
+    )

@@ -1310,3 +1310,62 @@ def test_exemplars_per_group_exact_and_deterministic(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (Madow) — integer-exact weighted sampling
+# ---------------------------------------------------------------------------
+def test_pps_systematic_sample_matches_python_reference(spark, documents):
+    """The engine's two-phase-cumsum selection equals the sequential
+    Python replay of the same integer rule, exactly — and selects exactly
+    k rows when no weight exceeds W/k."""
+    from kaer_spark.operators.sampling import pps_systematic_sample
+
+    k = 37
+    rows = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in documents.select("doc_id", "n_chars")
+        .filter("n_chars > 0").collect()
+    )
+    W = sum(w for _, w in rows)
+    expect, c = [], 0
+    for did, w in rows:
+        prev = c
+        c += w
+        if (c * k) // W > (prev * k) // W:
+            expect.append(did)
+    got = sorted(
+        r["doc_id"]
+        for r in pps_systematic_sample(documents, k, "n_chars").collect()
+    )
+    assert got == expect
+    maxw = max(w for _, w in rows)
+    if maxw * k <= W:  # no certainty units → exactly k
+        assert len(got) == k
+
+
+def test_pps_heavy_row_always_selected(spark):
+    """A weight larger than W/k swallows several stride boundaries but is
+    selected exactly once — the PPS certainty-unit property."""
+    from kaer_spark.operators.sampling import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 1000), (3, 5), (4, 5), (5, 0), (6, None)],
+        "doc_id long, w long",
+    )
+    out = pps_systematic_sample(df, 4, "w", id_col="doc_id").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 2 in ids              # the heavy row is certain
+    assert len(ids) == len(set(ids))  # never duplicated
+    assert 5 not in ids and 6 not in ids  # zero/NULL weights excluded
+    assert len(ids) <= 4
+
+
+def test_pps_no_global_single_reducer_window(spark, documents):
+    """The cumsum must be two-phase: no unpartitioned Window (single
+    reducer) anywhere in the plan."""
+    from kaer_spark.operators.sampling import pps_systematic_sample
+
+    df = pps_systematic_sample(documents, 10, "n_chars")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
