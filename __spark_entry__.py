@@ -3234,6 +3234,24 @@ def _q_pps_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+PPS_K_PER_LANG = 13
+
+
+def _q_pps_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sample (sampling.pps_systematic_sample_by): ~13
+    docs PER LANGUAGE, probability proportional to char count WITHIN the
+    language — the "k per stratum, weighted inside the stratum" spec
+    neither a global PPS (high-volume languages crowd out the rest) nor a
+    uniform quota (over-represents short docs) expresses. Group-
+    partitioned window cumsum (no single-reducer hazard), same exact
+    DECIMAL(38,0) selection rule as pps_sample_chars per group."""
+    from kaer_spark.operators.sampling import pps_systematic_sample_by
+
+    return pps_systematic_sample_by(
+        _t(spark, sf_dir, "documents"), ["lang"], PPS_K_PER_LANG, "n_chars"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _q_domain_quota_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quota_per_group(order="hash"): the r6 unbiased-representative mode —
     each source keeps its 10 smallest-LCG-hash docs instead of its 10
@@ -3486,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pmi_bigrams": _q_pmi_bigrams,
             "exemplars_by_lang": _q_exemplars_by_lang,
             "pps_sample_chars": _q_pps_sample_chars,
+            "pps_sample_by_lang": _q_pps_sample_by_lang,
             "event_coverage": _q_event_coverage,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
@@ -6596,6 +6615,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM w, tot
             WHERE (ci * {PPS_K}) // W > ((ci - n_chars) * {PPS_K}) // W
+        """,
+        "pps_sample_by_lang": f"""
+            WITH w AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(sum(n_chars) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS HUGEINT) AS ci,
+                     CAST(sum(n_chars) OVER (PARTITION BY lang)
+                          AS HUGEINT) AS wg
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars
+            FROM w
+            WHERE (ci * {PPS_K_PER_LANG}) // wg
+                  > ((ci - n_chars) * {PPS_K_PER_LANG}) // wg
         """,
         "event_coverage": f"""
             WITH iv AS (

@@ -115,6 +115,7 @@ from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
     pps_systematic_sample,
+    pps_systematic_sample_by,
     temperature_rates,
     token_budget_mix,
     weighted_mix,
@@ -214,6 +215,7 @@ __all__ = [
     "exemplars_per_group",
     "quota_per_group",
     "pps_systematic_sample",
+    "pps_systematic_sample_by",
     "weighted_mix",
     "histogram",
     "stratified_split",

@@ -18,6 +18,7 @@ from kaer_spark.operators.sampling import (
     hash_sample,
     quota_per_group,
     pps_systematic_sample,
+    pps_systematic_sample_by,
     temperature_rates,
     token_budget_mix,
     weighted_mix,
@@ -74,6 +75,7 @@ __all__ = [
     "hash_sample",
     "quota_per_group",
     "pps_systematic_sample",
+    "pps_systematic_sample_by",
     "token_budget_mix",
     "temperature_rates",
     "weighted_mix",

@@ -346,3 +346,54 @@ def pps_systematic_sample(
         .filter(sel)
         .drop("__pid", "__off", "__ci", "__w")
     )
+
+
+def pps_systematic_sample_by(
+    df: DataFrame,
+    group_cols: list[str],
+    k_per_group: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """STRATIFIED :func:`pps_systematic_sample`: ~``k_per_group`` rows per
+    ``group_cols`` combination, probability proportional to the weight
+    WITHIN the group — "97 docs per language, sampled per character" (a
+    global PPS would let a high-volume language crowd out the rest; a
+    uniform per-group quota would over-represent short documents).
+
+    Same integer selection rule as the global form, applied per group:
+    with the group's inclusive cumulative weight ``c_i`` (id order) and
+    group total ``W_g``, keep row ``i`` iff ``(c_i·k) div W_g >
+    (c_{i-1}·k) div W_g`` — DECIMAL(38,0) arithmetic, bit-reproducible,
+    heavy rows are per-group certainty units.
+
+    Scale shape: the cumsum window PARTITIONS BY the group, so there is
+    no single-reducer hazard and no two-phase dance — one shuffle on the
+    group key for the window plus one map-side-combined group-total
+    aggregate joined back (broadcast when groups are few; the group
+    totals frame is |groups| rows). Skewed groups cost what scanning
+    them costs: the window is one pass in group-partition order.
+    """
+    if k_per_group <= 0:
+        raise ValueError("k_per_group must be positive")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use pps_systematic_sample)")
+    w = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__w", F.col(weight_col).cast("long"))
+    totals = w.groupBy(*group_cols).agg(F.sum("__w").alias("__wg"))
+    cum = F.sum("__w").over(
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = int(k_per_group)
+    sel = F.expr(
+        f"(__ci * {k}) div __wg > ((__ci - __w) * {k}) div __wg"
+    )
+    return (
+        w.withColumn("__ci", cum.cast("decimal(38,0)"))
+        .join(totals, group_cols)
+        .filter(sel)
+        .drop("__w", "__ci", "__wg")
+    )

@@ -1369,3 +1369,36 @@ def test_pps_no_global_single_reducer_window(spark, documents):
     df = pps_systematic_sample(documents, 10, "n_chars")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_pps_stratified_matches_python_reference(spark, documents):
+    """Per-group PPS equals the per-group sequential replay of the same
+    integer rule — every group contributes ~k rows by within-group
+    weight share."""
+    from collections import defaultdict
+
+    from kaer_spark.operators.sampling import pps_systematic_sample_by
+
+    k = 11
+    by_lang = defaultdict(list)
+    for r in documents.select("lang", "doc_id", "n_chars").filter(
+        "n_chars > 0"
+    ).collect():
+        by_lang[r["lang"]].append((r["doc_id"], r["n_chars"]))
+    expect = []
+    for lang, rows in by_lang.items():
+        rows.sort()
+        Wg = sum(w for _, w in rows)
+        c = 0
+        for did, w in rows:
+            prev = c
+            c += w
+            if (c * k) // Wg > (prev * k) // Wg:
+                expect.append((lang, did))
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in pps_systematic_sample_by(
+            documents, ["lang"], k, "n_chars"
+        ).collect()
+    )
+    assert got == sorted(expect)
