@@ -2894,6 +2894,42 @@ def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_tokens(_t(spark, sf_dir, "documents"), p=HLL_P)
 
 
+def _q_streaming_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time distinct-token sketch maintained BY A STREAM
+    (streaming.streaming_hll_ingest): each micro-batch's HLL registers
+    merge (per-register max — exact) into a persisted ≤2^p-row state
+    table; the query ingests the bounded document stream, then estimates
+    from the state. ORACLE-CHECKED via merge ≡ whole: however the stream
+    batches the corpus, the merged state IS the batch sketch of the
+    union bit-for-bit, so the batch HLL replay is the exact oracle (not
+    just the single-file stream ≡ batch contract)."""
+    import tempfile
+    import uuid
+
+    from kaer_spark.operators.sketches import hll_estimate
+    from kaer_spark.streaming.ingest import streaming_hll_ingest
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from kaer_spark.functions.text import tokens as _tokens
+
+    toks = stream.select(F.explode(_tokens(F.col("text"))).alias("v"))
+    run = uuid.uuid4().hex[:8]
+    state = f"{tempfile.gettempdir()}/kaer_stream_hll_{run}/state"
+    ckpt = f"{tempfile.gettempdir()}/kaer_stream_hll_{run}/ckpt"
+    q = streaming_hll_ingest(toks, "v", state, ckpt, p=HLL_P)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return hll_estimate(spark.read.parquet(state), p=HLL_P)
+
+
 def _q_hll_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL (sketches.hll_distinct_by): distinct-token estimate
     PER LANGUAGE — registers shuffle as (lang, idx) keys (bounded by
@@ -3406,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens": _q_hll_tokens,
         "hll_orderkeys": _q_hll_orderkeys,
         "hll_tokens_by_lang": _q_hll_tokens_by_lang,
+        "streaming_hll_tokens": _q_streaming_hll_tokens,
         "hll_merge_parity": _q_hll_merge_parity,
         "cms_token_counts": _q_cms_token_counts,
         "zipf_profile": _q_zipf_profile,
@@ -6686,6 +6723,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_orderkeys": _sql_hll(
             "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem"
+        ),
+        # merge-of-batches ≡ sketch-of-union (exact), so the stream-built
+        # state replays as the plain batch sketch regardless of batching
+        "streaming_hll_tokens": _sql_hll(
+            "SELECT unnest(CASE WHEN trim(text) = '' THEN [] "
+            "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS v "
+            "FROM documents"
         ),
         "hll_merge_parity": _sql_hll(
             "SELECT unnest(CASE WHEN trim(text) = '' THEN [] "

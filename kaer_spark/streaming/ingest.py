@@ -346,3 +346,67 @@ def streaming_bloom_decontaminate(
         ).cast("boolean")
     )
     return joined.filter(guard & clean).select(*stream_df.columns)
+
+
+def streaming_hll_ingest(
+    stream_df: DataFrame,
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    p: int = 12,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Maintain an all-time HLL distinct sketch over a stream — the
+    streaming twin of ``sketches.hll_registers``/``hll_merge``: each
+    micro-batch's register table merges (per-register max — EXACT, merge
+    of batches ≡ sketch of their union bit-for-bit) into the persisted
+    state at ``state_dir``, so "distinct values ever seen" is answered
+    at any moment by ``hll_estimate(spark.read.parquet(state_dir))``
+    without re-scanning history.
+
+    State is SKETCH-sized by construction (≤ 2^p rows — 4096 at the
+    default), so the merge collects both sides driver-side and writes
+    one tiny parquet per batch: deliberately NOT a distributed
+    union+groupBy, which could not overwrite the directory it is reading
+    within one job. This is the operator's whole point at 100 TB: the
+    stream's distinct-counting state never grows with the data. The
+    streaming checkpoint gives at-least-once sink calls; the merge is
+    idempotent (max), so a replayed batch rewrites the same registers.
+    """
+    from kaer_spark.operators.sketches import hll_registers
+
+    m = 1 << int(p)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        regs = {
+            int(r["idx"]): int(r["mj"])
+            for r in hll_registers(batch_df, value_col, p).collect()
+        }
+        try:
+            for r in spark.read.parquet(state_dir).collect():
+                i = int(r["idx"])
+                regs[i] = max(regs.get(i, 0), int(r["mj"]))
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            pass
+        if len(regs) > m:
+            raise AssertionError(f"register count {len(regs)} > m={m}")
+        import pandas as pd
+
+        spark.createDataFrame(
+            pd.DataFrame(
+                sorted(regs.items()), columns=["idx", "mj"]
+            ).astype({"idx": "int64", "mj": "int32"}),
+            "idx long, mj int",
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

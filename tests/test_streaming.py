@@ -505,3 +505,39 @@ def test_streaming_bloom_geometry_mismatch_fails_loudly(spark):
         streaming_bloom_decontaminate(
             docs, bloom, n=3, m_bits=1 << 13, k_hashes=4, seed=7
         ).collect()
+
+
+def test_streaming_hll_ingest_merge_equals_whole(spark, tmp_path):
+    """After two micro-batches, the persisted register state equals the
+    batch sketch of the union (merge-of-batches ≡ whole — the exact HLL
+    property), and the state stays ≤ 2^p rows."""
+    from kaer_spark.operators.sketches import hll_distinct, hll_estimate
+    from kaer_spark.streaming.ingest import streaming_hll_ingest
+
+    src = tmp_path / "hllsrc"
+    os.makedirs(src)
+    schema = "doc_id LONG, v STRING"
+    b0 = [(i, f"tok{i}") for i in range(200)]
+    b1 = [(i + 1000, f"tok{i + 150}") for i in range(200)]  # 50 overlap
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    state = str(tmp_path / "hll_state")
+    q = streaming_hll_ingest(
+        stream, "v", state, str(tmp_path / "ckpt_hll"), p=10
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = hll_estimate(spark.read.parquet(state), p=10).collect()[0]
+    whole = hll_distinct(
+        spark.createDataFrame(b0 + b1, schema).select("v"), "v", p=10
+    ).collect()[0]
+    assert merged["z_num"] == whole["z_num"]
+    assert merged["estimate"] == whole["estimate"]
+    assert merged["used_registers"] <= 1 << 10
