@@ -2958,8 +2958,11 @@ def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch cell-for-cell, so even a collision inflation replays."""
     from kaer_spark.functions.text import tokens as _toks
     from kaer_spark.operators.sketches import cms_build, cms_query
+    from kaer_spark.operators.util import ensure_parallelism
 
-    toks = _t(spark, sf_dir, "documents").select(
+    # repartition BEFORE the explode (the fixture is one parquet file —
+    # without this the whole token-hash build runs in one task)
+    toks = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         F.explode(_toks(F.col("text"))).alias("v")
     )
     cms = cms_build(toks, "v", width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED)

@@ -58,35 +58,6 @@ def dot(a: ColumnOrName, b: ColumnOrName | Sequence[float]) -> Column:
     )
 
 
-def dot_fixed(a: ColumnOrName, b: ColumnOrName, dim: int) -> Column:
-    """Fixed-dimension dot product as a FLAT ``element_at`` sum chain.
-
-    Bit-identical to :func:`dot` — the same left-associative IEEE fold
-    starting from 0.0 — but emitted as ``dim`` explicit terms, so it
-    compiles into whole-stage codegen instead of interpreting two lambda
-    calls per element the way the ``zip_with``+``aggregate`` HOF form
-    does. Use it in per-PAIR hot paths (LSH candidate verification,
-    where the expression runs once per collision, not once per row);
-    measured ~3× on the sign-LSH verify join at d=64. Keep :func:`dot`
-    when the dimension isn't statically known. At 64 terms the generated
-    method stays well under the JVM codegen limits (the ~1000-term PQ
-    unroll documented in operators/similarity.py is the size that
-    doesn't)."""
-    if dim <= 0:
-        raise ValueError("dim must be positive")
-    # scalar per-element casts, NOT _as_double_array: an array-level CAST
-    # referenced by 64 element_at terms is re-evaluated per term by
-    # codegen (no CSE across the chain — measured 4× slower than the HOF
-    # it was meant to beat). float→double widening is exact either way.
-    aa, bb = _as_col(a), _as_col(b)
-    acc = F.lit(0.0)
-    for i in range(1, int(dim) + 1):
-        acc = acc + F.element_at(aa, i).cast("double") * F.element_at(
-            bb, i
-        ).cast("double")
-    return acc
-
-
 def vector_norm(a: ColumnOrName) -> Column:
     return F.sqrt(dot(a, a))
 

