@@ -178,10 +178,17 @@ def _hll_rho_slots(
         F.lit(0).cast("long"),
         lambda a, x: (a * HASH_BASE2 + x) % HASH_MOD2,
     )
-    slots = df.select(
-        *[F.col(c) for c in group_cols],
-        (_mix(h1, h2) % m).alias("idx"),
-        _mix(h2, h1).alias("r"),
+    # fold each Horner hash ONCE per row: inlined into both mixes, each
+    # fold would evaluate twice (same depth×-rework as cms_build's u —
+    # CollapseProject keeps non-cheap aliases referenced more than once)
+    slots = (
+        df.withColumn("__hll_h1", h1)
+        .withColumn("__hll_h2", h2)
+        .select(
+            *[F.col(c) for c in group_cols],
+            (_mix(F.col("__hll_h1"), F.col("__hll_h2")) % m).alias("idx"),
+            _mix(F.col("__hll_h2"), F.col("__hll_h1")).alias("r"),
+        )
     )
     low = F.col("r").bitwiseAND(-F.col("r"))
     rho = (
