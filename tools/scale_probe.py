@@ -298,6 +298,42 @@ def main() -> int:
         results[f"cdc_stats_{label}"] = {"sec": t, "rows": n}
         print(f"cdc_dedup_stats {label}: {t}s", file=sys.stderr)
 
+    # --- round-12 probes: at-rest PQ serving, PPS sampling --------------
+    # pq_index SERVE time: build once per size (not timed — the index is
+    # at rest), then probe. The shortlist stage scans only (id, pq_code)
+    # in the probed cells, so serve cost grows with the probed code mass
+    # (nprobe/cells of m ints per vector), nowhere near raw-vector scan.
+    import tempfile
+
+    from kaer_spark.operators.index_store import build_pq_index, pq_index_topk
+
+    qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    for label, d in (("1x", embs), ("10x", amplify(embs, "vec_id", TIMES,
+                                                   rotate_col="embedding"))):
+        path = tempfile.mkdtemp(prefix=f"kaer_probe_pq_{label}_")
+        build_pq_index(d, path, m=8, k=16, cells=8)
+        pq_index_topk(spark, path, d, qvec, topk=10, shortlist=50, nprobe=3).count()
+        t, n = timed(
+            lambda p=path, dd=d: pq_index_topk(
+                spark, p, dd, qvec, topk=10, shortlist=50, nprobe=3
+            ).count()
+        )
+        results[f"pq_index_serve_{label}"] = {"sec": t, "rows": n}
+        print(f"pq_index serve {label}: {t}s", file=sys.stderr)
+
+    # pps: one range shuffle + bounded offsets — ~linear in rows, and the
+    # selected count stays ~k regardless of corpus size
+    from kaer_spark.operators.sampling import pps_systematic_sample
+
+    for label, d in (("1x", docs), ("10x", amplify(docs, "doc_id", TIMES))):
+        pps_systematic_sample(d, 97, "n_chars").count()
+        t, n = timed(
+            lambda dd=d: pps_systematic_sample(dd, 97, "n_chars").count()
+        )
+        results[f"pps_sample_{label}"] = {"sec": t, "rows": n}
+        print(f"pps_sample {label}: {t}s ({n} rows — ~k at any size)",
+              file=sys.stderr)
+
     print(json.dumps(results))
     return 0
 
