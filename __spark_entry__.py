@@ -3274,6 +3274,24 @@ def _q_pps_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PPS_K_PER_LANG = 13
+SQ_PROBS = [0.05, 0.25, 0.5, 0.75, 0.95]
+SQ_SAMPLE_K = 256
+
+
+def _q_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate n_chars quantiles by DETERMINISTIC uniform sampling
+    (sampling.sampled_quantiles): the 256 smallest-LCG-hash docs form the
+    sample, estimates are its integer-rank order statistics — the
+    oracle-checkable alternative to the GK sketch behind
+    corpus_profile_approx (whose sequential state can't replay in SQL;
+    this one's only randomness is the hash, so DuckDB reproduces the
+    identical sample and estimates)."""
+    from kaer_spark.operators.sampling import sampled_quantiles
+
+    return sampled_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", SQ_PROBS,
+        sample_k=SQ_SAMPLE_K,
+    )
 
 
 def _q_pps_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3545,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "exemplars_by_lang": _q_exemplars_by_lang,
             "pps_sample_chars": _q_pps_sample_chars,
             "pps_sample_by_lang": _q_pps_sample_by_lang,
+            "quantiles_sampled": _q_quantiles_sampled,
             "event_coverage": _q_event_coverage,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
@@ -6655,6 +6674,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM w, tot
             WHERE (ci * {PPS_K}) // W > ((ci - n_chars) * {PPS_K}) // W
+        """,
+        "quantiles_sampled": f"""
+            WITH s AS (
+              SELECT n_chars AS v, doc_id AS id
+              FROM documents WHERE n_chars IS NOT NULL
+              ORDER BY (doc_id * 2654435761 + 40503) % 1000000007 ASC,
+                       doc_id ASC
+              LIMIT {SQ_SAMPLE_K}
+            ),
+            r AS (
+              SELECT v, row_number() OVER (ORDER BY v, id) - 1 AS r,
+                     count(*) OVER () AS n
+              FROM s
+            )
+            SELECT t.p, r.v AS q
+            FROM r, (VALUES {", ".join(f"({p})" for p in SQ_PROBS)}) t(p)
+            WHERE r.r = CAST(floor((r.n - 1) * t.p + 0.5) AS BIGINT)
+            ORDER BY t.p
         """,
         "pps_sample_by_lang": f"""
             WITH w AS (

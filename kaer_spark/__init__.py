@@ -116,6 +116,7 @@ from kaer_spark.operators.sampling import (
     quota_per_group,
     pps_systematic_sample,
     pps_systematic_sample_by,
+    sampled_quantiles,
     temperature_rates,
     token_budget_mix,
     weighted_mix,
@@ -216,6 +217,7 @@ __all__ = [
     "quota_per_group",
     "pps_systematic_sample",
     "pps_systematic_sample_by",
+    "sampled_quantiles",
     "weighted_mix",
     "histogram",
     "stratified_split",

@@ -19,6 +19,7 @@ from kaer_spark.operators.sampling import (
     quota_per_group,
     pps_systematic_sample,
     pps_systematic_sample_by,
+    sampled_quantiles,
     temperature_rates,
     token_budget_mix,
     weighted_mix,
@@ -76,6 +77,7 @@ __all__ = [
     "quota_per_group",
     "pps_systematic_sample",
     "pps_systematic_sample_by",
+    "sampled_quantiles",
     "token_budget_mix",
     "temperature_rates",
     "weighted_mix",

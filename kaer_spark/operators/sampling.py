@@ -397,3 +397,81 @@ def pps_systematic_sample_by(
         .filter(sel)
         .drop("__w", "__ci", "__wg")
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    sample_k: int = 4096,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate quantiles by DETERMINISTIC uniform sampling →
+    ``(p, q)`` — the oracle-checkable alternative to a GK/t-digest
+    sketch: those estimators are sequential and order-dependent (their
+    state can't be replayed relationally — why ``corpus_profile_approx``
+    is rows-only), whereas this one's entire randomness is the LCG hash
+    of the id, so a SQL engine reproduces the identical sample and the
+    identical estimates.
+
+    Sample = the ``sample_k`` rows with the smallest full-range LCG hash
+    (ties by id) — a uniform sample without replacement, stable across
+    runs/engines/retries; estimate for ``p`` = the sample's order
+    statistic at rank ``floor((n-1)·p + 0.5)`` (integer rank on the
+    sorted sample — no interpolation arithmetic to diverge between
+    engines). Standard error ~ ``sqrt(p(1-p)/k)`` quantile mass: k=4096
+    puts the median within ~0.8% of corpus mass with 95% confidence,
+    independent of corpus size.
+
+    Scale shape: the sample cut is ``TakeOrderedAndProject`` (per-
+    partition heap of ``sample_k``, no global sort); the rank window runs
+    over the ``sample_k``-row sample only — bounded single-partition
+    work by construction, the same envelope as collecting the sample.
+    NULL values are excluded (quantiles of the non-null population).
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if sample_k <= 0:
+        raise ValueError("sample_k must be positive")
+    for p in probs:
+        if not 0.0 <= float(p) <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+    hash_col = F.pmod(
+        F.col(id_col).cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_C),
+        F.lit(SAMPLE_MOD),
+    )
+    sample = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(value_col).alias("__v"),
+            hash_col.alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("__id").asc())
+        .limit(int(sample_k))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = sample.select(
+        "__v",
+        (
+            F.row_number().over(Window.orderBy(F.col("__v").asc(), F.col("__id").asc()))
+            - 1
+        ).alias("__r"),
+        F.count("*").over(Window.partitionBy()).alias("__n"),
+    )
+    targets = None
+    for p in probs:
+        t = F.struct(
+            F.lit(float(p)).alias("p"),
+            F.floor((F.col("__n") - 1) * F.lit(float(p)) + 0.5)
+            .cast("long")
+            .alias("r"),
+        )
+        targets = F.array(t) if targets is None else F.concat(targets, F.array(t))
+    return (
+        ranked.select("__v", "__r", F.explode(targets).alias("t"))
+        .filter(F.col("__r") == F.col("t.r"))
+        .select(F.col("t.p").alias("p"), F.col("__v").alias("q"))
+        .orderBy("p")
+    )

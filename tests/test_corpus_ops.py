@@ -1402,3 +1402,40 @@ def test_pps_stratified_matches_python_reference(spark, documents):
         ).collect()
     )
     assert got == sorted(expect)
+
+
+def test_sampled_quantiles_matches_python_reference(spark, documents):
+    """The deterministic-sample quantile estimates equal the sequential
+    Python replay (same LCG sample, same rank rule) — and with sample_k
+    >= corpus they are the exact order statistics."""
+    from kaer_spark.operators.sampling import (
+        SAMPLE_A,
+        SAMPLE_C,
+        SAMPLE_MOD,
+        sampled_quantiles,
+    )
+
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    rows = [
+        (r["doc_id"], r["n_chars"])
+        for r in documents.select("doc_id", "n_chars")
+        .filter("n_chars IS NOT NULL").collect()
+    ]
+    for k in (64, 10**9):  # true sampling and the exact (k >= n) regime
+        sample = sorted(
+            rows, key=lambda t: ((t[0] * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD, t[0])
+        )[:k]
+        vals = sorted((v, i) for i, v in sample)
+        n = len(vals)
+        import math
+
+        expect = [
+            (p, vals[int(math.floor((n - 1) * p + 0.5))][0]) for p in probs
+        ]
+        got = [
+            (r["p"], r["q"])
+            for r in sampled_quantiles(
+                documents, "n_chars", probs, sample_k=k
+            ).collect()
+        ]
+        assert got == expect, (k, got, expect)
