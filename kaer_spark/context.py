@@ -167,6 +167,10 @@ class Collection:
     def text_index_path(self) -> str:
         return os.path.join(self.path, "text_index")
 
+    @property
+    def pq_index_path(self) -> str:
+        return os.path.join(self.path, "pq_index")
+
     def _save_meta(self) -> None:
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -310,6 +314,78 @@ class Collection:
         from kaer_spark.operators.index_store import refresh_ivf_index
 
         return refresh_ivf_index(self.df(), self.index_path)
+
+    def build_pq_index(
+        self,
+        m: int = 8,
+        k: int = 16,
+        cells: int | None = None,
+        fit: str = "deterministic",
+        seed: int = 42,
+    ) -> dict:
+        """Materialize the PRODUCT-QUANTIZED code table for this collection
+        (``operators.index_store.build_pq_index``) — the compressed serving
+        layout: :meth:`query_pq`'s shortlist stage reads ``m`` ints per
+        vector instead of the raw embedding (32× less IO at m=8/dim-64
+        float32), with exact re-ranking of the survivors. ``cells`` adds a
+        coarse quantizer (IVFADC: the code table partitions by cell and a
+        probed query scans ``nprobe``/``cells`` of the codes). Same
+        sidecar/catch-up story as :meth:`build_index`."""
+        from kaer_spark.operators.index_store import build_pq_index
+
+        meta = build_pq_index(
+            self.df(), self.pq_index_path, vec_col=EMB_COL, id_col=ID_COL,
+            m=m, k=k, cells=cells, fit=fit, seed=seed,
+        )
+        self.meta["has_pq_index"] = True
+        self._save_meta()
+        return meta
+
+    def refresh_pq_index(self) -> dict:
+        """Catch-up: encode vectors inserted after the last PQ build under
+        the STORED codebooks and append their codes (reference O8 for the
+        compressed index)."""
+        from kaer_spark.operators.index_store import refresh_pq_index
+
+        return refresh_pq_index(self.df(), self.pq_index_path)
+
+    def query_pq(
+        self,
+        document: str | None = None,
+        k: int = 10,
+        query_vector: Sequence[float] | None = None,
+        shortlist: int = 50,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """Two-stage compressed kNN from the at-rest code table (requires
+        :meth:`build_pq_index`): ADC shortlist over stored codes, exact
+        float64 re-rank of the ``shortlist`` survivors — reported ``_dist``
+        carries no quantization error; recall is bounded by ``shortlist``
+        (and the probed cells when ``nprobe`` is set on a celled index).
+        Unfiltered by design — the metadata-pre-filtered contract lives in
+        :meth:`query` (exact or IVF-probed), where the filter composes
+        with the scan; a PQ shortlist under a selective filter would need
+        the same escalation machinery for little gain."""
+        if query_vector is None:
+            if document is None:
+                raise ValueError("need document or query_vector")
+            provider = self.ctx.provider_for(self.meta)
+            query_vector = embed_texts_local([document], provider)[0]
+        if not self.meta.get("has_pq_index"):
+            raise CollectionNotFound(
+                f"collection {self.name} has no PQ index; call build_pq_index()"
+            )
+        from kaer_spark.operators.index_store import pq_index_topk
+
+        hits = pq_index_topk(
+            self.ctx.spark, self.pq_index_path, self.df(),
+            list(query_vector), topk=k, shortlist=shortlist, nprobe=nprobe,
+        ).withColumnRenamed("_score", "_dist")
+        return (
+            self.df()
+            .join(F.broadcast(hits), ID_COL)
+            .orderBy(F.col("_dist").asc(), F.col(ID_COL).asc())
+        )
 
     def build_text_index(self, n_buckets: int = 64) -> dict:
         """Materialize the inverted text index (operators.text_index) for
@@ -1017,6 +1093,7 @@ class Collection:
             "schemaless": bool(self.meta.get("schemaless", False)),
             "has_index": bool(self.meta.get("has_index", False)),
             "has_text_index": bool(self.meta.get("has_text_index", False)),
+            "has_pq_index": bool(self.meta.get("has_pq_index", False)),
         }
         if self.meta.get("dim"):
             out["embedding_dim"] = int(self.meta["dim"])

@@ -369,3 +369,45 @@ def test_pq_index_stage1_scans_codes_not_vectors(spark, embeddings, tmp_path):
     assert code_scans, plan
     assert all("embedding" not in s for s in code_scans), code_scans
     assert "PartitionFilters" in plan
+
+
+def test_collection_pq_index_lifecycle(spark, tmp_path):
+    """Collection-level PQ serving: build the code table, query from it
+    (equals the operator-level refined search over the same frame), stats
+    reflect it, and insert → refresh_pq_index catches up so the new doc
+    is findable through the compressed path."""
+    from kaer_spark.context import KaerContext
+    from kaer_spark.operators.similarity import pq_topk_refined
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("pq")
+    texts = [f"document number {i} about topic {i % 7}" for i in range(40)]
+    coll.insert(texts, [{"i": i} for i in range(40)])
+    assert coll.stats()["has_pq_index"] is False
+
+    coll.build_pq_index(m=8, k=16)
+    assert coll.stats()["has_pq_index"] is True
+    got = coll.query_pq("topic three", k=5, shortlist=20).collect()
+    assert len(got) == 5
+    # parity with the operator-level fresh computation on the same frame
+    from kaer_spark.context import EMB_COL, ID_COL
+    from kaer_spark.embeddings import embed_texts_local
+
+    qv = embed_texts_local(["topic three"], ctx.provider_for(coll.meta))[0]
+    fresh = pq_topk_refined(
+        coll.df(), qv, topk=5, shortlist=20, m=8, k=16,
+        vec_col=EMB_COL, id_col=ID_COL,
+    ).collect()
+    assert [r[ID_COL] for r in got] == [r[ID_COL] for r in fresh]
+    assert [r["_dist"] for r in got] == [r["_score"] for r in fresh]
+
+    # catch-up: new inserts become searchable after refresh
+    coll.insert(["a brand new document"], [{"i": 99}])
+    coll.refresh_pq_index()
+    ids = {
+        r[ID_COL]
+        for r in coll.query_pq(
+            "a brand new document", k=41, shortlist=100
+        ).collect()
+    }
+    assert coll.count() - 1 in ids  # the appended doc's id is served
