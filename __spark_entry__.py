@@ -3276,6 +3276,36 @@ def _q_pps_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPS_K_PER_LANG = 13
 SQ_PROBS = [0.05, 0.25, 0.5, 0.75, 0.95]
 SQ_SAMPLE_K = 256
+HN_K = 5
+HN_CEILING = 0.9999
+HN_EXCLUDE_OFFSETS = (7, 13)
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (knn.hard_negatives — the DPR/SimCSE recipe):
+    per query, the 5 highest-cosine corpus vectors that are NOT
+    positives — self excluded, a labeled positive-pair table anti-joined
+    out, and a 0.9999 similarity ceiling dropping unlabeled near-copies,
+    all BEFORE the top-k cut ("k nearest among non-positives", never an
+    under-filled top-k-minus-positives). Queries = the 5 smallest-id
+    vectors; the positive table is (q, q+7), (q, q+13) — a stand-in for
+    a labeled-pairs table, replayed as VALUES by the oracle."""
+    from kaer_spark.operators.knn import hard_negatives
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = (
+        embs.orderBy("vec_id").limit(HN_K)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ex = spark.createDataFrame(
+        [(q, q + o) for q in range(HN_K) for o in HN_EXCLUDE_OFFSETS],
+        "query_id long, doc_id long",
+    )
+    return hard_negatives(
+        queries, corpus, k=HN_K, metric="cosine",
+        exclude_pairs=ex, exclude_self=True, dup_ceiling=HN_CEILING,
+    )
 
 
 def _q_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3564,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pps_sample_chars": _q_pps_sample_chars,
             "pps_sample_by_lang": _q_pps_sample_by_lang,
             "quantiles_sampled": _q_quantiles_sampled,
+            "hard_negatives": _q_hard_negatives,
             "event_coverage": _q_event_coverage,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
@@ -6674,6 +6705,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM w, tot
             WHERE (ci * {PPS_K}) // W > ((ci - n_chars) * {PPS_K}) // W
+        """,
+        "hard_negatives": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings ORDER BY vec_id LIMIT {HN_K}
+            ),
+            ex(query_id, doc_id) AS (
+              VALUES {", ".join(f"({q}, {q + o})" for q in range(HN_K)
+                                for o in HN_EXCLUDE_OFFSETS)}
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS doc_id,
+                     CASE WHEN sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                               * sqrt({_sql_dot_cols('q.qv', 'q.qv')}) <> 0.0
+                          THEN ({_sql_dot_cols('c.embedding', 'q.qv')})
+                               / (sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                                  * sqrt({_sql_dot_cols('q.qv', 'q.qv')}))
+                     END AS score
+              FROM q CROSS JOIN embeddings c
+              WHERE c.vec_id <> q.query_id
+            ),
+            filt AS (
+              SELECT s.* FROM scored s
+              WHERE s.score < {HN_CEILING}
+                AND NOT EXISTS (SELECT 1 FROM ex
+                                WHERE ex.query_id = s.query_id
+                                  AND ex.doc_id = s.doc_id)
+            ),
+            r AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                     ) AS rk
+              FROM filt
+            )
+            SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
+            FROM r WHERE rk <= {HN_K}
         """,
         "quantiles_sampled": f"""
             WITH s AS (

@@ -75,7 +75,7 @@ from kaer_spark.operators.interval import (
     merge_intervals,
     time_bucket_join,
 )
-from kaer_spark.operators.knn import exact_knn, knn_join
+from kaer_spark.operators.knn import exact_knn, hard_negatives, knn_join
 from kaer_spark.operators.similarity import (
     ivf_knn_join,
     ivf_pq_topk,
@@ -157,6 +157,7 @@ __all__ = [
     "HTTPEmbedder",
     "exact_knn",
     "knn_join",
+    "hard_negatives",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_near_dups",

@@ -6,7 +6,7 @@ built-in DataFrame ops (shuffle-aware, AQE-friendly), with pandas-UDF paths
 only where Spark genuinely lacks the primitive (partitioned ANN index build).
 """
 
-from kaer_spark.operators.knn import exact_knn, knn_join
+from kaer_spark.operators.knn import exact_knn, hard_negatives, knn_join
 from kaer_spark.operators.ranking import (
     bigram_lm_fit,
     bigram_lm_scores,
@@ -88,6 +88,7 @@ __all__ = [
     "signlsh_topk",
     "exact_knn",
     "knn_join",
+    "hard_negatives",
     "rrf_fuse",
     "attach_fake_media",
     "image_dhash",

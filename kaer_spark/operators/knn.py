@@ -172,3 +172,86 @@ def _local_topk_fold(k: int, id_col: str, ascending: bool):
             yield state
 
     return fold
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "doc_id",
+    metric: str = "cosine",
+    exclude_pairs: DataFrame | None = None,
+    exclude_self: bool = True,
+    dup_ceiling: float | None = None,
+) -> DataFrame:
+    """Per query, the ``k`` CLOSEST corpus rows that are NOT positives —
+    hard-negative mining for contrastive training (the DPR/SimCSE recipe:
+    negatives that are semantically near but known-distinct train the
+    margin; random negatives are too easy). Returns ``(query_id, doc_id,
+    score, rank 1..k)``.
+
+    Exclusions are applied BEFORE the top-k cut (the semantics that makes
+    the result exact — "k nearest among non-positives", not "top-k minus
+    positives, possibly under-filled"):
+
+    * ``exclude_self`` — drop the corpus row whose id equals the query id
+      (the query document itself, when both sides share an id space);
+    * ``exclude_pairs`` — ``(query_id_col, corpus_id_col)`` rows of KNOWN
+      positives/duplicates (a labeled-pairs table, or the output of the
+      near-dup family), removed with a LEFT ANTI join on the scored
+      candidates;
+    * ``dup_ceiling`` — drop candidates the metric says are too close to
+      be negatives at all (unlabeled near-copies): similarity ≥ ceiling
+      for cosine/dot, distance ≤ ceiling for l2sq.
+
+    Scale shape = ``knn_join``'s: the query side broadcasts, scores
+    evaluate in the corpus scan stage, exclusions are row-local filters
+    plus one anti-join against the (positives-sized) pair table, and the
+    per-query rank shuffles only WindowGroupLimit-bounded rows —
+    ``n_partitions × n_queries × k``, never the corpus.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    if metric == "l2sq":
+        score = l2sq(F.col(corpus_vec_col), F.col("__qvec"))
+        order = [F.col("score").asc(), F.col(corpus_id_col).asc()]
+    elif metric == "cosine":
+        score = cosine_similarity(F.col(corpus_vec_col), F.col("__qvec"))
+        order = [F.col("score").desc(), F.col(corpus_id_col).asc()]
+    elif metric == "dot":
+        score = dot(F.col(corpus_vec_col), F.col("__qvec"))
+        order = [F.col("score").desc(), F.col(corpus_id_col).asc()]
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    scored = joined.withColumn("score", score.cast("double")).select(
+        "__qid", corpus_id_col, "score"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col(corpus_id_col))
+    if dup_ceiling is not None:
+        if metric == "l2sq":
+            scored = scored.filter(F.col("score") > F.lit(float(dup_ceiling)))
+        else:
+            scored = scored.filter(F.col("score") < F.lit(float(dup_ceiling)))
+    if exclude_pairs is not None:
+        ex = exclude_pairs.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(corpus_id_col).alias(corpus_id_col),
+        )
+        scored = scored.join(ex, ["__qid", corpus_id_col], "left_anti")
+    w = Window.partitionBy("__qid").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(corpus_id_col),
+            F.col("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

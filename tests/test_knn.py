@@ -232,3 +232,45 @@ def test_exact_knn_dot_metric(spark):
     c = df.select(F.col("id").alias("doc_id"), F.col("vec").alias("embedding"))
     j = knn_join(q, c, k=2, metric="dot").collect()
     assert [(r["doc_id"], r["rank"]) for r in sorted(j, key=lambda r: r["rank"])] == [(2, 1), (1, 2)]
+
+
+def test_hard_negatives_semantics(spark, embeddings):
+    """Exclusions apply BEFORE the top-k cut (k nearest among
+    non-positives): self is never returned, excluded pairs are never
+    returned, a dup ceiling removes near-copies, and the result still
+    fills k rows per query from the remaining pool."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.operators.knn import hard_negatives, knn_join
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ex = spark.createDataFrame(
+        [(q, q + 7) for q in range(3)], "query_id long, doc_id long"
+    )
+    out = hard_negatives(
+        queries, corpus, k=5, metric="cosine",
+        exclude_pairs=ex, exclude_self=True, dup_ceiling=0.999,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ids = [r["doc_id"] for r in rows]
+        assert q not in ids                      # self excluded
+        assert q + 7 not in ids                  # labeled positive excluded
+        assert all(r["score"] < 0.999 for r in rows)
+        assert [r["rank"] for r in sorted(rows, key=lambda r: -r["score"])] == [1,2,3,4,5]
+
+    # with no exclusions the top-k equals knn_join's ranking (cosine)
+    plain = hard_negatives(
+        queries, corpus, k=4, metric="cosine", exclude_self=False
+    ).select("query_id", "doc_id", "rank")
+    kj = knn_join(
+        queries, corpus, k=4, corpus_id_col="doc_id", metric="cosine"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, kj.collect()))
