@@ -92,6 +92,9 @@ HEADLINE = [
     "winnow_overlap",
     "pq_knn_refined",
     "pq_index_catchup",
+    "pps_sample_chars",
+    "quantiles_sampled",
+    "hard_negatives",
     "mmr_rerank",
     "token_divergence",
     "zipf_profile",
