@@ -415,13 +415,31 @@ def _q_pq_knn_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("_score").alias("adc_l2sq"))
 
 
+# Bump when the on-disk artifact layout or the code that builds memoized
+# artifacts changes shape: the version participates in every fixture
+# fingerprint, so an index built by older code can never be served stale
+# (r12 ADVICE — the old (path, size, int(mtime)) key also collapsed
+# same-second regenerations; st_mtime_ns closes that too).
+_ARTIFACT_FMT = "v2"
+
+
+def _fixture_fp(src: str) -> str:
+    """Content-identity fingerprint for a driver fixture file:
+    (path, size, nanosecond mtime, artifact-format version)."""
+    import os
+
+    st = os.stat(src)
+    return f"{src}:{st.st_size}:{st.st_mtime_ns}:{_ARTIFACT_FMT}"
+
+
 def _ensure_pq_index(spark: SparkSession, sf_dir: str, cells: int | None) -> str:
     """Build-once-serve-many handle to the at-rest PQ code table for this
     fixture (index_store.build_pq_index): keyed by the source parquet's
-    (path, size, mtime) fingerprint, so the first call per fixture pays
-    the fit+encode and every later call — the steady state a serving
-    index exists for — reads stored codes only. Stale or missing sidecar
-    ⇒ rebuild; geometry is pinned to the registry's m=8/k=16."""
+    (path, size, mtime_ns, format-version) fingerprint, so the first call
+    per fixture pays the fit+encode and every later call — the steady
+    state a serving index exists for — reads stored codes only. Stale or
+    missing sidecar ⇒ rebuild; geometry is pinned to the registry's
+    m=8/k=16."""
     import hashlib
     import os
     import tempfile
@@ -429,8 +447,7 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str, cells: int | None) -> str
     from kaer_spark.operators.index_store import build_pq_index, read_pq_meta
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fp = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    fp = _fixture_fp(src)
     tag = hashlib.md5(f"{fp}|m=8|k=16|cells={cells}".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"kaer_pq_index_{tag}")
     try:
@@ -510,8 +527,7 @@ def _q_pq_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _t(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fp = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    fp = _fixture_fp(src)
     tag = hashlib.md5(f"{fp}|catchup".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"kaer_pq_index_{tag}")
     cached = False
@@ -3189,8 +3205,7 @@ def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaer_spark.operators.dedup import dedup_clusters, minhash_near_dups
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = (src, st.st_size, int(st.st_mtime))
+    key = _fixture_fp(src)
     rows = _CLUSTER_MEMO.get(key)
     if rows is None:
         pairs = minhash_near_dups(

@@ -41,6 +41,36 @@ META_FILE = "index.json"
 DATA_DIR = "data"
 
 
+def _write_meta_atomic(path: str, filename: str, meta: dict) -> None:
+    """Sidecar meta writes are tmp + ``os.replace`` (the
+    ``Collection._save_meta`` pattern): a crash mid-write can never leave
+    a truncated JSON, and the watermark flip is a single atomic op."""
+    os.makedirs(path, exist_ok=True)
+    target = os.path.join(path, filename)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, target)
+
+
+def _refresh_replay_guard(tail: DataFrame, path: str, meta: dict) -> DataFrame:
+    """Make a replayed catch-up harmless: a crash AFTER a successful tail
+    append but BEFORE the meta watermark update leaves rows on disk with
+    ``id > meta.max_id``; re-encoding the same tail would duplicate ids in
+    the index table (and in served top-k). Anti-join the tail against the
+    ids already present above the watermark — an id-column-only,
+    predicate-pushed scan of the index table, not the corpus — so the
+    replay appends exactly the missing rows (usually none)."""
+    id_col = meta["id_col"]
+    spark = tail.sparkSession
+    existing = (
+        spark.read.parquet(os.path.join(path, DATA_DIR))
+        .select(id_col)
+        .filter(F.col(id_col) > meta["max_id"])
+    )
+    return tail.join(existing, [id_col], "left_anti")
+
+
 def _assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
@@ -115,8 +145,7 @@ def build_ivf_index(
         "max_id": int(max_id) if max_id is not None else -1,
         "centroids": centroids,
     }
-    with open(os.path.join(path, META_FILE), "w") as f:
-        json.dump(meta, f)
+    _write_meta_atomic(path, META_FILE, meta)
     return meta
 
 
@@ -133,13 +162,13 @@ def refresh_ivf_index(corpus: DataFrame, path: str) -> dict:
     new_max = tail.agg(F.max(meta["id_col"])).collect()[0][0]
     if new_max is None:
         return meta  # nothing to replay
+    tail = _refresh_replay_guard(tail, path, meta)
     assigned = _assign_cells(tail, meta["centroids"], meta["vec_col"])
     assigned.write.mode("append").partitionBy("_cell").parquet(
         os.path.join(path, DATA_DIR)
     )
     meta["max_id"] = int(new_max)
-    with open(os.path.join(path, META_FILE), "w") as f:
-        json.dump(meta, f)
+    _write_meta_atomic(path, META_FILE, meta)
     return meta
 
 
@@ -187,9 +216,7 @@ def write_ivf_bucketed_table(
         "table": table,
         "centroids": centroids,
     }
-    os.makedirs(meta_path, exist_ok=True)
-    with open(os.path.join(meta_path, META_FILE), "w") as f:
-        json.dump(meta, f)
+    _write_meta_atomic(meta_path, META_FILE, meta)
     return meta
 
 
@@ -409,9 +436,7 @@ def build_pq_index(
     }
     if extra_meta:
         meta.update(extra_meta)
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, PQ_META_FILE), "w") as f:
-        json.dump(meta, f)
+    _write_meta_atomic(path, PQ_META_FILE, meta)
     return meta
 
 
@@ -428,7 +453,11 @@ def refresh_pq_index(corpus: DataFrame, path: str) -> dict:
     table, and the encode matches the build's encoder exactly (Catalyst
     argmin for ``deterministic``, numpy for ``kmeans``), so a refreshed
     index is row-identical to a from-scratch build over the union.
-    Incremental and idempotent per the id high-water mark."""
+    Incremental, and idempotent against BOTH failure directions: the meta
+    watermark flips atomically (tmp + ``os.replace``), and a replayed
+    refresh after a crash-between-append-and-meta anti-joins away the ids
+    already on disk (``_refresh_replay_guard``) instead of re-appending
+    them."""
     from kaer_spark.operators import similarity as S
 
     meta = read_pq_meta(path)
@@ -436,6 +465,7 @@ def refresh_pq_index(corpus: DataFrame, path: str) -> dict:
     new_max = tail.agg(F.max(meta["id_col"])).collect()[0][0]
     if new_max is None:
         return meta  # nothing to replay
+    tail = _refresh_replay_guard(tail, path, meta)
     if meta["fit"] == "deterministic":
         encoded = S.pq_encode_deterministic(
             tail, meta["codebooks"], meta["vec_col"]
@@ -453,8 +483,7 @@ def refresh_pq_index(corpus: DataFrame, path: str) -> dict:
         writer = writer.partitionBy("_cell")
     writer.parquet(os.path.join(path, DATA_DIR))
     meta["max_id"] = int(new_max)
-    with open(os.path.join(path, PQ_META_FILE), "w") as f:
-        json.dump(meta, f)
+    _write_meta_atomic(path, PQ_META_FILE, meta)
     return meta
 
 

@@ -451,30 +451,37 @@ def cms_query(
         for j, (a, b) in enumerate(coeffs):
             probes.append((v, j, ((u * a + b) % M1) % width))
     pdf = spark.createDataFrame(probes, "v string, j int, pos int")
-    # geometry guard AFTER the aggregate, on ≤|values| rows: matched
-    # cells' min/max metadata must equal the probe's (all-NULL = no
-    # matches = legitimate count 0). A per-joined-row when/raise_error
-    # guard measured 6× slower here — it defeats the right side's column
-    # pruning and blocks whole-stage codegen on the probe stage; the
-    # aggregated form detects exactly the same mismatches.
+    # geometry guard INDEPENDENT of probe matches (r12 ADVICE closed the
+    # silent escape: a mismatched probe whose (j, pos) positions happen to
+    # hit no sketch rows used to fall into the all-NULL "legit absent
+    # cell" branch and return 0 — an UNDER-estimate, violating the CMS
+    # never-under guarantee). A one-row min/max aggregate of the sketch's
+    # recorded geometry cross-joins (broadcast, 1 row) onto every result
+    # row, so the mismatch raises even with zero matched cells; the probe
+    # join itself stays a pruned broadcast lookup in whole-stage codegen.
+    geo = sketch.agg(
+        F.count("*").alias("__g_n"),
+        F.min("width").alias("__w_lo"),
+        F.max("width").alias("__w_hi"),
+        F.min("depth").alias("__d_lo"),
+        F.max("depth").alias("__d_hi"),
+        F.min("seed").alias("__s_lo"),
+        F.max("seed").alias("__s_hi"),
+    )
     agg = (
         F.broadcast(pdf)
-        .join(sketch, ["j", "pos"], "left")
+        .join(sketch.select("j", "pos", "cnt"), ["j", "pos"], "left")
         .groupBy("v")
         .agg(
             F.min(F.coalesce(F.col("cnt"), F.lit(0)))
             .cast("long")
             .alias("estimate"),
-            F.min("width").alias("__w_lo"),
-            F.max("width").alias("__w_hi"),
-            F.min("depth").alias("__d_lo"),
-            F.max("depth").alias("__d_hi"),
-            F.min("seed").alias("__s_lo"),
-            F.max("seed").alias("__s_hi"),
         )
+        .crossJoin(F.broadcast(geo))
     )
-    meta_ok = F.col("__w_lo").isNull() | (
-        (F.col("__w_lo") == F.lit(int(width)))
+    meta_ok = (
+        (F.col("__g_n") > 0)
+        & (F.col("__w_lo") == F.lit(int(width)))
         & (F.col("__w_hi") == F.lit(int(width)))
         & (F.col("__d_lo") == F.lit(int(depth)))
         & (F.col("__d_hi") == F.lit(int(depth)))

@@ -194,10 +194,14 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
     ``id > meta.max_id`` — postings and doc lengths APPEND (each new doc
     contributes disjoint (term, id) rows, so existing postings never
     rewrite), and the frozen corpus stats advance incrementally
-    (``n_docs += batch``, ``sum_dl += batch``). Idempotent: a second call
-    with no new docs is a no-op. Per-term document frequencies need no
-    maintenance at all — search derives them from the pruned postings at
-    query time, so they are always current."""
+    (``n_docs += batch``, ``sum_dl += batch``). Idempotent against BOTH
+    failure directions: a second call with no new docs is a no-op per the
+    watermark, and a replayed call after a crash between the appends and
+    the meta update anti-joins away the doc ids already in the doc-length
+    table — without the guard a replay would duplicate postings AND
+    double-count ``n_docs``/``sum_dl``. Per-term document frequencies
+    need no maintenance at all — search derives them from the pruned
+    postings at query time, so they are always current."""
     meta = read_text_index_meta(path)
     id_col, text_col = meta["id_col"], meta["text_col"]
     # max_id None = nothing indexed yet: index the whole DataFrame rather
@@ -208,6 +212,29 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
         if meta["max_id"] is None
         else df.filter(F.col(id_col) > meta["max_id"])
     )
+    # Replay guard: doc-length rows with id above the watermark are docs a
+    # crashed refresh already appended but never accounted — exclude them
+    # from the tail (no duplicate postings) and fold their (n, dl) back
+    # into the stats increment (heals the understated n_docs/sum_dl).
+    acc_n, acc_sumdl, acc_maxid = 0, 0, None
+    doclens_dir = os.path.join(path, DOCLENS_DIR)
+    if os.path.isdir(doclens_dir):
+        already = df.sparkSession.read.parquet(doclens_dir)
+        if meta["max_id"] is not None:
+            already = already.filter(F.col("id") > meta["max_id"])
+        acc = already.agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("sumdl"),
+            F.max("id").alias("maxid"),
+        ).collect()[0]
+        if acc["n"]:
+            acc_n, acc_sumdl = int(acc["n"]), int(acc["sumdl"] or 0)
+            acc_maxid = acc["maxid"]
+            tail = tail.join(
+                already.select(F.col("id").alias(id_col)),
+                [id_col],
+                "left_anti",
+            )
     toks = tail.select(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), F.lower).alias("__toks"),
@@ -219,8 +246,14 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
         F.sum("dl").alias("sumdl"),
         F.max("id").alias("maxid"),
     ).collect()[0]
-    if not stats["n"]:
+    if not stats["n"] and not acc_n:
         return meta  # nothing to replay
+    if not stats["n"]:  # pure replay: everything already on disk — heal meta
+        meta["n_docs"] += acc_n
+        meta["sum_dl"] += acc_sumdl
+        meta["max_id"] = _json_id(acc_maxid)
+        _write_meta(path, meta)
+        return meta
     aggs = [F.count("*").cast("long").alias("tf")]
     if meta.get("positional"):
         aggs.append(
@@ -246,9 +279,12 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
     toks.select("id", F.size("__toks").cast("long").alias("dl")).write.mode(
         "append"
     ).parquet(os.path.join(path, DOCLENS_DIR))
-    meta["n_docs"] += int(stats["n"])
-    meta["sum_dl"] += int(stats["sumdl"] or 0)
-    meta["max_id"] = _json_id(stats["maxid"])
+    meta["n_docs"] += int(stats["n"]) + acc_n
+    meta["sum_dl"] += int(stats["sumdl"] or 0) + acc_sumdl
+    new_max = stats["maxid"]
+    if acc_maxid is not None and (new_max is None or acc_maxid > new_max):
+        new_max = acc_maxid
+    meta["max_id"] = _json_id(new_max)
     _write_meta(path, meta)
     return meta
 

@@ -16,13 +16,35 @@ gap-based sessionization without custom state code.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kaer_spark.context import Collection
+
+
+def _recover_hll_state(state_dir: str) -> None:
+    """Heal the one crash window of the HLL state swap: a failure between
+    the two renames leaves the previous (complete) state at
+    ``<state_dir>.old`` and nothing at ``state_dir`` — restore it. The
+    register merge is idempotent (per-register max), so the batch whose
+    write crashed simply replays on the restored state."""
+    old = state_dir + ".old"
+    if not os.path.isdir(state_dir) and os.path.isdir(old):
+        os.rename(old, state_dir)
+
+
+def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the persisted all-time HLL register state written by
+    :func:`streaming_hll_ingest`, recovering the interrupted-swap leg
+    first. Corruption and IO errors propagate — there is deliberately no
+    empty-state fallback for an all-time distinct metric."""
+    _recover_hll_state(state_dir)
+    return spark.read.parquet(state_dir)
 
 
 def stream_insert(
@@ -372,6 +394,17 @@ def streaming_hll_ingest(
     stream's distinct-counting state never grows with the data. The
     streaming checkpoint gives at-least-once sink calls; the merge is
     idempotent (max), so a replayed batch rewrites the same registers.
+
+    Crash safety: the state write is an atomic local-fs swap (write to
+    ``<state_dir>.tmp``, rename the live dir aside, rename tmp in — the
+    ``Collection.delete`` rewrite pattern), so at every instant a
+    COMPLETE prior state exists on disk; a crash between the two renames
+    is healed by :func:`read_hll_state`/the next batch. Only the
+    path-missing case is treated as "first batch" — a corrupt or
+    unreadable state dir FAILS the stream instead of silently resetting
+    the all-time sketch to the current batch (the unsafe direction for
+    an all-time distinct metric). On an object store replace the swap
+    with the store's atomic-commit primitive.
     """
     from kaer_spark.operators.sketches import hll_registers
 
@@ -385,22 +418,33 @@ def streaming_hll_ingest(
             int(r["idx"]): int(r["mj"])
             for r in hll_registers(batch_df, value_col, p).collect()
         }
-        try:
+        _recover_hll_state(state_dir)
+        if os.path.isdir(state_dir):
+            # Any failure here (torn write, IO/permission error, corrupt
+            # footer) PROPAGATES and fails the stream — swallowing it
+            # would silently undercount every value seen before this
+            # batch. Path-missing is the one legitimate absence.
             for r in spark.read.parquet(state_dir).collect():
                 i = int(r["idx"])
                 regs[i] = max(regs.get(i, 0), int(r["mj"]))
-        except Exception:  # noqa: BLE001 — first batch: no state yet
-            pass
         if len(regs) > m:
             raise AssertionError(f"register count {len(regs)} > m={m}")
         import pandas as pd
 
+        tmp = state_dir + ".tmp"
         spark.createDataFrame(
             pd.DataFrame(
                 sorted(regs.items()), columns=["idx", "mj"]
             ).astype({"idx": "int64", "mj": "int32"}),
             "idx long, mj int",
-        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = state_dir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     writer = (
         stream_df.writeStream.outputMode("update")

@@ -411,3 +411,62 @@ def test_collection_pq_index_lifecycle(spark, tmp_path):
         ).collect()
     }
     assert coll.count() - 1 in ids  # the appended doc's id is served
+
+
+def test_refresh_replayed_after_crash_no_duplicates(spark, embeddings, tmp_path):
+    """Crash-between-append-and-meta (r12 ADVICE): a successful tail append
+    whose watermark update never landed leaves the meta stale; replaying
+    the refresh must NOT duplicate ids in the code table or in served
+    top-k. Simulated by resetting max_id back to the prefix value."""
+    import json
+    import os
+
+    from kaer_spark.operators.index_store import (
+        PQ_META_FILE,
+        build_pq_index,
+        pq_index_topk,
+        read_pq_meta,
+        refresh_pq_index,
+    )
+
+    path = str(tmp_path / "pq")
+    build_pq_index(embeddings.filter(F.col("vec_id") < 300), path, m=8, k=16)
+    refresh_pq_index(embeddings, path)
+    total = embeddings.count()
+    assert spark.read.parquet(f"{path}/data").count() == total
+
+    # wind the watermark back as if the meta write was lost
+    meta = read_pq_meta(path)
+    meta["max_id"] = 299
+    with open(os.path.join(path, PQ_META_FILE), "w") as f:
+        json.dump(meta, f)
+    refresh_pq_index(embeddings, path)  # replay
+    codes = spark.read.parquet(f"{path}/data")
+    assert codes.count() == total
+    assert codes.select("vec_id").distinct().count() == total
+    assert read_pq_meta(path)["max_id"] == embeddings.agg(
+        F.max("vec_id")
+    ).collect()[0][0]
+    served = pq_index_topk(spark, path, embeddings, QVEC, topk=10, shortlist=50)
+    ids = [r["vec_id"] for r in served.collect()]
+    assert len(ids) == len(set(ids)) == 10
+
+
+def test_ivf_refresh_replayed_after_crash_no_duplicates(spark, embeddings, tmp_path):
+    import json
+    import os
+
+    from kaer_spark.operators.index_store import META_FILE
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings.filter(F.col("vec_id") < 300), path, cells=4, seed=42)
+    refresh_ivf_index(embeddings, path)
+    total = embeddings.count()
+    meta = read_index_meta(path)
+    meta["max_id"] = 299
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump(meta, f)
+    refresh_ivf_index(embeddings, path)  # replay
+    data = spark.read.parquet(f"{path}/data")
+    assert data.count() == total
+    assert data.select("vec_id").distinct().count() == total

@@ -253,3 +253,25 @@ def test_cms_geometry_guards(spark):
     other = cms_build(df, "v", width=1 << 9, depth=3, seed=11)
     with pytest.raises(Exception, match="cms geometry mismatch"):
         cms_merge(cms, other).collect()
+
+
+def test_cms_query_zero_match_mismatch_still_raises(spark):
+    """The r12 escape: a mismatched-geometry probe whose (j, pos) positions
+    match NO sketch rows must still raise — not return estimate 0 (an
+    under-estimate). Simulated by pruning every cell the probe could hit."""
+    from kaer_spark.operators.sketches import cms_build, cms_query
+
+    df = spark.createDataFrame([("apple",), ("apple",), ("pear",)], "v string")
+    cms = cms_build(df, "v", width=1 << 10, depth=3, seed=11)
+    # probe width 16 → all probe positions < 16; keep only cells at pos >= 16
+    pruned = cms.filter(F.col("pos") >= 16)
+    with pytest.raises(Exception, match="cms geometry mismatch"):
+        cms_query(spark, pruned, ["apple"], width=16, depth=3, seed=11).collect()
+    # matching geometry + never-inserted value stays a legitimate 0-or-over
+    est = {
+        r["v"]: r["estimate"]
+        for r in cms_query(
+            spark, cms, ["zzz-never-inserted"], width=1 << 10, depth=3, seed=11
+        ).collect()
+    }
+    assert est["zzz-never-inserted"] >= 0

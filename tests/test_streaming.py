@@ -541,3 +541,82 @@ def test_streaming_hll_ingest_merge_equals_whole(spark, tmp_path):
     assert merged["z_num"] == whole["z_num"]
     assert merged["estimate"] == whole["estimate"]
     assert merged["used_registers"] <= 1 << 10
+
+
+def _hll_stream(spark, src_glob, state, ckpt, p=10):
+    from kaer_spark.streaming.ingest import streaming_hll_ingest
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, v STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_glob)
+    )
+    return streaming_hll_ingest(stream, "v", state, ckpt, p=p)
+
+
+def test_streaming_hll_corrupt_state_raises(spark, tmp_path):
+    """A corrupted/unreadable state dir must FAIL the stream, not be
+    silently treated as 'first batch' (which would reset the all-time
+    sketch to the current batch — r12 ADVICE)."""
+    schema = "doc_id LONG, v STRING"
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in range(50)], schema
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    state = str(tmp_path / "state")
+    q = _hll_stream(spark, f"{src}/b*", state, str(tmp_path / "ck0"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # corrupt the sole parquet part file in place
+    for name in os.listdir(state):
+        if name.endswith(".parquet"):
+            with open(os.path.join(state, name), "wb") as f:
+                f.write(b"not a parquet file")
+    spark.createDataFrame(
+        [(i + 100, f"b{i}") for i in range(50)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    q2 = _hll_stream(spark, f"{src}/b*", state, str(tmp_path / "ck1"))
+    with pytest.raises(Exception):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+
+def test_streaming_hll_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between the two renames of the atomic state swap leaves the
+    previous state at <state>.old — the next batch (and read_hll_state)
+    must restore and merge it, not start from scratch."""
+    from kaer_spark.operators.sketches import hll_distinct, hll_estimate
+    from kaer_spark.streaming.ingest import read_hll_state
+
+    schema = "doc_id LONG, v STRING"
+    src = tmp_path / "src"
+    os.makedirs(src)
+    b0 = [(i, f"a{i}") for i in range(120)]
+    b1 = [(i + 1000, f"b{i}") for i in range(120)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b0")
+    state = str(tmp_path / "state")
+    q = _hll_stream(spark, f"{src}/b*", state, str(tmp_path / "ck0"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # simulate the crash window: live dir renamed aside, tmp never landed
+    os.rename(state, state + ".old")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+    q2 = _hll_stream(spark, f"{src}/b*", state, str(tmp_path / "ck1"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    merged = hll_estimate(read_hll_state(spark, state), p=10).collect()[0]
+    whole = hll_distinct(
+        spark.createDataFrame(b0 + b1, schema).select("v"), "v", p=10
+    ).collect()[0]
+    assert merged["z_num"] == whole["z_num"]
+    assert merged["estimate"] == whole["estimate"]
+    assert not os.path.isdir(state + ".old")

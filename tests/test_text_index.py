@@ -426,3 +426,53 @@ def test_search_near_matches_python_and_phrase(spark, corpus, tmp_path):
         for r in search_near(spark, path, ["hash", "join"], slop=0).collect()
     }
     assert ph == nr
+
+
+def test_refresh_text_index_replay_after_crash(spark, tmp_path):
+    """Crash-between-append-and-meta replay (r12 ADVICE class): the tail's
+    postings/doclens landed but the watermark didn't — replaying the
+    refresh must not duplicate postings or double-count n_docs/sum_dl."""
+    import json
+    import os
+
+    from kaer_spark.operators.text_index import (
+        META_FILE,
+        read_text_index_meta,
+        refresh_text_index,
+    )
+
+    rows = [
+        (1, "spark shuffle join hash join broadcast"),
+        (2, "join the hash table scan now"),
+        (3, "completely unrelated words only here"),
+        (4, "scan scan scan scan"),
+        (5, "late arriving join document"),
+        (6, "another late scan join text"),
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(full.filter(F.col("doc_id") <= 4), inc_path)
+    meta = refresh_text_index(full, inc_path)
+
+    # wind the watermark (and incremental stats) back to the prefix state
+    stale = dict(meta)
+    stale["max_id"], stale["n_docs"] = 4, meta["n_docs"] - 2
+    dl56 = 4 + 5  # doc 5 has 4 tokens, doc 6 has 5
+    stale["sum_dl"] = meta["sum_dl"] - dl56
+    with open(os.path.join(inc_path, META_FILE), "w") as f:
+        json.dump(stale, f)
+    replayed = refresh_text_index(full, inc_path)  # replay
+    assert replayed["n_docs"] == 6 and replayed["sum_dl"] == meta["sum_dl"]
+    assert read_text_index_meta(inc_path)["max_id"] == 6
+
+    build_text_index(full, full_path)
+    for terms in (["join"], ["late"], ["scan", "join"]):
+        got = [
+            (r["id"], r["bm25"])
+            for r in search_text_index(spark, inc_path, terms, k=10).collect()
+        ]
+        want = [
+            (r["id"], r["bm25"])
+            for r in search_text_index(spark, full_path, terms, k=10).collect()
+        ]
+        assert got == want, terms
