@@ -3254,6 +3254,31 @@ def _q_dedup_keep_best_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_cluster_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-artifact BUILD cost, measured end-to-end and COLD (r12
+    verdict #1): signatures → banding → exact-Jaccard verify → min-label
+    closure → stats, explicitly NOT via ``_minhash_clusters``'s memo — the
+    bench row that keeps the mining chain's cost visible now that
+    ``dedup_keep_best``/``dedup_cluster_stats`` serve from the memoized
+    cluster table. Same constants as the memo, so the oracle is the same
+    recursive-CTE replay as dedup_cluster_stats."""
+    from kaer_spark.operators.dedup import (
+        dedup_cluster_stats,
+        dedup_clusters,
+        minhash_near_dups,
+    )
+
+    pairs = minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+        seed=42,
+    )
+    return dedup_cluster_stats(dedup_clusters(pairs))
+
+
 def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus filter (dedup.dedup_keep_best): drop every
     clustered doc except its best-scoring member; unclustered docs all
@@ -3320,6 +3345,41 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         queries, corpus, k=HN_K, metric="cosine",
         exclude_pairs=ex, exclude_self=True, dup_ceiling=HN_CEILING,
+    )
+
+
+IVF_HN_K = 6
+IVF_HN_OFFSETS = (5, 11)
+IVF_HN_CELLS = 8
+
+
+def _q_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at TRAINING scale (knn.ivf_hard_negatives):
+    candidates come from the IVF cell EQUI-join — the corpus never
+    broadcasts and never crosses with the query table, so the same plan
+    serves the millions-of-queries mining pass a contrastive run needs —
+    with the exact miner's exclusion semantics (self, labeled pairs,
+    similarity ceiling) applied before the top-k cut. Probed FULLY here
+    (nprobe == cells ⇒ result ≡ the exact broadcast miner, equivalence
+    pytest-pinned), so the oracle value-checks the ENTIRE pipeline: the
+    cosine chain, the VALUES-replayed exclusions, and the rank window.
+    Distinct geometry from hard_negatives (6 queries/k, offsets 5/11)."""
+    from kaer_spark.operators.knn import ivf_hard_negatives
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = (
+        embs.orderBy("vec_id").limit(IVF_HN_K)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ex = spark.createDataFrame(
+        [(q, q + o) for q in range(IVF_HN_K) for o in IVF_HN_OFFSETS],
+        "query_id long, doc_id long",
+    )
+    return ivf_hard_negatives(
+        queries, corpus, k=IVF_HN_K, cells=IVF_HN_CELLS, nprobe=IVF_HN_CELLS,
+        metric="cosine", exclude_pairs=ex, exclude_self=True,
+        dup_ceiling=HN_CEILING,
     )
 
 
@@ -3492,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": _q_phrase_search,
         "near_search_indexed": _q_near_search,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
+        "dedup_cluster_build": _q_dedup_cluster_build,
         "vocab_coverage": _q_vocab_coverage,
         "subword_budget": _q_subword_budget,
         "bpe_merges": _q_bpe_merges,
@@ -3610,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pps_sample_by_lang": _q_pps_sample_by_lang,
             "quantiles_sampled": _q_quantiles_sampled,
             "hard_negatives": _q_hard_negatives,
+            "ivf_hard_negatives": _q_ivf_hard_negatives,
             "event_coverage": _q_event_coverage,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
@@ -6758,6 +6820,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
             FROM r WHERE rk <= {HN_K}
         """,
+        "ivf_hard_negatives": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings ORDER BY vec_id LIMIT {IVF_HN_K}
+            ),
+            ex(query_id, doc_id) AS (
+              VALUES {", ".join(f"({q}, {q + o})" for q in range(IVF_HN_K)
+                                for o in IVF_HN_OFFSETS)}
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS doc_id,
+                     CASE WHEN sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                               * sqrt({_sql_dot_cols('q.qv', 'q.qv')}) <> 0.0
+                          THEN ({_sql_dot_cols('c.embedding', 'q.qv')})
+                               / (sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                                  * sqrt({_sql_dot_cols('q.qv', 'q.qv')}))
+                     END AS score
+              FROM q CROSS JOIN embeddings c
+              WHERE c.vec_id <> q.query_id
+            ),
+            filt AS (
+              SELECT s.* FROM scored s
+              WHERE s.score < {HN_CEILING}
+                AND NOT EXISTS (SELECT 1 FROM ex
+                                WHERE ex.query_id = s.query_id
+                                  AND ex.doc_id = s.doc_id)
+            ),
+            r AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                     ) AS rk
+              FROM filt
+            )
+            SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
+            FROM r WHERE rk <= {IVF_HN_K}
+        """,
         "quantiles_sampled": f"""
             WITH s AS (
               SELECT n_chars AS v, doc_id AS id
@@ -7043,6 +7142,39 @@ def oracle_sql() -> dict[str, str]:
         # clustering audit over the same recursive closure; mean in exact
         # DECIMAL so the double matches bit-for-bit
         "dedup_cluster_stats": f"""
+            WITH RECURSIVE mh_pairs AS (
+              SELECT id_a, id_b FROM ({_sql_minhash()}) mh
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM mh_pairs WHERE id_a <> id_b
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+              SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            sizes AS (
+              SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+                   CAST(sum(sz) - count(*) AS BIGINT) AS n_duplicates,
+                   CAST(max(sz) AS BIGINT) AS max_size,
+                   (SELECT cluster_id FROM sizes
+                    ORDER BY sz DESC, cluster_id LIMIT 1) AS largest_cluster,
+                   CAST(CAST(sum(CAST(sz AS DECIMAL(28,2))) AS DOUBLE)
+                        / count(*) AS DOUBLE) AS mean_size
+            FROM sizes
+        """,
+        # the cold BUILD row measures the same chain end-to-end — the
+        # oracle replay is identical to dedup_cluster_stats by construction
+        "dedup_cluster_build": f"""
             WITH RECURSIVE mh_pairs AS (
               SELECT id_a, id_b FROM ({_sql_minhash()}) mh
             ),

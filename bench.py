@@ -85,6 +85,12 @@ HEADLINE = [
     "remove_duplicate_passages",
     "dedup_keep_best",
     "semdedup",
+    # round-13: the COLD cluster-artifact build (signatures → banding →
+    # verify → closure) — the end-to-end cost dedup_keep_best no longer
+    # pays now that it serves from the memoized cluster table
+    "dedup_cluster_build",
+    # round-13: indexed hard-negative mining (IVF cell equi-join)
+    "ivf_hard_negatives",
     # round-11 additions: complete edit-distance join (new banded-join
     # family), two-stage PQ refine, MMR re-rank, and the two corpus-drift
     # diagnostics
@@ -109,6 +115,20 @@ HEADLINE = [
     "ngram_novelty",
     "cms_token_counts",
     "pmi_bigrams",
+]
+
+# Rows that serve from a standing artifact (fixture-fingerprint-memoized
+# cluster table / at-rest PQ code table) rather than paying the build on
+# every call (r12 verdict #1: the cross-round trend line for these rows
+# broke silently when they switched to serve-only in r12 — recorded here
+# and in bench_detail.json so the series stays interpretable). The build
+# costs have their own end-to-end rows: dedup_cluster_build for the
+# cluster chain, pq_index_catchup's FIRST reading per process for the PQ
+# build+refresh (later reps serve the cached index).
+SERVE_FROM_ARTIFACT = [
+    "dedup_keep_best",
+    "pq_knn_refined",
+    "pq_index_catchup",  # after the first rep in a process
 ]
 
 
@@ -183,9 +203,25 @@ def _machine_load() -> dict:
     return info
 
 
+def _is_loaded(info: dict) -> bool:
+    """A run is "loaded" if EITHER load average says so: the committed r12
+    bench started at 5m=4.44 with 1m=1.98 and stamped itself idle while
+    running ~15-20% above the idle mid-round numbers (r12 verdict #5) —
+    the 1-minute average alone forgives a box that only just quieted."""
+    return (
+        max(info.get("load_avg_1m", 0.0), info.get("load_avg_5m", 0.0)) > 2.0
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    )
+    if os.environ.get("SPARK_GRAFT_BENCH_FRESH") == "family" and not only:
+        return _run_fresh_families(sf_dir, sf)
     # a loaded box inflates every timing (r8: load 4.9→16.2 read as a
     # phantom 1.14× regression; r9/r10 both started loaded and every
     # cross-round comparison carried the noise) — wait, bounded, for the
@@ -193,18 +229,17 @@ def main() -> int:
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
     deadline = time.time() + wait_budget
     load_before = _machine_load()
-    while (
-        load_before.get("load_avg_1m", 0) > 2.0 and time.time() < deadline
-    ):
+    while _is_loaded(load_before) and time.time() < deadline:
         print(
             f"bench: box loaded (load_avg_1m="
-            f"{load_before.get('load_avg_1m')}); waiting for idle "
+            f"{load_before.get('load_avg_1m')}, load_avg_5m="
+            f"{load_before.get('load_avg_5m')}); waiting for idle "
             f"({int(deadline - time.time())}s left in budget)",
             file=sys.stderr,
         )
         time.sleep(15)
         load_before = _machine_load()
-    loaded_start = load_before.get("load_avg_1m", 0) > 2.0
+    loaded_start = _is_loaded(load_before)
     if loaded_start:
         print(
             f"WARNING: bench starting on a loaded box after exhausting the "
@@ -240,10 +275,10 @@ def main() -> int:
     # the order per rep (deterministic seeds, so two bench runs are
     # identical) decorrelates session position from query identity; the
     # per-query min then reflects the query, not its slot.
-    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    times: dict[str, list[float]] = {name: [] for name in headline}
     rows: dict[str, int] = {}
     for rep in range(reps):
-        order = list(HEADLINE)
+        order = list(headline)
         random.Random(rep).shuffle(order)
         for name in order:
             fn = qs[name]
@@ -261,7 +296,7 @@ def main() -> int:
             times[name].append(time.time() - t0)
     med: dict[str, float] = {}
     best: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         runs = sorted(times[name])
         med[name] = round(runs[len(runs) // 2], 3)
         best[name] = round(runs[0], 3)
@@ -283,8 +318,19 @@ def main() -> int:
         "value": round(sum(med.values()), 3),
         "value_min": round(sum(best.values()), 3),
         "loaded_start": loaded_start,
+        "serve_from_artifact": [
+            n for n in SERVE_FROM_ARTIFACT if n in headline
+        ],
         "load": {"before": load_before, "after": _machine_load()},
     }
+    if only:
+        # child of the fresh-families driver: the parent merges and writes
+        # the detail file; emit the machine-readable line and stop
+        print(json.dumps(detail), file=sys.stderr)
+        print(json.dumps({"queries_med": med, "queries_min": best,
+                          "rows": rows, "load": detail["load"]},
+                         separators=(",", ":")))
+        return 0
     # bench_detail.json is COMMITTED (not gitignored) since r9: the
     # per-query min series — the cross-round comparable — must survive
     # the driver's ~2000-char tail capture, and the stdout line can hold
@@ -312,12 +358,94 @@ def main() -> int:
             "unit": "sec",
             "runs": reps,
             "loaded_start": loaded_start,
+            # single-core canary (r12: ~27% host drift measured WITHIN one
+            # bench) — in the parsed line so no committed total can claim
+            # idle conditions its own canary contradicts
+            "cpu_probe_sec": load_before.get("cpu_probe_sec"),
             "queries": stdout_queries(med),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),
     )
     print(line)
+    return 0
+
+
+def _family_of(name: str) -> str:
+    """Query family = leading name token (tpch_q1 → tpch, dedup_* → dedup):
+    coarse enough that a family shares fixture/plan shape, fine enough
+    that a fresh JVM per family isolates heap/codegen contamination."""
+    return name.split("_", 1)[0]
+
+
+def _run_fresh_families(sf_dir: str, sf: str) -> int:
+    """SPARK_GRAFT_BENCH_FRESH=family: run each query family in its OWN
+    python/JVM subprocess — the regression-triage ground truth the shared
+    77-query session can't give (r11 #2 / r12 #7: rep-major shuffling
+    decorrelates session position, but heap/codegen state still
+    accumulates within the one JVM; fresh sessions measure each family
+    from a cold, uncontaminated start). Costs one ~6s session startup per
+    family (excluded from timings — the child warms up before measuring),
+    so it's the forensic mode, not the default."""
+    import subprocess
+
+    families: dict[str, list[str]] = {}
+    for name in HEADLINE:
+        families.setdefault(_family_of(name), []).append(name)
+    med: dict[str, float] = {}
+    best: dict[str, float] = {}
+    child_loads: dict[str, dict] = {}
+    for fam, names in families.items():
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(names)
+        env.pop("SPARK_GRAFT_BENCH_FRESH", None)
+        print(f"bench[fresh]: family {fam} ({len(names)} queries) in a "
+              f"fresh JVM", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            print(f"bench[fresh]: family {fam} FAILED", file=sys.stderr)
+            return proc.returncode
+        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+        med.update(payload["queries_med"])
+        best.update(payload["queries_min"])
+        child_loads[fam] = payload.get("load", {})
+    detail = {
+        "runs": int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
+        "fresh_mode": "family",
+        "queries_med": {n: med[n] for n in HEADLINE},
+        "queries_min": {n: best[n] for n in HEADLINE},
+        "value": round(sum(med.values()), 3),
+        "value_min": round(sum(best.values()), 3),
+        "serve_from_artifact": list(SERVE_FROM_ARTIFACT),
+        "load_per_family": child_loads,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail_fresh.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError as exc:
+        print(f"WARNING: bench_detail_fresh.json not written: {exc}",
+              file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": detail["value"],
+            "value_min": detail["value_min"],
+            "unit": "sec",
+            "fresh": "family",
+            "queries": stdout_queries(med),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    ))
     return 0
 
 

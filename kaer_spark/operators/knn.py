@@ -231,19 +231,57 @@ def hard_negatives(
     scored = joined.withColumn("score", score.cast("double")).select(
         "__qid", corpus_id_col, "score"
     )
+    scored = _negative_exclusions(
+        scored,
+        "score",
+        metric,
+        query_id_col,
+        corpus_id_col,
+        exclude_pairs,
+        exclude_self,
+        dup_ceiling,
+    )
+    return _negative_topk(scored, "score", order, k, query_id_col, corpus_id_col)
+
+
+def _negative_exclusions(
+    scored: DataFrame,
+    score_col: str,
+    metric: str,
+    query_id_col: str,
+    corpus_id_col: str,
+    exclude_pairs: DataFrame | None,
+    exclude_self: bool,
+    dup_ceiling: float | None,
+) -> DataFrame:
+    """The hard-negative exclusion semantics, shared by the broadcast and
+    the IVF-indexed miners (one body — divergence here would make the two
+    paths disagree on WHICH rows are negatives): self filter, dup ceiling,
+    and the labeled-pairs anti-join, all applied BEFORE the top-k cut."""
     if exclude_self:
         scored = scored.filter(F.col("__qid") != F.col(corpus_id_col))
     if dup_ceiling is not None:
         if metric == "l2sq":
-            scored = scored.filter(F.col("score") > F.lit(float(dup_ceiling)))
+            scored = scored.filter(F.col(score_col) > F.lit(float(dup_ceiling)))
         else:
-            scored = scored.filter(F.col("score") < F.lit(float(dup_ceiling)))
+            scored = scored.filter(F.col(score_col) < F.lit(float(dup_ceiling)))
     if exclude_pairs is not None:
         ex = exclude_pairs.select(
             F.col(query_id_col).alias("__qid"),
             F.col(corpus_id_col).alias(corpus_id_col),
         )
         scored = scored.join(ex, ["__qid", corpus_id_col], "left_anti")
+    return scored
+
+
+def _negative_topk(
+    scored: DataFrame,
+    score_col: str,
+    order: list,
+    k: int,
+    query_id_col: str,
+    corpus_id_col: str,
+) -> DataFrame:
     w = Window.partitionBy("__qid").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -251,7 +289,72 @@ def hard_negatives(
         .select(
             F.col("__qid").alias(query_id_col),
             F.col(corpus_id_col),
-            F.col("score"),
+            F.col(score_col).alias("score"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def ivf_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    cells: int = 64,
+    nprobe: int = 8,
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "doc_id",
+    centroids: list[list[float]] | None = None,
+    metric: str = "cosine",
+    exclude_pairs: DataFrame | None = None,
+    exclude_self: bool = True,
+    dup_ceiling: float | None = None,
+) -> DataFrame:
+    """:func:`hard_negatives` at training-mining scale: contrastive-training
+    pipelines mine negatives for MILLIONS of queries (every training
+    example), far past what the broadcast miner's query-side replication
+    tolerates. Candidates come from the IVF cell equi-join
+    (``similarity.ivf_scored_candidates`` — the ``ivf_knn_join`` body: the
+    corpus NEVER broadcasts and never crosses with the full query table;
+    queries replicate only ``nprobe``×), then the SAME exclusion semantics
+    as the exact miner — self filter, dup ceiling, labeled-pairs anti-join,
+    all applied BEFORE the per-query top-k cut (shared
+    ``_negative_exclusions`` body, so the two paths cannot drift).
+
+    With ``nprobe == cells`` every cell is probed and the result is
+    EXACTLY :func:`hard_negatives` (equivalence pytest-pinned; the driver
+    oracle checks the full-probe form value-exactly); at partial probe the
+    usual IVF recall envelope applies — a near-negative is missed only if
+    it lives outside all probed cells. Returns ``(query_id, doc_id, score,
+    rank 1..k)``. Pass ``centroids`` from a stored ``index_store`` sidecar
+    (and a pre-assigned ``_cell`` corpus) to serve from the materialized
+    index with zero corpus-side shuffle."""
+    from kaer_spark.operators.similarity import ivf_scored_candidates
+
+    scored, order = ivf_scored_candidates(
+        queries,
+        corpus,
+        cells=cells,
+        nprobe=nprobe,
+        query_vec_col=query_vec_col,
+        corpus_vec_col=corpus_vec_col,
+        query_id_col=query_id_col,
+        corpus_id_col=corpus_id_col,
+        centroids=centroids,
+        metric=metric,
+        corpus_pred=None,
+    )
+    scored = _negative_exclusions(
+        scored,
+        "__score",
+        metric,
+        query_id_col,
+        corpus_id_col,
+        exclude_pairs,
+        exclude_self,
+        dup_ceiling,
+    )
+    return _negative_topk(
+        scored, "__score", order, k, query_id_col, corpus_id_col
     )

@@ -289,10 +289,9 @@ def ivf_topk_deterministic(
     )
 
 
-def ivf_knn_join(
+def ivf_scored_candidates(
     queries: DataFrame,
     corpus: DataFrame,
-    k: int,
     cells: int = 64,
     nprobe: int = 8,
     query_vec_col: str = "embedding",
@@ -302,41 +301,15 @@ def ivf_knn_join(
     centroids: list[list[float]] | None = None,
     metric: str = "l2sq",
     corpus_pred=None,
-) -> DataFrame:
-    """Approximate kNN JOIN that never broadcasts the query side — the
-    scale path ``operators.knn.knn_join`` punts on ("for huge query sides,
-    chunk the queries and union").
-
-    ``metric="cosine"`` ranks survivors by descending cosine similarity
-    (matching ``knn_join``'s tie rules) and probes cells by ANGLE: queries
-    pick the ``nprobe`` centroids with the highest cosine, and when this
-    function also assigns the corpus, assignment is spherical (argmax
-    cosine to the centroid). Don't mix metrics between build and join on a
-    pre-assigned corpus — an L2-assigned cell layout probed by angle loses
-    recall for vectors whose magnitude, not direction, drove their cell.
-
-    Shape: assign every corpus row to its nearest of ``cells`` centroids
-    (narrow argmin expression, no shuffle beyond the cell equi-join);
-    compute each query's ``nprobe`` nearest cells as a pure Catalyst
-    ``array_sort``+``slice`` over the centroid-distance structs and explode
-    to ``(query, cell)``; equi-join queries to corpus ON THE CELL ID; exact
-    per-query top-k window over the survivors. Shuffle volume: corpus once
-    on ``_cell`` (or zero if the corpus is already the cell-partitioned
-    ``index_store`` table), queries ``nprobe``× replicated — versus
-    ``knn_join``'s full corpus × queries distance evaluation with the
-    query table resident on every executor. Within-cell pair work is
-    |q_cell| × |c_cell|: size ``cells`` ~ √N so cells stay bounded, and
-    AQE's skew-join split handles hot cells. Recall follows the IVF
-    envelope (README: measured by sweep, not tabulated) — a true neighbor
-    is missed only when it lives outside all ``nprobe`` probed cells.
-
-    Deterministic end-to-end with the default sample-fit centroids, so
-    results are stable across runs/engines; pass ``centroids`` (e.g. from
-    a k-means fit or a stored ``index_store`` sidecar) to reuse a better
-    quantizer. ``corpus_pred`` (a boolean Column) pre-filters the corpus —
-    the reference's filtered-ANN semantics in batch form; the filter sits
-    below the join so Catalyst pushes it into the corpus scan.
-    """
+) -> tuple[DataFrame, list]:
+    """The candidate stage every IVF join-shaped operator shares (one body
+    — the r11 fuzzy-family divergence lesson): cell-assign the corpus,
+    probe each query's ``nprobe`` nearest cells, equi-join ON THE CELL ID,
+    score the survivors. Returns ``(scored, order)`` where ``scored`` is
+    the narrow ``(__qid, corpus_id_col, __score)`` triple and ``order`` is
+    the metric's rank ordering (ties by corpus id) — callers apply their
+    own pre-cut filters and the per-query window. See
+    :func:`ivf_knn_join` for the full shape/scale discussion."""
     if metric not in ("l2sq", "cosine"):
         raise ValueError(f"metric must be 'l2sq' or 'cosine', got {metric!r}")
 
@@ -392,8 +365,74 @@ def ivf_knn_join(
     else:
         score = l2sq(F.col(corpus_vec_col), F.col("__qvec"))
         order = [F.col("__score").asc(), F.col(corpus_id_col).asc()]
-    scored = qa.join(assigned, "_cell").withColumn(
-        "__score", score.cast("double")
+    scored = (
+        qa.join(assigned, "_cell")
+        .withColumn("__score", score.cast("double"))
+        .select("__qid", corpus_id_col, "__score")
+    )
+    return scored, order
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    cells: int = 64,
+    nprobe: int = 8,
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "doc_id",
+    centroids: list[list[float]] | None = None,
+    metric: str = "l2sq",
+    corpus_pred=None,
+) -> DataFrame:
+    """Approximate kNN JOIN that never broadcasts the query side — the
+    scale path ``operators.knn.knn_join`` punts on ("for huge query sides,
+    chunk the queries and union").
+
+    ``metric="cosine"`` ranks survivors by descending cosine similarity
+    (matching ``knn_join``'s tie rules) and probes cells by ANGLE: queries
+    pick the ``nprobe`` centroids with the highest cosine, and when this
+    function also assigns the corpus, assignment is spherical (argmax
+    cosine to the centroid). Don't mix metrics between build and join on a
+    pre-assigned corpus — an L2-assigned cell layout probed by angle loses
+    recall for vectors whose magnitude, not direction, drove their cell.
+
+    Shape: assign every corpus row to its nearest of ``cells`` centroids
+    (narrow argmin expression, no shuffle beyond the cell equi-join);
+    compute each query's ``nprobe`` nearest cells as a pure Catalyst
+    ``array_sort``+``slice`` over the centroid-distance structs and explode
+    to ``(query, cell)``; equi-join queries to corpus ON THE CELL ID; exact
+    per-query top-k window over the survivors. Shuffle volume: corpus once
+    on ``_cell`` (or zero if the corpus is already the cell-partitioned
+    ``index_store`` table), queries ``nprobe``× replicated — versus
+    ``knn_join``'s full corpus × queries distance evaluation with the
+    query table resident on every executor. Within-cell pair work is
+    |q_cell| × |c_cell|: size ``cells`` ~ √N so cells stay bounded, and
+    AQE's skew-join split handles hot cells. Recall follows the IVF
+    envelope (README: measured by sweep, not tabulated) — a true neighbor
+    is missed only when it lives outside all ``nprobe`` probed cells.
+
+    Deterministic end-to-end with the default sample-fit centroids, so
+    results are stable across runs/engines; pass ``centroids`` (e.g. from
+    a k-means fit or a stored ``index_store`` sidecar) to reuse a better
+    quantizer. ``corpus_pred`` (a boolean Column) pre-filters the corpus —
+    the reference's filtered-ANN semantics in batch form; the filter sits
+    below the join so Catalyst pushes it into the corpus scan.
+    """
+    scored, order = ivf_scored_candidates(
+        queries,
+        corpus,
+        cells=cells,
+        nprobe=nprobe,
+        query_vec_col=query_vec_col,
+        corpus_vec_col=corpus_vec_col,
+        query_id_col=query_id_col,
+        corpus_id_col=corpus_id_col,
+        centroids=centroids,
+        metric=metric,
+        corpus_pred=corpus_pred,
     )
     w = Window.partitionBy("__qid").orderBy(*order)
     return (

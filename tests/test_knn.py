@@ -274,3 +274,58 @@ def test_hard_negatives_semantics(spark, embeddings):
         queries, corpus, k=4, corpus_id_col="doc_id", metric="cosine"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, kj.collect()))
+
+
+def test_ivf_hard_negatives_full_probe_equals_exact(spark, embeddings):
+    """nprobe == cells probes every cell, so the indexed miner must equal
+    the broadcast miner EXACTLY — same exclusions (self, labeled pairs,
+    dup ceiling), same scores, same tie breaks."""
+    from kaer_spark.operators.knn import hard_negatives, ivf_hard_negatives
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ex = spark.createDataFrame(
+        [(q, q + 7) for q in range(4)], "query_id long, doc_id long"
+    )
+    kwargs = dict(
+        k=5, metric="cosine", exclude_pairs=ex,
+        exclude_self=True, dup_ceiling=0.999,
+    )
+    exact = hard_negatives(queries, corpus, **kwargs)
+    indexed = ivf_hard_negatives(
+        queries, corpus, cells=8, nprobe=8, **kwargs
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+
+
+def test_ivf_hard_negatives_partial_probe_no_corpus_broadcast(spark, embeddings):
+    """Partial probe fills k rows per query and the plan is the cell
+    EQUI-join — never a broadcast-nested-loop of the corpus against the
+    query table (the property that makes it the million-query path)."""
+    from kaer_spark.operators.knn import ivf_hard_negatives
+    from kaer_spark.plans.inspect import formatted_plan
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+    out = ivf_hard_negatives(
+        queries, corpus, k=5, cells=8, nprobe=3, metric="cosine",
+        dup_ceiling=0.999,
+    )
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        assert q not in [r["doc_id"] for r in rs]
+        assert all(r["score"] < 0.999 for r in rs)
