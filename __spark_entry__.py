@@ -501,6 +501,26 @@ def _q_pq_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("_score").alias("l2sq"))
 
 
+def _q_pq_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED compressed serving (index_store.pq_index_topk with pred —
+    r12 verdict #8: the reference's core semantics IS filtered kNN,
+    db/db.go:111-143, now on the PQ path too): the predicate's ids
+    (a pushed-down, id-only corpus scan) SEMI-JOIN the at-rest code table
+    BEFORE the ADC shortlist cut, so the result is "k nearest among
+    matches", never an under-filled top-k-minus-nonmatches. The oracle
+    replays both stages with the filter applied pre-shortlist, exactly
+    like the engine. Distinct geometry from pq_knn_refined (shortlist 40,
+    pred vec_id %% 3 == 0)."""
+    from kaer_spark.operators.index_store import pq_index_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    path = _ensure_pq_index(spark, sf_dir, cells=None)
+    return pq_index_topk(
+        spark, path, embs, QVEC, topk=10, shortlist=40,
+        pred=F.col("vec_id") % 3 == 0,
+    ).select("vec_id", F.col("_score").alias("l2sq"))
+
+
 def _q_pq_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 catch-up (reference updateIndexFromLastId, db/db.go:191-207) for
     the PQ code table, proven through the value gate: build the index on
@@ -3605,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_det": _q_lsh_knn_det,
         "pq_knn_det": _q_pq_knn_det,
         "pq_knn_refined": _q_pq_knn_refined,
+        "pq_knn_filtered": _q_pq_knn_filtered,
         "ivf_pq_knn": _q_ivf_pq_knn,
         "pq_index_catchup": _q_pq_index_catchup,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -4000,7 +4021,7 @@ def _sql_lsh_knn_det() -> str:
     """
 
 
-def _sql_pq_knn_det(limit: int = 10) -> str:
+def _sql_pq_knn_det(limit: int = 10, where: str | None = None) -> str:
     """Replay of similarity.pq_topk_deterministic: codebooks re-derived
     relationally (slices of vec_id<16 rows), encode = per-subspace
     (dist, cid) rank, ADC = per-subspace literal-query slice distances,
@@ -4009,7 +4030,10 @@ def _sql_pq_knn_det(limit: int = 10) -> str:
     Subspace width derives from the query literal (len(QVEC) / m), like
     the engine's dim // m. ``limit`` sizes the ADC cut — 10 for the
     direct top-k query, ``shortlist`` when reused as the refined path's
-    stage-1 subquery."""
+    stage-1 subquery. ``where`` (over ``enc.vec_id``) replays the
+    filtered contract: matches are restricted BEFORE the ADC cut, exactly
+    like pq_index_topk's semi-join of the code table against the
+    predicate's ids."""
     m, k = 8, 16
     d = len(QVEC) // m
 
@@ -4066,6 +4090,7 @@ def _sql_pq_knn_det(limit: int = 10) -> str:
         SELECT enc.vec_id, {score} AS adc_l2sq
         FROM enc
             {joins}
+        {f"WHERE {where}" if where else ""}
         ORDER BY adc_l2sq ASC, enc.vec_id ASC
         LIMIT {limit}
     """
@@ -4178,16 +4203,20 @@ def _sql_ivf_pq_topk(
     """
 
 
-def _sql_pq_knn_refined(shortlist: int = 50, topk: int = 10) -> str:
+def _sql_pq_knn_refined(
+    shortlist: int = 50, topk: int = 10, where: str | None = None
+) -> str:
     """Replay of similarity.pq_topk_refined: stage 1 is the det-PQ ADC
     replay above cut at ``shortlist``, stage 2 joins the survivors back to
     their raw vectors and re-ranks by the EXACT literal-query l2sq (the
     same explicit left-assoc product chain as every exact-distance
     oracle). Both stages order by (score, id), so the replay is
-    value-identical, not just rank-identical."""
+    value-identical, not just rank-identical. ``where`` replays the
+    filtered contract inside stage 1 (pre-shortlist, per the semi-join
+    semantics); stage 2's survivors then match by construction."""
     return f"""
         SELECT s.vec_id, {_sql_l2sq_lit('e.embedding', QVEC)} AS l2sq
-        FROM ({_sql_pq_knn_det(limit=shortlist)}) s
+        FROM ({_sql_pq_knn_det(limit=shortlist, where=where)}) s
         JOIN embeddings e ON e.vec_id = s.vec_id
         ORDER BY l2sq ASC, s.vec_id ASC
         LIMIT {topk}
@@ -7688,6 +7717,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_knn_det": _sql_lsh_knn_det(),
         "pq_knn_det": _sql_pq_knn_det(),
         "pq_knn_refined": _sql_pq_knn_refined(),
+        "pq_knn_filtered": _sql_pq_knn_refined(
+            shortlist=40, topk=10, where="(enc.vec_id % 3) = 0"
+        ),
         "ivf_pq_knn": _sql_ivf_pq_topk(),
         # catch-up serve: prefix-built + refreshed index ≡ full-corpus
         # deterministic fit (the codebook sample lies inside the prefix),

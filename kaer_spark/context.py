@@ -353,6 +353,7 @@ class Collection:
         self,
         document: str | None = None,
         k: int = 10,
+        filter: Mapping[str, Any] | None = None,
         query_vector: Sequence[float] | None = None,
         shortlist: int = 50,
         nprobe: int | None = None,
@@ -362,10 +363,12 @@ class Collection:
         float64 re-rank of the ``shortlist`` survivors — reported ``_dist``
         carries no quantization error; recall is bounded by ``shortlist``
         (and the probed cells when ``nprobe`` is set on a celled index).
-        Unfiltered by design — the metadata-pre-filtered contract lives in
-        :meth:`query` (exact or IVF-probed), where the filter composes
-        with the scan; a PQ shortlist under a selective filter would need
-        the same escalation machinery for little gain."""
+        ``filter`` is the same Mongo-dialect metadata pre-filter as
+        :meth:`query` (the reference's filtered-kNN contract,
+        ``db/db.go:111-143``): matching ids semi-join the code table
+        BEFORE the shortlist cut — "k nearest among matches" — and a
+        selective filter on a celled index escalates ``nprobe`` until
+        ``k`` rows fill (``index_store.pq_index_topk``)."""
         if query_vector is None:
             if document is None:
                 raise ValueError("need document or query_vector")
@@ -377,9 +380,17 @@ class Collection:
             )
         from kaer_spark.operators.index_store import pq_index_topk
 
+        pred = None
+        if filter is not None:
+            pred = (
+                compile_filter_json(filter, META_COL)
+                if self.meta.get("schemaless")
+                else compile_filter(filter)
+            )
         hits = pq_index_topk(
             self.ctx.spark, self.pq_index_path, self.df(),
             list(query_vector), topk=k, shortlist=shortlist, nprobe=nprobe,
+            pred=pred,
         ).withColumnRenamed("_score", "_dist")
         return (
             self.df()

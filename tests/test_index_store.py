@@ -470,3 +470,80 @@ def test_ivf_refresh_replayed_after_crash_no_duplicates(spark, embeddings, tmp_p
     data = spark.read.parquet(f"{path}/data")
     assert data.count() == total
     assert data.select("vec_id").distinct().count() == total
+
+
+def test_pq_index_topk_filtered_k_nearest_among_matches(spark, embeddings, tmp_path):
+    """pred semi-joins the code table BEFORE the ADC cut: with a shortlist
+    covering every match, the result IS the exact filtered top-k ("k
+    nearest among matches"), never an under-filled top-k-minus-rest."""
+    from kaer_spark.operators.index_store import build_pq_index, pq_index_topk
+    from kaer_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "pq")
+    build_pq_index(embeddings, path, m=8, k=16)
+    pred = F.col("vec_id") % 7 == 0
+    n_match = embeddings.filter(pred).count()
+    got = pq_index_topk(
+        spark, path, embeddings, QVEC, topk=10,
+        shortlist=n_match, pred=pred,
+    ).collect()
+    exact = (
+        brute_force_topk(
+            embeddings.filter(pred), QVEC, 10, metric="l2sq"
+        )
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    assert all(r["vec_id"] % 7 == 0 for r in got)
+
+
+def test_pq_index_topk_filtered_escalates_nprobe(spark, embeddings, tmp_path):
+    """Celled index + selective pred: a 1-cell probe can't fill k, so
+    nprobe doubles until k rows match (the ivf_index_topk recipe) — and
+    at full escalation the result equals the unprobed filtered search."""
+    from kaer_spark.operators.index_store import build_pq_index, pq_index_topk
+
+    path = str(tmp_path / "pq")
+    build_pq_index(embeddings, path, m=8, k=16, cells=8)
+    pred = F.col("vec_id") % 50 == 0  # ~12 matches spread across cells
+    k = 8
+    esc = pq_index_topk(
+        spark, path, embeddings, QVEC, topk=k, shortlist=200,
+        nprobe=1, pred=pred, escalate=True,
+    ).collect()
+    assert len(esc) == k
+    assert all(r["vec_id"] % 50 == 0 for r in esc)
+    flat = pq_index_topk(
+        spark, path, embeddings, QVEC, topk=k, shortlist=200,
+        pred=pred,
+    ).collect()
+    assert [(r["vec_id"], r["_score"]) for r in esc] == [
+        (r["vec_id"], r["_score"]) for r in flat
+    ]
+    # without escalation the 1-cell probe under-fills
+    une = pq_index_topk(
+        spark, path, embeddings, QVEC, topk=k, shortlist=200,
+        nprobe=1, pred=pred, escalate=False,
+    ).collect()
+    assert len(une) < k
+
+
+def test_collection_query_pq_filtered(spark, tmp_path):
+    """query_pq(filter=...) is the reference's filtered-kNN contract on the
+    compressed path: every hit matches the Mongo-dialect filter and equals
+    query()'s exact filtered ranking when the shortlist covers the
+    matches."""
+    from kaer_spark.context import ID_COL, KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("pqf")
+    texts = [f"document number {i} about topic {i % 7}" for i in range(40)]
+    coll.insert(texts, [{"i": i, "parity": i % 2} for i in range(40)])
+    coll.build_pq_index(m=8, k=16)
+    got = coll.query_pq(
+        "topic three", k=5, filter={"parity": 1}, shortlist=40
+    ).collect()
+    assert len(got) == 5
+    assert all(r["parity"] == 1 for r in got)
+    exact = coll.query("topic three", k=5, filter={"parity": 1}).collect()
+    assert [r[ID_COL] for r in got] == [r[ID_COL] for r in exact]
