@@ -531,11 +531,11 @@ def _q_pq_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and any refresh bug (wrong codebooks, missed/duplicated tail rows,
     re-fit drift) surfaces as a value mismatch in the served ranking.
     Distinct geometry (shortlist=40, topk=12) from pq_knn_refined."""
-    import json as _json
     import os
 
     from kaer_spark.operators.index_store import (
         PQ_META_FILE,
+        _write_meta_atomic,
         build_pq_index,
         pq_index_topk,
         read_pq_meta,
@@ -563,8 +563,7 @@ def _q_pq_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         meta = refresh_pq_index(embs, path)
         meta["caught_up"] = True
-        with open(os.path.join(path, PQ_META_FILE), "w") as f:
-            _json.dump(meta, f)
+        _write_meta_atomic(path, PQ_META_FILE, meta)
     return pq_index_topk(
         spark, path, embs, QVEC, topk=12, shortlist=40
     ).select("vec_id", F.col("_score").alias("l2sq"))

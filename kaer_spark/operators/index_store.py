@@ -253,6 +253,51 @@ def ivf_table_knn_join(
     )
 
 
+def ivf_table_hard_negatives(
+    spark: SparkSession,
+    table: str,
+    meta_path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    metric: str = "cosine",
+    exclude_pairs: DataFrame | None = None,
+    exclude_self: bool = True,
+    dup_ceiling: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining against the BUCKETED cell table — the standing
+    serving layout for a RECURRING mining pass (every contrastive-training
+    epoch re-mines as the encoder moves): ``knn.ivf_hard_negatives``'s
+    exclusion semantics with the corpus side of the cell equi-join
+    carrying NO exchange at all (bucket-aligned scan; only the
+    nprobe×-replicated query side shuffles). Reuses the table's stored
+    ``_cell`` assignment and the sidecar centroids, so mining never
+    recomputes a corpus argmin. Same caveat as the table join: don't
+    probe an L2-assigned layout by angle — build the table with the
+    metric the miner will use."""
+    from kaer_spark.operators.knn import ivf_hard_negatives
+
+    meta = read_index_meta(meta_path)
+    return ivf_hard_negatives(
+        queries,
+        spark.table(table),
+        k,
+        cells=meta["cells"],
+        nprobe=nprobe,
+        query_vec_col=query_vec_col,
+        corpus_vec_col=meta["vec_col"],
+        query_id_col=query_id_col,
+        corpus_id_col=meta["id_col"],
+        centroids=meta["centroids"],
+        metric=metric,
+        exclude_pairs=exclude_pairs,
+        exclude_self=exclude_self,
+        dup_ceiling=dup_ceiling,
+    )
+
+
 def ivf_index_knn_join(
     spark: SparkSession,
     path: str,

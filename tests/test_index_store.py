@@ -547,3 +547,62 @@ def test_collection_query_pq_filtered(spark, tmp_path):
     assert all(r["parity"] == 1 for r in got)
     exact = coll.query("topic three", k=5, filter={"parity": 1}).collect()
     assert [r[ID_COL] for r in got] == [r[ID_COL] for r in exact]
+
+
+def test_ivf_table_hard_negatives_no_corpus_exchange(spark, embeddings, tmp_path):
+    """Mining from the bucketed cell table: full probe equals the exact
+    broadcast miner (same exclusions), and with broadcast disabled the
+    corpus side feeds the cell join bucket-aligned — zero corpus-side
+    exchange, the recurring-epoch mining layout."""
+    import re
+
+    from kaer_spark.operators.index_store import (
+        ivf_table_hard_negatives,
+        write_ivf_bucketed_table,
+    )
+    from kaer_spark.operators.knn import hard_negatives
+    from kaer_spark.plans import executed_plan
+
+    meta_path = str(tmp_path / "hn_tbl_meta")
+    try:
+        write_ivf_bucketed_table(
+            embeddings, "hn_cells", meta_path, cells=4, fit="deterministic"
+        )
+        queries = (
+            embeddings.orderBy("vec_id").limit(4)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        ex = spark.createDataFrame(
+            [(q, q + 3) for q in range(4)], "query_id long, vec_id long"
+        )
+        kwargs = dict(
+            metric="l2sq", exclude_pairs=ex, exclude_self=True,
+        )
+        exact = hard_negatives(
+            queries,
+            embeddings.select(F.col("vec_id"), "embedding"),
+            k=5, corpus_id_col="vec_id", **kwargs,
+        )
+        mined = ivf_table_hard_negatives(
+            spark, "hn_cells", meta_path, queries, k=5, nprobe=4, **kwargs
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, mined.collect())
+        )
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = ivf_table_hard_negatives(
+                spark, "hn_cells", meta_path, queries, k=5, nprobe=2, **kwargs
+            )
+            plan = executed_plan(df)
+            assert "BroadcastHashJoin" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            cell_exchanges = re.findall(r"Exchange hashpartitioning\(_cell", plan)
+            assert len(cell_exchanges) == 1  # query side only
+            assert df.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hn_cells")

@@ -321,6 +321,29 @@ def main() -> int:
         results[f"pq_index_serve_{label}"] = {"sec": t, "rows": n}
         print(f"pq_index serve {label}: {t}s", file=sys.stderr)
 
+    # --- round-13 probe: indexed hard-negative mining -------------------
+    # ivf_hard_negatives at fixed nprobe: mining cost should track the
+    # probed corpus fraction, not the full corpus × queries product the
+    # broadcast miner pays — the property that makes it the per-epoch
+    # re-mining path.
+    from kaer_spark.operators.knn import ivf_hard_negatives
+
+    for label, d in (("1x", embs), ("10x", amplify(embs, "vec_id", TIMES,
+                                                   rotate_col="embedding"))):
+        ivf_hard_negatives(
+            queries, d.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            k=5, cells=16, nprobe=4, metric="cosine", dup_ceiling=0.9999,
+        ).count()
+        t, n = timed(
+            lambda dd=d: ivf_hard_negatives(
+                queries,
+                dd.select(F.col("vec_id").alias("doc_id"), "embedding"),
+                k=5, cells=16, nprobe=4, metric="cosine", dup_ceiling=0.9999,
+            ).count()
+        )
+        results[f"ivf_hard_negatives_{label}"] = {"sec": t, "rows": n}
+        print(f"ivf_hard_negatives {label}: {t}s ({n} rows)", file=sys.stderr)
+
     # pps: one range shuffle + bounded offsets — ~linear in rows, and the
     # selected count stays ~k regardless of corpus size
     from kaer_spark.operators.sampling import pps_systematic_sample
