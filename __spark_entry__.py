@@ -2942,7 +2942,7 @@ def _q_streaming_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from kaer_spark.operators.sketches import hll_estimate
-    from kaer_spark.streaming.ingest import streaming_hll_ingest
+    from kaer_spark.streaming.ingest import read_hll_state, streaming_hll_ingest
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -2962,7 +2962,7 @@ def _q_streaming_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return hll_estimate(spark.read.parquet(state), p=HLL_P)
+    return hll_estimate(read_hll_state(spark, state), p=HLL_P)
 
 
 def _q_hll_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
