@@ -521,6 +521,33 @@ def _q_pq_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("_score").alias("l2sq"))
 
 
+PQJ_NQ, PQJ_SHORTLIST, PQJ_TOPK = 4, 30, 8
+
+
+def _q_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch compressed ANN JOIN from the at-rest code table
+    (index_store.pq_index_knn_join — the PQ twin of ivf_index_knn_join,
+    completing the serving stack): per query the ADC lookup table is
+    computed IN-PLAN (codebook literals × the query vector column,
+    evaluated once per query row), the code table is scanned ONCE for the
+    whole batch, per-query shortlists are WindowGroupLimit-bounded, and
+    the exact float64 re-rank runs on ≤ queries×shortlist survivors. The
+    oracle replays every stage relationally — per-query ADC tables
+    included — against the deterministic codebooks."""
+    from kaer_spark.operators.index_store import pq_index_knn_join
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = (
+        embs.orderBy("vec_id").limit(PQJ_NQ)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    path = _ensure_pq_index(spark, sf_dir, cells=None)
+    return pq_index_knn_join(
+        spark, path, embs, queries,
+        topk=PQJ_TOPK, shortlist=PQJ_SHORTLIST,
+    )
+
+
 def _q_pq_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 catch-up (reference updateIndexFromLastId, db/db.go:191-207) for
     the PQ code table, proven through the value gate: build the index on
@@ -3625,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn_det": _q_pq_knn_det,
         "pq_knn_refined": _q_pq_knn_refined,
         "pq_knn_filtered": _q_pq_knn_filtered,
+        "pq_knn_join": _q_pq_knn_join,
         "ivf_pq_knn": _q_ivf_pq_knn,
         "pq_index_catchup": _q_pq_index_catchup,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -4092,6 +4120,93 @@ def _sql_pq_knn_det(limit: int = 10, where: str | None = None) -> str:
         {f"WHERE {where}" if where else ""}
         ORDER BY adc_l2sq ASC, enc.vec_id ASC
         LIMIT {limit}
+    """
+
+
+def _sql_pq_knn_join(nq: int = 4, shortlist: int = 30, topk: int = 8) -> str:
+    """Replay of index_store.pq_index_knn_join over the det-fit code
+    table: the encode CTEs are _sql_pq_knn_det's (query-independent);
+    per-QUERY ADC tables come from the same slice-distance chain with the
+    query VECTOR joined relationally instead of inlined as literals (the
+    engine computes them in-plan per query row); stage-1 shortlist is a
+    per-qid rank window, stage-2 the exact column-column l2sq re-rank.
+    Every stage orders by (score, id) within the query — value-identical,
+    not just rank-identical."""
+    m, k = 8, 16
+    d = len(QVEC) // m
+
+    def slice_dist(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            for i in range(s * d + 1, s * d + d + 1)
+        )
+
+    cd = "\n          UNION ALL ".join(
+        f"SELECT e.vec_id, c.cid, {s} AS s, {slice_dist('e.embedding', 'c.cvec', s)} AS dist"
+        f" FROM embeddings e CROSS JOIN cb c"
+        for s in range(m)
+    )
+    qadc = "\n          UNION ALL ".join(
+        f"SELECT q.qid, c.cid, {s} AS s, {slice_dist('q.qv', 'c.cvec', s)} AS dist"
+        f" FROM q CROSS JOIN cb c"
+        for s in range(m)
+    )
+    enc_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m)
+    )
+    joins = "\n            ".join(
+        f"JOIN qadc a{s} ON a{s}.qid = q.qid AND a{s}.s = {s}"
+        f" AND a{s}.cid = enc.c{s}"
+        for s in range(m)
+    )
+    score = "a0.dist"
+    for s in range(1, m):
+        score = f"({score} + a{s}.dist)"
+    return f"""
+        WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                           embedding AS cvec
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT {k})),
+        cd AS (
+          {cd}
+        ),
+        r AS (
+          SELECT vec_id, s, cid,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+          FROM cd
+        ),
+        enc AS (SELECT vec_id, {enc_cols} FROM r WHERE rn = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, embedding AS qv
+              FROM embeddings ORDER BY vec_id LIMIT {nq}),
+        qadc AS (
+          {qadc}
+        ),
+        scored AS (
+          SELECT q.qid, enc.vec_id, {score} AS adc
+          FROM q CROSS JOIN enc
+            {joins}
+        ),
+        sh AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (
+                     PARTITION BY qid ORDER BY adc ASC, vec_id ASC
+                   ) AS rk
+            FROM scored) WHERE rk <= {shortlist}
+        ),
+        re AS (
+          SELECT s.qid AS query_id, s.vec_id,
+                 {_sql_l2sq_cols('e.embedding', 'q.qv')} AS _score
+          FROM sh s
+          JOIN embeddings e ON e.vec_id = s.vec_id
+          JOIN q ON q.qid = s.qid
+        )
+        SELECT query_id, vec_id, _score, CAST(rk AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY _score ASC, vec_id ASC) AS rk
+              FROM re)
+        WHERE rk <= {topk}
     """
 
 
@@ -7718,6 +7833,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_knn_refined": _sql_pq_knn_refined(),
         "pq_knn_filtered": _sql_pq_knn_refined(
             shortlist=40, topk=10, where="(enc.vec_id % 3) = 0"
+        ),
+        "pq_knn_join": _sql_pq_knn_join(
+            nq=PQJ_NQ, shortlist=PQJ_SHORTLIST, topk=PQJ_TOPK
         ),
         "ivf_pq_knn": _sql_ivf_pq_topk(),
         # catch-up serve: prefix-built + refreshed index ≡ full-corpus

@@ -91,6 +91,8 @@ HEADLINE = [
     "dedup_cluster_build",
     # round-13: indexed hard-negative mining (IVF cell equi-join)
     "ivf_hard_negatives",
+    # round-13: batch compressed ANN join from the at-rest code table
+    "pq_knn_join",
     # round-11 additions: complete edit-distance join (new banded-join
     # family), two-stage PQ refine, MMR re-rank, and the two corpus-drift
     # diagnostics
@@ -128,6 +130,7 @@ HEADLINE = [
 SERVE_FROM_ARTIFACT = [
     "dedup_keep_best",
     "pq_knn_refined",
+    "pq_knn_join",
     "pq_index_catchup",  # after the first rep in a process
 ]
 

@@ -623,3 +623,140 @@ def pq_index_topk(
         if out.count() >= int(topk):
             return out
         cur = min(cur * 2, n_cells)
+
+
+def pq_index_knn_join(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    shortlist: int = 50,
+    nprobe: int | None = None,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch kNN JOIN served from the AT-REST code table — the
+    many-queries form of :func:`pq_index_topk`, completing the compressed
+    serving stack (the IVF family has :func:`ivf_index_knn_join`; this is
+    its PQ twin for query tables instead of one vector per call). Returns
+    ``(query_id, id, _score, rank 1..topk)``.
+
+    Per query, stage 1 computes the ADC lookup table IN-PLAN — a compact
+    higher-order fold of the stored codebooks (literals from the sidecar)
+    against the query vector, evaluated once per QUERY row, never per
+    corpus row — then scores every stored code via the same
+    ``zip_with``-gather as the single-query path and heap-cuts
+    ``shortlist`` survivors per query (``row_number`` ≤ k triggers the
+    WindowGroupLimit rewrite, so the per-query exchange is bounded).
+    Stage 2 re-ranks the ≤ queries×shortlist survivors against raw
+    vectors in exact float64. The code table is read ONCE for the whole
+    batch (m ints per vector), queries broadcast (unprobed) or explode
+    ``nprobe``× onto the ``_cell`` equi-join (probed, celled index) — the
+    corpus-side scan never replicates per query.
+
+    With ``fit="deterministic"`` codebooks the whole batch — per-query
+    ADC tables included — replays relationally, so the driver oracle
+    value-checks every stage (``pq_knn_join``)."""
+    from pyspark.sql.window import Window
+
+    from kaer_spark.operators.similarity import ivf_probe_cells  # noqa: F401
+
+    meta = read_pq_meta(path)
+    m, d = meta["m"], meta["dim"] // meta["m"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    books = meta["codebooks"]
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in code])
+                    for code in book
+                ]
+            )
+            for book in books
+        ]
+    )
+    qv = F.col("__qvec").cast("array<double>")
+    # per-(subspace, codeword) squared-L2 of the query slice — left-assoc
+    # fold from 0.0, the engine-wide IEEE op order every oracle replays
+    adc_table = F.transform(
+        cb_lit,
+        lambda book, s: F.transform(
+            book,
+            lambda code: F.aggregate(
+                F.zip_with(
+                    code,
+                    F.slice(qv, s * F.lit(d) + F.lit(1), F.lit(d)),
+                    lambda c, x: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        ),
+    )
+    qtab = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qvec"),
+    ).withColumn("__adc_table", adc_table)
+    codes = spark.read.parquet(os.path.join(path, DATA_DIR))
+    if nprobe is not None:
+        if meta["cells"] is None:
+            raise ValueError("index has no coarse cells; build with cells=")
+        cents = meta["centroids"]
+        cdists = F.array(
+            *[
+                F.struct(
+                    l2sq("__qvec", c).alias("dist"), F.lit(j).alias("j")
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        probe = F.transform(
+            F.slice(F.array_sort(cdists), 1, int(nprobe)), lambda s: s["j"]
+        )
+        qtab = qtab.withColumn("_cell", F.explode(probe))
+        scored = codes.join(F.broadcast(qtab), "_cell")
+    else:
+        scored = codes.crossJoin(F.broadcast(qtab))
+    adc = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__adc_table"), lambda c, t: t[c]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w1 = Window.partitionBy("__qid").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    short = (
+        scored.withColumn("_adc", adc)
+        .select("__qid", id_col, "_adc")
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= int(shortlist))
+        .select("__qid", id_col)
+    )
+    rerank = (
+        corpus.join(F.broadcast(short), id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("__qid"),
+                    F.col(query_vec_col).alias("__qvec"),
+                )
+            ),
+            "__qid",
+        )
+        .withColumn("_score", l2sq(vec_col, F.col("__qvec")))
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("_score").asc(), F.col(id_col).asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(topk))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -606,3 +606,45 @@ def test_ivf_table_hard_negatives_no_corpus_exchange(spark, embeddings, tmp_path
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS hn_cells")
+
+
+def test_pq_index_knn_join_equals_per_query_serving(spark, embeddings, tmp_path):
+    """The batch join must reproduce the single-query pq_index_topk loop
+    exactly — per query, same survivors, same exact re-rank scores — for
+    both the unprobed and the celled+probed layouts."""
+    from kaer_spark.operators.index_store import (
+        build_pq_index,
+        pq_index_knn_join,
+        pq_index_topk,
+    )
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    qvecs = {r["query_id"]: list(r["embedding"]) for r in queries.collect()}
+
+    for cells, nprobe in ((None, None), (8, 3)):
+        path = str(tmp_path / f"pq_{cells}")
+        build_pq_index(embeddings, path, m=8, k=16, cells=cells)
+        batch = pq_index_knn_join(
+            spark, path, embeddings, queries,
+            topk=5, shortlist=20, nprobe=nprobe,
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["_score"])
+            )
+        assert set(got) == set(qvecs)
+        for qid, qv in qvecs.items():
+            single = [
+                (i + 1, r["vec_id"], r["_score"])
+                for i, r in enumerate(
+                    pq_index_topk(
+                        spark, path, embeddings, qv,
+                        topk=5, shortlist=20, nprobe=nprobe,
+                    ).collect()
+                )
+            ]
+            assert sorted(got[qid]) == single, (cells, qid)
