@@ -635,6 +635,7 @@ def pq_index_knn_join(
     nprobe: int | None = None,
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    pred=None,
 ) -> DataFrame:
     """Batch kNN JOIN served from the AT-REST code table — the
     many-queries form of :func:`pq_index_topk`, completing the compressed
@@ -657,7 +658,14 @@ def pq_index_knn_join(
 
     With ``fit="deterministic"`` codebooks the whole batch — per-query
     ADC tables included — replays relationally, so the driver oracle
-    value-checks every stage (``pq_knn_join``)."""
+    value-checks every stage (``pq_knn_join``).
+
+    ``pred`` is the filtered contract, same recipe as
+    :func:`pq_index_topk`: matching ids semi-join the code table BEFORE
+    the per-query shortlist cut — "k nearest among matches" for every
+    query in the batch. (No nprobe escalation here: a batch can't
+    escalate per-query without forking plans — pass ``nprobe=None`` for
+    filtered batches, or size ``nprobe`` for the filter's selectivity.)"""
     from pyspark.sql.window import Window
 
     from kaer_spark.operators.similarity import ivf_probe_cells  # noqa: F401
@@ -700,6 +708,10 @@ def pq_index_knn_join(
         F.col(query_vec_col).alias("__qvec"),
     ).withColumn("__adc_table", adc_table)
     codes = spark.read.parquet(os.path.join(path, DATA_DIR))
+    if pred is not None:
+        codes = codes.join(
+            corpus.filter(pred).select(id_col), id_col, "left_semi"
+        )
     if nprobe is not None:
         if meta["cells"] is None:
             raise ValueError("index has no coarse cells; build with cells=")

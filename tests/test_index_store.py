@@ -648,3 +648,38 @@ def test_pq_index_knn_join_equals_per_query_serving(spark, embeddings, tmp_path)
                 )
             ]
             assert sorted(got[qid]) == single, (cells, qid)
+
+
+def test_pq_index_knn_join_filtered(spark, embeddings, tmp_path):
+    """Filtered batch join: every hit matches pred, and with a shortlist
+    covering all matches each query's result is the exact filtered top-k."""
+    from kaer_spark.operators.index_store import (
+        build_pq_index,
+        pq_index_knn_join,
+    )
+    from kaer_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "pq")
+    build_pq_index(embeddings, path, m=8, k=16)
+    pred = F.col("vec_id") % 9 == 0
+    n_match = embeddings.filter(pred).count()
+    queries = (
+        embeddings.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = pq_index_knn_join(
+        spark, path, embeddings, queries,
+        topk=6, shortlist=n_match, pred=pred,
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r["vec_id"] % 9 == 0
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    qvecs = {r["query_id"]: list(r["embedding"]) for r in queries.collect()}
+    for qid, qv in qvecs.items():
+        exact = brute_force_topk(
+            embeddings.filter(pred), qv, 6, metric="l2sq"
+        ).collect()
+        assert sorted(by_q[qid]) == [
+            (i + 1, r["vec_id"]) for i, r in enumerate(exact)
+        ]
