@@ -684,6 +684,8 @@ class Collection:
         query_id_col: str = "query_id",
         approximate: bool = False,
         nprobe: int = 4,
+        compressed: bool = False,
+        shortlist: int = 50,
     ) -> DataFrame:
         """Batch retrieval: for EVERY row of a query DataFrame, the k
         nearest collection documents — ``query()``'s many-queries form
@@ -694,9 +696,14 @@ class Collection:
         ``knn_join`` (query side must fit a broadcast); ``approximate=True``
         joins against the materialized IVF index ON THE CELL ID — the query
         side is never broadcast, so this is also the path for huge query
-        tables. ``filter`` applies the usual Mongo-dialect metadata
-        pre-filter to the corpus side (filtered ANN semantics, pushed into
-        the scan).
+        tables. ``compressed=True`` routes through the at-rest PQ code
+        table instead (requires :meth:`build_pq_index`): ADC shortlists
+        from stored codes — the batch scans m ints per vector, not raw
+        floats — then the exact re-rank (``index_store.pq_index_knn_join``;
+        recall bounded by ``shortlist``). ``filter`` applies the usual
+        Mongo-dialect metadata pre-filter to the corpus side in every mode
+        (filtered ANN semantics, pushed into the scan / semi-joined before
+        the compressed shortlist cut).
         """
         pred: Column | None = None
         if filter is not None:
@@ -704,6 +711,22 @@ class Collection:
                 compile_filter_json(filter, META_COL)
                 if self.meta.get("schemaless")
                 else compile_filter(filter)
+            )
+        if compressed:
+            if not self.meta.get("has_pq_index"):
+                raise CollectionNotFound(
+                    f"collection {self.name} has no PQ index; "
+                    "call build_pq_index()"
+                )
+            from kaer_spark.operators.index_store import pq_index_knn_join
+
+            return pq_index_knn_join(
+                self.ctx.spark, self.pq_index_path, self.df(), queries,
+                topk=k, shortlist=shortlist,
+                query_vec_col=query_vec_col, query_id_col=query_id_col,
+                pred=pred,
+            ).select(
+                query_id_col, ID_COL, F.col("_score").alias("_dist"), "rank"
             )
         if approximate:
             if not self.meta.get("has_index"):

@@ -883,3 +883,33 @@ def test_query_near_through_collection(spark, tmp_path):
     }
     assert len(got) == 2 and all(v == 1 for v in got.values())  # not id 3
     assert c.query_near("quick fox", slop=0).count() == 1  # phrase only
+
+
+def test_query_batch_compressed(spark, tmp_path):
+    """compressed=True routes the batch through the at-rest PQ code table:
+    with a shortlist covering the corpus the result equals the exact batch
+    join, and the filtered form returns only matching docs."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.context import KaerContext
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    col = ctx.create_collection("qbc")
+    col.insert(
+        [f"document number {i} about topic {i % 3}" for i in range(18)],
+        [{"grp": i % 2} for i in range(18)],
+    )
+    queries = col.df().limit(3).select(
+        F.col("_m_id").alias("query_id"), F.col("_m_embedding").alias("embedding")
+    )
+    col.build_pq_index(m=8, k=16)
+    comp = col.query_batch(queries, k=3, compressed=True, shortlist=18)
+    exact = col.query_batch(queries, k=3)
+    assert {(r["query_id"], r["_m_id"], r["rank"]) for r in comp.collect()} == {
+        (r["query_id"], r["_m_id"], r["rank"]) for r in exact.collect()
+    }
+    filt = col.query_batch(
+        queries, k=3, filter={"grp": 1}, compressed=True, shortlist=18
+    )
+    joined = filt.join(col.df().select("_m_id", "grp"), "_m_id").collect()
+    assert joined and all(r["grp"] == 1 for r in joined)
