@@ -3343,6 +3343,26 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPS_K = 97
 
 
+CS_TEST_PERMILLE = 200
+
+
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split (dedup.cluster_holdout_split):
+    each MinHash duplicate cluster lands whole on one side — the
+    row-level split's eval-leakage hazard (a doc trains while its
+    near-copy evaluates) is structurally impossible. Split key =
+    coalesce(cluster_id, doc_id) through the engine's deterministic LCG
+    bucket; the oracle replays the recursive-CTE closure + the same LCG,
+    so every per-doc assignment is value-checked."""
+    from kaer_spark.operators.dedup import cluster_holdout_split
+
+    return cluster_holdout_split(
+        _t(spark, sf_dir, "documents"),
+        _minhash_clusters(spark, sf_dir),
+        test_permille=CS_TEST_PERMILLE,
+    ).select("doc_id", "split")
+
+
 def _q_pps_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted document sample, probability proportional to size
     (sampling.pps_systematic_sample — Madow systematic PPS): ~97 docs
@@ -3599,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search_indexed": _q_near_search,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "dedup_cluster_build": _q_dedup_cluster_build,
+        "cluster_split": _q_cluster_split,
         "vocab_coverage": _q_vocab_coverage,
         "subword_budget": _q_subword_budget,
         "bpe_merges": _q_bpe_merges,
@@ -7347,6 +7368,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(CAST(sz AS DECIMAL(28,2))) AS DOUBLE)
                         / count(*) AS DOUBLE) AS mean_size
             FROM sizes
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE mh_pairs AS (
+              SELECT id_a, id_b FROM ({_sql_minhash()}) mh
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM mh_pairs WHERE id_a <> id_b
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+              SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            )
+            SELECT d.doc_id,
+                   CASE WHEN (((COALESCE(c.cluster_id, d.doc_id)
+                                * 2654435761 + 40503) % 1000000007
+                               + 1000000007) % 1000000007) % 1000
+                             < {CS_TEST_PERMILLE}
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents d
+            LEFT JOIN clusters c ON c.id = d.doc_id
         """,
         # quality-aware keep-best: same recursive closure as
         # dedup_cluster_assign, then the representative is the rank-1 row

@@ -1411,6 +1411,43 @@ def dedup_keep_best(
     return df.join(losers, df[id_col] == F.col("_drop_id"), "left_anti")
 
 
+def cluster_holdout_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    test_permille: int = 100,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Near-dup-aware train/test split: assign each DUPLICATE CLUSTER —
+    not each document — to a split, so near-duplicates never straddle
+    train and test. A row-level split leaks: if doc A trains and its
+    near-copy B evaluates, the eval is contaminated in exactly the way
+    the dedup family exists to detect (Lee et al. 2022 §6 measure the
+    inflation). Here the split key is ``coalesce(cluster_id, id)`` — a
+    whole cluster lands on one side by construction, unclustered docs
+    hash independently — and bucketing is the engine's deterministic LCG
+    (``sampling.sample_bucket``): same split on every run/engine/retry,
+    and MONOTONE in ``test_permille`` (raising it only moves additional
+    clusters into test, never reshuffles the rest — so a 5% smoke split
+    is a subset of the later 10% one).
+
+    Returns ``df``'s rows + ``split`` ('test' | 'train'). Scale shape:
+    one equi-join against the (pairs-sized, usually broadcastable)
+    cluster table + a scan-stage predicate — no window, no shuffle of the
+    corpus beyond the join."""
+    from kaer_spark.operators.sampling import sample_bucket
+
+    cl = clusters.select(
+        F.col("id").alias("__cid_id"), F.col("cluster_id").alias("__cluster")
+    )
+    joined = df.join(cl, df[id_col] == F.col("__cid_id"), "left")
+    key = F.coalesce(F.col("__cluster"), F.col(id_col))
+    split = F.when(
+        sample_bucket(key, buckets) < F.lit(int(test_permille)), F.lit("test")
+    ).otherwise(F.lit("train"))
+    return joined.withColumn("split", split).drop("__cid_id", "__cluster")
+
+
 def remove_duplicate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

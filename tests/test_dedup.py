@@ -1324,3 +1324,32 @@ def test_cdc_stats_match_python(spark, cdc_fixture):
     assert got["total_chars"] == total
     assert got["distinct_chars"] == distinct
     assert got["dedup_ratio"] == 1.0 - distinct / total
+
+
+def test_cluster_holdout_split_no_straddle(spark):
+    """Near-dup-aware split: every cluster lands whole on one side,
+    unclustered docs split independently, the assignment is deterministic,
+    and raising test_permille only GROWS the test side (monotone)."""
+    from kaer_spark.operators.dedup import cluster_holdout_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: {0,1,7}, {10,11}, {42,43,44} (labels = min id)
+    members = [(0, 0), (1, 0), (7, 0), (10, 10), (11, 10), (42, 42), (43, 42), (44, 42)]
+    clusters = spark.createDataFrame(members, "id long, cluster_id long")
+    out = cluster_holdout_split(docs, clusters, test_permille=300)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 200 and set(rows.values()) <= {"test", "train"}
+    for cid, group in ((0, [0, 1, 7]), (10, [10, 11]), (42, [42, 43, 44])):
+        assert len({rows[i] for i in group}) == 1, cid  # no straddle
+    # deterministic across calls
+    again = {r["doc_id"]: r["split"] for r in
+             cluster_holdout_split(docs, clusters, test_permille=300).collect()}
+    assert rows == again
+    # monotone: the 30% test set contains the 10% one
+    small = {r["doc_id"] for r in
+             cluster_holdout_split(docs, clusters, test_permille=100)
+             .filter("split = 'test'").collect()}
+    big = {d for d, s in rows.items() if s == "test"}
+    assert small <= big and small and big - small
