@@ -3346,6 +3346,31 @@ PPS_K = 97
 CS_TEST_PERMILLE = 200
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination report (dedup.split_leakage) for a
+    DELIBERATELY row-level split (doc_id parity — the naive scheme
+    cluster_split exists to replace): every MinHash near-dup pair whose
+    members straddle train/test, i.e. each one an eval-memorization
+    hazard. Oracle replays the banded pair generation and the parity
+    labels; non-empty by construction on this corpus (near-dup pairs mix
+    parities), and the same operator over cluster_holdout_split's
+    assignment returns ZERO rows (pytest-pinned leak-free property)."""
+    from kaer_spark.operators.dedup import minhash_near_dups, split_leakage
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, n=JACCARD_N, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+    ).select("id_a", "id_b")
+    naive = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return split_leakage(pairs, naive)
+
+
 def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/test split (dedup.cluster_holdout_split):
     each MinHash duplicate cluster lands whole on one side — the
@@ -3620,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "dedup_cluster_build": _q_dedup_cluster_build,
         "cluster_split": _q_cluster_split,
+        "split_leakage": _q_split_leakage,
         "vocab_coverage": _q_vocab_coverage,
         "subword_budget": _q_subword_budget,
         "bpe_merges": _q_bpe_merges,
@@ -7395,6 +7421,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test' ELSE 'train' END AS split
             FROM documents d
             LEFT JOIN clusters c ON c.id = d.doc_id
+        """,
+        "split_leakage": f"""
+            WITH p AS (
+              SELECT id_a, id_b FROM ({_sql_minhash()}) mh
+            )
+            SELECT p.id_a, p.id_b,
+                   CASE WHEN p.id_a % 2 = 0 THEN 'train' ELSE 'test' END
+                     AS split_a,
+                   CASE WHEN p.id_b % 2 = 0 THEN 'train' ELSE 'test' END
+                     AS split_b
+            FROM p
+            WHERE (p.id_a % 2) <> (p.id_b % 2)
         """,
         # quality-aware keep-best: same recursive closure as
         # dedup_cluster_assign, then the representative is the rank-1 row

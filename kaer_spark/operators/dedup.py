@@ -1448,6 +1448,36 @@ def cluster_holdout_split(
     return joined.withColumn("split", split).drop("__cid_id", "__cluster")
 
 
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split leakage REPORT for an EXTERNALLY-provided split — the
+    diagnostic companion to :func:`cluster_holdout_split` (which prevents
+    leakage by construction; this measures it when the split came from
+    elsewhere): every near-dup pair from ``pairs`` (``(id_a, id_b)`` +
+    any score columns, e.g. :func:`minhash_near_dups` output) whose two
+    members landed in DIFFERENT splits — each one a train/eval
+    contamination (the memorization-inflates-eval effect of Lee et al.
+    2022 §6). Returns the straddling pairs with both split labels; count
+    it for the headline number, inspect it for the worst offenders.
+    Shape: two equi-joins of the (pairs-sized) pair table against the
+    (id, split) table — the corpus itself is never touched."""
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
 def remove_duplicate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1353,3 +1353,36 @@ def test_cluster_holdout_split_no_straddle(spark):
              .filter("split = 'test'").collect()}
     big = {d for d, s in rows.items() if s == "test"}
     assert small <= big and small and big - small
+
+
+def test_split_leakage_and_holdout_is_leak_free(spark):
+    """split_leakage surfaces exactly the straddling near-dup pairs of a
+    naive row-level split — and over cluster_holdout_split's assignment
+    the report is EMPTY (leak-free by construction)."""
+    from kaer_spark.operators.dedup import (
+        cluster_holdout_split,
+        split_leakage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 7), (10, 11), (20, 23)], "id_a long, id_b long"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (7, 0), (10, 10), (11, 10), (20, 20), (23, 20)],
+        "id long, cluster_id long",
+    )
+    naive = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leaks = {(r["id_a"], r["id_b"]) for r in split_leakage(pairs, naive).collect()}
+    assert leaks == {(0, 1), (0, 7), (10, 11), (20, 23)}  # all odd-even pairs
+    safe = cluster_holdout_split(docs, clusters, test_permille=400).select(
+        "doc_id", "split"
+    )
+    assert split_leakage(pairs, safe).count() == 0
