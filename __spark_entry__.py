@@ -3442,6 +3442,39 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_HN_K = 6
 IVF_HN_OFFSETS = (5, 11)
 IVF_HN_CELLS = 8
+CT_K_NEG = 3
+
+
+def _q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contrastive training-pair assembly
+    (knn.contrastive_triplets): embedding near-dup pairs (the calibrated
+    sign-LSH family, dedup_embedding_cosine's constants) → min-label
+    closure → every clustered vector anchors a triplet group — positive =
+    min other cluster member, negatives = the 3 closest-by-cosine corpus
+    rows that are NOT cluster-mates, mined through the IVF cell equi-join
+    with ALL co-members anti-joined out BEFORE the top-k cut (a near-dup
+    labeled negative poisons the contrastive loss). Full probe ⇒ exact,
+    so the oracle replays the ENTIRE assembly: seeded planes, banded
+    candidates, recursive closure, co-member exclusions, cosine ranking."""
+    from kaer_spark.operators.dedup import (
+        dedup_clusters,
+        embedding_near_dups_lsh,
+    )
+    from kaer_spark.operators.knn import contrastive_triplets
+
+    embs = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_lsh(
+        embs,
+        threshold=COSINE_DUP_THRESHOLD,
+        bands=COSINE_LSH_BANDS, bits_per_band=COSINE_LSH_BITS,
+        seed=COSINE_LSH_SEED,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    return contrastive_triplets(
+        embs.select("vec_id", "embedding"), clusters,
+        k_negatives=CT_K_NEG, cells=IVF_HN_CELLS, nprobe=IVF_HN_CELLS,
+        metric="cosine",
+    )
 
 
 def _q_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3767,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantiles_sampled": _q_quantiles_sampled,
             "hard_negatives": _q_hard_negatives,
             "ivf_hard_negatives": _q_ivf_hard_negatives,
+            "contrastive_triplets": _q_contrastive_triplets,
             "event_coverage": _q_event_coverage,
             "corpus_profile": _q_corpus_profile,
             "cube_agg": _q_cube_agg,
@@ -7046,6 +7080,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
             FROM r WHERE rk <= {IVF_HN_K}
+        """,
+        "contrastive_triplets": f"""
+            WITH RECURSIVE lsh_pairs AS (
+              SELECT id_a, id_b FROM ({_sql_embedding_dups()}) p
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM lsh_pairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs WHERE id_a <> id_b
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+              SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            co AS (
+              SELECT a.id AS qa, b.id AS qb
+              FROM clusters a JOIN clusters b
+                ON a.cluster_id = b.cluster_id AND a.id <> b.id
+            ),
+            pos AS (
+              SELECT qa AS anchor_id, min(qb) AS positive_id
+              FROM co GROUP BY qa
+            ),
+            scored AS (
+              SELECT m.id AS anchor_id, c.vec_id AS doc_id,
+                     CASE WHEN sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                               * sqrt({_sql_dot_cols('q.embedding', 'q.embedding')}) <> 0.0
+                          THEN ({_sql_dot_cols('c.embedding', 'q.embedding')})
+                               / (sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                                  * sqrt({_sql_dot_cols('q.embedding', 'q.embedding')}))
+                     END AS score
+              FROM (SELECT DISTINCT id FROM clusters) m
+              JOIN embeddings q ON q.vec_id = m.id
+              CROSS JOIN embeddings c
+              WHERE c.vec_id <> m.id
+                AND NOT EXISTS (SELECT 1 FROM co
+                                WHERE co.qa = m.id AND co.qb = c.vec_id)
+            ),
+            r AS (
+              SELECT anchor_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY anchor_id ORDER BY score DESC, doc_id ASC
+                     ) AS rk
+              FROM scored
+            )
+            SELECT r.anchor_id, p.positive_id, r.doc_id AS vec_id, r.score,
+                   CAST(r.rk AS BIGINT) AS rank
+            FROM r JOIN pos p ON p.anchor_id = r.anchor_id
+            WHERE r.rk <= {CT_K_NEG}
         """,
         "quantiles_sampled": f"""
             WITH s AS (

@@ -295,6 +295,77 @@ def _negative_topk(
     )
 
 
+def contrastive_triplets(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    k_negatives: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+    cells: int = 64,
+    nprobe: int = 8,
+    centroids: list[list[float]] | None = None,
+    dup_ceiling: float | None = None,
+) -> DataFrame:
+    """Assemble (anchor, positive, hard negatives) training triplets — the
+    DPR/SimCSE data shape — from a near-dup clustering plus the indexed
+    miner, end to end: every clustered doc anchors one triplet group, its
+    POSITIVE is the smallest other member of its cluster (deterministic,
+    replayable), and its ``k_negatives`` NEGATIVES are the closest corpus
+    rows that are NOT cluster-mates (ALL co-members anti-join out before
+    the top-k cut — a near-dup mislabeled as a negative poisons the
+    contrastive loss, the exact failure hard-negative mining exists to
+    avoid). Returns ``(anchor_id, positive_id, <id_col>, score, rank)``
+    with one row per negative.
+
+    Scale shape: positives are one self-join of the (pairs-sized) cluster
+    table; negatives run through :func:`ivf_hard_negatives` (cell
+    equi-join — anchors are every clustered doc, typically far past a
+    broadcast), with the co-member pair set as ``exclude_pairs``. With
+    ``nprobe == cells`` the mining stage is exact, so the whole assembly
+    is oracle-checkable."""
+    members = clusters.select("id", "cluster_id")
+    co = (
+        members.alias("a")
+        .join(members.alias("b"), "cluster_id")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias(id_col),
+        )
+    )
+    pos = co.groupBy("query_id").agg(F.min(id_col).alias("positive_id"))
+    anchors = corpus.join(
+        members.select(F.col("id").alias(id_col)).distinct(), id_col
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    negs = ivf_hard_negatives(
+        anchors,
+        corpus,
+        k=k_negatives,
+        cells=cells,
+        nprobe=nprobe,
+        query_vec_col=vec_col,
+        corpus_vec_col=vec_col,
+        query_id_col="query_id",
+        corpus_id_col=id_col,
+        centroids=centroids,
+        metric=metric,
+        exclude_pairs=co,
+        exclude_self=True,
+        dup_ceiling=dup_ceiling,
+    )
+    return (
+        negs.join(pos, "query_id")
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "positive_id",
+            F.col(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
 def ivf_hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

@@ -329,3 +329,45 @@ def test_ivf_hard_negatives_partial_probe_no_corpus_broadcast(spark, embeddings)
         assert len(rs) == 5
         assert q not in [r["doc_id"] for r in rs]
         assert all(r["score"] < 0.999 for r in rs)
+
+
+def test_contrastive_triplets_assembly(spark, embeddings):
+    """Triplet assembly: every clustered doc anchors a group, the positive
+    is the min other cluster member, no negative is a cluster-mate or the
+    anchor itself, and full probe makes the negatives the exact k nearest
+    non-co-members."""
+    from kaer_spark.operators.knn import contrastive_triplets, hard_negatives
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (3, 0), (9, 0), (12, 12), (17, 12)],
+        "id long, cluster_id long",
+    )
+    out = contrastive_triplets(
+        embeddings.select("vec_id", "embedding"), clusters,
+        k_negatives=4, cells=8, nprobe=8,
+    ).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {0, 3, 9, 12, 17}
+    pos_want = {0: 3, 3: 0, 9: 0, 12: 17, 17: 12}
+    mates = {0: {0, 3, 9}, 3: {0, 3, 9}, 9: {0, 3, 9}, 12: {12, 17}, 17: {12, 17}}
+    for a, rows in by_anchor.items():
+        assert len(rows) == 4
+        assert all(r["positive_id"] == pos_want[a] for r in rows)
+        assert not ({r["vec_id"] for r in rows} & mates[a])
+    # exact parity: negatives == hard_negatives with the co-member pairs
+    co = spark.createDataFrame(
+        [(a, b) for a, ms in mates.items() for b in ms if b != a],
+        "query_id long, vec_id long",
+    )
+    anchors = embeddings.filter(F.col("vec_id").isin(list(mates))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = hard_negatives(
+        anchors, embeddings.select("vec_id", "embedding"), k=4,
+        corpus_id_col="vec_id", metric="cosine", exclude_pairs=co,
+    ).collect()
+    assert sorted((r["anchor_id"], r["vec_id"], r["rank"]) for r in out) == sorted(
+        (r["query_id"], r["vec_id"], r["rank"]) for r in exact
+    )
