@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kaer_spark.filters import compile_filter
-from kaer_spark.functions.vector import cosine_similarity, dot, l2sq
+from kaer_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2sq,
+    vector_norm,
+)
 
 
 def exact_knn(
@@ -116,13 +121,23 @@ def knn_join(
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
     )
-    joined = corpus.crossJoin(F.broadcast(q))
+    corpus_side = corpus
+    if metric == "cosine":
+        # norms once per side BELOW the join (see similarity.
+        # ivf_scored_candidates — the join boundary keeps them out of the
+        # per-pair expression); bit-identical to cosine_similarity
+        q = q.withColumn("__qn", vector_norm("__qvec"))
+        corpus_side = corpus.withColumn("__cn", vector_norm(corpus_vec_col))
+    joined = corpus_side.crossJoin(F.broadcast(q))
     ascending = metric == "l2sq"
     if metric == "l2sq":
         score = l2sq(F.col(corpus_vec_col), F.col("__qvec"))
         order = [F.col("__score").asc(), F.col(corpus_id_col).asc()]
     elif metric == "cosine":
-        score = cosine_similarity(F.col(corpus_vec_col), F.col("__qvec"))
+        denom = F.col("__cn") * F.col("__qn")
+        score = F.when(
+            denom != 0.0, dot(F.col(corpus_vec_col), F.col("__qvec")) / denom
+        )
         order = [F.col("__score").desc(), F.col(corpus_id_col).asc()]
     elif metric == "dot":
         score = dot(F.col(corpus_vec_col), F.col("__qvec"))
@@ -216,12 +231,20 @@ def hard_negatives(
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
     )
-    joined = corpus.crossJoin(F.broadcast(q))
+    corpus_side = corpus
+    if metric == "cosine":
+        # per-side norm precompute (see knn_join / ivf_scored_candidates)
+        q = q.withColumn("__qn", vector_norm("__qvec"))
+        corpus_side = corpus.withColumn("__cn", vector_norm(corpus_vec_col))
+    joined = corpus_side.crossJoin(F.broadcast(q))
     if metric == "l2sq":
         score = l2sq(F.col(corpus_vec_col), F.col("__qvec"))
         order = [F.col("score").asc(), F.col(corpus_id_col).asc()]
     elif metric == "cosine":
-        score = cosine_similarity(F.col(corpus_vec_col), F.col("__qvec"))
+        denom = F.col("__cn") * F.col("__qn")
+        score = F.when(
+            denom != 0.0, dot(F.col(corpus_vec_col), F.col("__qvec")) / denom
+        )
         order = [F.col("score").desc(), F.col(corpus_id_col).asc()]
     elif metric == "dot":
         score = dot(F.col(corpus_vec_col), F.col("__qvec"))
