@@ -42,6 +42,7 @@ import json
 import os
 import shutil
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -194,14 +195,22 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
     ``id > meta.max_id`` — postings and doc lengths APPEND (each new doc
     contributes disjoint (term, id) rows, so existing postings never
     rewrite), and the frozen corpus stats advance incrementally
-    (``n_docs += batch``, ``sum_dl += batch``). Idempotent against BOTH
-    failure directions: a second call with no new docs is a no-op per the
-    watermark, and a replayed call after a crash between the appends and
-    the meta update anti-joins away the doc ids already in the doc-length
-    table — without the guard a replay would duplicate postings AND
-    double-count ``n_docs``/``sum_dl``. Per-term document frequencies
-    need no maintenance at all — search derives them from the pruned
-    postings at query time, so they are always current."""
+    (``n_docs += batch``, ``sum_dl += batch``). Idempotent against EVERY
+    crash window, not just a clean re-call: a second call with no new
+    docs is a no-op per the watermark; a replay after a crash between the
+    two appends and the meta update anti-joins away the doc ids already
+    in the doc-length table (no duplicate postings, stats healed); and a
+    replay after a crash BETWEEN the postings append and the doc-length
+    append (the write order here: postings land first) anti-joins the
+    postings append itself against the (term-agnostic) ids already in the
+    postings table above the watermark — without that second guard the
+    orphaned docs' (term, id) rows would append twice, doubling tf AND df
+    in ``search_text_index`` (which assumes distinct postings rows) —
+    while still appending their missing doc-length rows and counting
+    their stats (the re-derived rows are deterministic: same tokenizer,
+    same text). Per-term document frequencies need no maintenance at all
+    — search derives them from the pruned postings at query time, so
+    they are always current."""
     meta = read_text_index_meta(path)
     id_col, text_col = meta["id_col"], meta["text_col"]
     # max_id None = nothing indexed yet: index the whole DataFrame rather
@@ -261,11 +270,32 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
                 F.collect_list(F.col("pos").cast("int"))
             ).alias("positions")
         )
+    # Second replay guard, for the OTHER crash window: postings append
+    # BEFORE doclens below, so a crash between the two leaves (term, id)
+    # rows above the watermark with no doclens row — invisible to the
+    # doclens guard above. Exclude those docs from the postings append
+    # ONLY (their rows already landed); their doclens rows and stats
+    # still flow through `toks`. In the no-crash case the filtered read
+    # returns zero rows (row-group stats prune at id > watermark) and the
+    # anti-join is a no-op.
+    toks_postings = toks
+    postings_dir = os.path.join(path, POSTINGS_DIR)
+    if os.path.isdir(postings_dir):
+        try:
+            ghost = df.sparkSession.read.parquet(postings_dir).select("id")
+        except AnalysisException:
+            # a build over zero rows writes a partitioned dir with no part
+            # files (partitions are data-driven) — nothing to guard against
+            ghost = None
+        if ghost is not None:
+            if meta["max_id"] is not None:
+                ghost = ghost.filter(F.col("id") > meta["max_id"])
+            toks_postings = toks.join(ghost.distinct(), "id", "left_anti")
     # an index built before the positional layout keeps appending the
     # (term, id, tf) shape it was built with — mixed parquet schemas in
     # one postings dir would make reads schema-dependent on file order
     postings = (
-        toks.select("id", F.posexplode("__toks").alias("pos", "term"))
+        toks_postings.select("id", F.posexplode("__toks").alias("pos", "term"))
         .groupBy("term", "id")
         .agg(*aggs)
         .withColumn(

@@ -476,3 +476,69 @@ def test_refresh_text_index_replay_after_crash(spark, tmp_path):
             for r in search_text_index(spark, full_path, terms, k=10).collect()
         ]
         assert got == want, terms
+
+
+def test_refresh_replay_after_crash_between_appends(spark, tmp_path):
+    """The OTHER crash window (r13 ADVICE, medium): postings append lands
+    but the doclens append does NOT (postings write first in
+    refresh_text_index) — a replay used to re-append those docs' postings
+    because the doclens-based guard can't see them, doubling tf and df.
+    Simulated exactly: run a real refresh, then delete the doclens files
+    it added and wind the meta back — postings above the watermark, no
+    doclens rows, stale stats. The replay must (a) NOT duplicate
+    postings, (b) append the missing doclens rows, (c) heal the stats —
+    every search result bit-equal to a clean full build."""
+    import glob
+    import json
+
+    from kaer_spark.operators.text_index import (
+        DOCLENS_DIR,
+        META_FILE,
+        refresh_text_index,
+    )
+
+    rows = [
+        (1, "spark shuffle join hash join broadcast"),
+        (2, "join the hash table scan now"),
+        (3, "completely unrelated words only here"),
+        (4, "scan scan scan scan"),
+        (5, "late arriving join document"),
+        (6, "another late scan join text"),
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(full.filter(F.col("doc_id") <= 4), inc_path)
+    dl_glob = os.path.join(inc_path, DOCLENS_DIR, "*")
+    before = set(glob.glob(dl_glob))
+    stale = read_text_index_meta(inc_path)
+    meta = refresh_text_index(full, inc_path)
+
+    # reproduce the crash state: postings for docs 5-6 are on disk, their
+    # doclens files are not, and the sidecar still says max_id=4
+    for f in set(glob.glob(dl_glob)) - before:
+        os.remove(f)
+    with open(os.path.join(inc_path, META_FILE), "w") as f:
+        json.dump(stale, f)
+
+    replayed = refresh_text_index(full, inc_path)  # the replay
+    assert replayed["n_docs"] == 6 and replayed["sum_dl"] == meta["sum_dl"]
+    assert replayed["max_id"] == 6
+
+    # doclens healed without duplicates
+    dl = spark.read.parquet(os.path.join(inc_path, DOCLENS_DIR))
+    assert dl.count() == 6 and dl.select("id").distinct().count() == 6
+    # postings not duplicated: distinct (term, id) == total rows
+    post = spark.read.parquet(os.path.join(inc_path, "postings"))
+    assert post.count() == post.select("term", "id").distinct().count()
+
+    build_text_index(full, full_path)
+    for terms in (["join"], ["scan", "join"], ["late"]):
+        got = [
+            (r["id"], r["bm25"])
+            for r in search_text_index(spark, inc_path, terms, k=10).collect()
+        ]
+        want = [
+            (r["id"], r["bm25"])
+            for r in search_text_index(spark, full_path, terms, k=10).collect()
+        ]
+        assert got == want, terms
