@@ -1431,10 +1431,13 @@ def cluster_holdout_split(
     clusters into test, never reshuffles the rest — so a 5% smoke split
     is a subset of the later 10% one).
 
-    Returns ``df``'s rows + ``split`` ('test' | 'train'). Scale shape:
-    one equi-join against the (pairs-sized, usually broadcastable)
-    cluster table + a scan-stage predicate — no window, no shuffle of the
-    corpus beyond the join."""
+    Returns ``df``'s rows + ``split`` ('test' | 'train'). REQUIRES
+    integer-typed ids and cluster ids (the LCG bucket is int64
+    arithmetic): a non-castable key raises per row rather than silently
+    bucketing to 'train' (hash string ids to int64 first — e.g.
+    ``F.xxhash64``). Scale shape: one equi-join against the (pairs-sized,
+    usually broadcastable) cluster table + a scan-stage predicate — no
+    window, no shuffle of the corpus beyond the join."""
     from kaer_spark.operators.sampling import sample_bucket
 
     cl = clusters.select(
@@ -1442,8 +1445,27 @@ def cluster_holdout_split(
     )
     joined = df.join(cl, df[id_col] == F.col("__cid_id"), "left")
     key = F.coalesce(F.col("__cluster"), F.col(id_col))
+    # The LCG bucket casts its key to long; a non-numeric id (or a NULL
+    # id) casts to NULL under non-ANSI semantics, NULL < test_permille is
+    # NULL, and every such row would silently land in 'train' — a skewed
+    # split with no signal (r13 advice). Integer ids are a documented
+    # requirement; violating it raises the same descriptive error whether
+    # ANSI mode is on (where a plain cast would throw its own) or off
+    # (where it would fail open) — hence try_cast + raise_error.
+    key_long = F.when(
+        key.try_cast("long").isNull(),
+        F.raise_error(
+            F.format_string(
+                "cluster_holdout_split: split key %s is not an integer "
+                "(id_col/cluster_id must be integer-typed — hash string "
+                "ids to int64 before splitting)",
+                key.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(key.try_cast("long"))
     split = F.when(
-        sample_bucket(key, buckets) < F.lit(int(test_permille)), F.lit("test")
+        sample_bucket(key_long, buckets) < F.lit(int(test_permille)),
+        F.lit("test"),
     ).otherwise(F.lit("train"))
     return joined.withColumn("split", split).drop("__cid_id", "__cluster")
 
@@ -1463,18 +1485,32 @@ def split_leakage(
     contamination (the memorization-inflates-eval effect of Lee et al.
     2022 §6). Returns the straddling pairs with both split labels; count
     it for the headline number, inspect it for the worst offenders.
-    Shape: two equi-joins of the (pairs-sized) pair table against the
-    (id, split) table — the corpus itself is never touched."""
+
+    FAIL-LOUD on partial split tables (r13 verdict: both joins used to be
+    INNER, so a pair whose member was absent from ``splits`` — a typo'd
+    id column, a split computed over a filtered subset — silently
+    VANISHED from a contamination report, the unsafe direction): the
+    joins are LEFT, a missing label surfaces as the literal ``'?'``, and
+    any pair with a ``'?'`` member is INCLUDED in the report (its
+    leakage status is unknown, which a safety report must show, not
+    hide). A complete split table returns exactly the old rows. Shape:
+    two equi-joins of the (pairs-sized) pair table against the (id,
+    split) table — the corpus itself is never touched."""
     sa = splits.select(
         F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
     )
     sb = splits.select(
         F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
     )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(F.col("split_a") != F.col("split_b"))
+    labeled = (
+        pairs.join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .withColumn("split_a", F.coalesce(F.col("split_a"), F.lit("?")))
+        .withColumn("split_b", F.coalesce(F.col("split_b"), F.lit("?")))
+    )
+    unknown = (F.col("split_a") == "?") | (F.col("split_b") == "?")
+    return labeled.filter(
+        (F.col("split_a") != F.col("split_b")) | unknown
     )
 
 

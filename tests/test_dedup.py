@@ -1386,3 +1386,54 @@ def test_split_leakage_and_holdout_is_leak_free(spark):
         "doc_id", "split"
     )
     assert split_leakage(pairs, safe).count() == 0
+
+
+def test_split_leakage_partial_split_table_fails_loud(spark):
+    """A pair member missing from the split table must SURFACE (split
+    '?'), not silently vanish from the contamination report (r13 verdict:
+    both joins were INNER — the fail-open direction, same hazard class as
+    the r12 Bloom/CMS fixes). A complete table returns exactly the old
+    rows (pinned by test_split_leakage_and_holdout_is_leak_free)."""
+    from kaer_spark.operators.dedup import split_leakage
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 9)], "id_a long, id_b long"
+    )
+    # id 3 and id 9 have no split label (split computed over a subset)
+    splits = spark.createDataFrame(
+        [(0, "train"), (1, "test"), (2, "train"), (4, "train")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["split_a"], r["split_b"])
+        for r in split_leakage(pairs, splits).collect()
+    }
+    assert got[(0, 1)] == ("train", "test")       # genuine straddle kept
+    assert got[(2, 3)] == ("train", "?")          # unknown surfaces
+    assert got[(4, 9)] == ("train", "?")
+    assert len(got) == 3
+    # both members missing: still reported, both '?'
+    lone = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    out = split_leakage(lone, splits).collect()
+    assert len(out) == 1
+    assert (out[0]["split_a"], out[0]["split_b"]) == ("?", "?")
+
+
+def test_cluster_holdout_split_rejects_non_integer_ids(spark):
+    """Non-numeric ids cast to NULL inside the LCG bucket and used to land
+    silently in 'train' (r13 advice) — now they raise per row."""
+    from kaer_spark.operators.dedup import cluster_holdout_split
+
+    docs = spark.createDataFrame(
+        [("a1", "x"), ("b2", "y")], "doc_id string, text string"
+    )
+    clusters = spark.createDataFrame([], "id string, cluster_id string")
+    with pytest.raises(Exception, match="not an integer"):
+        cluster_holdout_split(docs, clusters, id_col="doc_id").collect()
+    # numeric ids carried as strings also raise only when NOT castable:
+    # castable strings pass through the long cast unchanged
+    docs_num = spark.createDataFrame(
+        [("10", "x"), ("11", "y")], "doc_id string, text string"
+    )
+    out = cluster_holdout_split(docs_num, clusters, id_col="doc_id")
+    assert {r["split"] for r in out.collect()} <= {"test", "train"}
