@@ -683,7 +683,7 @@ class Collection:
         query_vec_col: str = "embedding",
         query_id_col: str = "query_id",
         approximate: bool = False,
-        nprobe: int = 4,
+        nprobe: int | None = None,
         compressed: bool = False,
         shortlist: int = 50,
     ) -> DataFrame:
@@ -704,7 +704,22 @@ class Collection:
         Mongo-dialect metadata pre-filter to the corpus side in every mode
         (filtered ANN semantics, pushed into the scan / semi-joined before
         the compressed shortlist cut).
+
+        ``nprobe`` defaults to 4 in approximate mode. In compressed mode
+        it is FORWARDED to the code-table join when given (requires a
+        CELLED PQ index, ``build_pq_index(cells=)`` — the code scan then
+        prunes to each query's nprobe nearest cells; previously it was
+        silently ignored, r13 advice); unset means a full code-table
+        scan, the exact-shortlist default. ``compressed`` and
+        ``approximate`` name two different index families — asking for
+        both is ambiguous and raises rather than silently preferring one.
         """
+        if compressed and approximate:
+            raise ValueError(
+                "query_batch: compressed=True and approximate=True name "
+                "two different index paths (PQ code table vs IVF cell "
+                "table) — pick one"
+            )
         pred: Column | None = None
         if filter is not None:
             pred = (
@@ -722,7 +737,7 @@ class Collection:
 
             return pq_index_knn_join(
                 self.ctx.spark, self.pq_index_path, self.df(), queries,
-                topk=k, shortlist=shortlist,
+                topk=k, shortlist=shortlist, nprobe=nprobe,
                 query_vec_col=query_vec_col, query_id_col=query_id_col,
                 pred=pred,
             ).select(
@@ -737,7 +752,8 @@ class Collection:
 
             return ivf_index_knn_join(
                 self.ctx.spark, self.index_path, queries, k,
-                nprobe=nprobe, query_vec_col=query_vec_col,
+                nprobe=4 if nprobe is None else nprobe,
+                query_vec_col=query_vec_col,
                 query_id_col=query_id_col, pred=pred,
             )
         from kaer_spark.operators.knn import knn_join

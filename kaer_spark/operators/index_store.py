@@ -620,7 +620,14 @@ def pq_index_topk(
             or cur >= n_cells
         ):
             return out
-        if out.count() >= int(topk):
+        # Escalation check counts the SHORTLIST, not the re-ranked result:
+        # every shortlist id joins the corpus by construction (codes derive
+        # from it), so |out| = min(topk, |short|) and the two counts answer
+        # identically — but the shortlist plan stops before the re-rank
+        # join, and the returned `out` is uncached, so counting `out` here
+        # executed the full two-stage plan TWICE per call even in the
+        # common no-escalation case (r13 advice).
+        if short.count() >= int(topk):
             return out
         cur = min(cur * 2, n_cells)
 
@@ -636,6 +643,7 @@ def pq_index_knn_join(
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
     pred=None,
+    max_unprobed_queries: int = 100_000,
 ) -> DataFrame:
     """Batch kNN JOIN served from the AT-REST code table — the
     many-queries form of :func:`pq_index_topk`, completing the compressed
@@ -665,7 +673,18 @@ def pq_index_knn_join(
     the per-query shortlist cut — "k nearest among matches" for every
     query in the batch. (No nprobe escalation here: a batch can't
     escalate per-query without forking plans — pass ``nprobe=None`` for
-    filtered batches, or size ``nprobe`` for the filter's selectivity.)"""
+    filtered batches, or size ``nprobe`` for the filter's selectivity.)
+
+    The unprobed branch (``nprobe=None``) BROADCASTS the query table and
+    crosses it with the code scan — correct for eval-sized batches, a
+    codes×queries blow-up for a training-sized one. ``max_unprobed_queries``
+    (default 100k rows — ~few hundred MB broadcast at dim 64 float64, and
+    100k × corpus-codes cross work) is the geometry guard (the r12 lesson:
+    guards beat docstrings): a larger unprobed query side raises with the
+    fix spelled out (pass ``nprobe`` on a celled index — the query side
+    then explodes nprobe× onto a cell EQUI-join and never crosses the
+    corpus — or raise the knob deliberately). The count costs one bounded
+    scan of the query table, paid only on the unprobed branch."""
     from pyspark.sql.window import Window
 
     from kaer_spark.operators.similarity import ivf_probe_cells  # noqa: F401
@@ -730,6 +749,16 @@ def pq_index_knn_join(
         qtab = qtab.withColumn("_cell", F.explode(probe))
         scored = codes.join(F.broadcast(qtab), "_cell")
     else:
+        n_queries = queries.count()
+        if n_queries > int(max_unprobed_queries):
+            raise ValueError(
+                f"pq_index_knn_join: {n_queries} queries on the unprobed "
+                f"branch exceeds max_unprobed_queries="
+                f"{int(max_unprobed_queries)} — the query table would "
+                "broadcast and CROSS the whole code scan. Pass nprobe= "
+                "(celled index: the queries equi-join on _cell instead), "
+                "or raise max_unprobed_queries deliberately."
+            )
         scored = codes.crossJoin(F.broadcast(qtab))
     adc = F.aggregate(
         F.zip_with(F.col("pq_code"), F.col("__adc_table"), lambda c, t: t[c]),

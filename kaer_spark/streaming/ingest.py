@@ -55,6 +55,7 @@ def stream_insert(
     trigger: dict[str, Any] | None = None,
     refresh_index: bool = False,
     text_index_path: str | None = None,
+    pq_index_path: str | None = None,
 ) -> StreamingQuery:
     """Continuously ingest a streaming DataFrame into a collection.
 
@@ -75,6 +76,15 @@ def stream_insert(
     postings and advances the frozen corpus stats, so BM25/hybrid search
     over the collection stays consistent with every ingested batch —
     both retrieval indexes ride one ingest stream.
+
+    ``pq_index_path`` (optional) completes O8 parity for the THIRD index
+    family (r13 verdict #4 — the compressed at-rest index used to go
+    stale under streaming ingest until a manual call): per batch,
+    ``index_store.refresh_pq_index`` encodes the ``id > max_id`` tail
+    under the STORED codebooks (no refit — the codes stay comparable)
+    and appends it to the code table; the r13 replay guard makes a
+    crashed/replayed batch idempotent. All three retrieval indexes ride
+    one ingest stream.
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -89,6 +99,10 @@ def stream_insert(
             from kaer_spark.operators.text_index import refresh_text_index
 
             refresh_text_index(collection.df(), text_index_path)
+        if pq_index_path is not None:
+            from kaer_spark.operators.index_store import refresh_pq_index
+
+            refresh_pq_index(collection.df(), pq_index_path)
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -913,3 +913,38 @@ def test_query_batch_compressed(spark, tmp_path):
     )
     joined = filt.join(col.df().select("_m_id", "grp"), "_m_id").collect()
     assert joined and all(r["grp"] == 1 for r in joined)
+
+
+def test_query_batch_compressed_forwards_nprobe(spark, tmp_path):
+    """compressed=True + nprobe on a CELLED PQ index must probe (the r13
+    advice: nprobe was silently ignored — a full code scan with no
+    warning), matching the direct pq_index_knn_join at the same nprobe;
+    and compressed+approximate together is ambiguous and raises."""
+    from pyspark.sql import functions as F
+
+    from kaer_spark.context import KaerContext
+    from kaer_spark.operators.index_store import pq_index_knn_join
+
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    col = ctx.create_collection("qbnp")
+    col.insert(
+        [f"doc number {i} about topic {i % 3}" for i in range(24)],
+        [{"grp": i % 2} for i in range(24)],
+    )
+    queries = col.df().limit(3).select(
+        F.col("_m_id").alias("query_id"),
+        F.col("_m_embedding").alias("embedding"),
+    )
+    col.build_pq_index(m=8, k=16, cells=4)
+    got = col.query_batch(
+        queries, k=3, compressed=True, shortlist=12, nprobe=2
+    )
+    want = pq_index_knn_join(
+        spark, col.pq_index_path, col.df(), queries,
+        topk=3, shortlist=12, nprobe=2,
+    )
+    assert {(r["query_id"], r["_m_id"], r["rank"]) for r in got.collect()} == {
+        (r["query_id"], r["_m_id"], r["rank"]) for r in want.collect()
+    }
+    with pytest.raises(ValueError, match="pick one"):
+        col.query_batch(queries, k=3, compressed=True, approximate=True)

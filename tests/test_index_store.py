@@ -683,3 +683,41 @@ def test_pq_index_knn_join_filtered(spark, embeddings, tmp_path):
         assert sorted(by_q[qid]) == [
             (i + 1, r["vec_id"]) for i, r in enumerate(exact)
         ]
+
+
+def test_pq_index_knn_join_unprobed_guard(spark, embeddings, tmp_path):
+    """The unprobed branch broadcasts + crosses the query table with the
+    code scan — fine for eval-sized batches, a blow-up for training-sized
+    ones. The row-count gate raises past max_unprobed_queries with
+    nprobe=None (r13 verdict #3: geometry guards beat docstrings); the
+    same batch passes with nprobe on a celled index, and raising the knob
+    deliberately also passes."""
+    import pytest as _pytest
+
+    from kaer_spark.operators.index_store import (
+        build_pq_index,
+        pq_index_knn_join,
+    )
+
+    path = str(tmp_path / "pq_guard")
+    build_pq_index(embeddings, path, m=8, k=16, cells=8)
+    queries = embeddings.limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="max_unprobed_queries"):
+        pq_index_knn_join(
+            spark, path, embeddings, queries,
+            topk=3, shortlist=10, max_unprobed_queries=5,
+        )
+    # celled + probed: no guard (queries equi-join on _cell, never cross)
+    probed = pq_index_knn_join(
+        spark, path, embeddings, queries,
+        topk=3, shortlist=10, nprobe=8, max_unprobed_queries=5,
+    )
+    assert probed.count() == 30
+    # deliberate override
+    forced = pq_index_knn_join(
+        spark, path, embeddings, queries,
+        topk=3, shortlist=10, max_unprobed_queries=10,
+    )
+    assert forced.count() == 30

@@ -620,3 +620,75 @@ def test_streaming_hll_recovers_interrupted_swap(spark, tmp_path):
     assert merged["z_num"] == whole["z_num"]
     assert merged["estimate"] == whole["estimate"]
     assert not os.path.isdir(state + ".old")
+
+
+def test_stream_insert_keeps_pq_index_current(spark, tmp_path):
+    """pq_index_path: the at-rest PQ code table catches up after each
+    micro-batch (O8 parity for the third index family — r13 verdict #4:
+    it used to go stale until a manual refresh_pq_index). Streamed
+    refreshes must be ROW-IDENTICAL to one batch refresh over the final
+    corpus (same stored codebooks, same encoded tail), and all three
+    index families ride the same stream."""
+    from kaer_spark.operators.index_store import (
+        build_pq_index,
+        read_index_meta,
+        read_pq_meta,
+    )
+    from kaer_spark.operators.text_index import (
+        build_text_index,
+        read_text_index_meta,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    ctx = KaerContext(spark, str(tmp_path / "kaer"))
+    coll = ctx.create_collection("pqstream")
+    coll.insert([f"seed doc {i} words" for i in range(20)])
+    coll.build_index(cells=2, fit="deterministic")
+    coll.build_pq_index(m=8, k=16)
+    tix = str(tmp_path / "tix")
+    build_text_index(coll.df(), tix, id_col="_m_id", text_col="_m_doc")
+    # the batch-path twin: same prefix corpus, same deterministic fit
+    twin = str(tmp_path / "pq_twin")
+    build_pq_index(
+        coll.df(), twin, vec_col="_m_embedding", id_col="_m_id", m=8, k=16
+    )
+
+    schema = "batch INT, _m_doc STRING"
+    for b in range(2):
+        spark.createDataFrame(
+            [(b, f"late doc {b}-{i} extra") for i in range(3)], schema
+        ).write.parquet(f"{src}/b{b}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_insert(
+        coll, stream, str(tmp_path / "ckpt_pq"),
+        refresh_index=True, text_index_path=tix,
+        pq_index_path=coll.pq_index_path,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    n = coll.count()
+    assert n == 26
+    # all three families current
+    assert read_index_meta(coll.index_path)["max_id"] == 25
+    assert read_text_index_meta(tix)["n_docs"] == 26
+    assert read_pq_meta(coll.pq_index_path)["max_id"] == 25
+
+    # stream (two incremental refreshes) == batch (one refresh at the end)
+    from kaer_spark.operators.index_store import refresh_pq_index
+
+    refresh_pq_index(coll.df(), twin)
+    streamed = {
+        (r["_m_id"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(f"{coll.pq_index_path}/data").collect()
+    }
+    batch = {
+        (r["_m_id"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(f"{twin}/data").collect()
+    }
+    assert streamed == batch and len(streamed) == 26
