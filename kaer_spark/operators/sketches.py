@@ -417,10 +417,15 @@ def cms_query(
     width/depth/seed must match the build — and are ASSERTED against the
     geometry the sketch rows record (a mismatched probe reads wrong
     cells and returns plausible-looking wrong counts; with this guard it
-    raises instead). Estimates are exact-or-over, never under. Plan: the
-    queried (j, pos) set is tiny and computed driver-side, so the probe
-    is a broadcast semi-lookup against the ≤ depth·width-row sketch — no
-    corpus access at all."""
+    raises instead). A ZERO-ROW sketch (``cms_sketch`` over an empty
+    DataFrame) is a legitimate, distinct state — it records no geometry
+    to assert against and no counts, so every estimate is 0 (the true
+    count of anything in an empty multiset; exact-or-over holds) rather
+    than a spurious geometry error (r13 advice — the r12 guard's
+    ``count > 0`` clause misread "empty" as "mismatched"). Estimates are
+    exact-or-over, never under. Plan: the queried (j, pos) set is tiny
+    and computed driver-side, so the probe is a broadcast semi-lookup
+    against the ≤ depth·width-row sketch — no corpus access at all."""
     from pyspark.sql import SparkSession as _S  # noqa: F401  (sig clarity)
 
     from kaer_spark.operators.dedup import (
@@ -479,9 +484,10 @@ def cms_query(
         )
         .crossJoin(F.broadcast(geo))
     )
-    meta_ok = (
-        (F.col("__g_n") > 0)
-        & (F.col("__w_lo") == F.lit(int(width)))
+    # __g_n == 0 (empty sketch) is the documented empty-multiset case:
+    # nothing recorded, nothing to assert, every estimate coalesces to 0
+    meta_ok = (F.col("__g_n") == 0) | (
+        (F.col("__w_lo") == F.lit(int(width)))
         & (F.col("__w_hi") == F.lit(int(width)))
         & (F.col("__d_lo") == F.lit(int(depth)))
         & (F.col("__d_hi") == F.lit(int(depth)))

@@ -275,3 +275,22 @@ def test_cms_query_zero_match_mismatch_still_raises(spark):
         ).collect()
     }
     assert est["zzz-never-inserted"] >= 0
+
+
+def test_cms_query_empty_sketch_returns_zero(spark):
+    """A zero-row sketch (cms_sketch over an empty DataFrame) is the
+    legitimate empty-multiset state: estimates are 0 (exact — nothing was
+    counted), NOT a 'geometry mismatch' error (the r12 guard's count>0
+    clause misread empty as mismatched — r13 advice). Non-empty sketches
+    keep the strict geometry raise."""
+    from kaer_spark.operators.sketches import cms_build, cms_query
+
+    empty = spark.createDataFrame([], "v string")
+    cms = cms_build(empty, "v", width=1 << 10, depth=3, seed=11)
+    est = {
+        r["v"]: r["estimate"]
+        for r in cms_query(
+            spark, cms, ["apple", "pear"], width=1 << 10, depth=3, seed=11
+        ).collect()
+    }
+    assert est == {"apple": 0, "pear": 0}
