@@ -463,6 +463,71 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str, cells: int | None) -> str
     return path
 
 
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-serve-many handle to the materialized IVF cell table
+    for this fixture (index_store.build_ivf_index, deterministic fit so
+    every query over it is oracle-replayable) — the IVF twin of
+    :func:`_ensure_pq_index`: first call per fixture pays the build, the
+    steady state reads the cell-partitioned table + sidecar centroids."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.index_store import (
+        build_ivf_index,
+        read_index_meta,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(f"{fp}|ivf|cells=8|det".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_ivf_index_{tag}")
+    try:
+        meta = read_index_meta(path)
+        if meta.get("source_fp") == fp:
+            return path
+    except (OSError, ValueError, KeyError):
+        pass
+    meta = build_ivf_index(
+        _t(spark, sf_dir, "embeddings"), path, cells=8, fit="deterministic"
+    )
+    # stamp the fixture fingerprint the same way _ensure_pq_index does
+    from kaer_spark.operators.index_store import META_FILE, _write_meta_atomic
+
+    meta["source_fp"] = fp
+    _write_meta_atomic(path, META_FILE, meta)
+    return path
+
+
+IVFF_K, IVFF_NQ, IVFF_MOD = 7, 4, 7
+
+
+def _q_ivf_knn_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED batch ANN from the MATERIALIZED IVF index
+    (index_store.ivf_index_knn_join with pred — r13 verdict #7: the
+    recurring-mining serving paths carry the reference's filtered-kNN
+    contract, db/db.go:111-143, not just the single-query and PQ paths):
+    the predicate filters the probed corpus BELOW the cell equi-join
+    (pushed into the pruned scan), so every query gets "k nearest among
+    matches". Probed fully (nprobe = cells ⇒ exact), so the oracle
+    value-checks the whole serving chain — stored cell assignment,
+    sidecar centroids, filter placement, per-query rank. Distinct
+    geometry from ivf_knn_join (4 LARGEST-id queries, k=7, pred
+    vec_id % 7 == 1)."""
+    from kaer_spark.operators.index_store import ivf_index_knn_join
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = (
+        embs.orderBy(F.col("vec_id").desc()).limit(IVFF_NQ)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    path = _ensure_ivf_index(spark, sf_dir)
+    return ivf_index_knn_join(
+        spark, path, queries, k=IVFF_K, nprobe=8,
+        pred=F.col("vec_id") % IVFF_MOD == 1,
+    )
+
+
 def _q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ serving stack from the AT-REST code table
     (index_store.build_pq_index + pq_index_topk): probe 3 of 8 coarse
@@ -3443,6 +3508,7 @@ IVF_HN_K = 6
 IVF_HN_OFFSETS = (5, 11)
 IVF_HN_CELLS = 8
 CT_K_NEG = 3
+CTM_CELLS, CTM_NPROBE = 8, 3  # the PARTIAL-probe production shape
 
 
 def _q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3473,6 +3539,40 @@ def _q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_triplets(
         embs.select("vec_id", "embedding"), clusters,
         k_negatives=CT_K_NEG, cells=IVF_HN_CELLS, nprobe=IVF_HN_CELLS,
+        metric="cosine",
+    )
+
+
+def _q_contrastive_triplets_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the triplet assembly: PARTIAL probe
+    (nprobe=3 of 8 cells) — the form a real mining pass runs, where the
+    indexed miner's whole point is NOT visiting every cell (the
+    full-probe twin above is the exact form). The oracle replays the
+    probe machinery itself value-exactly — spread-fit centroids
+    (hash-ordered LIMIT), spherical argmax-cosine cell assignment,
+    per-anchor top-nprobe cell ranks — then restricts the negative
+    candidates to each anchor's probed cells before the same exclusion +
+    cosine-rank chain, so there is NO full-probe escape hatch: a probe
+    bug (wrong centroid order, off-by-one slice, L2-vs-angle assignment)
+    surfaces as a value mismatch. Distinct geometry from
+    contrastive_triplets (nprobe 3 vs 8)."""
+    from kaer_spark.operators.dedup import (
+        dedup_clusters,
+        embedding_near_dups_lsh,
+    )
+    from kaer_spark.operators.knn import contrastive_triplets
+
+    embs = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_lsh(
+        embs,
+        threshold=COSINE_DUP_THRESHOLD,
+        bands=COSINE_LSH_BANDS, bits_per_band=COSINE_LSH_BITS,
+        seed=COSINE_LSH_SEED,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    return contrastive_triplets(
+        embs.select("vec_id", "embedding"), clusters,
+        k_negatives=CT_K_NEG, cells=CTM_CELLS, nprobe=CTM_NPROBE,
         metric="cosine",
     )
 
@@ -3602,20 +3702,6 @@ def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "signup_event")
 
 
-def _q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """numeric_profile(approximate=True): the Greenwald-Khanna bounded-
-    memory percentile sketch behind the same schema as the exact profile.
-    Rows-only by declared contract (a rank-error-bounded sketch has no SQL
-    replay); tests/test_pipelines.py bounds sketch-vs-exact disagreement,
-    and the exact-mode twin `corpus_profile` is fully oracle-checked."""
-    from kaer_spark.pipelines import numeric_profile
-
-    return numeric_profile(
-        _t(spark, sf_dir, "documents"), "n_chars", group_col="lang",
-        approximate=True,
-    )
-
-
 def _latest_driver_round() -> dict[str, int]:
     """Latest round each query received a driver correctness row, read
     from the CORRECTNESS_r*.json artifacts the driver commits next to
@@ -3724,8 +3810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_passages": _q_duplicate_passages,
         "streaming_dedup_against": _q_streaming_dedup_against,
         "overlap_fraction": _q_overlap_fraction,
-        # rows-only by declared contract (GK percentile sketch)
-        "corpus_profile_approx": _q_corpus_profile_approx,
+        # r14: partial-probe production triplets + filtered IVF serving
+        "contrastive_triplets_mine": _q_contrastive_triplets_mine,
+        "ivf_knn_join_filtered": _q_ivf_knn_join_filtered,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -5647,6 +5734,137 @@ def _sql_ivf_knn_join(metric: str) -> str:
     """
 
 
+def _sql_ivf_knn_join_filtered() -> str:
+    """Replay of index_store.ivf_index_knn_join(pred=) at nprobe = cells:
+    full probe ⇒ exact per-query rank over the FILTERED corpus (the
+    stored cell assignment provably changes nothing at full probe, and
+    the pred sits below the join in both engines)."""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   ORDER BY vec_id DESC LIMIT {IVFF_NQ}),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ({_sql_l2sq_cols('e.embedding', 'q.embedding')})
+                            ASC, e.vec_id ASC) AS rank
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id % {IVFF_MOD} = 1
+        )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+        FROM s WHERE rank <= {IVFF_K}
+    """
+
+
+def _sql_contrastive_triplets_mine() -> str:
+    """Replay of the PARTIAL-probe triplet assembly — the full-probe
+    oracle plus the probe machinery itself, every stage value-exact: the
+    LSH pair family and closure (shared CTEs), spread-fit centroids
+    (hash-ordered LIMIT, similarity.ivf_fit_spread's pmod arithmetic),
+    spherical argmax-cosine cell assignment with the engine's (cos DESC,
+    j ASC) tie-break, per-anchor top-nprobe cell ranks, candidates
+    restricted to the anchor's probed cells, then the same co-member
+    exclusion + cosine rank + min-positive join. No full-probe escape
+    hatch: nprobe={CTM_NPROBE} of cells={CTM_CELLS}."""
+    from kaer_spark.operators.similarity import _SPREAD_A, _SPREAD_B, _SPREAD_P
+
+    hkey = (
+        f"(((vec_id * {_SPREAD_A} + {_SPREAD_B}) % {_SPREAD_P})"
+        f" + {_SPREAD_P}) % {_SPREAD_P}"
+    )
+    # cosine(row, centroid): hoisted norms, zero-denominator → NULL (the
+    # engine's cosine_similarity guard; the fixture has no zero vectors)
+    ccos = (
+        f"(CASE WHEN (sqrt({_sql_dot_cols('e.embedding', 'e.embedding')})"
+        f" * sqrt({_sql_dot_cols('c.cvec', 'c.cvec')})) <> 0.0 THEN"
+        f" ({_sql_dot_cols('e.embedding', 'c.cvec')})"
+        f" / (sqrt({_sql_dot_cols('e.embedding', 'e.embedding')})"
+        f" * sqrt({_sql_dot_cols('c.cvec', 'c.cvec')})) END)"
+    )
+    return f"""
+        WITH RECURSIVE lsh_pairs AS (
+          SELECT id_a, id_b FROM ({_sql_embedding_dups()}) p
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM lsh_pairs WHERE id_a <> id_b
+          UNION
+          SELECT id_b, id_a FROM lsh_pairs WHERE id_a <> id_b
+        ),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+          SELECT src AS id, LEAST(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        ),
+        co AS (
+          SELECT a.id AS qa, b.id AS qb
+          FROM clusters a JOIN clusters b
+            ON a.cluster_id = b.cluster_id AND a.id <> b.id
+        ),
+        pos AS (
+          SELECT qa AS anchor_id, min(qb) AS positive_id
+          FROM co GROUP BY qa
+        ),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY {hkey}, vec_id) - 1 AS j,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY {hkey}, vec_id LIMIT {CTM_CELLS})
+        ),
+        cc AS (
+          SELECT e.vec_id, c.j, {ccos} AS cos
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        asg AS (
+          SELECT vec_id, j AS cell FROM (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, j ASC) AS rn
+            FROM cc) WHERE rn = 1
+        ),
+        pr AS (
+          SELECT vec_id AS anchor_id, j AS cell FROM (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, j ASC) AS rn
+            FROM cc
+            WHERE vec_id IN (SELECT id FROM clusters)
+          ) WHERE rn <= {CTM_NPROBE}
+        ),
+        scored AS (
+          SELECT m.id AS anchor_id, c.vec_id AS doc_id,
+                 CASE WHEN sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                           * sqrt({_sql_dot_cols('q.embedding', 'q.embedding')}) <> 0.0
+                      THEN ({_sql_dot_cols('c.embedding', 'q.embedding')})
+                           / (sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                              * sqrt({_sql_dot_cols('q.embedding', 'q.embedding')}))
+                 END AS score
+          FROM (SELECT DISTINCT id FROM clusters) m
+          JOIN embeddings q ON q.vec_id = m.id
+          JOIN pr ON pr.anchor_id = m.id
+          JOIN asg ON asg.cell = pr.cell
+          JOIN embeddings c ON c.vec_id = asg.vec_id
+          WHERE c.vec_id <> m.id
+            AND NOT EXISTS (SELECT 1 FROM co
+                            WHERE co.qa = m.id AND co.qb = c.vec_id)
+        ),
+        r AS (
+          SELECT anchor_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY score DESC, doc_id ASC
+                 ) AS rk
+          FROM scored
+        )
+        SELECT r.anchor_id, p.positive_id, r.doc_id AS vec_id, r.score,
+               CAST(r.rk AS BIGINT) AS rank
+        FROM r JOIN pos p ON p.anchor_id = r.anchor_id
+        WHERE r.rk <= {CT_K_NEG}
+    """
+
+
 def _sql_minhash_between(survivors: bool = False) -> str:
     """Cross-corpus (even × odd doc_id) replay of
     dedup.minhash_near_dups_between: signatures computed once globally
@@ -6158,6 +6376,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_scores": _sql_bigram_lm(pretrained=False),
         "bigram_lm_pretrained": _sql_bigram_lm(pretrained=True),
         "ivf_knn_join": _sql_ivf_knn_join("l2sq"),
+        "ivf_knn_join_filtered": _sql_ivf_knn_join_filtered(),
+        "contrastive_triplets_mine": _sql_contrastive_triplets_mine(),
         "ivf_knn_join_cosine": _sql_ivf_knn_join("cosine"),
         "dedup_minhash_between": _sql_minhash_between(),
         "dedup_against": _sql_minhash_between(survivors=True),

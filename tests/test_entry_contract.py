@@ -9,14 +9,16 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+# exactly the five genuinely MLlib-bound entries (r14: the GK-sketch
+# corpus_profile_approx registry row was retired — quantiles_sampled is
+# its oracle-checkable twin; the operator keeps pytest coverage in
+# tests/test_pipelines.py)
 DECLARED_ROWS_ONLY = {
     "ivf_knn",          # MLlib k-means fit
     "lsh_knn",          # MLlib random hyperplanes
     "lsh_similarity_join",
     "pq_knn",           # k-means codebooks
     "ivf_recall_sweep", # recall metric over the k-means index
-    "corpus_profile_approx",  # GK percentile sketch (no SQL replay);
-                              # exact-mode twin corpus_profile is oracled
 }
 
 
