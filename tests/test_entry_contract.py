@@ -58,7 +58,14 @@ def test_bench_json_line_fits_driver_tail_buffer():
         "unit": "sec",
         "runs": 3,
         "loaded_start": False,
-        "queries": bench.stdout_queries({n: 9999.999 for n in bench.HEADLINE}),
+        "cpu_probe_sec": 0.1234,
+        "shared_min_ratio": 0.123,
+        "canary_ratio": 0.123,
+        "shared_min_ratio_normalized": 0.123,
+        # per-query ceiling 99.99: the heaviest row ever recorded is ~7s
+        # median (14x headroom); stdout_queries rounds to 2 decimals, so
+        # this is the realistic worst width per entry
+        "queries": bench.stdout_queries({n: 99.99 for n in bench.HEADLINE}),
         "sf": 0.1,
     }
     # same serialization bench.py uses (compact separators)

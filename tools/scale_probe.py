@@ -344,6 +344,36 @@ def main() -> int:
         results[f"ivf_hard_negatives_{label}"] = {"sec": t, "rows": n}
         print(f"ivf_hard_negatives {label}: {t}s ({n} rows)", file=sys.stderr)
 
+    # --- round-14 probe: the triplet-assembly composition ----------------
+    # contrastive_triplets at the PRODUCTION shape (partial probe,
+    # bench row contrastive_triplets_mine): the chain is LSH pair gen
+    # (calibrated banding — ~linear candidates) → closure (O(diameter)
+    # iterations over the pairs-sized edge set) → indexed mining (probed
+    # fraction of corpus × anchors). Every stage is sub-quadratic, so the
+    # 10× ratio should land far under 100× — the number this probe pins.
+    # Geometry fixed (cells=8, nprobe=3) as in the bench row; a production
+    # deployment would scale cells ~ sqrt(N), which only helps.
+    from kaer_spark.operators.dedup import dedup_clusters, embedding_near_dups_lsh
+    from kaer_spark.operators.knn import contrastive_triplets
+
+    def run_triplets(d: DataFrame) -> int:
+        pairs = embedding_near_dups_lsh(
+            d, threshold=0.35, bands=4, bits_per_band=4, seed=7
+        ).select("id_a", "id_b")
+        clusters = dedup_clusters(pairs)
+        return contrastive_triplets(
+            d.select("vec_id", "embedding"), clusters,
+            k_negatives=3, cells=8, nprobe=3, metric="cosine",
+        ).count()
+
+    for label, d in (("1x", embs), ("10x", amplify(embs, "vec_id", TIMES,
+                                                   rotate_col="embedding"))):
+        run_triplets(d)  # warm codegen
+        t, n = timed(lambda dd=d: run_triplets(dd))
+        results[f"contrastive_triplets_{label}"] = {"sec": t, "rows": n}
+        print(f"contrastive_triplets {label}: {t}s ({n} rows)",
+              file=sys.stderr)
+
     # pps: one range shuffle + bounded offsets — ~linear in rows, and the
     # selected count stays ~k regardless of corpus size
     from kaer_spark.operators.sampling import pps_systematic_sample
