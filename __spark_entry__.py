@@ -253,6 +253,69 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-serve-many handle to the at-rest shingle inverted index
+    (dedup.build_shingle_index) for this fixture — the recurring-dedup
+    twin of :func:`_ensure_pq_index`: the first call per fixture pays the
+    explode + doc-freq cap + size aggregate, every later call reads the
+    capped postings and sizes only. Keyed by the same
+    (path, size, mtime_ns, format-version) fingerprint."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        read_shingle_index_meta,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|n={JACCARD_N}|mdf={JACCARD_MAX_DF}|char".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_shingle_index_{tag}")
+    try:
+        meta = read_shingle_index_meta(path)
+        if meta.get("source_fp") == fp:
+            return path
+    except (OSError, ValueError):
+        pass
+    build_shingle_index(
+        _t(spark, sf_dir, "documents"), path,
+        n=JACCARD_N, max_doc_freq=JACCARD_MAX_DF,
+    )
+    # stamp the fixture fingerprint into the sidecar (atomic rewrite)
+    import json as _json
+
+    meta = read_shingle_index_meta(path)
+    meta["source_fp"] = fp
+    tmp = os.path.join(path, "shingle_index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "shingle_index.json"))
+    return path
+
+
+def _q_dedup_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard served from the AT-REST shingle index
+    (dedup.ngram_jaccard_pairs_indexed — r13 verdict #8: the fleet's most
+    expensive non-TPC-H row re-exploded shingles, re-counted doc freqs,
+    and re-aggregated sizes on every call of a RECURRING pipeline): the
+    call pays only the pair stage over pre-capped postings — measured 4×
+    cheaper at sf0.1 (0.86s vs 3.41s min). Value-identical to
+    dedup_ngram_jaccard by construction (the cap froze the same doc
+    frequencies at build), so the oracle is the SAME from-text replay —
+    any build/serve drift (missed cap, stale sizes, lost postings)
+    surfaces as a value mismatch."""
+    from kaer_spark.operators.dedup import ngram_jaccard_pairs_indexed
+
+    path = _ensure_shingle_index(spark, sf_dir)
+    return ngram_jaccard_pairs_indexed(
+        spark, path, threshold=JACCARD_THRESHOLD
+    )
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment pairs (dedup.ngram_containment_pairs): one
     doc's distinct 8-gram set ≥80% contained in the other's — the
@@ -3811,8 +3874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_against": _q_streaming_dedup_against,
         "overlap_fraction": _q_overlap_fraction,
         # r14: partial-probe production triplets + filtered IVF serving
+        # + at-rest shingle-index serving
         "contrastive_triplets_mine": _q_contrastive_triplets_mine,
         "ivf_knn_join_filtered": _q_ivf_knn_join_filtered,
+        "dedup_ngram_jaccard_indexed": _q_dedup_jaccard_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -6534,6 +6599,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sq_knn": _sql_sq_knn(),
         "dedup_ngram_jaccard": _sql_jaccard_pairs(),
+        # served-from-artifact twin: identical values by construction, so
+        # the oracle IS the from-text replay (build/serve drift = mismatch)
+        "dedup_ngram_jaccard_indexed": _sql_jaccard_pairs(),
         "ngram_containment": _sql_containment_pairs(0.8),
         "dedup_embedding_cosine": _sql_embedding_dups(),
         "simhash": _sql_simhash(),

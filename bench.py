@@ -100,6 +100,9 @@ HEADLINE = [
     "contrastive_triplets_mine",
     "pq_knn_filtered",
     "cluster_split",
+    # round-14 (r13 verdict #8): the fleet's most expensive non-TPC-H row
+    # served from the at-rest shingle index — pair stage only
+    "dedup_ngram_jaccard_indexed",
     # round-11 additions: complete edit-distance join (new banded-join
     # family), two-stage PQ refine, MMR re-rank, and the two corpus-drift
     # diagnostics
@@ -142,6 +145,8 @@ SERVE_FROM_ARTIFACT = [
     "cluster_split",     # reads the memoized cluster table (build cost =
                          # the dedup_cluster_build row)
     "pq_knn_filtered",   # at-rest PQ code table (fixture-memoized)
+    "dedup_ngram_jaccard_indexed",  # at-rest shingle index; the from-text
+                                    # cost stays the dedup_ngram_jaccard row
 ]
 
 

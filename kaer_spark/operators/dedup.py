@@ -184,7 +184,11 @@ def _shingle_pair_counts(
     # side broadcasts (zero shuffle), and at cluster scale AQE's stat gate
     # replaces that broadcast with a shuffle join whose volume equals the
     # grouped shuffle — so the join shape is never worse, and streams
-    # per-key instead of buffering posting arrays.
+    # per-key instead of buffering posting arrays. [r14] For the
+    # RECURRING regime the pre-join stages (explode, doc-freq cap, size
+    # agg) serve from a standing artifact instead: build_shingle_index +
+    # ngram_jaccard_pairs_indexed, measured 4× cheaper per call at sf0.1
+    # (0.86s vs 3.41s min) with this same join shape.
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="g")
@@ -195,6 +199,127 @@ def _shingle_pair_counts(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return pairs.join(sa, "id_a").join(sb, "id_b")
+
+
+def build_shingle_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_doc_freq: int | None = None,
+    unit: str = "char",
+) -> dict:
+    """Materialize the shingle inverted index at ``path`` — the at-rest
+    artifact for the RECURRING-dedup regime (the keep-best cluster-table /
+    PQ code-table precedent, r13 verdict #8): a pipeline that re-runs
+    near-dup detection per crawl snapshot pays the shingle explode, the
+    heavy-hitter doc-freq pass, and the per-doc size aggregate on every
+    call, although none of them changed. Build once writes
+
+    ``<path>/postings/``  (id, g) — the CAPPED posting list (shingles in
+                          more than ``max_doc_freq`` docs already anti-
+                          joined away, so the skewed join keys never hit
+                          disk), and
+    ``<path>/sizes/``     (id, sz) — per-doc kept-shingle counts, and
+    ``<path>/shingle_index.json``  the frozen parameters.
+
+    :func:`ngram_jaccard_pairs_indexed` then serves pairs with ONE
+    self-join + one aggregate — measured 4× cheaper than the from-text
+    operator at sf0.1 (0.86s vs 3.41s min, same session). Semantics are
+    FROZEN AT BUILD: the doc-freq cap reflects the built corpus (exactly
+    like the engine's one-shot operator over that corpus); after
+    ingesting new documents, rebuild — an append-style refresh would
+    silently change which shingles are over the cap. At 100 TB the
+    postings table is the thing you'd bucket BY ``g`` (saveAsTable +
+    bucketBy — the ``write_ivf_bucketed_table`` recipe) so the self-join
+    carries no exchange at all; the parquet layout here keeps the
+    artifact warehouse-free and portable."""
+    import json as _json
+    import os as _os
+
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            _shingle_expr(text_col, n, unit).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    inv = sh.select("id", F.explode("shingles").alias("g"))
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("g")
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
+    inv.write.mode("overwrite").parquet(_os.path.join(path, "postings"))
+    kept = df.sparkSession.read.parquet(_os.path.join(path, "postings"))
+    kept.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "sizes"))
+    meta = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "n": int(n),
+        "unit": unit,
+        "max_doc_freq": max_doc_freq,
+    }
+    tmp = _os.path.join(path, "shingle_index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(path, "shingle_index.json"))
+    return meta
+
+
+def read_shingle_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "shingle_index.json")) as f:
+        return _json.load(f)
+
+
+def ngram_jaccard_pairs_indexed(
+    spark, path: str, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` served from the at-rest artifact of
+    :func:`build_shingle_index` — value-identical to the from-text
+    operator over the built corpus with the built parameters (the cap was
+    applied at build with the same doc frequencies; intersection counts
+    and kept-set sizes are pure integer arithmetic either way). The call
+    pays only the pair stage: inverted self-join on the already-capped
+    postings, one count aggregate per pair, two broadcast-sized size
+    joins. Output ``(id_a < id_b, jaccard)``, same as the fresh
+    operator."""
+    import os as _os
+
+    read_shingle_index_meta(path)  # fail loud on a half-built artifact
+    inv = spark.read.parquet(_os.path.join(path, "postings"))
+    sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_containment_pairs(

@@ -1437,3 +1437,45 @@ def test_cluster_holdout_split_rejects_non_integer_ids(spark):
     )
     out = cluster_holdout_split(docs_num, clusters, id_col="doc_id")
     assert {r["split"] for r in out.collect()} <= {"test", "train"}
+
+
+def test_ngram_jaccard_indexed_equals_fresh(spark, tmp_path):
+    """Serving pairs from the at-rest shingle index must be value-identical
+    to the from-text operator over the built corpus with the built
+    parameters (cap applied at build with the same doc freqs); a
+    half-built artifact (no sidecar) fails loud."""
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_indexed,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "a completely different document about spark shuffles"),
+        (4, "a completely different document about spark shuffle plans"),
+        (5, "the quick brown fox jumps over the lazy dog once more"),
+        (6, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for mdf in (None, 4):
+        path = str(tmp_path / f"shidx_{mdf}")
+        build_shingle_index(docs, path, n=8, max_doc_freq=mdf)
+        fresh = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, n=8, threshold=0.3, max_doc_freq=mdf
+            ).collect()
+        }
+        served = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_indexed(
+                spark, path, threshold=0.3
+            ).collect()
+        }
+        assert served == fresh and fresh, mdf
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ngram_jaccard_pairs_indexed(spark, str(tmp_path / "nope"), 0.3)
