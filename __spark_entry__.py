@@ -316,6 +316,19 @@ def _q_dedup_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_containment served from the SAME at-rest shingle artifact as
+    dedup_ngram_jaccard_indexed (dedup.ngram_containment_pairs_indexed):
+    one build feeds both scorers — resemblance and containment are
+    projections over the same (inter, sz_a, sz_b) pair counts. Same
+    from-text oracle as ngram_containment; build/serve drift surfaces as
+    a value mismatch."""
+    from kaer_spark.operators.dedup import ngram_containment_pairs_indexed
+
+    path = _ensure_shingle_index(spark, sf_dir)
+    return ngram_containment_pairs_indexed(spark, path, threshold=0.8)
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment pairs (dedup.ngram_containment_pairs): one
     doc's distinct 8-gram set ≥80% contained in the other's — the
@@ -3878,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets_mine": _q_contrastive_triplets_mine,
         "ivf_knn_join_filtered": _q_ivf_knn_join_filtered,
         "dedup_ngram_jaccard_indexed": _q_dedup_jaccard_indexed,
+        "ngram_containment_indexed": _q_ngram_containment_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -6602,6 +6616,7 @@ def oracle_sql() -> dict[str, str]:
         # served-from-artifact twin: identical values by construction, so
         # the oracle IS the from-text replay (build/serve drift = mismatch)
         "dedup_ngram_jaccard_indexed": _sql_jaccard_pairs(),
+        "ngram_containment_indexed": _sql_containment_pairs(0.8),
         "ngram_containment": _sql_containment_pairs(0.8),
         "dedup_embedding_cosine": _sql_embedding_dups(),
         "simhash": _sql_simhash(),

@@ -283,18 +283,11 @@ def read_shingle_index_meta(path: str) -> dict:
         return _json.load(f)
 
 
-def ngram_jaccard_pairs_indexed(
-    spark, path: str, threshold: float = 0.5
-) -> DataFrame:
-    """:func:`ngram_jaccard_pairs` served from the at-rest artifact of
-    :func:`build_shingle_index` — value-identical to the from-text
-    operator over the built corpus with the built parameters (the cap was
-    applied at build with the same doc frequencies; intersection counts
-    and kept-set sizes are pure integer arithmetic either way). The call
-    pays only the pair stage: inverted self-join on the already-capped
-    postings, one count aggregate per pair, two broadcast-sized size
-    joins. Output ``(id_a < id_b, jaccard)``, same as the fresh
-    operator."""
+def _indexed_pair_counts(spark, path: str) -> DataFrame:
+    """The pair stage of the shingle family served from the at-rest
+    artifact — ``(id_a < id_b, inter, sz_a, sz_b)``, the same shape
+    :func:`_shingle_pair_counts` returns (one body feeds both scorers
+    here too, mirroring the from-text core)."""
     import os as _os
 
     read_shingle_index_meta(path)  # fail loud on a half-built artifact
@@ -309,9 +302,23 @@ def ngram_jaccard_pairs_indexed(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return pairs.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs_indexed(
+    spark, path: str, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` served from the at-rest artifact of
+    :func:`build_shingle_index` — value-identical to the from-text
+    operator over the built corpus with the built parameters (the cap was
+    applied at build with the same doc frequencies; intersection counts
+    and kept-set sizes are pure integer arithmetic either way). The call
+    pays only the pair stage: inverted self-join on the already-capped
+    postings, one count aggregate per pair, two broadcast-sized size
+    joins. Output ``(id_a < id_b, jaccard)``, same as the fresh
+    operator."""
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        _indexed_pair_counts(spark, path)
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -319,6 +326,28 @@ def ngram_jaccard_pairs_indexed(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs_indexed(
+    spark, path: str, threshold: float = 0.8
+) -> DataFrame:
+    """:func:`ngram_containment_pairs` served from the SAME at-rest
+    artifact as :func:`ngram_jaccard_pairs_indexed` (one build feeds both
+    scorers — resemblance and containment are projections over the same
+    (inter, sz_a, sz_b) counts, Broder 1997): pair stage only, value-
+    identical to the from-text operator over the built corpus."""
+    counts = _indexed_pair_counts(spark, path)
+    c_ab = F.col("inter").cast("double") / F.col("sz_a")
+    c_ba = F.col("inter").cast("double") / F.col("sz_b")
+    return (
+        counts.withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= threshold
+        )
+        .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a")
     )
 
 

@@ -1479,3 +1479,33 @@ def test_ngram_jaccard_indexed_equals_fresh(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         ngram_jaccard_pairs_indexed(spark, str(tmp_path / "nope"), 0.3)
+
+
+def test_ngram_containment_indexed_equals_fresh(spark, tmp_path):
+    """One artifact feeds both scorers: containment served from the
+    shingle index equals the from-text operator exactly."""
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        ngram_containment_pairs,
+        ngram_containment_pairs_indexed,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "prefix text then the quick brown fox jumps over the lazy dog "
+            "again and again plus a long unrelated tail about spark plans"),
+        (3, "a completely different document about warehouse bucketing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "shidx_c")
+    build_shingle_index(docs, path, n=8)
+    fresh = sorted(
+        map(tuple, ngram_containment_pairs(docs, n=8, threshold=0.5).collect())
+    )
+    served = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs_indexed(spark, path, threshold=0.5).collect(),
+        )
+    )
+    assert served == fresh and fresh
