@@ -3683,6 +3683,40 @@ def _q_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFHF_K, IVFHF_OFFSETS, IVFHF_MOD = 5, (3, 9), 3
+
+
+def _q_ivf_hard_negatives_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED hard-negative mining (knn.ivf_hard_negatives with
+    corpus_pred — r14: mine negatives only among docs matching a metadata
+    predicate, e.g. same-language / quality-gated negatives — the
+    filtered-kNN contract, db/db.go:111-143, now on the mining path too):
+    the predicate restricts the candidate pool BELOW the cell join
+    (pushed into the scan), exclusions still apply before the top-k cut —
+    "k nearest non-positive matches", never an under-filled remainder.
+    Probed fully ⇒ exact, so the oracle value-checks the whole filtered
+    chain. Distinct geometry from ivf_hard_negatives (5 queries, offsets
+    3/9, pred vec_id % 3 != 0)."""
+    from kaer_spark.operators.knn import ivf_hard_negatives
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = (
+        embs.orderBy("vec_id").limit(IVFHF_K)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ex = spark.createDataFrame(
+        [(q, q + o) for q in range(IVFHF_K) for o in IVFHF_OFFSETS],
+        "query_id long, doc_id long",
+    )
+    return ivf_hard_negatives(
+        queries, corpus, k=IVFHF_K, cells=IVF_HN_CELLS, nprobe=IVF_HN_CELLS,
+        metric="cosine", exclude_pairs=ex, exclude_self=True,
+        dup_ceiling=HN_CEILING,
+        corpus_pred=F.col("doc_id") % IVFHF_MOD != 0,
+    )
+
+
 def _q_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate n_chars quantiles by DETERMINISTIC uniform sampling
     (sampling.sampled_quantiles): the 256 smallest-LCG-hash docs form the
@@ -3892,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_join_filtered": _q_ivf_knn_join_filtered,
         "dedup_ngram_jaccard_indexed": _q_dedup_jaccard_indexed,
         "ngram_containment_indexed": _q_ngram_containment_indexed,
+        "ivf_hard_negatives_filtered": _q_ivf_hard_negatives_filtered,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -7383,6 +7418,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
             FROM r WHERE rk <= {IVF_HN_K}
+        """,
+        "ivf_hard_negatives_filtered": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings ORDER BY vec_id LIMIT {IVFHF_K}
+            ),
+            ex(query_id, doc_id) AS (
+              VALUES {", ".join(f"({q}, {q + o})" for q in range(IVFHF_K)
+                                for o in IVFHF_OFFSETS)}
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS doc_id,
+                     CASE WHEN sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                               * sqrt({_sql_dot_cols('q.qv', 'q.qv')}) <> 0.0
+                          THEN ({_sql_dot_cols('c.embedding', 'q.qv')})
+                               / (sqrt({_sql_dot_cols('c.embedding', 'c.embedding')})
+                                  * sqrt({_sql_dot_cols('q.qv', 'q.qv')}))
+                     END AS score
+              FROM q CROSS JOIN embeddings c
+              WHERE c.vec_id <> q.query_id
+                AND c.vec_id % {IVFHF_MOD} <> 0
+            ),
+            filt AS (
+              SELECT s.* FROM scored s
+              WHERE s.score < {HN_CEILING}
+                AND NOT EXISTS (SELECT 1 FROM ex
+                                WHERE ex.query_id = s.query_id
+                                  AND ex.doc_id = s.doc_id)
+            ),
+            r AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                     ) AS rk
+              FROM filt
+            )
+            SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
+            FROM r WHERE rk <= {IVFHF_K}
         """,
         "contrastive_triplets": f"""
             WITH RECURSIVE lsh_pairs AS (

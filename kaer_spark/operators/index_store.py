@@ -266,6 +266,7 @@ def ivf_table_hard_negatives(
     exclude_pairs: DataFrame | None = None,
     exclude_self: bool = True,
     dup_ceiling: float | None = None,
+    pred=None,
 ) -> DataFrame:
     """Hard-negative mining against the BUCKETED cell table — the standing
     serving layout for a RECURRING mining pass (every contrastive-training
@@ -276,7 +277,9 @@ def ivf_table_hard_negatives(
     ``_cell`` assignment and the sidecar centroids, so mining never
     recomputes a corpus argmin. Same caveat as the table join: don't
     probe an L2-assigned layout by angle — build the table with the
-    metric the miner will use."""
+    metric the miner will use. ``pred`` restricts the candidate pool
+    (filtered mining — same contract as ``knn.ivf_hard_negatives``'s
+    ``corpus_pred``), pushed into the bucket-aligned scan."""
     from kaer_spark.operators.knn import ivf_hard_negatives
 
     meta = read_index_meta(meta_path)
@@ -295,6 +298,7 @@ def ivf_table_hard_negatives(
         exclude_pairs=exclude_pairs,
         exclude_self=exclude_self,
         dup_ceiling=dup_ceiling,
+        corpus_pred=pred,
     )
 
 

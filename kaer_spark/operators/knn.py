@@ -201,6 +201,7 @@ def hard_negatives(
     exclude_pairs: DataFrame | None = None,
     exclude_self: bool = True,
     dup_ceiling: float | None = None,
+    corpus_pred=None,
 ) -> DataFrame:
     """Per query, the ``k`` CLOSEST corpus rows that are NOT positives —
     hard-negative mining for contrastive training (the DPR/SimCSE recipe:
@@ -222,6 +223,12 @@ def hard_negatives(
       be negatives at all (unlabeled near-copies): similarity ≥ ceiling
       for cosine/dot, distance ≤ ceiling for l2sq.
 
+    ``corpus_pred`` (a boolean Column) restricts the candidate POOL —
+    "k nearest non-positives among matches" (mine same-language /
+    same-domain / quality-gated negatives), the filtered-kNN contract
+    (``db/db.go:111-143``) on the mining path; it sits below the join so
+    Catalyst pushes it into the corpus scan.
+
     Scale shape = ``knn_join``'s: the query side broadcasts, scores
     evaluate in the corpus scan stage, exclusions are row-local filters
     plus one anti-join against the (positives-sized) pair table, and the
@@ -231,11 +238,13 @@ def hard_negatives(
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
     )
-    corpus_side = corpus
+    corpus_side = corpus if corpus_pred is None else corpus.filter(corpus_pred)
     if metric == "cosine":
         # per-side norm precompute (see knn_join / ivf_scored_candidates)
         q = q.withColumn("__qn", vector_norm("__qvec"))
-        corpus_side = corpus.withColumn("__cn", vector_norm(corpus_vec_col))
+        corpus_side = corpus_side.withColumn(
+            "__cn", vector_norm(corpus_vec_col)
+        )
     joined = corpus_side.crossJoin(F.broadcast(q))
     if metric == "l2sq":
         score = l2sq(F.col(corpus_vec_col), F.col("__qvec"))
@@ -404,6 +413,7 @@ def ivf_hard_negatives(
     exclude_pairs: DataFrame | None = None,
     exclude_self: bool = True,
     dup_ceiling: float | None = None,
+    corpus_pred=None,
 ) -> DataFrame:
     """:func:`hard_negatives` at training-mining scale: contrastive-training
     pipelines mine negatives for MILLIONS of queries (every training
@@ -423,7 +433,11 @@ def ivf_hard_negatives(
     it lives outside all probed cells. Returns ``(query_id, doc_id, score,
     rank 1..k)``. Pass ``centroids`` from a stored ``index_store`` sidecar
     (and a pre-assigned ``_cell`` corpus) to serve from the materialized
-    index with zero corpus-side shuffle."""
+    index with zero corpus-side shuffle. ``corpus_pred`` restricts the
+    candidate pool (same filtered-mining contract as
+    :func:`hard_negatives` — the two paths stay semantics-identical);
+    it filters the probed corpus INSIDE the cell join, so at partial
+    probe the result is "k nearest matches within the probed cells"."""
     from kaer_spark.operators.similarity import ivf_scored_candidates
 
     scored, order = ivf_scored_candidates(
@@ -437,7 +451,7 @@ def ivf_hard_negatives(
         corpus_id_col=corpus_id_col,
         centroids=centroids,
         metric=metric,
-        corpus_pred=None,
+        corpus_pred=corpus_pred,
     )
     scored = _negative_exclusions(
         scored,

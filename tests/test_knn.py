@@ -371,3 +371,37 @@ def test_contrastive_triplets_assembly(spark, embeddings):
     assert sorted((r["anchor_id"], r["vec_id"], r["rank"]) for r in out) == sorted(
         (r["query_id"], r["vec_id"], r["rank"]) for r in exact
     )
+
+
+def test_hard_negatives_filtered_pool(spark, embeddings):
+    """corpus_pred restricts the candidate POOL before the cut (filtered
+    mining, r14): every returned negative matches the predicate, the
+    filtered full-probe IVF miner equals the filtered broadcast miner
+    exactly, and ranks stay dense 1..k (k nearest AMONG matches, never a
+    filtered-out remainder)."""
+    from kaer_spark.operators.knn import hard_negatives, ivf_hard_negatives
+
+    queries = (
+        embeddings.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ex = spark.createDataFrame(
+        [(q, q + 7) for q in range(4)], "query_id long, doc_id long"
+    )
+    pred = F.col("doc_id") % 3 != 0
+    kwargs = dict(
+        k=5, metric="cosine", exclude_pairs=ex,
+        exclude_self=True, dup_ceiling=0.999, corpus_pred=pred,
+    )
+    exact = hard_negatives(queries, corpus, **kwargs)
+    rows = exact.collect()
+    assert rows and all(r["doc_id"] % 3 != 0 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    indexed = ivf_hard_negatives(
+        queries, corpus, cells=8, nprobe=8, **kwargs
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, indexed.collect()))
