@@ -50,7 +50,10 @@ from kaer_spark.operators.dedup import (
     minhash_near_dups,
     minhash_near_dups_between,
     duplicate_passages,
+    build_shingle_index,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_indexed,
+    ngram_containment_pairs_indexed,
     passage_overlap_between,
     remove_duplicate_lines,
     remove_repeated_lines,
@@ -159,7 +162,10 @@ __all__ = [
     "knn_join",
     "hard_negatives",
     "exact_dedup",
+    "build_shingle_index",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_indexed",
+    "ngram_containment_pairs_indexed",
     "minhash_near_dups",
     "minhash_near_dups_between",
     "dedup_against",
