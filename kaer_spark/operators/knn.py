@@ -338,6 +338,7 @@ def contrastive_triplets(
     nprobe: int = 8,
     centroids: list[list[float]] | None = None,
     dup_ceiling: float | None = None,
+    corpus_pred=None,
 ) -> DataFrame:
     """Assemble (anchor, positive, hard negatives) training triplets — the
     DPR/SimCSE data shape — from a near-dup clustering plus the indexed
@@ -353,7 +354,10 @@ def contrastive_triplets(
     Scale shape: positives are one self-join of the (pairs-sized) cluster
     table; negatives run through :func:`ivf_hard_negatives` (cell
     equi-join — anchors are every clustered doc, typically far past a
-    broadcast), with the co-member pair set as ``exclude_pairs``. With
+    broadcast), with the co-member pair set as ``exclude_pairs``.
+    ``corpus_pred`` restricts the NEGATIVE pool (quality-gated /
+    same-domain negatives — the miner's filtered contract; anchors and
+    positives come from the cluster table and are unaffected). With
     ``nprobe == cells`` the mining stage is exact, so the whole assembly
     is oracle-checkable."""
     members = clusters.select("id", "cluster_id")
@@ -385,6 +389,7 @@ def contrastive_triplets(
         exclude_pairs=co,
         exclude_self=True,
         dup_ceiling=dup_ceiling,
+        corpus_pred=corpus_pred,
     )
     return (
         negs.join(pos, "query_id")

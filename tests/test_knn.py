@@ -405,3 +405,27 @@ def test_hard_negatives_filtered_pool(spark, embeddings):
         queries, corpus, cells=8, nprobe=8, **kwargs
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, indexed.collect()))
+
+
+def test_contrastive_triplets_filtered_negative_pool(spark, embeddings):
+    """corpus_pred restricts the NEGATIVE pool only: every mined negative
+    matches the predicate, anchors/positives (cluster-driven) are
+    unchanged vs the unfiltered assembly."""
+    from kaer_spark.operators.knn import contrastive_triplets
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (5, 5), (6, 5)], "id long, cluster_id long"
+    )
+    base = contrastive_triplets(
+        embeddings.select("vec_id", "embedding"), clusters,
+        k_negatives=3, cells=4, nprobe=4, metric="cosine",
+    ).collect()
+    filt = contrastive_triplets(
+        embeddings.select("vec_id", "embedding"), clusters,
+        k_negatives=3, cells=4, nprobe=4, metric="cosine",
+        corpus_pred=F.col("vec_id") % 2 == 0,
+    ).collect()
+    assert filt and all(r["vec_id"] % 2 == 0 for r in filt)
+    assert {(r["anchor_id"], r["positive_id"]) for r in filt} == {
+        (r["anchor_id"], r["positive_id"]) for r in base
+    }
