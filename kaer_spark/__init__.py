@@ -54,6 +54,8 @@ from kaer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_indexed,
     ngram_containment_pairs_indexed,
+    ngram_jaccard_table_pairs,
+    write_shingle_bucketed_table,
     passage_overlap_between,
     remove_duplicate_lines,
     remove_repeated_lines,
@@ -166,6 +168,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_indexed",
     "ngram_containment_pairs_indexed",
+    "ngram_jaccard_table_pairs",
+    "write_shingle_bucketed_table",
     "minhash_near_dups",
     "minhash_near_dups_between",
     "dedup_against",

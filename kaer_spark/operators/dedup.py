@@ -275,6 +275,108 @@ def build_shingle_index(
     return meta
 
 
+def write_shingle_bucketed_table(
+    df: DataFrame,
+    table: str,
+    meta_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_doc_freq: int | None = None,
+    unit: str = "char",
+    num_buckets: int = 64,
+) -> dict:
+    """The shingle postings as a CATALOG TABLE bucketed by ``g`` — the
+    ZERO-EXCHANGE layout for the recurring inverted self-join (the
+    ``write_ivf_bucketed_table`` recipe applied to the dedup family's
+    dominant cost). The parquet artifact of :func:`build_shingle_index`
+    still shuffles (or broadcasts) the postings onto the join key per
+    call; bucketing records the hash distribution in the catalog, so the
+    self-join reads both sides bucket-aligned with NO exchange below the
+    join — at 100 TB the postings shuffle IS the operator's cost, and
+    this removes it from every recurring run (plan-asserted in
+    tests/test_dedup.py). Sizes land in ``<table>_sizes`` (id-keyed,
+    broadcast-sized joins); parameters in the ``meta_path`` sidecar, same
+    format as the parquet artifact so either layout serves the scorers."""
+    import json as _json
+    import os as _os
+
+    from kaer_spark.sources.files import write_bucketed
+
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            _shingle_expr(text_col, n, unit).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    inv = sh.select("id", F.explode("shingles").alias("g"))
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("g")
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
+    write_bucketed(inv, table, ["g"], num_buckets=num_buckets, sort_by=["g"])
+    spark = df.sparkSession
+    kept = spark.table(table)
+    kept.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{table}_sizes")
+    meta = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "n": int(n),
+        "unit": unit,
+        "max_doc_freq": max_doc_freq,
+        "table": table,
+        "num_buckets": int(num_buckets),
+    }
+    _os.makedirs(meta_path, exist_ok=True)
+    tmp = _os.path.join(meta_path, "shingle_index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(meta_path, "shingle_index.json"))
+    return meta
+
+
+def ngram_jaccard_table_pairs(
+    spark, table: str, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` served from the BUCKETED postings table
+    — value-identical to the from-text operator over the built corpus
+    (same frozen cap), with the self-join's corpus exchange gone: both
+    sides of the ``g`` equi-join read the same bucketed table, so the
+    join is bucket-aligned (no Exchange below it; the only shuffles left
+    are the pair aggregate and the two id-keyed size joins)."""
+    inv = spark.table(table)
+    sizes = spark.table(f"{table}_sizes")
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def read_shingle_index_meta(path: str) -> dict:
     import json as _json
     import os as _os

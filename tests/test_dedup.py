@@ -1509,3 +1509,53 @@ def test_ngram_containment_indexed_equals_fresh(spark, tmp_path):
         )
     )
     assert served == fresh and fresh
+
+
+def test_ngram_jaccard_bucketed_table_no_postings_shuffle(spark, tmp_path):
+    """The bucketed postings table: (a) pairs equal the from-text operator
+    exactly, (b) with broadcast disabled (the cluster regime) the inverted
+    self-join reads BOTH sides bucket-aligned — no Exchange on g below the
+    join (the only shuffles left are the pair aggregate and the id-keyed
+    size joins). At 100 TB the postings shuffle IS the operator's cost."""
+    import re
+
+    from kaer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_table_pairs,
+        write_shingle_bucketed_table,
+    )
+    from kaer_spark.plans import executed_plan
+
+    rows = [
+        (i, f"the quick brown fox number {i % 4} jumps over the lazy dog "
+            f"variant {i % 4} again and again")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        write_shingle_bucketed_table(
+            docs, "b_shingles", str(tmp_path / "sh_meta"),
+            n=8, max_doc_freq=10, num_buckets=8,
+        )
+        fresh = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, n=8, threshold=0.3, max_doc_freq=10).collect()))
+        served = sorted(map(tuple, ngram_jaccard_table_pairs(
+            spark, "b_shingles", threshold=0.3).collect()))
+        assert served == fresh and fresh
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = ngram_jaccard_table_pairs(spark, "b_shingles", threshold=0.3)
+            plan = executed_plan(df)
+            assert "BroadcastHashJoin" not in plan
+            # zero exchanges on the join key: the g-join is bucket-aligned
+            assert not re.findall(r"Exchange hashpartitioning\(g[#,]", plan)
+            assert sorted(
+                map(tuple, df.collect())
+            ) == fresh
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_shingles")
+        spark.sql("DROP TABLE IF EXISTS b_shingles_sizes")
