@@ -2635,6 +2635,68 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-serve-many handle to the at-rest decontamination index
+    (dedup.build_minhash_index) over the ODD-id reference corpus — the
+    fixed eval/benchmark side of the recurring screening regime. Same
+    fingerprint memoization as the other fixture artifacts."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        build_minhash_index,
+        read_minhash_index_meta,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|mh|n={JACCARD_N}|h={MINHASH_HASHES}|b={MINHASH_BANDS}|odd"
+        .encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_minhash_index_{tag}")
+    try:
+        meta = read_minhash_index_meta(path)
+        if meta.get("source_fp") == fp:
+            return path
+    except (OSError, ValueError):
+        pass
+    build_minhash_index(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1),
+        path, n=JACCARD_N, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        seed=42,
+    )
+    import json as _json
+
+    meta = read_minhash_index_meta(path)
+    meta["source_fp"] = fp
+    tmp = os.path.join(path, "minhash_index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "minhash_index.json"))
+    return path
+
+
+def _q_dedup_against_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_against served from the AT-REST reference artifact
+    (dedup.dedup_against_index — r14: the canonical recurring regime is
+    screening every new batch against the SAME benchmark corpus, yet the
+    from-text call re-signed, re-banded, and re-shingled the reference
+    each time): the even-id corpus minus near-dups of the BUILT odd-id
+    index. Banding params come from the sidecar, so both sides always
+    hash alike; value-identical to dedup_against by construction — same
+    oracle, build/serve drift = value mismatch."""
+    from kaer_spark.operators.dedup import dedup_against_index
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _ensure_minhash_index(spark, sf_dir)
+    return dedup_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=JACCARD_THRESHOLD,
+    ).select("doc_id", "lang", "source")
+
+
 def _q_embedding_dups_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus embedding near-dups (dedup.embedding_near_dups_between)
     on the parity split of embeddings: both halves hash through the SAME
@@ -3927,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_indexed": _q_dedup_jaccard_indexed,
         "ngram_containment_indexed": _q_ngram_containment_indexed,
         "ivf_hard_negatives_filtered": _q_ivf_hard_negatives_filtered,
+        "dedup_against_indexed": _q_dedup_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -6495,6 +6558,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_join_cosine": _sql_ivf_knn_join("cosine"),
         "dedup_minhash_between": _sql_minhash_between(),
         "dedup_against": _sql_minhash_between(survivors=True),
+        # served from the at-rest reference artifact: identical values by
+        # construction, so the oracle IS the from-text replay
+        "dedup_against_indexed": _sql_minhash_between(survivors=True),
         "embedding_dups_between": _sql_embedding_dups_between(),
         "asof_forward": _sql_asof_forward(),
         "asof_nearest": _sql_asof_nearest(),

@@ -47,7 +47,10 @@ from kaer_spark.operators.dedup import (
     embedding_near_dups_lsh,
     exact_dedup,
     signlsh_candidate_pairs,
+    build_minhash_index,
+    dedup_against_index,
     minhash_near_dups,
+    minhash_near_dups_against_index,
     minhash_near_dups_between,
     duplicate_passages,
     build_shingle_index,
@@ -170,7 +173,10 @@ __all__ = [
     "ngram_containment_pairs_indexed",
     "ngram_jaccard_table_pairs",
     "write_shingle_bucketed_table",
+    "build_minhash_index",
+    "dedup_against_index",
     "minhash_near_dups",
+    "minhash_near_dups_against_index",
     "minhash_near_dups_between",
     "dedup_against",
     "simhash",

@@ -983,6 +983,159 @@ def minhash_near_dups_between(
     )
 
 
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    unit: str = "char",
+) -> dict:
+    """Materialize the REFERENCE side of cross-corpus near-dup screening
+    at ``path`` — the at-rest artifact for the canonical RECURRING
+    decontamination regime: every new crawl / training batch screens
+    against the SAME fixed reference corpus (eval benchmarks, the
+    existing training set), yet :func:`minhash_near_dups_between`
+    recomputes the reference's signatures, band keys, and shingle sets on
+    every call. Build once writes
+
+    ``<path>/bands/``     (id, band, key) — the reference's LSH band keys,
+    ``<path>/shingles/``  (id, shingles) — its distinct n-gram sets (the
+                          exact-verify side), and
+    ``<path>/minhash_index.json``  the frozen (n, num_hashes, bands,
+                          seed, unit) — the query side derives ITS keys
+                          from these, so both sides always hash alike.
+
+    :func:`minhash_near_dups_against_index` /
+    :func:`dedup_against_index` then pay only the query side's signature
+    pass plus the band join — value-identical to the from-text cross
+    call by construction (same seeded math, same banding, same exact
+    Jaccard verify). Growable reference sets: rebuild, or append via a
+    fresh build at a new path — band keys are per-doc independent, so an
+    append never rewrites existing rows (the cap-free analogue of the
+    shingle index's frozen-cap caveat)."""
+    import json as _json
+    import os as _os
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, unit
+    ).localCheckpoint(eager=False)
+    _minhash_banded(sig.select("id", "sig"), bands, rows_per_band).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "bands"))
+    sig.select("id", "shingles").write.mode("overwrite").parquet(
+        _os.path.join(path, "shingles")
+    )
+    meta = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "n": int(n),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "seed": int(seed),
+        "unit": unit,
+    }
+    tmp = _os.path.join(path, "minhash_index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(path, "minhash_index.json"))
+    return meta
+
+
+def read_minhash_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "minhash_index.json")) as f:
+        return _json.load(f)
+
+
+def minhash_near_dups_against_index(
+    spark,
+    path: str,
+    left: DataFrame,
+    left_id_col: str = "doc_id",
+    text_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`minhash_near_dups_between` with the RIGHT side served from
+    the at-rest artifact of :func:`build_minhash_index` — value-identical
+    to the from-text cross call over the built reference (banding params
+    come from the sidecar, so the query side cannot hash differently).
+    Returns ``(left_id, right_id, jaccard)``. The call pays: one
+    signature pass over ``left``, the band equi-join against stored keys,
+    and the exact verify against stored shingle sets (semi-bounded to
+    candidates on both sides)."""
+    import os as _os
+
+    meta = read_minhash_index_meta(path)
+    tcol = text_col or meta["text_col"]
+    rows_per_band = meta["num_hashes"] // meta["bands"]
+    lsig = (
+        minhash_signatures(
+            left, left_id_col, tcol, meta["n"], meta["num_hashes"],
+            meta["seed"], meta["unit"],
+        )
+        .select("id", "sig")
+        .localCheckpoint(eager=False)
+    )
+    lb = _minhash_banded(lsig, meta["bands"], rows_per_band)
+    rb = spark.read.parquet(_os.path.join(path, "bands"))
+    cand = (
+        lb.alias("a")
+        .join(rb.alias("b"), on=["band", "key"])
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sh_l = left.select(
+        F.col(left_id_col).alias("left_id"),
+        _shingle_expr(tcol, meta["n"], meta["unit"]).alias("sh_a"),
+    ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
+    sh_r = (
+        spark.read.parquet(_os.path.join(path, "shingles"))
+        .select(F.col("id").alias("right_id"), F.col("shingles").alias("sh_b"))
+        .join(cand.select("right_id").distinct(), "right_id", "left_semi")
+    )
+    return (
+        cand.join(sh_l, "left_id")
+        .join(sh_r, "right_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def dedup_against_index(
+    spark,
+    path: str,
+    left: DataFrame,
+    left_id_col: str = "doc_id",
+    text_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`dedup_against` served from the at-rest reference artifact:
+    ``left`` minus every document near-duplicating something in the BUILT
+    reference corpus — the steady-state decontamination filter a training
+    pipeline runs per batch. Anti-join end to end, nothing collected."""
+    hits = (
+        minhash_near_dups_against_index(
+            spark, path, left, left_id_col, text_col, threshold
+        )
+        .select(F.col("left_id").alias(left_id_col))
+        .distinct()
+    )
+    return left.join(hits, left_id_col, "left_anti")
+
+
 def dedup_against(
     left: DataFrame,
     right: DataFrame,

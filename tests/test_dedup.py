@@ -1559,3 +1559,43 @@ def test_ngram_jaccard_bucketed_table_no_postings_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_shingles")
         spark.sql("DROP TABLE IF EXISTS b_shingles_sizes")
+
+
+def test_minhash_index_served_equals_from_text(spark, tmp_path):
+    """The at-rest decontamination index: pairs and survivors served
+    against the built reference equal minhash_near_dups_between /
+    dedup_against over the same corpora exactly (same seeded math, same
+    banding, same exact verify — params come from the sidecar)."""
+    from kaer_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against,
+        dedup_against_index,
+        minhash_near_dups_against_index,
+        minhash_near_dups_between,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog while spark shuffles"
+    rows = [(i, base + f" tail {i % 3}") for i in range(12)] + [
+        (100, "completely unrelated text about warehouse bucketing plans"),
+        (101, "another unrelated document concerning catalyst optimizers"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new, ref = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "mh_idx")
+    build_minhash_index(ref, path, n=8, num_hashes=16, bands=4, seed=42)
+
+    fresh = sorted(map(tuple, minhash_near_dups_between(
+        new, ref, n=8, num_hashes=16, bands=4, threshold=0.4, seed=42
+    ).collect()))
+    served = sorted(map(tuple, minhash_near_dups_against_index(
+        spark, path, new, threshold=0.4
+    ).collect()))
+    assert served == fresh and fresh
+
+    fresh_surv = sorted(r["doc_id"] for r in dedup_against(
+        new, ref, n=8, num_hashes=16, bands=4, threshold=0.4, seed=42
+    ).collect())
+    served_surv = sorted(r["doc_id"] for r in dedup_against_index(
+        spark, path, new, threshold=0.4
+    ).collect())
+    assert served_surv == fresh_surv
