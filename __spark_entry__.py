@@ -2697,6 +2697,67 @@ def _q_dedup_against_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _ensure_signlsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-serve-many handle to the at-rest EMBEDDING
+    decontamination index (dedup.build_signlsh_index) over the ODD-id
+    reference vectors — the semantic twin of :func:`_ensure_minhash_index`."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        build_signlsh_index,
+        read_signlsh_index_meta,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|sl|b={COSINE_LSH_BANDS}|k={COSINE_LSH_BITS}"
+        f"|s={COSINE_LSH_SEED}|odd".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_signlsh_index_{tag}")
+    try:
+        meta = read_signlsh_index_meta(path)
+        if meta.get("source_fp") == fp:
+            return path
+    except (OSError, ValueError):
+        pass
+    build_signlsh_index(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 1),
+        path, bands=COSINE_LSH_BANDS, bits_per_band=COSINE_LSH_BITS,
+        seed=COSINE_LSH_SEED,
+    )
+    import json as _json
+
+    meta = read_signlsh_index_meta(path)
+    meta["source_fp"] = fp
+    tmp = os.path.join(path, "signlsh_index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "signlsh_index.json"))
+    return path
+
+
+def _q_embedding_dups_against_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """embedding_dups_between served from the AT-REST reference artifact
+    (dedup.embedding_dups_against_index — the semantic twin of
+    dedup_against_indexed): even-id vectors screened against the BUILT
+    odd-id index, planes re-derived from the sidecar geometry so both
+    sides hash alike. Value-identical to embedding_dups_between by
+    construction — same oracle."""
+    from kaer_spark.operators.dedup import embedding_dups_against_index
+
+    embs = _t(spark, sf_dir, "embeddings")
+    path = _ensure_signlsh_index(spark, sf_dir)
+    return embedding_dups_against_index(
+        spark, path, embs.filter(F.col("vec_id") % 2 == 0),
+        threshold=COSINE_DUP_THRESHOLD,
+    )
+
+
 def _q_embedding_dups_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus embedding near-dups (dedup.embedding_near_dups_between)
     on the parity split of embeddings: both halves hash through the SAME
@@ -3990,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_indexed": _q_ngram_containment_indexed,
         "ivf_hard_negatives_filtered": _q_ivf_hard_negatives_filtered,
         "dedup_against_indexed": _q_dedup_against_indexed,
+        "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -6562,6 +6624,9 @@ def oracle_sql() -> dict[str, str]:
         # construction, so the oracle IS the from-text replay
         "dedup_against_indexed": _sql_minhash_between(survivors=True),
         "embedding_dups_between": _sql_embedding_dups_between(),
+        # served from the at-rest reference artifact: identical values by
+        # construction, so the oracle IS the from-vectors replay
+        "embedding_dups_against_indexed": _sql_embedding_dups_between(),
         "asof_forward": _sql_asof_forward(),
         "asof_nearest": _sql_asof_nearest(),
         "training_mix_tokens": _sql_training_mix_tokens(),

@@ -1604,6 +1604,141 @@ def embedding_near_dups_between(
     )
 
 
+def build_signlsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 7,
+) -> dict:
+    """Materialize the REFERENCE side of cross-corpus EMBEDDING near-dup
+    screening at ``path`` — the semantic twin of
+    :func:`build_minhash_index` for the same recurring regime
+    (paraphrase-level decontamination against a fixed benchmark corpus):
+    the reference's vector-carrying inverted band index — ``(right_id,
+    vr, nr, band, key)``, exactly the r11 ride-the-index layout
+    :func:`embedding_near_dups_between` builds per call — goes to
+    parquet once, with the plane geometry (dim, bands, bits, seed)
+    frozen in the sidecar so the query side always hashes through the
+    SAME seeded planes. Vectors + norms ride the stored index, so the
+    exact-cosine verify still runs INSIDE the band join at serve time —
+    co-located, zero extra shuffle."""
+    import json as _json
+    import os as _os
+
+    dim = _vec_dim(df, vec_col)
+    all_planes = signlsh_planes(dim, bands * bits_per_band, seed)
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).withColumn("nrm", vector_norm("v"))
+    keys = [
+        signlsh_band_key(
+            "v", all_planes[b * bits_per_band : (b + 1) * bits_per_band]
+        )
+        for b in range(bands)
+    ]
+    keyed = base.select(
+        "id", "v", "nrm",
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), k.alias("key"))
+                for b, k in enumerate(keys)
+            ]
+        ).alias("__bks"),
+    )
+    inv = keyed.select(
+        F.col("id").alias("right_id"),
+        F.col("v").alias("vr"),
+        F.col("nrm").alias("nr"),
+        F.explode("__bks").alias("bk"),
+    ).select(
+        "right_id", "vr", "nr",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    inv.write.mode("overwrite").parquet(_os.path.join(path, "bands"))
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "dim": int(dim),
+        "bands": int(bands),
+        "bits_per_band": int(bits_per_band),
+        "seed": int(seed),
+    }
+    tmp = _os.path.join(path, "signlsh_index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(path, "signlsh_index.json"))
+    return meta
+
+
+def read_signlsh_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "signlsh_index.json")) as f:
+        return _json.load(f)
+
+
+def embedding_dups_against_index(
+    spark,
+    path: str,
+    left: DataFrame,
+    left_id_col: str = "vec_id",
+    vec_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """:func:`embedding_near_dups_between` with the RIGHT side served from
+    the at-rest artifact of :func:`build_signlsh_index` — value-identical
+    to the from-vectors cross call over the built reference (planes
+    re-derived from the sidecar geometry, so the two sides cannot hash
+    differently). Returns ``(left_id, right_id, cosine)``; the call pays
+    the query side's banding plus the band equi-join, with the exact
+    verify co-located in the join as in the fresh operator."""
+    import os as _os
+
+    meta = read_signlsh_index_meta(path)
+    vcol = vec_col or meta["vec_col"]
+    bands, bits = meta["bands"], meta["bits_per_band"]
+    all_planes = signlsh_planes(meta["dim"], bands * bits, meta["seed"])
+    base = ensure_parallelism(
+        left.select(F.col(left_id_col).alias("id"), F.col(vcol).alias("v"))
+    ).withColumn("nrm", vector_norm("v"))
+    keys = [
+        signlsh_band_key("v", all_planes[b * bits : (b + 1) * bits])
+        for b in range(bands)
+    ]
+    keyed = base.select(
+        "id", "v", "nrm",
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), k.alias("key"))
+                for b, k in enumerate(keys)
+            ]
+        ).alias("__bks"),
+    )
+    linv = keyed.select(
+        F.col("id").alias("left_id"),
+        F.col("v").alias("vl"),
+        F.col("nrm").alias("nl"),
+        F.explode("__bks").alias("bk"),
+    ).select(
+        "left_id", "vl", "nl",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    rinv = spark.read.parquet(_os.path.join(path, "bands"))
+    denom = F.col("nl") * F.col("nr")
+    cos = F.when(denom != 0.0, dot(F.col("vl"), F.col("vr")) / denom)
+    return (
+        linv.join(rinv, on=["band", "key"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+        .distinct()
+    )
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from the first row (bounded driver lookup)."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()

@@ -1599,3 +1599,26 @@ def test_minhash_index_served_equals_from_text(spark, tmp_path):
         spark, path, new, threshold=0.4
     ).collect())
     assert served_surv == fresh_surv
+
+
+def test_signlsh_index_served_equals_from_vectors(spark, embeddings, tmp_path):
+    """The at-rest embedding decontamination index: pairs served against
+    the built reference equal embedding_near_dups_between over the same
+    corpora exactly (planes re-derived from the sidecar geometry)."""
+    from kaer_spark.operators.dedup import (
+        build_signlsh_index,
+        embedding_dups_against_index,
+        embedding_near_dups_between,
+    )
+
+    new = embeddings.filter("vec_id % 2 = 0")
+    ref = embeddings.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "sl_idx")
+    build_signlsh_index(ref, path, bands=4, bits_per_band=4, seed=7)
+    fresh = sorted(map(tuple, embedding_near_dups_between(
+        new, ref, threshold=0.3, bands=4, bits_per_band=4, seed=7
+    ).collect()))
+    served = sorted(map(tuple, embedding_dups_against_index(
+        spark, path, new, threshold=0.3
+    ).collect()))
+    assert served == fresh and fresh
