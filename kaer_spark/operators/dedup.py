@@ -1013,11 +1013,12 @@ def build_minhash_index(
     :func:`dedup_against_index` then pay only the query side's signature
     pass plus the band join — value-identical to the from-text cross
     call by construction (same seeded math, same banding, same exact
-    Jaccard verify). Growable reference sets: rebuild, or append via a
-    fresh build at a new path — band keys are per-doc independent, so an
-    append never rewrites existing rows (the cap-free analogue of the
-    shingle index's frozen-cap caveat)."""
-    import json as _json
+    Jaccard verify). Growable reference sets: band keys are per-doc
+    independent (no corpus-global state, unlike the shingle index's
+    doc-freq cap), so :func:`refresh_minhash_index` appends new docs'
+    rows under the frozen hashing — reference O8 catch-up
+    (``updateIndexFromLastId``, ``db/db.go:191-207``) for the
+    decontamination artifact."""
     import os as _os
 
     rows_per_band = num_hashes // bands
@@ -1038,11 +1039,102 @@ def build_minhash_index(
         "bands": int(bands),
         "seed": int(seed),
         "unit": unit,
+        "max_id": _json_id(df.agg(F.max(F.col(id_col))).collect()[0][0]),
     }
-    tmp = _os.path.join(path, "minhash_index.json.tmp")
+    _write_index_meta(path, "minhash_index.json", meta)
+    return meta
+
+
+def _json_id(v):
+    """High-water id as stored in a sidecar (the ``text_index`` rule):
+    ints normalize to Python int, everything else (string ids, dates)
+    passes through as its JSON form — refresh filters compare with the
+    column's own ordering."""
+    if v is None:
+        return None
+    return int(v) if isinstance(v, int) else v
+
+
+def _write_index_meta(path: str, filename: str, meta: dict) -> None:
+    """Sidecar writes are tmp + ``os.replace`` (the engine-wide rule): a
+    crash mid-write never leaves truncated JSON, and the watermark flip
+    is one atomic op."""
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(path, filename + ".tmp")
     with open(tmp, "w") as f:
         _json.dump(meta, f)
-    _os.replace(tmp, _os.path.join(path, "minhash_index.json"))
+    _os.replace(tmp, _os.path.join(path, filename))
+
+
+def refresh_minhash_index(
+    df: DataFrame,
+    path: str,
+) -> dict:
+    """Catch-up for the at-rest MinHash reference index — reference O8
+    (``updateIndexFromLastId``, ``db/db.go:191-207``) applied to the
+    decontamination artifact, completing the engine-wide rule that every
+    standing index refreshes instead of rebuilding (IVF/text/PQ
+    precedent, r13). Sound here because the artifact holds NO
+    corpus-global state: every ``(id, band, key)`` and ``(id, shingles)``
+    row derives from its document alone under the sidecar-frozen
+    ``(n, num_hashes, bands, seed, unit)``, so appending the tail is
+    row-identical to a from-scratch build over the union (pytest-pinned).
+    The shingle index stays rebuild-only BY DESIGN — its doc-freq cap is
+    corpus-global and an append would silently change which shingles are
+    over the cap (see :func:`build_shingle_index`).
+
+    Idempotent against BOTH crash windows (the ``refresh_text_index``
+    discipline — bands append lands first, shingles second, watermark
+    last): a replay anti-joins each append against ITS OWN table's ids
+    above the watermark (id-column-only, predicate-pushed scans of the
+    index, not the corpus), so crash-after-bands re-appends only the
+    missing shingles rows and crash-after-both only flips the watermark.
+    Pre-watermark artifacts (built before ``max_id`` was stamped) derive
+    the watermark from the stored shingles table once, then stamp it."""
+    import os as _os
+
+    spark = df.sparkSession
+    meta = read_minhash_index_meta(path)
+    icol = meta["id_col"]
+    bands_dir = _os.path.join(path, "bands")
+    sh_dir = _os.path.join(path, "shingles")
+    wm = meta.get("max_id")
+    if wm is None and "max_id" not in meta:
+        wm = spark.read.parquet(sh_dir).agg(F.max("id")).collect()[0][0]
+    tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
+    new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
+    if new_max is None:
+        return meta  # nothing above the watermark
+    # docs whose shingles row landed are fully indexed (shingles write
+    # LAST in both build and refresh) — drop them from the tail entirely
+    done = spark.read.parquet(sh_dir).select("id")
+    if wm is not None:
+        done = done.filter(F.col("id") > F.lit(wm))
+    tail = tail.join(
+        done.select(F.col("id").alias(icol)), [icol], "left_anti"
+    )
+    rows_per_band = meta["num_hashes"] // meta["bands"]
+    sig = minhash_signatures(
+        tail, icol, meta["text_col"], meta["n"], meta["num_hashes"],
+        meta["seed"], meta["unit"],
+    ).localCheckpoint(eager=False)
+    new_bands = _minhash_banded(
+        sig.select("id", "sig"), meta["bands"], rows_per_band
+    )
+    # ghost guard for the OTHER window: bands landed, shingles did not —
+    # those docs are still in the tail (no shingles row) but their band
+    # rows must not land twice
+    ghost = spark.read.parquet(bands_dir).select("id")
+    if wm is not None:
+        ghost = ghost.filter(F.col("id") > F.lit(wm))
+    new_bands.join(ghost.distinct(), "id", "left_anti").write.mode(
+        "append"
+    ).parquet(bands_dir)
+    sig.select("id", "shingles").write.mode("append").parquet(sh_dir)
+    meta["max_id"] = _json_id(new_max)
+    _write_index_meta(path, "minhash_index.json", meta)
     return meta
 
 
@@ -1624,12 +1716,39 @@ def build_signlsh_index(
     frozen in the sidecar so the query side always hashes through the
     SAME seeded planes. Vectors + norms ride the stored index, so the
     exact-cosine verify still runs INSIDE the band join at serve time —
-    co-located, zero extra shuffle."""
-    import json as _json
+    co-located, zero extra shuffle. Growable like its MinHash twin:
+    every stored row derives from its vector alone under the frozen
+    plane geometry, so :func:`refresh_signlsh_index` appends the tail."""
     import os as _os
 
     dim = _vec_dim(df, vec_col)
     all_planes = signlsh_planes(dim, bands * bits_per_band, seed)
+    inv = _signlsh_inverted(df, id_col, vec_col, bands, bits_per_band, all_planes)
+    inv.write.mode("overwrite").parquet(_os.path.join(path, "bands"))
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "dim": int(dim),
+        "bands": int(bands),
+        "bits_per_band": int(bits_per_band),
+        "seed": int(seed),
+        "max_id": _json_id(df.agg(F.max(F.col(id_col))).collect()[0][0]),
+    }
+    _write_index_meta(path, "signlsh_index.json", meta)
+    return meta
+
+
+def _signlsh_inverted(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    bits_per_band: int,
+    all_planes: list[list[float]],
+) -> DataFrame:
+    """The vector-carrying inverted band rows ``(right_id, vr, nr, band,
+    key)`` — ONE body shared by build and refresh so the two can never
+    hash differently (the ``ivf_scored_candidates`` shared-body rule)."""
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).withColumn("nrm", vector_norm("v"))
@@ -1648,7 +1767,7 @@ def build_signlsh_index(
             ]
         ).alias("__bks"),
     )
-    inv = keyed.select(
+    return keyed.select(
         F.col("id").alias("right_id"),
         F.col("v").alias("vr"),
         F.col("nrm").alias("nr"),
@@ -1657,19 +1776,62 @@ def build_signlsh_index(
         "right_id", "vr", "nr",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    inv.write.mode("overwrite").parquet(_os.path.join(path, "bands"))
-    meta = {
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "dim": int(dim),
-        "bands": int(bands),
-        "bits_per_band": int(bits_per_band),
-        "seed": int(seed),
-    }
-    tmp = _os.path.join(path, "signlsh_index.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(meta, f)
-    _os.replace(tmp, _os.path.join(path, "signlsh_index.json"))
+
+
+def refresh_signlsh_index(
+    df: DataFrame,
+    path: str,
+) -> dict:
+    """Catch-up for the at-rest sign-LSH reference index — the embedding
+    twin of :func:`refresh_minhash_index` (reference O8,
+    ``updateIndexFromLastId``, ``db/db.go:191-207``). New vectors with
+    ``id > meta.max_id`` are keyed through the SIDECAR-frozen planes
+    (:func:`_signlsh_inverted`, the same body the build uses) and
+    appended — row-identical to a from-scratch build over the union
+    (pytest-pinned). Single-table artifact, so one crash window: a
+    replay after crash-between-append-and-watermark anti-joins the tail
+    against right_ids already above the watermark (id-column-only,
+    predicate-pushed scan of the index). Geometry guarded: a tail whose
+    vectors are not ``meta.dim``-dimensional raises instead of silently
+    hashing through mismatched planes. Pre-watermark artifacts derive
+    the watermark from the stored table once, then stamp it."""
+    import os as _os
+
+    spark = df.sparkSession
+    meta = read_signlsh_index_meta(path)
+    icol = meta["id_col"]
+    bands_dir = _os.path.join(path, "bands")
+    wm = meta.get("max_id")
+    if wm is None and "max_id" not in meta:
+        wm = spark.read.parquet(bands_dir).agg(F.max("right_id")).collect()[0][0]
+    tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
+    new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
+    if new_max is None:
+        return meta  # nothing above the watermark
+    tail_dim = _vec_dim(tail, meta["vec_col"])
+    if tail_dim != meta["dim"]:
+        raise ValueError(
+            f"refresh_signlsh_index: tail vectors are {tail_dim}-dim but "
+            f"the index at {path!r} was built over {meta['dim']}-dim "
+            "vectors — rebuilding is the only sound operation"
+        )
+    ghost = spark.read.parquet(bands_dir).select("right_id")
+    if wm is not None:
+        ghost = ghost.filter(F.col("right_id") > F.lit(wm))
+    tail = tail.join(
+        ghost.distinct().select(F.col("right_id").alias(icol)),
+        [icol],
+        "left_anti",
+    )
+    all_planes = signlsh_planes(
+        meta["dim"], meta["bands"] * meta["bits_per_band"], meta["seed"]
+    )
+    _signlsh_inverted(
+        tail, icol, meta["vec_col"], meta["bands"], meta["bits_per_band"],
+        all_planes,
+    ).write.mode("append").parquet(bands_dir)
+    meta["max_id"] = _json_id(new_max)
+    _write_index_meta(path, "signlsh_index.json", meta)
     return meta
 
 

@@ -1622,3 +1622,176 @@ def test_signlsh_index_served_equals_from_vectors(spark, embeddings, tmp_path):
         spark, path, new, threshold=0.3
     ).collect()))
     assert served == fresh and fresh
+
+
+def _mh_rows(spark, path):
+    import os
+
+    bands = sorted(
+        map(tuple, spark.read.parquet(os.path.join(path, "bands")).collect())
+    )
+    sh = sorted(
+        (r["id"], tuple(sorted(r["shingles"])))
+        for r in spark.read.parquet(os.path.join(path, "shingles")).collect()
+    )
+    return bands, sh
+
+
+def _mh_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while spark shuffles"
+    rows = [(i, base + f" tail {i % 3}") for i in range(12)] + [
+        (100, "completely unrelated text about warehouse bucketing plans"),
+        (101, "another unrelated document concerning catalyst optimizers"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_refresh_minhash_index_equals_rebuild(spark, tmp_path):
+    """O8 catch-up for the decontamination artifact: build on the id
+    prefix, refresh with the full reference — bands and shingles tables
+    row-identical to a from-scratch build over the union (band keys are
+    per-doc independent, so the append is exact, not approximate), and
+    the served screening is value-identical too."""
+    from kaer_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_near_dups_against_index,
+        read_minhash_index_meta,
+        refresh_minhash_index,
+    )
+
+    docs = _mh_docs(spark)
+    ref = docs.filter("doc_id % 2 = 1")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_minhash_index(
+        ref.filter("doc_id < 7"), inc, n=8, num_hashes=16, bands=4, seed=42
+    )
+    assert read_minhash_index_meta(inc)["max_id"] == 5
+    meta = refresh_minhash_index(ref, inc)
+    assert meta["max_id"] == 101
+    build_minhash_index(ref, full, n=8, num_hashes=16, bands=4, seed=42)
+    assert _mh_rows(spark, inc) == _mh_rows(spark, full)
+
+    new = docs.filter("doc_id % 2 = 0")
+    served_inc = sorted(map(tuple, minhash_near_dups_against_index(
+        spark, inc, new, threshold=0.4
+    ).collect()))
+    served_full = sorted(map(tuple, minhash_near_dups_against_index(
+        spark, full, new, threshold=0.4
+    ).collect()))
+    assert served_inc == served_full and served_inc
+
+    # no-op refresh: nothing above the watermark, tables untouched
+    before = _mh_rows(spark, inc)
+    refresh_minhash_index(ref, inc)
+    assert _mh_rows(spark, inc) == before
+
+
+def test_refresh_minhash_index_replay_both_windows(spark, tmp_path):
+    """Crash-replay idempotence, BOTH windows (the refresh_text_index
+    discipline): (a) both appends landed but the watermark did not —
+    replay flips the watermark only; (b) bands landed, shingles did not
+    (bands write first) — replay heals shingles without duplicating band
+    rows. Also covers the pre-watermark artifact: a sidecar with no
+    max_id derives the watermark from the stored shingles table."""
+    import glob
+    import json
+    import os
+
+    from kaer_spark.operators.dedup import (
+        build_minhash_index,
+        read_minhash_index_meta,
+        refresh_minhash_index,
+    )
+
+    docs = _mh_docs(spark)
+    ref = docs.filter("doc_id % 2 = 1")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_minhash_index(
+        ref.filter("doc_id < 7"), inc, n=8, num_hashes=16, bands=4, seed=42
+    )
+    build_minhash_index(ref, full, n=8, num_hashes=16, bands=4, seed=42)
+    stale = read_minhash_index_meta(inc)
+    sh_glob = os.path.join(inc, "shingles", "*")
+    pre_refresh_sh = set(glob.glob(sh_glob))
+
+    # window (a): both appends landed, watermark stale
+    refresh_minhash_index(ref, inc)
+    with open(os.path.join(inc, "minhash_index.json"), "w") as f:
+        json.dump(stale, f)
+    replayed = refresh_minhash_index(ref, inc)
+    assert replayed["max_id"] == 101
+    assert _mh_rows(spark, inc) == _mh_rows(spark, full)
+
+    # window (b): bands landed, shingles did not — delete the shingle
+    # files the refresh added and wind the meta back WITHOUT max_id
+    # (pre-watermark artifact shape)
+    for f_ in set(glob.glob(sh_glob)) - pre_refresh_sh:
+        os.remove(f_)
+    legacy = {k: v for k, v in stale.items() if k != "max_id"}
+    with open(os.path.join(inc, "minhash_index.json"), "w") as f:
+        json.dump(legacy, f)
+    replayed = refresh_minhash_index(ref, inc)
+    assert replayed["max_id"] == 101
+    assert _mh_rows(spark, inc) == _mh_rows(spark, full)
+    bands = spark.read.parquet(os.path.join(inc, "bands"))
+    assert bands.count() == bands.select("id", "band", "key").distinct().count()
+
+
+def test_refresh_signlsh_index_equals_rebuild_and_replay(
+    spark, embeddings, tmp_path
+):
+    """The embedding twin: refresh ≡ rebuild row-identical through the
+    sidecar-frozen planes; crash-replay appends nothing twice; a
+    dimension-mismatched tail raises instead of hashing through the
+    wrong planes."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from kaer_spark.operators.dedup import (
+        build_signlsh_index,
+        embedding_dups_against_index,
+        read_signlsh_index_meta,
+        refresh_signlsh_index,
+    )
+
+    ref = embeddings.filter("vec_id % 2 = 1")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_signlsh_index(
+        ref.filter("vec_id < 200"), inc, bands=4, bits_per_band=4, seed=7
+    )
+    stale = read_signlsh_index_meta(inc)
+    meta = refresh_signlsh_index(ref, inc)
+    assert meta["max_id"] == ref.agg({"vec_id": "max"}).collect()[0][0]
+    build_signlsh_index(ref, full, bands=4, bits_per_band=4, seed=7)
+
+    def rows(path):
+        return sorted(
+            (r["right_id"], r["band"], r["key"], r["nr"], tuple(r["vr"]))
+            for r in spark.read.parquet(os.path.join(path, "bands")).collect()
+        )
+
+    assert rows(inc) == rows(full)
+
+    # crash window: append landed, watermark stale — replay is a no-op
+    with open(os.path.join(inc, "signlsh_index.json"), "w") as f:
+        json.dump(stale, f)
+    refresh_signlsh_index(ref, inc)
+    assert rows(inc) == rows(full)
+
+    new = embeddings.filter("vec_id % 2 = 0")
+    served_inc = sorted(map(tuple, embedding_dups_against_index(
+        spark, inc, new, threshold=0.3
+    ).collect()))
+    served_full = sorted(map(tuple, embedding_dups_against_index(
+        spark, full, new, threshold=0.3
+    ).collect()))
+    assert served_inc == served_full and served_inc
+
+    # geometry guard: a wider tail must raise, not silently mis-hash
+    wide2 = spark.createDataFrame(
+        [(10**9, [0.0] * (stale["dim"] + 1))], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        refresh_signlsh_index(wide2, inc)
