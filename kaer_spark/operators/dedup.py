@@ -1071,6 +1071,7 @@ def _write_index_meta(path: str, filename: str, meta: dict) -> None:
 def refresh_minhash_index(
     df: DataFrame,
     path: str,
+    advance_to=None,
 ) -> dict:
     """Catch-up for the at-rest MinHash reference index — reference O8
     (``updateIndexFromLastId``, ``db/db.go:191-207``) applied to the
@@ -1092,7 +1093,14 @@ def refresh_minhash_index(
     index, not the corpus), so crash-after-bands re-appends only the
     missing shingles rows and crash-after-both only flips the watermark.
     Pre-watermark artifacts (built before ``max_id`` was stamped) derive
-    the watermark from the stored shingles table once, then stamp it."""
+    the watermark from the stored shingles table once, then stamp it.
+
+    ``advance_to`` (optional) floors the flipped watermark — for callers
+    that SCREEN-and-drop (``streaming.ingest.neardup_ingest_batch``): a
+    dropped doc's id is decided but never stored, and if the watermark
+    only covered stored ids a replayed batch whose max id was dropped
+    would look like an out-of-order arrival. The flip stays one atomic
+    sidecar write covering both."""
     import os as _os
 
     spark = df.sparkSession
@@ -1106,6 +1114,9 @@ def refresh_minhash_index(
     tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
     new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
     if new_max is None:
+        if advance_to is not None and (wm is None or advance_to > wm):
+            meta["max_id"] = _json_id(advance_to)
+            _write_index_meta(path, "minhash_index.json", meta)
         return meta  # nothing above the watermark
     # docs whose shingles row landed are fully indexed (shingles write
     # LAST in both build and refresh) — drop them from the tail entirely
@@ -1133,6 +1144,8 @@ def refresh_minhash_index(
         "append"
     ).parquet(bands_dir)
     sig.select("id", "shingles").write.mode("append").parquet(sh_dir)
+    if advance_to is not None and advance_to > new_max:
+        new_max = advance_to
     meta["max_id"] = _json_id(new_max)
     _write_index_meta(path, "minhash_index.json", meta)
     return meta

@@ -468,3 +468,162 @@ def streaming_hll_ingest(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_neardup_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    self_dedup: bool = True,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Online NEAR-dup corpus ingest — the streaming composition the two
+    r14 pieces exist for: every micro-batch is screened against the
+    at-rest MinHash index (``dedup.build_minhash_index``), the survivors
+    are appended to the corpus at ``out_dir``, and the index is advanced
+    with exactly those survivors (``dedup.refresh_minhash_index``) so the
+    NEXT batch screens against everything ingested so far. The exact
+    fingerprint twin (:func:`streaming_dedup_against`) catches only
+    byte-identical re-crawls; this catches boilerplate re-wraps and
+    near-copies at the Jaccard ``threshold``, with the exact verify
+    inside the band join as in the batch operator.
+
+    Per-batch semantics (deterministic, batch-replayable — pinned
+    stream ≡ batch in tests): a doc survives iff (a) it has no near-dup
+    among PREVIOUSLY ingested docs, and (b) under ``self_dedup``, it is
+    the min-id representative of its within-batch near-dup cluster
+    (``dedup.dedup_representatives`` closure).
+
+    Crash/replay safety, by construction rather than epoch bookkeeping:
+
+    * the screen's reference side is restricted to ``right_id <
+      min(batch ids)`` — under the engine's monotone-id ingest contract
+      (the reference's process-local id counter, ``db/db.go:75``) that
+      is exactly "everything ingested before this batch", and it stays
+      exactly that on a replay whose index refresh already landed, so
+      survivors recompute identically;
+    * the corpus append goes to ``out_dir/epoch=<id>`` with per-epoch
+      overwrite — a replayed epoch rewrites its own partition, never
+      duplicates it (read the corpus as ``spark.read.parquet(out_dir)``;
+      the epoch partition column is incidental);
+    * the index refresh is the watermark catch-up — a replayed batch is
+      at-or-below the flipped watermark and no-ops, a crash between its
+      two appends heals via the per-append anti-joins.
+
+    Out-of-order ids violate the monotone contract and are REFUSED
+    loudly (a silent skip would fail open: the doc would land in the
+    corpus unscreened-against forever). The discriminator is structural:
+    a batch straddling the watermark mixes replayed and new rows —
+    always refused; a batch entirely at-or-below it is either a
+    checkpoint replay (its epoch partition exists, because the corpus
+    write PRECEDES the index refresh) or duplicate source delivery under
+    a fresh epoch (partition missing — refused).
+
+    At 100 TB-of-stream scale: state lives in the at-rest index (parquet,
+    id-pruned scans), NOT the streaming state store — the per-batch cost
+    is the query side's signature pass plus band equi-joins, and the
+    reference side grows only by survivors."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        neardup_ingest_batch(
+            batch_df, epoch_id, index_path, out_dir,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+            self_dedup=self_dedup,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+def neardup_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    self_dedup: bool = True,
+) -> None:
+    """One :func:`stream_neardup_ingest` micro-batch — module-level so the
+    replay paths are directly testable and so a user-owned
+    ``foreachBatch`` can compose it with other sinks. See the streaming
+    wrapper's docstring for the semantics and the crash-window analysis;
+    the load-bearing ordering here is corpus write BEFORE index refresh
+    (the partition's existence is what distinguishes a replay from
+    duplicate delivery)."""
+    from kaer_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_representatives,
+        minhash_near_dups,
+        minhash_near_dups_against_index,
+        read_minhash_index_meta,
+        refresh_minhash_index,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    meta = read_minhash_index_meta(index_path)
+    bounds = batch_df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    wm = meta.get("max_id")
+    epoch_path = os.path.join(out_dir, f"epoch={int(epoch_id)}")
+    if wm is not None and lo <= wm:
+        if hi > wm:
+            # a true replay sits ENTIRELY at-or-below the watermark; a
+            # batch straddling it mixes replayed and out-of-order rows —
+            # refuse rather than half-screen it
+            raise ValueError(
+                f"stream_neardup_ingest: batch ids [{lo}, {hi}] straddle "
+                f"the index watermark {wm} — the monotone-id ingest "
+                "contract is violated (or two writers share one index)"
+            )
+        if not os.path.isdir(epoch_path):
+            # all-below + no epoch partition: the corpus write precedes
+            # the refresh, so a genuine replay would have left the
+            # partition behind — this is duplicate source delivery under
+            # a fresh epoch, which would re-ingest already-indexed docs
+            raise ValueError(
+                f"stream_neardup_ingest: batch ids [{lo}, {hi}] are all "
+                f"at-or-below the index watermark {wm} but epoch "
+                f"{int(epoch_id)} has no partition at {epoch_path!r} — "
+                "duplicate delivery, not a checkpoint replay"
+            )
+    batch = batch_df.localCheckpoint(eager=False)
+    hits = minhash_near_dups_against_index(
+        spark, index_path, batch, left_id_col=id_col,
+        text_col=text_col, threshold=threshold,
+    ).filter(F.col("right_id") < F.lit(lo))
+    survivors = batch.join(
+        hits.select(F.col("left_id").alias(id_col)).distinct(),
+        [id_col],
+        "left_anti",
+    )
+    if self_dedup:
+        pairs = minhash_near_dups(
+            survivors, id_col=id_col, text_col=text_col,
+            n=meta["n"], num_hashes=meta["num_hashes"],
+            bands=meta["bands"], threshold=threshold,
+            seed=meta["seed"], unit=meta["unit"],
+        )
+        survivors = dedup_representatives(
+            survivors, dedup_clusters(pairs), id_col=id_col
+        )
+    survivors = survivors.localCheckpoint(eager=False)
+    survivors.write.mode("overwrite").parquet(epoch_path)
+    # advance_to=hi: dropped docs are DECIDED even though never stored —
+    # without the floor, a replayed batch whose max id was dropped would
+    # straddle the watermark and read as an out-of-order arrival
+    refresh_minhash_index(survivors, index_path, advance_to=hi)

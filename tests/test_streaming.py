@@ -692,3 +692,91 @@ def test_stream_insert_keeps_pq_index_current(spark, tmp_path):
         for r in spark.read.parquet(f"{twin}/data").collect()
     }
     assert streamed == batch and len(streamed) == 26
+
+
+def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
+    """Online near-dup ingest: batches are screened against the at-rest
+    MinHash index, survivors land in the corpus and ADVANCE the index, so
+    a later batch is screened against an earlier batch's survivors. Also
+    pins the replay discriminators: a replayed epoch is idempotent,
+    duplicate delivery under a fresh epoch raises, and a batch straddling
+    the watermark raises."""
+    from kaer_spark.operators.dedup import (
+        build_minhash_index,
+        read_minhash_index_meta,
+    )
+    from kaer_spark.streaming.ingest import (
+        neardup_ingest_batch,
+        stream_neardup_ingest,
+    )
+
+    ta = "the quick brown fox jumps over the lazy dog while spark shuffles data"
+    tb = "completely unrelated text about warehouse bucketing plans and catalogs"
+    tc = "a third document concerning catalyst optimizers and adaptive execution"
+    td = "fourth topic entirely: streaming watermarks and stateful aggregation"
+    te = "fifth subject matter covers parquet row groups and predicate pushdown"
+    schema = "doc_id long, text string"
+
+    idx = str(tmp_path / "mh_idx")
+    seed = spark.createDataFrame([(1, ta), (2, tb)], schema)
+    build_minhash_index(seed, idx, n=8, num_hashes=16, bands=4, seed=42)
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    out = str(tmp_path / "corpus")
+    # b0: 10 dups the reference (ta), 11 novel, 12 dups 11 in-batch, 13 novel
+    spark.createDataFrame(
+        [(10, ta), (11, tc), (12, tc), (13, td)], schema
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_neardup_ingest(
+        stream, idx, out, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.processAllAvailable()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [11, 13]
+    assert read_minhash_index_meta(idx)["max_id"] == 13
+
+    # b1: 20 dups b0-survivor 11, 21 novel, 22 dups the reference (tb)
+    spark.createDataFrame(
+        [(20, tc), (21, te), (22, tb)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    q.processAllAvailable()
+    q.stop()
+    corpus = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [11, 13, 21]
+    # watermark floors at the batch max (22 was DECIDED — dropped as a
+    # reference dup — even though only 21 was stored)
+    assert read_minhash_index_meta(idx)["max_id"] == 22
+
+    # replayed epoch (all ids at-or-below the watermark, partition
+    # exists): recomputes identically, appends nothing to the index
+    bands_before = spark.read.parquet(os.path.join(idx, "bands")).count()
+    neardup_ingest_batch(
+        spark.createDataFrame([(20, tc), (21, te), (22, tb)], schema),
+        1, idx, out, threshold=0.5,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [11, 13, 21]
+    assert spark.read.parquet(
+        os.path.join(idx, "bands")
+    ).count() == bands_before
+
+    # duplicate delivery: old ids under a FRESH epoch (no partition)
+    with pytest.raises(ValueError, match="duplicate delivery"):
+        neardup_ingest_batch(
+            spark.createDataFrame([(20, tc)], schema), 7, idx, out,
+        )
+
+    # straddle: mixes an already-indexed id with a new one
+    with pytest.raises(ValueError, match="straddle"):
+        neardup_ingest_batch(
+            spark.createDataFrame([(21, te), (30, td)], schema),
+            2, idx, out,
+        )
