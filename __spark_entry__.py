@@ -2697,6 +2697,75 @@ def _q_dedup_against_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+MH_CATCHUP_CUT = 250  # prefix/tail split for the catch-up fixture
+MH_CATCHUP_THRESHOLD = 0.35  # distinct geometry from the between/indexed rows
+
+
+def _ensure_minhash_index_catchup(spark: SparkSession, sf_dir: str) -> str:
+    """The catch-up twin of :func:`_ensure_minhash_index` (the
+    pq_index_catchup recipe): BUILD over the odd-id prefix (doc_id <
+    MH_CATCHUP_CUT), then REFRESH with the full odd-id reference —
+    dedup.refresh_minhash_index appends the tail's band keys and shingle
+    sets under the sidecar-frozen hashing, no rebuild. A refresh bug
+    (missed/duplicated tail rows, drifted hashing) surfaces as a value
+    mismatch in the served pairs, because the oracle replays the
+    from-scratch build over the UNION."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        _write_index_meta,
+        build_minhash_index,
+        read_minhash_index_meta,
+        refresh_minhash_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|mh|n={JACCARD_N}|h={MINHASH_HASHES}|b={MINHASH_BANDS}"
+        f"|odd|catchup<{MH_CATCHUP_CUT}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_minhash_catchup_{tag}")
+    try:
+        meta = read_minhash_index_meta(path)
+        if meta.get("source_fp") == fp and meta.get("caught_up"):
+            return path
+    except (OSError, ValueError):
+        pass
+    odd = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    build_minhash_index(
+        odd.filter(F.col("doc_id") < MH_CATCHUP_CUT), path,
+        n=JACCARD_N, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        seed=42,
+    )
+    meta = refresh_minhash_index(odd, path)
+    meta["source_fp"] = fp
+    meta["caught_up"] = True
+    _write_index_meta(path, "minhash_index.json", meta)
+    return path
+
+
+def _q_minhash_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 catch-up (reference updateIndexFromLastId, db/db.go:191-207)
+    for the MinHash decontamination artifact, proven through the value
+    gate: the index is built on the odd-id PREFIX and refreshed with the
+    full odd-id reference, then serves cross-corpus near-dup pairs for
+    the even-id side. The oracle replays the from-scratch pipeline over
+    the whole reference, so refreshed-index ≡ rebuilt-index is checked
+    value-exactly — the dedup-family twin of pq_index_catchup. Distinct
+    geometry from dedup_minhash_between (threshold 0.35 vs 0.4)."""
+    from kaer_spark.operators.dedup import minhash_near_dups_against_index
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _ensure_minhash_index_catchup(spark, sf_dir)
+    return minhash_near_dups_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=MH_CATCHUP_THRESHOLD,
+    ).select("left_id", "right_id", "jaccard")
+
+
 def _ensure_signlsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once-serve-many handle to the at-rest EMBEDDING
     decontamination index (dedup.build_signlsh_index) over the ODD-id
@@ -4051,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_indexed": _q_ngram_containment_indexed,
         "ivf_hard_negatives_filtered": _q_ivf_hard_negatives_filtered,
         "dedup_against_indexed": _q_dedup_against_indexed,
+        "minhash_index_catchup": _q_minhash_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
@@ -6104,7 +6174,7 @@ def _sql_contrastive_triplets_mine() -> str:
     """
 
 
-def _sql_minhash_between(survivors: bool = False) -> str:
+def _sql_minhash_between(survivors: bool = False, threshold: float | None = None) -> str:
     """Cross-corpus (even × odd doc_id) replay of
     dedup.minhash_near_dups_between: signatures computed once globally
     (identical seeded math to the per-corpus engine computation), band
@@ -6116,6 +6186,7 @@ def _sql_minhash_between(survivors: bool = False) -> str:
     n = JACCARD_N
     coeffs = minhash_coeffs(MINHASH_HASHES, 42)
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
     slots = ", ".join(
         f"list_min(list_transform(fps, f -> (f * {a} + {b}) % {HASH_MOD})) AS s{j}"
         for j, (a, b) in enumerate(coeffs)
@@ -6154,7 +6225,7 @@ def _sql_minhash_between(survivors: bool = False) -> str:
           FROM cand c
           JOIN sh sa ON sa.id = c.left_id
           JOIN sh sb ON sb.id = c.right_id
-          WHERE {jac} >= {JACCARD_THRESHOLD!r}
+          WHERE {jac} >= {thr!r}
         )
     """
     if survivors:
@@ -6623,6 +6694,10 @@ def oracle_sql() -> dict[str, str]:
         # served from the at-rest reference artifact: identical values by
         # construction, so the oracle IS the from-text replay
         "dedup_against_indexed": _sql_minhash_between(survivors=True),
+        # catch-up fixture (prefix build + refresh): the oracle replays the
+        # from-scratch pipeline over the union, so refresh ≡ rebuild is
+        # value-checked end to end
+        "minhash_index_catchup": _sql_minhash_between(threshold=MH_CATCHUP_THRESHOLD),
         "embedding_dups_between": _sql_embedding_dups_between(),
         # served from the at-rest reference artifact: identical values by
         # construction, so the oracle IS the from-vectors replay
