@@ -2808,6 +2808,73 @@ def _ensure_signlsh_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+SL_CATCHUP_CUT = 250  # prefix/tail split for the embedding catch-up fixture
+SL_CATCHUP_THRESHOLD = 0.40  # distinct geometry from the between/indexed rows
+
+
+def _ensure_signlsh_index_catchup(spark: SparkSession, sf_dir: str) -> str:
+    """The embedding twin of :func:`_ensure_minhash_index_catchup`: BUILD
+    the sign-LSH reference index over the odd-id prefix (vec_id <
+    SL_CATCHUP_CUT), then REFRESH with the full odd-id reference —
+    dedup.refresh_signlsh_index keys the tail through the sidecar-frozen
+    planes and appends. The oracle replays the from-scratch build over
+    the union, so refresh ≡ rebuild is value-checked."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        _write_index_meta,
+        build_signlsh_index,
+        read_signlsh_index_meta,
+        refresh_signlsh_index,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|sl|b={COSINE_LSH_BANDS}|k={COSINE_LSH_BITS}"
+        f"|s={COSINE_LSH_SEED}|odd|catchup<{SL_CATCHUP_CUT}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_signlsh_catchup_{tag}")
+    try:
+        meta = read_signlsh_index_meta(path)
+        if meta.get("source_fp") == fp and meta.get("caught_up"):
+            return path
+    except (OSError, ValueError):
+        pass
+    odd = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 1)
+    build_signlsh_index(
+        odd.filter(F.col("vec_id") < SL_CATCHUP_CUT), path,
+        bands=COSINE_LSH_BANDS, bits_per_band=COSINE_LSH_BITS,
+        seed=COSINE_LSH_SEED,
+    )
+    meta = refresh_signlsh_index(odd, path)
+    meta["source_fp"] = fp
+    meta["caught_up"] = True
+    _write_index_meta(path, "signlsh_index.json", meta)
+    return path
+
+
+def _q_signlsh_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 catch-up for the EMBEDDING decontamination artifact, proven
+    through the value gate (the sign-LSH twin of minhash_index_catchup):
+    prefix build + refresh with the full odd-id reference, then serve
+    cross-corpus cosine near-dup pairs for the even-id side against an
+    oracle that replays the from-scratch build over the union — a missed
+    or duplicated tail row, or planes drifting between build and
+    refresh, lands as a value mismatch. Distinct geometry from
+    embedding_dups_between (threshold 0.40 vs 0.35)."""
+    from kaer_spark.operators.dedup import embedding_dups_against_index
+
+    embs = _t(spark, sf_dir, "embeddings")
+    path = _ensure_signlsh_index_catchup(spark, sf_dir)
+    return embedding_dups_against_index(
+        spark, path, embs.filter(F.col("vec_id") % 2 == 0),
+        threshold=SL_CATCHUP_THRESHOLD,
+    )
+
+
 def _q_embedding_dups_against_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4121,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_hard_negatives_filtered": _q_ivf_hard_negatives_filtered,
         "dedup_against_indexed": _q_dedup_against_indexed,
         "minhash_index_catchup": _q_minhash_index_catchup,
+        "signlsh_index_catchup": _q_signlsh_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
@@ -6237,12 +6305,14 @@ def _sql_minhash_between(survivors: bool = False, threshold: float | None = None
     return f"{body}\n        SELECT left_id, right_id, jaccard FROM pairs"
 
 
-def _sql_embedding_dups_between() -> str:
+def _sql_embedding_dups_between(threshold: float | None = None) -> str:
     """Cross-corpus (even × odd vec_id) replay of
     dedup.embedding_near_dups_between: same seeded planes on both sides
     (computed once globally), band collisions strictly across the parity
     split, exact-cosine verify."""
     from kaer_spark.operators.dedup import signlsh_planes
+
+    thr = COSINE_DUP_THRESHOLD if threshold is None else threshold
 
     planes = signlsh_planes(
         len(QVEC), COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED
@@ -6274,7 +6344,7 @@ def _sql_embedding_dups_between() -> str:
         FROM cand c
         JOIN e ea ON ea.vec_id = c.left_id
         JOIN e eb ON eb.vec_id = c.right_id
-        WHERE {cos} >= {COSINE_DUP_THRESHOLD!r}
+        WHERE {cos} >= {thr!r}
     """
 
 
@@ -6698,6 +6768,7 @@ def oracle_sql() -> dict[str, str]:
         # from-scratch pipeline over the union, so refresh ≡ rebuild is
         # value-checked end to end
         "minhash_index_catchup": _sql_minhash_between(threshold=MH_CATCHUP_THRESHOLD),
+        "signlsh_index_catchup": _sql_embedding_dups_between(threshold=SL_CATCHUP_THRESHOLD),
         "embedding_dups_between": _sql_embedding_dups_between(),
         # served from the at-rest reference artifact: identical values by
         # construction, so the oracle IS the from-vectors replay
