@@ -1794,6 +1794,7 @@ def _signlsh_inverted(
 def refresh_signlsh_index(
     df: DataFrame,
     path: str,
+    advance_to=None,
 ) -> dict:
     """Catch-up for the at-rest sign-LSH reference index — the embedding
     twin of :func:`refresh_minhash_index` (reference O8,
@@ -1807,7 +1808,10 @@ def refresh_signlsh_index(
     predicate-pushed scan of the index). Geometry guarded: a tail whose
     vectors are not ``meta.dim``-dimensional raises instead of silently
     hashing through mismatched planes. Pre-watermark artifacts derive
-    the watermark from the stored table once, then stamp it."""
+    the watermark from the stored table once, then stamp it.
+    ``advance_to`` floors the flipped watermark, exactly as in
+    :func:`refresh_minhash_index` — for screen-and-drop callers whose
+    dropped ids are decided but never stored."""
     import os as _os
 
     spark = df.sparkSession
@@ -1820,6 +1824,9 @@ def refresh_signlsh_index(
     tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
     new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
     if new_max is None:
+        if advance_to is not None and (wm is None or advance_to > wm):
+            meta["max_id"] = _json_id(advance_to)
+            _write_index_meta(path, "signlsh_index.json", meta)
         return meta  # nothing above the watermark
     tail_dim = _vec_dim(tail, meta["vec_col"])
     if tail_dim != meta["dim"]:
@@ -1843,6 +1850,8 @@ def refresh_signlsh_index(
         tail, icol, meta["vec_col"], meta["bands"], meta["bits_per_band"],
         all_planes,
     ).write.mode("append").parquet(bands_dir)
+    if advance_to is not None and advance_to > new_max:
+        new_max = advance_to
     meta["max_id"] = _json_id(new_max)
     _write_index_meta(path, "signlsh_index.json", meta)
     return meta

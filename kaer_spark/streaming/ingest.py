@@ -627,3 +627,117 @@ def neardup_ingest_batch(
     # without the floor, a replayed batch whose max id was dropped would
     # straddle the watermark and read as an out-of-order arrival
     refresh_minhash_index(survivors, index_path, advance_to=hi)
+
+
+def stream_embedding_neardup_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    self_dedup: bool = True,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """The embedding twin of :func:`stream_neardup_ingest` — online
+    SEMANTIC near-dup ingest: every micro-batch of vectors is screened
+    against the at-rest sign-LSH index (``dedup.build_signlsh_index``,
+    exact-cosine verify inside the band join), survivors land at
+    ``out_dir/epoch=<id>`` and advance the index
+    (``dedup.refresh_signlsh_index``), so the next batch screens against
+    everything ingested so far. Same per-batch semantics, the same
+    structural replay safety, and the same loud refusal of
+    straddling/duplicate-delivery batches as the text twin — see
+    :func:`neardup_ingest_batch` for the crash-window analysis; the
+    logic lives in :func:`embedding_neardup_ingest_batch`."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        embedding_neardup_ingest_batch(
+            batch_df, epoch_id, index_path, out_dir,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+            self_dedup=self_dedup,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def embedding_neardup_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    self_dedup: bool = True,
+) -> None:
+    """One :func:`stream_embedding_neardup_ingest` micro-batch — the
+    vector mirror of :func:`neardup_ingest_batch` (same ordering: corpus
+    write BEFORE index refresh; same discriminators). Within-batch
+    self-dedup runs ``embedding_near_dups_lsh`` through the SIDECAR's
+    plane geometry, so the in-batch candidates and the index screen can
+    never hash differently."""
+    from kaer_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_representatives,
+        embedding_dups_against_index,
+        embedding_near_dups_lsh,
+        read_signlsh_index_meta,
+        refresh_signlsh_index,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    meta = read_signlsh_index_meta(index_path)
+    bounds = batch_df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    wm = meta.get("max_id")
+    epoch_path = os.path.join(out_dir, f"epoch={int(epoch_id)}")
+    if wm is not None and lo <= wm:
+        if hi > wm:
+            raise ValueError(
+                f"stream_embedding_neardup_ingest: batch ids [{lo}, {hi}] "
+                f"straddle the index watermark {wm} — the monotone-id "
+                "ingest contract is violated (or two writers share one "
+                "index)"
+            )
+        if not os.path.isdir(epoch_path):
+            raise ValueError(
+                f"stream_embedding_neardup_ingest: batch ids [{lo}, {hi}] "
+                f"are all at-or-below the index watermark {wm} but epoch "
+                f"{int(epoch_id)} has no partition at {epoch_path!r} — "
+                "duplicate delivery, not a checkpoint replay"
+            )
+    batch = batch_df.localCheckpoint(eager=False)
+    hits = embedding_dups_against_index(
+        spark, index_path, batch, left_id_col=id_col,
+        vec_col=vec_col, threshold=threshold,
+    ).filter(F.col("right_id") < F.lit(lo))
+    survivors = batch.join(
+        hits.select(F.col("left_id").alias(id_col)).distinct(),
+        [id_col],
+        "left_anti",
+    )
+    if self_dedup:
+        pairs = embedding_near_dups_lsh(
+            survivors, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, bands=meta["bands"],
+            bits_per_band=meta["bits_per_band"], seed=meta["seed"],
+        )
+        survivors = dedup_representatives(
+            survivors, dedup_clusters(pairs), id_col=id_col
+        )
+    survivors = survivors.localCheckpoint(eager=False)
+    survivors.write.mode("overwrite").parquet(epoch_path)
+    refresh_signlsh_index(survivors, index_path, advance_to=hi)

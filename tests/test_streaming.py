@@ -780,3 +780,89 @@ def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
             spark.createDataFrame([(21, te), (30, td)], schema),
             2, idx, out,
         )
+
+
+def test_stream_embedding_neardup_ingest_end_to_end(spark, tmp_path):
+    """The embedding twin: batches of vectors screened against the
+    at-rest sign-LSH index (exact-cosine verify), survivors advance the
+    index, replay discriminators mirror the text operator."""
+    from kaer_spark.operators.dedup import (
+        build_signlsh_index,
+        read_signlsh_index_meta,
+    )
+    from kaer_spark.streaming.ingest import (
+        embedding_neardup_ingest_batch,
+        stream_embedding_neardup_ingest,
+    )
+
+    va, vb, vc, vd = (
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    )
+    schema = "vec_id long, embedding array<double>"
+    idx = str(tmp_path / "sl_idx")
+    build_signlsh_index(
+        spark.createDataFrame([(1, va)], schema), idx,
+        bands=4, bits_per_band=2, seed=7,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    out = str(tmp_path / "corpus")
+    # b0: 10 dups the reference (va), 11 novel, 12 dups 11 in-batch,
+    # 13 novel — orthogonal directions make every cosine exactly 0 or 1,
+    # so the exact verify decides deterministically whatever the bands do
+    spark.createDataFrame(
+        [(10, va), (11, vb), (12, vb), (13, vc)], schema
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_embedding_neardup_ingest(
+        stream, idx, out, str(tmp_path / "ckpt"), threshold=0.95
+    )
+    q.processAllAvailable()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(out).collect()
+    ) == [11, 13]
+    assert read_signlsh_index_meta(idx)["max_id"] == 13
+
+    # b1: 20 dups b0-survivor 11, 21 novel, 22 dups the reference
+    spark.createDataFrame(
+        [(20, vb), (21, vd), (22, va)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(out).collect()
+    ) == [11, 13, 21]
+    # watermark floors at the batch max (22 decided-but-dropped)
+    assert read_signlsh_index_meta(idx)["max_id"] == 22
+
+    # replayed epoch: idempotent
+    bands_before = spark.read.parquet(os.path.join(idx, "bands")).count()
+    embedding_neardup_ingest_batch(
+        spark.createDataFrame([(20, vb), (21, vd), (22, va)], schema),
+        1, idx, out, threshold=0.95,
+    )
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(out).collect()
+    ) == [11, 13, 21]
+    assert spark.read.parquet(
+        os.path.join(idx, "bands")
+    ).count() == bands_before
+
+    # duplicate delivery and straddle both refuse loudly
+    with pytest.raises(ValueError, match="duplicate delivery"):
+        embedding_neardup_ingest_batch(
+            spark.createDataFrame([(20, vb)], schema), 9, idx, out,
+        )
+    with pytest.raises(ValueError, match="straddle"):
+        embedding_neardup_ingest_batch(
+            spark.createDataFrame([(21, vd), (30, vc)], schema),
+            2, idx, out,
+        )
