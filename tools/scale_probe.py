@@ -374,6 +374,68 @@ def main() -> int:
         print(f"contrastive_triplets {label}: {t}s ({n} rows)",
               file=sys.stderr)
 
+    # --- round-14 probe: streaming near-dup ingest serve cost ------------
+    # neardup_ingest_batch with a FIXED novel batch against a 1x vs 10x
+    # at-rest MinHash index: per-batch cost = batch signature pass + the
+    # band equi-join against stored keys + the batch-sized refresh append.
+    # Timed on the REPLAY path (partition exists, refresh no-ops), which
+    # isolates the screen from the one-off append. Amplified reference
+    # copies get a per-copy text suffix so the clone mass doesn't inflate
+    # true collisions; the batch's vowels are substituted so it is novel
+    # (the production regime — most arrivals survive).
+    import shutil
+    import tempfile as _tf
+
+    from kaer_spark.operators.dedup import build_minhash_index
+    from kaer_spark.streaming.ingest import neardup_ingest_batch
+
+    base_docs = docs.select("doc_id", "text")
+
+    def amp_docs_distinct(d: DataFrame, times: int) -> DataFrame:
+        off = (d.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+        parts = [
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(i * off))
+            .withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" uniquetail{i}" * 3))
+            )
+            for i in range(times)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    novel = base_docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "text", F.translate("text", "aeiou", "xqzvw")
+    )
+    for label, ref in (
+        ("1x", base_docs), ("10x", amp_docs_distinct(base_docs, TIMES))
+    ):
+        ref_max = ref.agg(F.max("doc_id")).collect()[0][0]
+        idx_path = _tf.mkdtemp(prefix=f"kaer_probe_mhidx_{label}_")
+        build_minhash_index(ref, idx_path, n=8, num_hashes=16, bands=4, seed=42)
+        out_dir = _tf.mkdtemp(prefix=f"kaer_probe_ingest_{label}_")
+        batch = novel.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(ref_max + 1)
+        ).localCheckpoint()
+        neardup_ingest_batch(batch, 0, idx_path, out_dir)  # cold + append
+        t, _ = timed(
+            lambda b=batch, ix=idx_path, od=out_dir: (
+                neardup_ingest_batch(b, 0, ix, od), 0
+            )[1]
+        )
+        n_surv = spark.read.parquet(os.path.join(out_dir, "epoch=0")).count()
+        results[f"stream_neardup_batch_{label}"] = {
+            "sec": t, "survivors": n_surv,
+        }
+        print(
+            f"stream_neardup_batch {label}: {t}s replay "
+            f"({n_surv} survivors)",
+            file=sys.stderr,
+        )
+        shutil.rmtree(idx_path, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     # pps: one range shuffle + bounded offsets — ~linear in rows, and the
     # selected count stays ~k regardless of corpus size
     from kaer_spark.operators.sampling import pps_systematic_sample
