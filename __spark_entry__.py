@@ -329,6 +329,77 @@ def _q_ngram_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs_indexed(spark, path, threshold=0.8)
 
 
+SHINGLE_CATCHUP_CUT = 250  # prefix/tail split for the shingle catch-up fixture
+SHINGLE_CATCHUP_THRESHOLD = 0.5  # distinct geometry from the 0.4 jaccard rows
+
+
+def _ensure_shingle_index_catchup(spark: SparkSession, sf_dir: str) -> str:
+    """The catch-up twin of :func:`_ensure_shingle_index` (the
+    minhash_index_catchup recipe, applied to the LAST at-rest index
+    family): BUILD over the doc_id < SHINGLE_CATCHUP_CUT prefix, then
+    REFRESH with the full corpus — dedup.refresh_shingle_index appends
+    postings/sizes and a mergeable doc-freq segment, and re-decides the
+    over-cap shingle set from the MERGED counts at the watermark flip.
+    This is the part v1 could not do: the cap is corpus-global, so the
+    value gate specifically catches a refresh that froze the prefix's
+    hot set (shingles over the cap only in the union would keep
+    generating candidate pairs, shifting scores)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        _write_index_meta,
+        build_shingle_index,
+        read_shingle_index_meta,
+        refresh_shingle_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|n={JACCARD_N}|mdf={JACCARD_MAX_DF}|char"
+        f"|catchup<{SHINGLE_CATCHUP_CUT}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_shingle_catchup_{tag}")
+    try:
+        meta = read_shingle_index_meta(path)
+        if meta.get("source_fp") == fp and meta.get("caught_up"):
+            return path
+    except (OSError, ValueError):
+        pass
+    docs = _t(spark, sf_dir, "documents")
+    build_shingle_index(
+        docs.filter(F.col("doc_id") < SHINGLE_CATCHUP_CUT), path,
+        n=JACCARD_N, max_doc_freq=JACCARD_MAX_DF,
+    )
+    meta = refresh_shingle_index(docs, path)
+    meta["source_fp"] = fp
+    meta["caught_up"] = True
+    _write_index_meta(path, "shingle_index.json", meta)
+    return path
+
+
+def _q_shingle_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 catch-up (reference updateIndexFromLastId, db/db.go:191-207)
+    for the shingle inverted index, proven through the value gate —
+    completing the engine-wide rule for the fifth and last at-rest index
+    family: the index is built on the doc_id prefix and refreshed with
+    the full corpus, then serves Jaccard pairs. The oracle replays the
+    from-text pipeline over the WHOLE corpus with the cap applied to the
+    whole corpus's doc frequencies, so refreshed ≡ rebuilt ≡ from-text
+    is checked value-exactly — a refresh that missed tail postings,
+    duplicated a replayed append, or froze the prefix's over-cap set
+    lands as a value mismatch. Distinct geometry from
+    dedup_ngram_jaccard_indexed (threshold 0.5 vs 0.4)."""
+    from kaer_spark.operators.dedup import ngram_jaccard_pairs_indexed
+
+    path = _ensure_shingle_index_catchup(spark, sf_dir)
+    return ngram_jaccard_pairs_indexed(
+        spark, path, threshold=SHINGLE_CATCHUP_THRESHOLD
+    )
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment pairs (dedup.ngram_containment_pairs): one
     doc's distinct 8-gram set ≥80% contained in the other's — the
@@ -4188,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_hard_negatives_filtered": _q_ivf_hard_negatives_filtered,
         "dedup_against_indexed": _q_dedup_against_indexed,
         "minhash_index_catchup": _q_minhash_index_catchup,
+        "shingle_index_catchup": _q_shingle_index_catchup,
         "signlsh_index_catchup": _q_signlsh_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -4476,7 +4548,9 @@ def _sql_simhash() -> str:
 
 
 def _sql_jaccard_pairs(
-    max_df: int | None = JACCARD_MAX_DF, extra_where: str = ""
+    max_df: int | None = JACCARD_MAX_DF,
+    extra_where: str = "",
+    threshold: float = JACCARD_THRESHOLD,
 ) -> str:
     cap = (
         f"""
@@ -4506,7 +4580,7 @@ def _sql_jaccard_pairs(
         FROM pairs p
         JOIN sizes sa ON sa.id = p.id_a
         JOIN sizes sb ON sb.id = p.id_b
-        WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= {JACCARD_THRESHOLD!r}
+        WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= {threshold!r}
     """
 
 
@@ -6768,6 +6842,7 @@ def oracle_sql() -> dict[str, str]:
         # from-scratch pipeline over the union, so refresh ≡ rebuild is
         # value-checked end to end
         "minhash_index_catchup": _sql_minhash_between(threshold=MH_CATCHUP_THRESHOLD),
+        "shingle_index_catchup": _sql_jaccard_pairs(threshold=SHINGLE_CATCHUP_THRESHOLD),
         "signlsh_index_catchup": _sql_embedding_dups_between(threshold=SL_CATCHUP_THRESHOLD),
         "embedding_dups_between": _sql_embedding_dups_between(),
         # served from the at-rest reference artifact: identical values by

@@ -215,29 +215,37 @@ def build_shingle_index(
     PQ code-table precedent, r13 verdict #8): a pipeline that re-runs
     near-dup detection per crawl snapshot pays the shingle explode, the
     heavy-hitter doc-freq pass, and the per-doc size aggregate on every
-    call, although none of them changed. Build once writes
+    call, although none of them changed. Build (format v2) writes
 
-    ``<path>/postings/``  (id, g) — the CAPPED posting list (shingles in
-                          more than ``max_doc_freq`` docs already anti-
-                          joined away, so the skewed join keys never hit
-                          disk), and
-    ``<path>/sizes/``     (id, sz) — per-doc kept-shingle counts, and
-    ``<path>/shingle_index.json``  the frozen parameters.
+    ``<path>/postings/``  (id, g) — the UNCAPPED posting list,
+    ``<path>/sizes/``     (id, sz) — per-doc distinct-shingle counts
+                          (per-doc independent, so append-sound),
+    ``<path>/df/<seg>/``  (g, cnt) — per-shingle doc-freq counts for one
+                          watermark window (MERGEABLE on append — the
+                          state the doc-freq cap needs),
+    ``<path>/hot/<tag>/`` (g) — the over-cap shingles at the current
+                          watermark, precomputed so serving never pays
+                          the corpus-wide doc-freq aggregate, and
+    ``<path>/shingle_index.json``  the frozen parameters + watermark +
+                          the LIST of live df segments / hot table.
 
     :func:`ngram_jaccard_pairs_indexed` then serves pairs with ONE
     self-join + one aggregate — measured 4× cheaper than the from-text
-    operator at sf0.1 (0.86s vs 3.41s min, same session). Semantics are
-    FROZEN AT BUILD: the doc-freq cap reflects the built corpus (exactly
-    like the engine's one-shot operator over that corpus); after
-    ingesting new documents, rebuild — an append-style refresh would
-    silently change which shingles are over the cap. At 100 TB the
-    postings table is the thing you'd bucket BY ``g`` (saveAsTable +
+    operator at sf0.1 (0.86s vs 3.41s min, same session). Unlike format
+    v1 (which froze the ``max_doc_freq`` cap at build by writing capped
+    postings — rebuild-only, because an append would silently change
+    which shingles are over the cap), v2 stores the cap's INPUT (the
+    mergeable doc-freq counts) and applies the cap at SERVE time, so
+    :func:`refresh_shingle_index` is exact: refresh ≡ rebuild over the
+    union, reference O8 catch-up (``updateIndexFromLastId``,
+    ``db/db.go:191-207``) for the last at-rest index family. At 100 TB
+    the postings table is the thing you'd bucket BY ``g`` (saveAsTable +
     bucketBy — the ``write_ivf_bucketed_table`` recipe) so the self-join
     carries no exchange at all; the parquet layout here keeps the
     artifact warehouse-free and portable."""
-    import json as _json
     import os as _os
 
+    spark = df.sparkSession
     sh = (
         ensure_parallelism(df)
         .select(
@@ -247,31 +255,193 @@ def build_shingle_index(
         .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=False)
     )
-    inv = sh.select("id", F.explode("shingles").alias("g"))
-    if max_doc_freq is not None:
-        hot = (
-            inv.groupBy("g")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("g")
-        )
-        inv = inv.join(F.broadcast(hot), "g", "left_anti")
-    inv.write.mode("overwrite").parquet(_os.path.join(path, "postings"))
-    kept = df.sparkSession.read.parquet(_os.path.join(path, "postings"))
-    kept.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+    sh.select("id", F.explode("shingles").alias("g")).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "postings"))
+    # shingle arrays are already distinct (char_shingles/word_shingles),
+    # so the UNCAPPED per-doc size is just the array size — no postings
+    # re-read, no aggregate
+    sh.select("id", F.size("shingles").alias("sz")).write.mode(
         "overwrite"
     ).parquet(_os.path.join(path, "sizes"))
+    max_id = _json_id(df.agg(F.max(F.col(id_col))).collect()[0][0])
+    seg = _shingle_seg_name(None, max_id)
+    sh.select(F.explode("shingles").alias("g")).groupBy("g").agg(
+        F.count("*").alias("cnt")
+    ).write.mode("overwrite").parquet(_os.path.join(path, "df", seg))
+    hot_dir = None
+    if max_doc_freq is not None:
+        hot_dir = "hot/" + _shingle_seg_name("hot", max_id)
+        _write_shingle_hot(spark, path, [seg], max_doc_freq, hot_dir)
     meta = {
+        "version": 2,
         "id_col": id_col,
         "text_col": text_col,
         "n": int(n),
         "unit": unit,
         "max_doc_freq": max_doc_freq,
+        "max_id": max_id,
+        "df_segments": [seg],
+        "hot_dir": hot_dir,
     }
-    tmp = _os.path.join(path, "shingle_index.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(meta, f)
-    _os.replace(tmp, _os.path.join(path, "shingle_index.json"))
+    _write_index_meta(path, "shingle_index.json", meta)
+    return meta
+
+
+def _shingle_seg_name(lo, hi) -> str:
+    """Deterministic directory name for a df segment / hot table covering
+    the watermark window ``(lo, hi]`` — a replay of the same window
+    rewrites (mode overwrite) the SAME directory instead of orphaning a
+    twin, and a replay of a GROWN window writes a different one that only
+    becomes live when the sidecar flip lists it."""
+    import hashlib
+
+    return "s_" + hashlib.md5(f"{lo!r}|{hi!r}".encode()).hexdigest()[:12]
+
+
+def _write_shingle_hot(spark, path: str, segs: list, cap: int, hot_dir: str):
+    """Merge the listed df segments (sum per-shingle counts — doc-freq is
+    additive across disjoint id windows) and persist the over-cap shingle
+    set. The hot table is heavy-hitter-sized by construction (every
+    member needs > cap postings), so serving broadcasts it."""
+    import os as _os
+    from functools import reduce
+
+    parts = [spark.read.parquet(_os.path.join(path, "df", s)) for s in segs]
+    merged = reduce(lambda a, b: a.unionByName(b), parts)
+    merged.groupBy("g").agg(F.sum("cnt").alias("cnt")).filter(
+        F.col("cnt") > cap
+    ).select("g").write.mode("overwrite").parquet(_os.path.join(path, hot_dir))
+
+
+def refresh_shingle_index(
+    df: DataFrame,
+    path: str,
+    advance_to=None,
+) -> dict:
+    """Catch-up for the at-rest shingle inverted index — reference O8
+    (``updateIndexFromLastId``, ``db/db.go:191-207``) for the LAST
+    standing-index family, in exactly the regime the index exists for
+    (per-crawl-snapshot recurring dedup ingests new documents). Sound
+    because format v2 stores the doc-freq cap's INPUT, not its output:
+    postings and sizes are per-doc independent (append rows for ids above
+    the watermark), and the per-shingle doc-freq counts land as one more
+    MERGEABLE segment — which shingles are over the cap is re-decided
+    from the merged counts at every watermark flip and served from the
+    precomputed ``hot/`` table, so refresh ≡ rebuild over the union
+    (value-gated by the driver's ``shingle_index_catchup`` query).
+    Legacy v1 artifacts (capped postings) raise: their cap is frozen at
+    build and an append would silently change it — rebuild instead.
+
+    Idempotent against every crash window (the ``refresh_minhash_index``
+    discipline, extended to the list-of-segments state):
+    * per-id tables append ghost-guarded — postings first (anti-joined
+      against its own ids above the watermark), sizes LAST (its ids
+      define "fully indexed", so a replayed tail drops finished docs);
+    * the df segment is derived from the ON-DISK postings over the
+      window ``(wm, new_max]`` — it therefore also covers rows a crashed
+      earlier run appended for docs this run's done-guard skipped — and
+      written to a window-named directory that is INVISIBLE until the
+      sidecar flip lists it (a replay of the same window overwrites it;
+      a replay of a grown window orphans it, and orphans are swept after
+      the next successful flip);
+    * the hot table is likewise rewritten to a fresh watermark-named
+      directory and activated by the same single atomic sidecar flip
+      that advances the watermark and the segment list.
+
+    ``advance_to`` (optional) floors the flipped watermark — for
+    screen-and-drop callers (``streaming.ingest.neardup_ingest_batch``):
+    a dropped doc's id is decided but never stored. Ids must be int or
+    string (enforced at build by :func:`_json_id`) and append-only above
+    the watermark."""
+    import os as _os
+    import shutil as _shutil
+
+    spark = df.sparkSession
+    meta = read_shingle_index_meta(path)
+    if meta.get("version") != 2:
+        raise ValueError(
+            "legacy (v1) shingle-index artifact: its doc-freq cap was "
+            "frozen into the postings at build, so an append-refresh "
+            "would silently change which shingles are over the cap — "
+            "rebuild with build_shingle_index (writes refreshable v2)"
+        )
+    icol = meta["id_col"]
+    wm = meta["max_id"]
+    post_dir = _os.path.join(path, "postings")
+    sizes_dir = _os.path.join(path, "sizes")
+    full_tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
+    new_max = _json_id(full_tail.agg(F.max(F.col(icol))).collect()[0][0])
+    if new_max is None:
+        # nothing above the watermark — still honor the advance_to floor
+        # (and stamp it) so dropped ids stay decided
+        stamp = wm
+        if advance_to is not None and (stamp is None or advance_to > stamp):
+            stamp = advance_to
+        if meta.get("max_id") != _json_id(stamp):
+            meta["max_id"] = _json_id(stamp)
+            _write_index_meta(path, "shingle_index.json", meta)
+        return meta
+    # docs whose sizes row landed are fully indexed (sizes write LAST
+    # among the per-id tables) — drop them from the tail entirely
+    done = spark.read.parquet(sizes_dir).select("id")
+    if wm is not None:
+        done = done.filter(F.col("id") > F.lit(wm))
+    tail = full_tail.join(
+        done.select(F.col("id").alias(icol)), [icol], "left_anti"
+    )
+    sh = (
+        ensure_parallelism(tail)
+        .select(
+            F.col(icol).alias("id"),
+            _shingle_expr(
+                meta["text_col"], meta["n"], meta["unit"]
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    # ghost guard for the postings-landed/sizes-missing window
+    ghost = spark.read.parquet(post_dir).select("id")
+    if wm is not None:
+        ghost = ghost.filter(F.col("id") > F.lit(wm))
+    sh.select("id", F.explode("shingles").alias("g")).join(
+        ghost.distinct(), "id", "left_anti"
+    ).write.mode("append").parquet(post_dir)
+    sh.select("id", F.size("shingles").alias("sz")).write.mode(
+        "append"
+    ).parquet(sizes_dir)
+    # df segment for the committed window, from the ON-DISK postings
+    seg = _shingle_seg_name(wm, new_max)
+    win = spark.read.parquet(post_dir)
+    if wm is not None:
+        win = win.filter(F.col("id") > F.lit(wm))
+    win.filter(F.col("id") <= F.lit(new_max)).groupBy("g").agg(
+        F.count("*").alias("cnt")
+    ).write.mode("overwrite").parquet(_os.path.join(path, "df", seg))
+    segs = list(meta["df_segments"]) + [seg]
+    wm_new = new_max
+    if advance_to is not None and advance_to > wm_new:
+        wm_new = advance_to
+    hot_dir = meta.get("hot_dir")
+    if meta["max_doc_freq"] is not None:
+        hot_dir = "hot/" + _shingle_seg_name("hot", wm_new)
+        _write_shingle_hot(spark, path, segs, meta["max_doc_freq"], hot_dir)
+    meta["max_id"] = _json_id(wm_new)
+    meta["df_segments"] = segs
+    meta["hot_dir"] = hot_dir
+    _write_index_meta(path, "shingle_index.json", meta)
+    # sweep orphans from crashed grown-window replays (safe AFTER the
+    # flip: anything not listed in the live sidecar is dead by contract)
+    for sub, live in (
+        ("df", set(segs)),
+        ("hot", {_os.path.basename(hot_dir)} if hot_dir else set()),
+    ):
+        root = _os.path.join(path, sub)
+        if _os.path.isdir(root):
+            for d in _os.listdir(root):
+                if d not in live:
+                    _shutil.rmtree(_os.path.join(root, d), ignore_errors=True)
     return meta
 
 
@@ -389,12 +559,33 @@ def _indexed_pair_counts(spark, path: str) -> DataFrame:
     """The pair stage of the shingle family served from the at-rest
     artifact — ``(id_a < id_b, inter, sz_a, sz_b)``, the same shape
     :func:`_shingle_pair_counts` returns (one body feeds both scorers
-    here too, mirroring the from-text core)."""
+    here too, mirroring the from-text core). Format v2 applies the
+    doc-freq cap HERE (postings are stored uncapped so refresh stays
+    append-sound): the precomputed over-cap table broadcasts into an
+    anti-join — never a corpus-wide doc-freq aggregate on the serve
+    path — and the stored UNCAPPED per-doc sizes are corrected to
+    kept-shingle counts by subtracting each doc's hot-shingle count
+    (exact, because shingle sets are distinct per doc; the correction
+    join touches only the hot postings, a heavy-hitter-sized slice).
+    Legacy v1 artifacts (pre-capped postings + capped sizes) serve on
+    the original two-table path."""
     import os as _os
 
-    read_shingle_index_meta(path)  # fail loud on a half-built artifact
+    meta = read_shingle_index_meta(path)  # fail loud on a half-built artifact
     inv = spark.read.parquet(_os.path.join(path, "postings"))
     sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    if meta.get("version", 1) >= 2 and meta.get("hot_dir"):
+        hot = spark.read.parquet(_os.path.join(path, meta["hot_dir"]))
+        corr = (
+            inv.join(F.broadcast(hot), "g", "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("hot_cnt"))
+        )
+        sizes = sizes.join(corr, "id", "left").select(
+            "id",
+            (F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))).alias("sz"),
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="g")
@@ -1047,11 +1238,21 @@ def build_minhash_index(
 
 def _json_id(v):
     """High-water id as stored in a sidecar (the ``text_index`` rule):
-    ints normalize to Python int, everything else (string ids, dates)
-    passes through as its JSON form — refresh filters compare with the
-    column's own ordering."""
+    refreshable indexes support int and string id columns ONLY — both
+    JSON-round-trip losslessly AND order-consistently, which the
+    ``id > watermark`` refresh filters depend on. Anything else (dates,
+    decimals, binary) fails LOUD at build/refresh time instead of
+    raising a TypeError from ``json.dump`` at the sidecar write (after
+    the data tables already landed) or, worse, silently re-indexing rows
+    when the JSON form orders differently than the column."""
     if v is None:
         return None
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise TypeError(
+            "refreshable index id columns must be int or string "
+            f"(watermark comparisons ride the JSON round-trip); got "
+            f"{type(v).__name__}: {v!r}"
+        )
     return int(v) if isinstance(v, int) else v
 
 
@@ -1114,10 +1315,16 @@ def refresh_minhash_index(
     tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
     new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
     if new_max is None:
-        if advance_to is not None and (wm is None or advance_to > wm):
-            meta["max_id"] = _json_id(advance_to)
+        # nothing above the watermark: stamp the advance_to floor AND any
+        # watermark just derived from a pre-watermark artifact — so the
+        # next no-op refresh doesn't re-pay the derivation scan
+        stamp = wm
+        if advance_to is not None and (stamp is None or advance_to > stamp):
+            stamp = advance_to
+        if meta.get("max_id") != _json_id(stamp) or "max_id" not in meta:
+            meta["max_id"] = _json_id(stamp)
             _write_index_meta(path, "minhash_index.json", meta)
-        return meta  # nothing above the watermark
+        return meta
     # docs whose shingles row landed are fully indexed (shingles write
     # LAST in both build and refresh) — drop them from the tail entirely
     done = spark.read.parquet(sh_dir).select("id")
@@ -1824,10 +2031,16 @@ def refresh_signlsh_index(
     tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
     new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
     if new_max is None:
-        if advance_to is not None and (wm is None or advance_to > wm):
-            meta["max_id"] = _json_id(advance_to)
+        # nothing above the watermark: stamp the advance_to floor AND any
+        # watermark just derived from a pre-watermark artifact — so the
+        # next no-op refresh doesn't re-pay the derivation scan
+        stamp = wm
+        if advance_to is not None and (stamp is None or advance_to > stamp):
+            stamp = advance_to
+        if meta.get("max_id") != _json_id(stamp) or "max_id" not in meta:
+            meta["max_id"] = _json_id(stamp)
             _write_index_meta(path, "signlsh_index.json", meta)
-        return meta  # nothing above the watermark
+        return meta
     tail_dim = _vec_dim(tail, meta["vec_col"])
     if tail_dim != meta["dim"]:
         raise ValueError(

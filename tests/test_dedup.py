@@ -1511,6 +1511,181 @@ def test_ngram_containment_indexed_equals_fresh(spark, tmp_path):
     assert served == fresh and fresh
 
 
+def _shingle_docs(spark, upto=None):
+    """Near-dup family sharing many 8-grams (so the doc-freq cap bites on
+    the UNION but not on the id<6 prefix alone), plus singletons."""
+    base = "the quick brown fox jumps over the lazy dog while spark shuffles"
+    rows = [(i, base + f" tail {i % 3}") for i in range(10)] + [
+        (100, "completely unrelated text about warehouse bucketing plans"),
+        (101, "another unrelated document concerning catalyst optimizers"),
+    ]
+    if upto is not None:
+        rows = [r for r in rows if r[0] < upto]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingle_rows(spark, path):
+    import os
+
+    post = sorted(
+        map(tuple, spark.read.parquet(os.path.join(path, "postings")).collect())
+    )
+    sizes = sorted(
+        map(tuple, spark.read.parquet(os.path.join(path, "sizes")).collect())
+    )
+    return post, sizes
+
+
+def test_refresh_shingle_index_equals_rebuild(spark, tmp_path):
+    """O8 catch-up for the LAST at-rest index family: build on the id
+    prefix, refresh with the full corpus — postings/sizes row-identical
+    to a from-scratch build, and BOTH indexed scorers value-identical to
+    the from-text operators over the union. The cap fixture is chosen so
+    shared shingles are over-cap only in the UNION (each appears in ≤5
+    prefix docs but in 10 full-corpus docs), so a refresh that froze the
+    prefix's hot set — the v1 failure mode — returns wrong pairs."""
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        ngram_containment_pairs,
+        ngram_containment_pairs_indexed,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_indexed,
+        read_shingle_index_meta,
+        refresh_shingle_index,
+    )
+
+    docs = _shingle_docs(spark)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    for mdf in (6, None):
+        inc_p, full_p = f"{inc}_{mdf}", f"{full}_{mdf}"
+        build_shingle_index(
+            _shingle_docs(spark, upto=6), inc_p, n=8, max_doc_freq=mdf
+        )
+        assert read_shingle_index_meta(inc_p)["max_id"] == 5
+        meta = refresh_shingle_index(docs, inc_p)
+        assert meta["max_id"] == 101 and len(meta["df_segments"]) == 2
+        build_shingle_index(docs, full_p, n=8, max_doc_freq=mdf)
+        assert _shingle_rows(spark, inc_p) == _shingle_rows(spark, full_p)
+        fresh_j = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, n=8, threshold=0.3, max_doc_freq=mdf
+        ).collect()))
+        served_j = sorted(map(tuple, ngram_jaccard_pairs_indexed(
+            spark, inc_p, threshold=0.3
+        ).collect()))
+        assert served_j == fresh_j and fresh_j, mdf
+        fresh_c = sorted(map(tuple, ngram_containment_pairs(
+            docs, n=8, threshold=0.5, max_doc_freq=mdf
+        ).collect()))
+        served_c = sorted(map(tuple, ngram_containment_pairs_indexed(
+            spark, inc_p, threshold=0.5
+        ).collect()))
+        assert served_c == fresh_c and fresh_c, mdf
+        # no-op refresh: nothing above the watermark, tables untouched
+        before = _shingle_rows(spark, inc_p)
+        refresh_shingle_index(docs, inc_p)
+        assert _shingle_rows(spark, inc_p) == before
+
+
+def test_refresh_shingle_index_replay_windows(spark, tmp_path):
+    """Crash-replay idempotence for the list-of-segments state: (a) all
+    writes landed but the sidecar flip did not — replay heals without
+    duplicating postings/sizes rows and sweeps the orphaned grown-window
+    df segment; (b) postings landed, sizes did not (postings write
+    first) — replay heals sizes without double-appending postings. Also:
+    a legacy v1 artifact refuses refresh loudly, and advance_to floors
+    the watermark through the no-op path."""
+    import glob
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        read_shingle_index_meta,
+        refresh_shingle_index,
+    )
+
+    docs = _shingle_docs(spark)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_shingle_index(_shingle_docs(spark, upto=6), inc, n=8, max_doc_freq=6)
+    build_shingle_index(docs, full, n=8, max_doc_freq=6)
+    stale = read_shingle_index_meta(inc)
+    sz_glob = os.path.join(inc, "sizes", "*")
+    pre_sz = set(glob.glob(sz_glob))
+
+    # window (a): everything landed, sidecar stale
+    refresh_shingle_index(docs, inc)
+    with open(os.path.join(inc, "shingle_index.json"), "w") as f:
+        json.dump(stale, f)
+    replayed = refresh_shingle_index(docs, inc)
+    assert replayed["max_id"] == 101
+    assert _shingle_rows(spark, inc) == _shingle_rows(spark, full)
+    # live segments listed, orphans swept
+    assert sorted(os.listdir(os.path.join(inc, "df"))) == sorted(
+        replayed["df_segments"]
+    )
+    assert os.listdir(os.path.join(inc, "hot")) == [
+        os.path.basename(replayed["hot_dir"])
+    ]
+
+    # window (b): postings landed, sizes did not — delete the size files
+    # the refresh added and wind the sidecar back
+    for f_ in set(glob.glob(sz_glob)) - pre_sz:
+        os.remove(f_)
+    with open(os.path.join(inc, "shingle_index.json"), "w") as f:
+        json.dump(stale, f)
+    replayed = refresh_shingle_index(docs, inc)
+    assert _shingle_rows(spark, inc) == _shingle_rows(spark, full)
+    post = spark.read.parquet(os.path.join(inc, "postings"))
+    assert post.count() == post.distinct().count()
+
+    # served pairs still exact after both replays
+    from kaer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_indexed,
+    )
+
+    fresh = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, n=8, threshold=0.3, max_doc_freq=6
+    ).collect()))
+    served = sorted(map(tuple, ngram_jaccard_pairs_indexed(
+        spark, inc, threshold=0.3
+    ).collect()))
+    assert served == fresh and fresh
+
+    # advance_to floors the watermark through the no-op path
+    replayed = refresh_shingle_index(docs, inc, advance_to=500)
+    assert replayed["max_id"] == 500
+
+    # legacy v1 artifact (no version key): refresh refuses loudly
+    legacy = {k: v for k, v in stale.items()
+              if k not in ("version", "max_id", "df_segments", "hot_dir")}
+    with open(os.path.join(inc, "shingle_index.json"), "w") as f:
+        json.dump(legacy, f)
+    with _pytest.raises(ValueError, match="v1"):
+        refresh_shingle_index(docs, inc)
+
+
+def test_refreshable_index_id_types_fail_loud(spark, tmp_path):
+    """Refreshable indexes accept int and string id columns only: a date
+    id raises a clear TypeError at BUILD time (before r15 this surfaced
+    as json.dump's TypeError at the sidecar write, after the data tables
+    had already landed)."""
+    import datetime
+
+    import pytest as _pytest
+
+    from kaer_spark.operators.dedup import build_minhash_index
+
+    rows = [(datetime.date(2026, 1, i + 1), "doc text long enough for grams")
+            for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id date, text string")
+    with _pytest.raises(TypeError, match="int or string"):
+        build_minhash_index(docs, str(tmp_path / "d"), n=8,
+                            num_hashes=16, bands=4, seed=1)
+
+
 def test_ngram_jaccard_bucketed_table_no_postings_shuffle(spark, tmp_path):
     """The bucketed postings table: (a) pairs equal the from-text operator
     exactly, (b) with broadcast disabled (the cluster regime) the inverted
