@@ -2946,6 +2946,92 @@ def _q_signlsh_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INGEST_ID_SHIFT = 1_000_000  # batch ids provably above any fixture watermark
+
+
+def _clone_index_fixture(base: str, kind: str) -> tuple[str, str]:
+    """Per-call working copy of an immutable index fixture for the
+    streaming-ingest rows: the ingest batch REFRESHES its index (appends
+    + watermark flip), so each measurement clones the fixture and mutates
+    the clone — bench reps and the driver's correctness run then all
+    measure identical work. One deterministic work dir per fixture,
+    recreated per call (no temp-dir accumulation across reps)."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(base).rsplit("_", 1)[-1]
+    work = os.path.join(
+        tempfile.gettempdir(), f"kaer_{kind}_ingest_replay_{tag}"
+    )
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    idx = os.path.join(work, "idx")
+    shutil.copytree(base, idx)
+    return idx, os.path.join(work, "out")
+
+
+def _q_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One streaming near-dup ingest micro-batch
+    (streaming.ingest.neardup_ingest_batch — the r14 flagship subsystem,
+    previously bench-invisible): the even-id corpus, re-keyed above the
+    watermark, plays as one batch against a CLONE of the at-rest odd-id
+    MinHash reference index, and the committed epoch partition (the
+    ingested survivors) is returned. Per call the row pays the
+    production per-batch cost: batch signature pass, band equi-join
+    screen against stored keys, in-batch self-dedup closure, corpus
+    write, batch-sized index append. The oracle replays the WHOLE chain
+    in SQL — cross screen (global sigs, parity split), survivor set,
+    self pairs among survivors, recursive closure, min-id
+    representatives — so a drift anywhere in the composition lands as a
+    value mismatch."""
+    from kaer_spark.streaming.ingest import neardup_ingest_batch
+
+    idx, out = _clone_index_fixture(
+        _ensure_minhash_index(spark, sf_dir), "mh"
+    )
+    batch = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(INGEST_ID_SHIFT))
+    )
+    neardup_ingest_batch(batch, 0, idx, out, threshold=JACCARD_THRESHOLD)
+    import os
+
+    return spark.read.parquet(os.path.join(out, "epoch=0")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_streaming_embedding_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The embedding twin of streaming_neardup_ingest: one
+    embedding_neardup_ingest_batch of the re-keyed even-id vectors
+    against a clone of the at-rest odd-id sign-LSH index (exact-cosine
+    verify inside the band screen, sidecar-frozen planes on both the
+    screen and the in-batch self-dedup). Same full-chain oracle shape:
+    cross screen, survivors, self pairs, closure, min-id reps."""
+    from kaer_spark.streaming.ingest import embedding_neardup_ingest_batch
+
+    idx, out = _clone_index_fixture(
+        _ensure_signlsh_index(spark, sf_dir), "sl"
+    )
+    batch = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(INGEST_ID_SHIFT))
+    )
+    embedding_neardup_ingest_batch(
+        batch, 0, idx, out, threshold=COSINE_DUP_THRESHOLD
+    )
+    import os
+
+    return spark.read.parquet(os.path.join(out, "epoch=0")).select(
+        "vec_id", "label"
+    )
+
+
 def _q_embedding_dups_against_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4260,6 +4346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_indexed": _q_dedup_against_indexed,
         "minhash_index_catchup": _q_minhash_index_catchup,
         "shingle_index_catchup": _q_shingle_index_catchup,
+        "streaming_neardup_ingest": _q_streaming_neardup_ingest,
+        "streaming_embedding_ingest": _q_streaming_embedding_ingest,
         "signlsh_index_catchup": _q_signlsh_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -6422,6 +6510,177 @@ def _sql_embedding_dups_between(threshold: float | None = None) -> str:
     """
 
 
+def _sql_neardup_ingest() -> str:
+    """Full-chain replay of one neardup_ingest_batch over the parity
+    split: the even-id corpus (re-keyed by INGEST_ID_SHIFT) screened
+    against the odd-id reference (the at-rest MinHash index's content),
+    then in-batch self-dedup — band self-collisions among the screen
+    survivors, exact-Jaccard verify, recursive closure, min-id
+    representatives. Signature/band CTEs identical to
+    :func:`_sql_minhash_between` (same seeded math both sides)."""
+    from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
+
+    n = JACCARD_N
+    coeffs = minhash_coeffs(MINHASH_HASHES, 42)
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    thr = JACCARD_THRESHOLD
+    slots = ", ".join(
+        f"list_min(list_transform(fps, f -> (f * {a} + {b}) % {HASH_MOD})) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, "
+        + " || ',' || ".join(
+            f"CAST(s{bi * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS key FROM sigs"
+        for bi in range(MINHASH_BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+    )
+    return f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                              i -> substr(text, i, {n}))) AS shingles
+          FROM documents WHERE length(text) >= {n}
+        ),
+        fps AS (SELECT id, shingles,
+                       list_transform(shingles, s -> {_sql_poly_hash('s')}) AS fps
+                FROM sh),
+        sigs AS (SELECT id, shingles, {slots} FROM fps),
+        banded AS ({band_selects}),
+        cross_hit AS (
+          SELECT DISTINCT c.left_id AS id FROM (
+            SELECT DISTINCT a.id AS left_id, b.id AS right_id
+            FROM banded a JOIN banded b USING (band, key)
+            WHERE a.id % 2 = 0 AND b.id % 2 = 1
+          ) c
+          JOIN sh sa ON sa.id = c.left_id
+          JOIN sh sb ON sb.id = c.right_id
+          WHERE {jac} >= {thr!r}
+        ),
+        surv AS (
+          SELECT doc_id AS id FROM documents
+          WHERE doc_id % 2 = 0
+            AND doc_id NOT IN (SELECT id FROM cross_hit)
+        ),
+        self_pairs AS (
+          SELECT c.id_a, c.id_b FROM (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b USING (band, key)
+            WHERE a.id % 2 = 0 AND b.id % 2 = 0 AND a.id < b.id
+              AND a.id IN (SELECT id FROM surv)
+              AND b.id IN (SELECT id FROM surv)
+          ) c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b
+          WHERE {jac} >= {thr!r}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM self_pairs
+          UNION
+          SELECT id_b, id_a FROM self_pairs
+        ),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        dropped AS (
+          SELECT src AS id FROM reach GROUP BY src
+          HAVING LEAST(src, min(dst)) <> src
+        )
+        SELECT d.doc_id + {INGEST_ID_SHIFT} AS doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id % 2 = 0
+          AND d.doc_id IN (SELECT id FROM surv)
+          AND d.doc_id NOT IN (SELECT id FROM dropped)
+    """
+
+
+def _sql_embedding_ingest() -> str:
+    """Full-chain replay of one embedding_neardup_ingest_batch over the
+    parity split — the vector twin of :func:`_sql_neardup_ingest`: cross
+    screen against the odd-id reference through the same seeded planes
+    (left-assoc float64 dots, exact-cosine verify), survivor set, self
+    pairs among survivors, recursive closure, min-id representatives."""
+    from kaer_spark.operators.dedup import signlsh_planes
+
+    thr = COSINE_DUP_THRESHOLD
+    planes = signlsh_planes(
+        len(QVEC), COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED
+    )
+
+    def band_key(vec: str, band: int) -> str:
+        return _sql_signlsh_band_key(
+            vec, planes[band * COSINE_LSH_BITS : (band + 1) * COSINE_LSH_BITS]
+        )
+
+    inv = "\n          UNION ALL ".join(
+        f"SELECT vec_id AS id, {b} AS band, {band_key('embedding', b)} AS key FROM e"
+        for b in range(COSINE_LSH_BANDS)
+    )
+    dot = _sql_dot_cols("ea.embedding", "eb.embedding")
+    nrm = f"sqrt({_sql_dot_cols('embedding', 'embedding')})"
+    cos = f"(CASE WHEN ea.nrm * eb.nrm <> 0.0 THEN ({dot}) / (ea.nrm * eb.nrm) END)"
+    return f"""
+        WITH RECURSIVE e AS (SELECT vec_id, embedding, {nrm} AS nrm
+                             FROM embeddings),
+        inv AS (
+          {inv}
+        ),
+        cross_hit AS (
+          SELECT DISTINCT c.left_id AS id FROM (
+            SELECT DISTINCT a.id AS left_id, b.id AS right_id
+            FROM inv a JOIN inv b ON a.band = b.band AND a.key = b.key
+            WHERE a.id % 2 = 0 AND b.id % 2 = 1
+          ) c
+          JOIN e ea ON ea.vec_id = c.left_id
+          JOIN e eb ON eb.vec_id = c.right_id
+          WHERE {cos} >= {thr!r}
+        ),
+        surv AS (
+          SELECT vec_id AS id FROM embeddings
+          WHERE vec_id % 2 = 0
+            AND vec_id NOT IN (SELECT id FROM cross_hit)
+        ),
+        self_pairs AS (
+          SELECT c.id_a, c.id_b FROM (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM inv a JOIN inv b ON a.band = b.band AND a.key = b.key
+            WHERE a.id % 2 = 0 AND b.id % 2 = 0 AND a.id < b.id
+              AND a.id IN (SELECT id FROM surv)
+              AND b.id IN (SELECT id FROM surv)
+          ) c
+          JOIN e ea ON ea.vec_id = c.id_a
+          JOIN e eb ON eb.vec_id = c.id_b
+          WHERE {cos} >= {thr!r}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM self_pairs
+          UNION
+          SELECT id_b, id_a FROM self_pairs
+        ),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        ),
+        dropped AS (
+          SELECT src AS id FROM reach GROUP BY src
+          HAVING LEAST(src, min(dst)) <> src
+        )
+        SELECT v.vec_id + {INGEST_ID_SHIFT} AS vec_id, v.label
+        FROM embeddings v
+        WHERE v.vec_id % 2 = 0
+          AND v.vec_id IN (SELECT id FROM surv)
+          AND v.vec_id NOT IN (SELECT id FROM dropped)
+    """
+
+
 def _sql_asof_forward() -> str:
     """Forward as-of: earliest signup at-or-after each click; among
     equal-ts signups the greatest event id wins (the engine's __r struct
@@ -6843,6 +7102,8 @@ def oracle_sql() -> dict[str, str]:
         # value-checked end to end
         "minhash_index_catchup": _sql_minhash_between(threshold=MH_CATCHUP_THRESHOLD),
         "shingle_index_catchup": _sql_jaccard_pairs(threshold=SHINGLE_CATCHUP_THRESHOLD),
+        "streaming_neardup_ingest": _sql_neardup_ingest(),
+        "streaming_embedding_ingest": _sql_embedding_ingest(),
         "signlsh_index_catchup": _sql_embedding_dups_between(threshold=SL_CATCHUP_THRESHOLD),
         "embedding_dups_between": _sql_embedding_dups_between(),
         # served from the at-rest reference artifact: identical values by

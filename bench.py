@@ -110,6 +110,14 @@ HEADLINE = [
     # budget); full numbers in bench_detail.json like every row.
     "dedup_against_indexed",
     "embedding_dups_against_indexed",
+    # round-15 (r14 verdict #2: the r14 flagship streaming subsystem was
+    # bench-invisible): one full neardup ingest micro-batch — clone the
+    # at-rest reference index, screen the re-keyed even-id batch, in-batch
+    # self-dedup, corpus write, batch-sized index append — and its
+    # embedding twin. The clone copy is harness overhead (~fixture-sized
+    # file copy, measured <5% of the row at sf0.1).
+    "streaming_neardup_ingest",
+    "streaming_embedding_ingest",
     # round-11 additions: complete edit-distance join (new banded-join
     # family), two-stage PQ refine, MMR re-rank, and the two corpus-drift
     # diagnostics

@@ -27,6 +27,39 @@ from pyspark.sql.streaming import StreamingQuery
 from kaer_spark.context import Collection
 
 
+def _fs_committed(spark: SparkSession, path: str) -> bool:
+    """True iff a COMMITTED write exists at ``path`` — checked through the
+    Hadoop FileSystem API (not ``os.path``), so ``out_dir`` may live on
+    any Hadoop-supported filesystem (HDFS/S3A/local), and checked via the
+    ``_SUCCESS`` job-commit marker rather than directory existence: a
+    crashed write leaves the directory behind without the marker, and a
+    half-written partition must NOT read as a finished epoch."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore
+    p = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        os.path.join(path, "_SUCCESS")
+    )
+    return p.getFileSystem(conf).exists(p)
+
+
+def _assign_surrogate_ids(
+    batch_df: DataFrame, id_col: str, base, order_col: str
+) -> DataFrame:
+    """Epoch-derived monotone surrogate ids for sources that have none
+    (hash-keyed corpora): ``base + row_number`` over a content ordering —
+    deterministic given the batch's content, so every downstream
+    min-id-representative choice is stable. The global window sort is
+    bounded by the micro-batch size by construction."""
+    from pyspark.sql.window import Window
+
+    base = int(base or 0)
+    return batch_df.withColumn(
+        id_col,
+        (F.lit(base) + F.row_number().over(Window.orderBy(order_col)))
+        .cast("long"),
+    )
+
+
 def _recover_hll_state(state_dir: str) -> None:
     """Heal the one crash window of the HLL state swap: a failure between
     the two renames leaves the previous (complete) state at
@@ -480,6 +513,8 @@ def stream_neardup_ingest(
     threshold: float = 0.5,
     self_dedup: bool = True,
     trigger: dict[str, Any] | None = None,
+    assign_ids: bool = False,
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """Online NEAR-dup corpus ingest — the streaming composition the two
     r14 pieces exist for: every micro-batch is screened against the
@@ -506,10 +541,12 @@ def stream_neardup_ingest(
       is exactly "everything ingested before this batch", and it stays
       exactly that on a replay whose index refresh already landed, so
       survivors recompute identically;
-    * the corpus append goes to ``out_dir/epoch=<id>`` with per-epoch
-      overwrite — a replayed epoch rewrites its own partition, never
-      duplicates it (read the corpus as ``spark.read.parquet(out_dir)``;
-      the epoch partition column is incidental);
+    * the corpus append goes to ``out_dir/epoch=<id>`` — and a replayed
+      epoch (ids at-or-below the flipped watermark, committed partition
+      present) is NOT rewritten: the watermark flip happens after the
+      corpus write, so a covered batch's partition is provably final
+      (read the corpus as ``spark.read.parquet(out_dir)``; the epoch
+      partition column is incidental);
     * the index refresh is the watermark catch-up — a replayed batch is
       at-or-below the flipped watermark and no-ops, a crash between its
       two appends heals via the per-append anti-joins.
@@ -519,9 +556,21 @@ def stream_neardup_ingest(
     corpus unscreened-against forever). The discriminator is structural:
     a batch straddling the watermark mixes replayed and new rows —
     always refused; a batch entirely at-or-below it is either a
-    checkpoint replay (its epoch partition exists, because the corpus
-    write PRECEDES the index refresh) or duplicate source delivery under
-    a fresh epoch (partition missing — refused).
+    checkpoint replay (its epoch partition is committed, because the
+    corpus write PRECEDES the index refresh) or duplicate source
+    delivery under a fresh epoch (no committed partition — refused).
+    Sources WITHOUT monotone ids (hash-keyed corpora) opt into
+    ``assign_ids=True``: ``id_col`` is assigned in the batch body as
+    ``watermark + row_number`` over ``order_col`` (default ``text_col``),
+    restoring the contract by construction — see
+    :func:`neardup_ingest_batch`.
+
+    Placement contract: ``index_path`` must be DRIVER-LOCAL — the
+    sidecar discipline is ``open()`` + ``os.replace`` (the engine-wide
+    atomic-flip convention). ``out_dir`` and ``checkpoint_dir`` may live
+    on any Hadoop-supported filesystem: epoch-partition existence is
+    checked through the Hadoop FileSystem API against the ``_SUCCESS``
+    commit marker, never ``os.path``.
 
     At 100 TB-of-stream scale: state lives in the at-rest index (parquet,
     id-pruned scans), NOT the streaming state store — the per-batch cost
@@ -532,7 +581,8 @@ def stream_neardup_ingest(
         neardup_ingest_batch(
             batch_df, epoch_id, index_path, out_dir,
             id_col=id_col, text_col=text_col, threshold=threshold,
-            self_dedup=self_dedup,
+            self_dedup=self_dedup, assign_ids=assign_ids,
+            order_col=order_col,
         )
 
     writer = (
@@ -553,14 +603,26 @@ def neardup_ingest_batch(
     text_col: str = "text",
     threshold: float = 0.5,
     self_dedup: bool = True,
+    assign_ids: bool = False,
+    order_col: str | None = None,
 ) -> None:
     """One :func:`stream_neardup_ingest` micro-batch — module-level so the
     replay paths are directly testable and so a user-owned
     ``foreachBatch`` can compose it with other sinks. See the streaming
     wrapper's docstring for the semantics and the crash-window analysis;
     the load-bearing ordering here is corpus write BEFORE index refresh
-    (the partition's existence is what distinguishes a replay from
-    duplicate delivery)."""
+    (a COMMITTED partition is what distinguishes a replay from duplicate
+    delivery — and a replayed epoch is never rewritten, because wm >= hi
+    proves the partition final and an overwrite would reopen the
+    delete-then-crash window).
+
+    ``assign_ids=True`` is the surrogate-id recipe for sources without
+    monotone ids (hash-keyed corpora): ``id_col`` is ASSIGNED in the
+    batch body as ``watermark + row_number`` over ``order_col`` (default
+    ``text_col``), so the monotone contract holds by construction; epoch
+    replay is then discriminated by the committed partition alone, and
+    duplicate source delivery fails safe through the content screen
+    instead of the id check."""
     from kaer_spark.operators.dedup import (
         dedup_clusters,
         dedup_representatives,
@@ -574,12 +636,30 @@ def neardup_ingest_batch(
         return
     spark = batch_df.sparkSession
     meta = read_minhash_index_meta(index_path)
+    wm = meta.get("max_id")
+    epoch_path = os.path.join(out_dir, f"epoch={int(epoch_id)}")
+    committed = _fs_committed(spark, epoch_path)
+    if assign_ids:
+        # surrogate-id mode (hash-keyed sources): replay is discriminated
+        # by the COMMITTED epoch partition alone. A committed partition
+        # means the survivors are final — heal the index from it (no-op
+        # if the refresh also landed) and never recompute; a duplicate
+        # source delivery gets fresh ids and fails SAFE through the
+        # content screen itself (every re-delivered doc near-dups what
+        # the original delivery put in the index, or what dropped it).
+        if committed:
+            part = spark.read.parquet(epoch_path)
+            mx = part.agg(F.max(F.col(id_col))).collect()[0][0]
+            if mx is not None:
+                refresh_minhash_index(part, index_path, advance_to=mx)
+            return
+        batch_df = _assign_surrogate_ids(
+            batch_df, id_col, wm, order_col or text_col
+        )
     bounds = batch_df.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
-    wm = meta.get("max_id")
-    epoch_path = os.path.join(out_dir, f"epoch={int(epoch_id)}")
     if wm is not None and lo <= wm:
         if hi > wm:
             # a true replay sits ENTIRELY at-or-below the watermark; a
@@ -590,17 +670,27 @@ def neardup_ingest_batch(
                 f"the index watermark {wm} — the monotone-id ingest "
                 "contract is violated (or two writers share one index)"
             )
-        if not os.path.isdir(epoch_path):
-            # all-below + no epoch partition: the corpus write precedes
-            # the refresh, so a genuine replay would have left the
-            # partition behind — this is duplicate source delivery under
-            # a fresh epoch, which would re-ingest already-indexed docs
+        if not committed:
+            # all-below + no committed epoch partition: the corpus write
+            # precedes the refresh, so a genuine replay would have left
+            # the committed partition behind — this is duplicate source
+            # delivery under a fresh epoch, which would re-ingest
+            # already-indexed docs
             raise ValueError(
                 f"stream_neardup_ingest: batch ids [{lo}, {hi}] are all "
                 f"at-or-below the index watermark {wm} but epoch "
-                f"{int(epoch_id)} has no partition at {epoch_path!r} — "
-                "duplicate delivery, not a checkpoint replay"
+                f"{int(epoch_id)} has no committed partition at "
+                f"{epoch_path!r} — duplicate delivery, not a checkpoint "
+                "replay"
             )
+        # genuine replay: wm >= hi proves the refresh flipped, which
+        # proves the corpus write COMPLETED before it — the partition is
+        # final, so rewrite nothing. (Rewriting here would reopen a crash
+        # window: overwrite deletes the partition first, and a crash
+        # before the rewrite finishes leaves the watermark covering a
+        # batch with no partition on disk — every later replay would then
+        # read as duplicate delivery and wedge the stream.)
+        return
     batch = batch_df.localCheckpoint(eager=False)
     hits = minhash_near_dups_against_index(
         spark, index_path, batch, left_id_col=id_col,
@@ -639,6 +729,8 @@ def stream_embedding_neardup_ingest(
     threshold: float = 0.95,
     self_dedup: bool = True,
     trigger: dict[str, Any] | None = None,
+    assign_ids: bool = False,
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """The embedding twin of :func:`stream_neardup_ingest` — online
     SEMANTIC near-dup ingest: every micro-batch of vectors is screened
@@ -647,16 +739,21 @@ def stream_embedding_neardup_ingest(
     ``out_dir/epoch=<id>`` and advance the index
     (``dedup.refresh_signlsh_index``), so the next batch screens against
     everything ingested so far. Same per-batch semantics, the same
-    structural replay safety, and the same loud refusal of
-    straddling/duplicate-delivery batches as the text twin — see
-    :func:`neardup_ingest_batch` for the crash-window analysis; the
-    logic lives in :func:`embedding_neardup_ingest_batch`."""
+    structural replay safety (committed-partition discriminator through
+    the Hadoop FileSystem API, no replay rewrite), the same loud refusal
+    of straddling/duplicate-delivery batches, the same ``assign_ids``
+    surrogate-id mode, and the same placement contract (``index_path``
+    driver-local; ``out_dir``/``checkpoint_dir`` any Hadoop FS) as the
+    text twin — see :func:`neardup_ingest_batch` for the crash-window
+    analysis; the logic lives in
+    :func:`embedding_neardup_ingest_batch`."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         embedding_neardup_ingest_batch(
             batch_df, epoch_id, index_path, out_dir,
             id_col=id_col, vec_col=vec_col, threshold=threshold,
-            self_dedup=self_dedup,
+            self_dedup=self_dedup, assign_ids=assign_ids,
+            order_col=order_col,
         )
 
     writer = (
@@ -678,13 +775,18 @@ def embedding_neardup_ingest_batch(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     self_dedup: bool = True,
+    assign_ids: bool = False,
+    order_col: str | None = None,
 ) -> None:
     """One :func:`stream_embedding_neardup_ingest` micro-batch — the
     vector mirror of :func:`neardup_ingest_batch` (same ordering: corpus
-    write BEFORE index refresh; same discriminators). Within-batch
-    self-dedup runs ``embedding_near_dups_lsh`` through the SIDECAR's
-    plane geometry, so the in-batch candidates and the index screen can
-    never hash differently."""
+    write BEFORE index refresh; same discriminators, including the
+    no-rewrite replay path and the ``assign_ids`` surrogate-id mode for
+    sources without monotone ids — surrogate ordering defaults to the
+    vector column itself, which Spark orders lexicographically).
+    Within-batch self-dedup runs ``embedding_near_dups_lsh`` through the
+    SIDECAR's plane geometry, so the in-batch candidates and the index
+    screen can never hash differently."""
     from kaer_spark.operators.dedup import (
         dedup_clusters,
         dedup_representatives,
@@ -698,12 +800,26 @@ def embedding_neardup_ingest_batch(
         return
     spark = batch_df.sparkSession
     meta = read_signlsh_index_meta(index_path)
+    wm = meta.get("max_id")
+    epoch_path = os.path.join(out_dir, f"epoch={int(epoch_id)}")
+    committed = _fs_committed(spark, epoch_path)
+    if assign_ids:
+        # surrogate-id mode — see neardup_ingest_batch: committed
+        # partition = final survivors, heal the index from it; duplicate
+        # delivery fails safe through the cosine screen
+        if committed:
+            part = spark.read.parquet(epoch_path)
+            mx = part.agg(F.max(F.col(id_col))).collect()[0][0]
+            if mx is not None:
+                refresh_signlsh_index(part, index_path, advance_to=mx)
+            return
+        batch_df = _assign_surrogate_ids(
+            batch_df, id_col, wm, order_col or vec_col
+        )
     bounds = batch_df.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
-    wm = meta.get("max_id")
-    epoch_path = os.path.join(out_dir, f"epoch={int(epoch_id)}")
     if wm is not None and lo <= wm:
         if hi > wm:
             raise ValueError(
@@ -712,13 +828,17 @@ def embedding_neardup_ingest_batch(
                 "ingest contract is violated (or two writers share one "
                 "index)"
             )
-        if not os.path.isdir(epoch_path):
+        if not committed:
             raise ValueError(
                 f"stream_embedding_neardup_ingest: batch ids [{lo}, {hi}] "
                 f"are all at-or-below the index watermark {wm} but epoch "
-                f"{int(epoch_id)} has no partition at {epoch_path!r} — "
-                "duplicate delivery, not a checkpoint replay"
+                f"{int(epoch_id)} has no committed partition at "
+                f"{epoch_path!r} — duplicate delivery, not a checkpoint "
+                "replay"
             )
+        # genuine replay: partition proved final (wm >= hi ⟹ refresh
+        # flipped ⟹ corpus write completed) — rewrite nothing
+        return
     batch = batch_df.localCheckpoint(eager=False)
     hits = embedding_dups_against_index(
         spark, index_path, batch, left_id_col=id_col,

@@ -866,3 +866,104 @@ def test_stream_embedding_neardup_ingest_end_to_end(spark, tmp_path):
             spark.createDataFrame([(21, vd), (30, vc)], schema),
             2, idx, out,
         )
+
+
+def test_stream_neardup_ingest_surrogate_ids_hash_source(spark, tmp_path):
+    """The surrogate-id recipe end to end over a HASH-keyed source (no
+    monotone ids anywhere): assign_ids=True assigns watermark+row_number
+    ids in the batch body, so the monotone contract holds by
+    construction. Pins: cross-batch screening still works (a batch-2 dup
+    of a batch-1 survivor is dropped), a replayed epoch is a no-op (the
+    committed partition is never rewritten), and duplicate source
+    delivery under a FRESH epoch converges through the content screen
+    instead of refusing — the re-delivered docs near-dup what the
+    original delivery indexed."""
+    from kaer_spark.operators.dedup import (
+        build_minhash_index,
+        read_minhash_index_meta,
+    )
+    from kaer_spark.streaming.ingest import (
+        neardup_ingest_batch,
+        stream_neardup_ingest,
+    )
+
+    ta = "the quick brown fox jumps over the lazy dog while spark shuffles data"
+    tb = "completely unrelated text about warehouse bucketing plans and catalogs"
+    tc = "a third document concerning catalyst optimizers and adaptive execution"
+    td = "fourth topic entirely: streaming watermarks and stateful aggregation"
+    # source rows carry an opaque hash key, NOT a monotone id
+    src_schema = "doc_key string, text string"
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(
+        spark.createDataFrame([(1, ta)], "doc_id long, text string"),
+        idx, n=8, num_hashes=16, bands=4, seed=42,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [("9f2ab", ta), ("01c77", tb), ("e3d10", tb)], src_schema
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_neardup_ingest(
+        stream, idx, out, str(tmp_path / "ckpt"),
+        threshold=0.5, assign_ids=True,
+    )
+    q.processAllAvailable()
+    # ta dups the reference; tb survives once (in-batch twin dropped)
+    corpus = spark.read.parquet(out)
+    assert sorted(r["text"] for r in corpus.collect()) == [tb]
+    assert corpus.select("doc_id").distinct().count() == 1
+    wm1 = read_minhash_index_meta(idx)["max_id"]
+    assert wm1 == 4  # watermark floored at base(1) + batch rows(3)
+
+    # batch 2: one dup of the batch-1 survivor, one novel
+    spark.createDataFrame(
+        [("77aa0", tb), ("b3c41", tc)], src_schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        r["text"] for r in spark.read.parquet(out).collect()
+    ) == sorted([tb, tc])
+
+    # replayed epoch: committed partition → no-op heal, nothing rewritten
+    bands_before = spark.read.parquet(os.path.join(idx, "bands")).count()
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in __import__("glob").glob(os.path.join(out, "epoch=1", "*"))
+    }
+    neardup_ingest_batch(
+        spark.createDataFrame([("77aa0", tb), ("b3c41", tc)], src_schema),
+        1, idx, out, threshold=0.5, assign_ids=True,
+    )
+    assert spark.read.parquet(os.path.join(idx, "bands")).count() == bands_before
+    assert {
+        f: os.path.getmtime(f)
+        for f in __import__("glob").glob(os.path.join(out, "epoch=1", "*"))
+    } == mtimes
+
+    # duplicate source delivery under a FRESH epoch: fails safe through
+    # the content screen — nothing new lands, the watermark advances
+    neardup_ingest_batch(
+        spark.createDataFrame([("77aa0", tb), ("b3c41", tc)], src_schema),
+        9, idx, out, threshold=0.5, assign_ids=True,
+    )
+    assert sorted(
+        r["text"] for r in spark.read.parquet(out).collect()
+    ) == sorted([tb, tc])
+
+    # a genuinely novel doc after all that still ingests
+    neardup_ingest_batch(
+        spark.createDataFrame([("f00d5", td)], src_schema),
+        10, idx, out, threshold=0.5, assign_ids=True,
+    )
+    assert sorted(
+        r["text"] for r in spark.read.parquet(out).collect()
+    ) == sorted([tb, tc, td])

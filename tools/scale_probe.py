@@ -378,10 +378,13 @@ def main() -> int:
     # neardup_ingest_batch with a FIXED novel batch against a 1x vs 10x
     # at-rest MinHash index: per-batch cost = batch signature pass + the
     # band equi-join against stored keys + the batch-sized refresh append.
-    # Timed on the REPLAY path (partition exists, refresh no-ops), which
-    # isolates the screen from the one-off append. Amplified reference
-    # copies get a per-copy text suffix so the clone mass doesn't inflate
-    # true collisions; the batch's vowels are substituted so it is novel
+    # [r15] the replay path no longer recomputes (a committed epoch whose
+    # ids sit at-or-below the watermark returns immediately — the
+    # partition is provably final), so the timed call now CLONES the
+    # built index and ingests fresh: the honest recurring per-batch cost,
+    # screen + self-dedup + write + append. Amplified reference copies
+    # get a per-copy text suffix so the clone mass doesn't inflate true
+    # collisions; the batch's vowels are substituted so it is novel
     # (the production regime — most arrivals survive).
     import shutil
     import tempfile as _tf
@@ -414,27 +417,32 @@ def main() -> int:
         ref_max = ref.agg(F.max("doc_id")).collect()[0][0]
         idx_path = _tf.mkdtemp(prefix=f"kaer_probe_mhidx_{label}_")
         build_minhash_index(ref, idx_path, n=8, num_hashes=16, bands=4, seed=42)
-        out_dir = _tf.mkdtemp(prefix=f"kaer_probe_ingest_{label}_")
         batch = novel.withColumn(
             "doc_id", F.col("doc_id") + F.lit(ref_max + 1)
         ).localCheckpoint()
-        neardup_ingest_batch(batch, 0, idx_path, out_dir)  # cold + append
-        t, _ = timed(
-            lambda b=batch, ix=idx_path, od=out_dir: (
-                neardup_ingest_batch(b, 0, ix, od), 0
-            )[1]
-        )
-        n_surv = spark.read.parquet(os.path.join(out_dir, "epoch=0")).count()
+
+        def ingest_fresh(ix=idx_path, b=batch):
+            clone = _tf.mkdtemp(prefix="kaer_probe_mhclone_")
+            shutil.rmtree(clone)
+            shutil.copytree(ix, clone)
+            od = _tf.mkdtemp(prefix="kaer_probe_ingest_")
+            neardup_ingest_batch(b, 0, clone, od)
+            n = spark.read.parquet(os.path.join(od, "epoch=0")).count()
+            shutil.rmtree(clone, ignore_errors=True)
+            shutil.rmtree(od, ignore_errors=True)
+            return n
+
+        ingest_fresh()  # warm codegen
+        t, n_surv = timed(ingest_fresh)
         results[f"stream_neardup_batch_{label}"] = {
             "sec": t, "survivors": n_surv,
         }
         print(
-            f"stream_neardup_batch {label}: {t}s replay "
+            f"stream_neardup_batch {label}: {t}s fresh ingest "
             f"({n_surv} survivors)",
             file=sys.stderr,
         )
         shutil.rmtree(idx_path, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
 
     # pps: one range shuffle + bounded offsets — ~linear in rows, and the
     # selected count stays ~k regardless of corpus size
