@@ -646,6 +646,40 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health report for the at-rest IVF index
+    (index_store.ivf_index_stats — r14 verdict #3: refresh assigns new
+    vectors to FROZEN centroids, correct but silently skew-prone under
+    drift, and nothing reported it): per-cell size histogram, skew vs the
+    balanced design point, and rank-based residual quantiles against the
+    sidecar centroids, plus the watermark and its lag vs the live corpus.
+    Pure relational over the index table, so the oracle replays the
+    whole chain — det-fit centroids, argmin assignment, per-cell counts,
+    type-1 quantile selection — and a drifted stored assignment or a
+    wrong quantile rank lands as a value mismatch."""
+    from kaer_spark.operators.index_store import ivf_index_stats
+
+    path = _ensure_ivf_index(spark, sf_dir)
+    return ivf_index_stats(
+        spark, path, corpus=_t(spark, sf_dir, "embeddings")
+    )
+
+
+def _q_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed twin of ivf_index_stats
+    (index_store.pq_index_stats): every STORED code is decoded against
+    the sidecar codebooks and compared to its live vector —
+    reconstruction error is the direct bound on ADC ranking fidelity, so
+    its creep under frozen codebooks is the rebuild signal. The oracle
+    re-derives the codes from the corpus alone (the det-encode replay)
+    and the same rank-based quantiles, so a stale or corrupted code
+    table disagrees with it value-exactly."""
+    from kaer_spark.operators.index_store import pq_index_stats
+
+    path = _ensure_pq_index(spark, sf_dir, cells=None)
+    return pq_index_stats(spark, path, _t(spark, sf_dir, "embeddings"))
+
+
 IVFF_K, IVFF_NQ, IVFF_MOD = 7, 4, 7
 
 
@@ -4348,6 +4382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_index_catchup": _q_shingle_index_catchup,
         "streaming_neardup_ingest": _q_streaming_neardup_ingest,
         "streaming_embedding_ingest": _q_streaming_embedding_ingest,
+        "ivf_index_stats": _q_ivf_index_stats,
+        "pq_index_stats": _q_pq_index_stats,
         "signlsh_index_catchup": _q_signlsh_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -6681,6 +6717,120 @@ def _sql_embedding_ingest() -> str:
     """
 
 
+def _sql_ivf_index_stats() -> str:
+    """Replay of index_store.ivf_index_stats over the det-fit full-corpus
+    fixture: centroids = 8 smallest-id vectors, assignment = argmin
+    (dist, j), residual = the assigned distance itself, quantiles by
+    rank selection (no interpolation arithmetic — bit-exact)."""
+    return f"""
+        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                          embedding AS cvec
+                   FROM (SELECT vec_id, embedding FROM embeddings
+                         ORDER BY vec_id LIMIT 8)),
+        cd AS (
+          SELECT d.vec_id, c.j,
+                 {_sql_l2sq_cols('d.embedding', 'c.cvec')} AS dist
+          FROM embeddings d CROSS JOIN c
+        ),
+        a AS (
+          SELECT vec_id, j, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+          FROM cd
+        ),
+        assigned AS (SELECT vec_id, j AS cell, dist AS resid FROM a WHERE rn = 1),
+        ranked AS (
+          SELECT cell, vec_id, resid,
+                 row_number() OVER (PARTITION BY cell ORDER BY resid, vec_id) AS rn
+          FROM assigned
+        ),
+        k AS (SELECT cell, count(*) AS n, max(resid) AS max_resid
+              FROM assigned GROUP BY cell),
+        t AS (SELECT sum(n) AS tot FROM k),
+        p50 AS (SELECT r.cell, r.resid AS p50_resid
+                FROM ranked r JOIN k ON k.cell = r.cell
+                WHERE r.rn = (k.n + 1) // 2),
+        p90 AS (SELECT r.cell, r.resid AS p90_resid
+                FROM ranked r JOIN k ON k.cell = r.cell
+                WHERE r.rn = (9 * k.n + 9) // 10)
+        SELECT CAST(k.cell AS INTEGER) AS cell,
+               CAST(k.n AS BIGINT) AS n_vectors,
+               CAST(k.n AS DOUBLE) / t.tot AS size_frac,
+               CAST(k.n * 8 AS DOUBLE) / t.tot AS skew,
+               p50.p50_resid, p90.p90_resid, k.max_resid,
+               (CAST(k.n * 8 AS DOUBLE) / t.tot) > 2.0 AS oversized,
+               CAST((SELECT max(vec_id) FROM embeddings) AS BIGINT) AS watermark,
+               CAST(0 AS BIGINT) AS watermark_lag
+        FROM k CROSS JOIN t
+        JOIN p50 ON p50.cell = k.cell
+        JOIN p90 ON p90.cell = k.cell
+    """
+
+
+def _sql_pq_index_stats() -> str:
+    """Replay of index_store.pq_index_stats over the det-fit no-cells
+    fixture: codes re-derived from the corpus (the _sql_pq_knn_det encode
+    CTEs), reconstruction error summed per subspace in the engine's fold
+    order, quantiles by rank selection."""
+    m, k = 8, 16
+    d = len(QVEC) // m
+
+    def slice_dist(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            for i in range(s * d + 1, s * d + d + 1)
+        )
+
+    cd = "\n          UNION ALL ".join(
+        f"SELECT e.vec_id, c.cid, {s} AS s, "
+        f"{slice_dist('e.embedding', 'c.cvec', s)} AS dist"
+        f" FROM embeddings e CROSS JOIN cb c"
+        for s in range(m)
+    )
+    enc_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m)
+    )
+    joins = "\n            ".join(
+        f"JOIN cb a{s} ON a{s}.cid = enc.c{s}" for s in range(m)
+    )
+    err_expr = " + ".join(
+        f"({slice_dist('e.embedding', f'a{s}.cvec', s)})" for s in range(m)
+    )
+    return f"""
+        WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                           embedding AS cvec
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT {k})),
+        cd AS (
+          {cd}
+        ),
+        r AS (
+          SELECT vec_id, s, cid,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+          FROM cd
+        ),
+        enc AS (SELECT vec_id, {enc_cols} FROM r WHERE rn = 1 GROUP BY vec_id),
+        err AS (
+          SELECT e.vec_id AS id, {err_expr} AS err
+          FROM enc
+          JOIN embeddings e ON e.vec_id = enc.vec_id
+            {joins}
+        ),
+        ranked AS (
+          SELECT id, err, row_number() OVER (ORDER BY err, id) AS rn FROM err
+        ),
+        kk AS (SELECT count(*) AS n, max(err) AS max_err FROM err)
+        SELECT CAST(-1 AS INTEGER) AS cell,
+               CAST(kk.n AS BIGINT) AS n_codes,
+               (SELECT err FROM ranked WHERE rn = (kk.n + 1) // 2) AS p50_err,
+               (SELECT err FROM ranked WHERE rn = (9 * kk.n + 9) // 10) AS p90_err,
+               kk.max_err,
+               CAST((SELECT max(vec_id) FROM embeddings) AS BIGINT) AS watermark,
+               CAST(0 AS BIGINT) AS watermark_lag
+        FROM kk
+    """
+
+
 def _sql_asof_forward() -> str:
     """Forward as-of: earliest signup at-or-after each click; among
     equal-ts signups the greatest event id wins (the engine's __r struct
@@ -7104,6 +7254,8 @@ def oracle_sql() -> dict[str, str]:
         "shingle_index_catchup": _sql_jaccard_pairs(threshold=SHINGLE_CATCHUP_THRESHOLD),
         "streaming_neardup_ingest": _sql_neardup_ingest(),
         "streaming_embedding_ingest": _sql_embedding_ingest(),
+        "ivf_index_stats": _sql_ivf_index_stats(),
+        "pq_index_stats": _sql_pq_index_stats(),
         "signlsh_index_catchup": _sql_embedding_dups_between(threshold=SL_CATCHUP_THRESHOLD),
         "embedding_dups_between": _sql_embedding_dups_between(),
         # served from the at-rest reference artifact: identical values by

@@ -805,3 +805,220 @@ def pq_index_knn_join(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_index_stats(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Health report for an at-rest IVF index — the observability the
+    frozen-geometry refresh contract needs at 100 TB: :func:`refresh_ivf_index`
+    assigns new vectors to the STORED centroids (no refit — the reference's
+    own O8 semantics, ``db/db.go:191-207``), which is correct and keeps
+    results comparable, but under distribution drift the cells skew and
+    probed recall decays silently. kaer has the same blind spot (its HNSW
+    never rebalances); this closes it with a pure relational pass over the
+    index table — one scan, one count aggregate, two rank lookups.
+
+    One row per NON-EMPTY cell (an absent cell id is itself a signal —
+    that centroid attracts nothing):
+
+    * ``n_vectors``, ``size_frac`` — cell-size histogram;
+    * ``skew`` — ``n / (total / cells)``; a perfectly balanced index reads
+      1.0 everywhere, and ``oversized`` flags ``skew > 2.0``;
+    * ``p50_resid`` / ``p90_resid`` / ``max_resid`` — residual (squared L2
+      to the row's STORED cell centroid) at the rank-based type-1
+      quantiles ``ceil(n/2)`` / ``ceil(0.9 n)`` — pure selection, no
+      interpolation arithmetic, so the figures replay bit-exactly in a
+      SQL oracle;
+    * ``watermark`` (+ ``watermark_lag`` when ``corpus`` is given) —
+      ingest staleness of the index vs the live corpus.
+
+    REBUILD TRIGGER (documented policy, deliberately not automated —
+    rebuild cost is an operator decision): re-fit the coarse quantizer
+    when any cell reads ``oversized`` (probe cost on that cell is ≥2× the
+    balanced design point, and it keeps absorbing its neighborhood's new
+    vectors), or when ``p90_resid`` grows materially above the build-time
+    baseline row for the same cell (the stored centroids no longer
+    describe the data — probed recall is decaying). Compare against a
+    SNAPSHOT of this report taken at build time; the report is cheap
+    enough to run per refresh."""
+    from pyspark.sql.window import Window
+
+    meta = read_index_meta(path)
+    data = spark.read.parquet(os.path.join(path, DATA_DIR))
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in meta["centroids"]
+        ]
+    )
+    resid = l2sq(
+        meta["vec_col"],
+        F.element_at(cents, F.col("_cell").cast("int") + F.lit(1)),
+    )
+    ranked = (
+        data.select(
+            F.col("_cell").cast("int").alias("cell"),
+            F.col(meta["id_col"]).alias("_id"),
+            resid.alias("_resid"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.col("_resid").asc(), F.col("_id").asc()
+                )
+            ),
+        )
+        .localCheckpoint(eager=False)  # three consumers below
+    )
+    counts = ranked.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"), F.max("_resid").alias("max_resid")
+    )
+    marks = counts.select(
+        "cell",
+        "n_vectors",
+        "max_resid",
+        F.expr("(n_vectors + 1) div 2").alias("_r50"),
+        F.expr("(9 * n_vectors + 9) div 10").alias("_r90"),
+    )
+    p50 = ranked.join(
+        marks.select("cell", F.col("_r50").alias("_rn")), ["cell", "_rn"]
+    ).select("cell", F.col("_resid").alias("p50_resid"))
+    p90 = ranked.join(
+        marks.select("cell", F.col("_r90").alias("_rn")), ["cell", "_rn"]
+    ).select("cell", F.col("_resid").alias("p90_resid"))
+    tot = counts.agg(F.sum("n_vectors").alias("_tot"))
+    out = (
+        marks.join(p50, "cell")
+        .join(p90, "cell")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "size_frac", F.col("n_vectors").cast("double") / F.col("_tot")
+        )
+        .withColumn(
+            "skew",
+            (F.col("n_vectors") * F.lit(int(meta["cells"]))).cast("double")
+            / F.col("_tot"),
+        )
+        .withColumn("oversized", F.col("skew") > F.lit(2.0))
+        .withColumn("watermark", F.lit(int(meta["max_id"])).cast("long"))
+    )
+    if corpus is not None:
+        live_max = corpus.agg(F.max(meta["id_col"])).collect()[0][0]
+        lag = int(live_max) - int(meta["max_id"]) if live_max is not None else 0
+        out = out.withColumn("watermark_lag", F.lit(lag).cast("long"))
+    drop = ["_r50", "_r90", "_tot"]
+    return out.drop(*drop)
+
+
+def pq_index_stats(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    corpus_id_col: str | None = None,
+    corpus_vec_col: str | None = None,
+) -> DataFrame:
+    """Health report for an at-rest PQ code table — the compressed twin of
+    :func:`ivf_index_stats`: :func:`refresh_pq_index` encodes new vectors
+    under the FROZEN codebooks, so under drift the reconstruction error of
+    the stored codes creeps up and ADC rankings silently lose fidelity.
+    This measures exactly that: each stored code is decoded against the
+    SIDECAR codebooks and compared to the live vector (join on id — the
+    code table stores no vectors, by design), giving per-group
+
+    ``n_codes`` and ``p50_err`` / ``p90_err`` / ``max_err`` — the
+    reconstruction squared-L2 at the same rank-based type-1 quantiles as
+    the IVF report (bit-exact replayable) — plus ``watermark`` /
+    ``watermark_lag``. Grouped per coarse cell when the index is IVFADC
+    (``cells`` in the sidecar); one row with ``cell = -1`` otherwise.
+    Because the error is computed from the STORED codes (not a fresh
+    argmin encode), a corrupted or stale code table shows up here too —
+    and in the SQL oracle gate, where the replayed encode would disagree.
+
+    REBUILD TRIGGER (documented policy): re-fit codebooks when ``p90_err``
+    grows materially above the build-time snapshot — quantization error is
+    the direct bound on ADC ranking fidelity (Jégou et al. 2011 §III), so
+    unlike cell skew there is no second-order symptom to wait for.
+
+    Scale note: the exact rank-based quantiles sort WITHIN each group, so
+    on an IVFADC table (``cells`` set) the sort is cell-bounded; a
+    no-cells table ranks in ONE group — a global sort, fine for the
+    no-cells layout's intended size but the wrong tool at 100 TB (where
+    the code table should be cell-partitioned anyway, and is)."""
+    from pyspark.sql.window import Window
+
+    meta = read_pq_meta(path)
+    icol = corpus_id_col or meta["id_col"]
+    vcol = corpus_vec_col or meta["vec_col"]
+    books = meta["codebooks"]
+    m, d = len(books), len(books[0][0])
+    codes = spark.read.parquet(os.path.join(path, DATA_DIR))
+    joined = codes.join(
+        corpus.select(
+            F.col(icol).alias(meta["id_col"]),
+            F.col(vcol).cast("array<double>").alias("__vec"),
+        ),
+        meta["id_col"],
+    )
+    err = None
+    for s in range(m):
+        book_s = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in books[s][j]])
+                for j in range(len(books[s]))
+            ]
+        )
+        cent = F.element_at(
+            book_s, F.element_at(F.col("pq_code"), s + 1) + F.lit(1)
+        )
+        e_s = l2sq(F.slice(F.col("__vec"), s * d + 1, d), cent)
+        err = e_s if err is None else err + e_s
+    cell = (
+        F.col("_cell").cast("int")
+        if meta.get("cells") is not None
+        else F.lit(-1).cast("int")
+    )
+    ranked = (
+        joined.select(
+            cell.alias("cell"),
+            F.col(meta["id_col"]).alias("_id"),
+            err.alias("_err"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.col("_err").asc(), F.col("_id").asc()
+                )
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = ranked.groupBy("cell").agg(
+        F.count("*").alias("n_codes"), F.max("_err").alias("max_err")
+    )
+    marks = counts.select(
+        "cell",
+        "n_codes",
+        "max_err",
+        F.expr("(n_codes + 1) div 2").alias("_r50"),
+        F.expr("(9 * n_codes + 9) div 10").alias("_r90"),
+    )
+    p50 = ranked.join(
+        marks.select("cell", F.col("_r50").alias("_rn")), ["cell", "_rn"]
+    ).select("cell", F.col("_err").alias("p50_err"))
+    p90 = ranked.join(
+        marks.select("cell", F.col("_r90").alias("_rn")), ["cell", "_rn"]
+    ).select("cell", F.col("_err").alias("p90_err"))
+    live_max = corpus.agg(F.max(F.col(icol))).collect()[0][0]
+    lag = int(live_max) - int(meta["max_id"]) if live_max is not None else 0
+    return (
+        marks.join(p50, "cell")
+        .join(p90, "cell")
+        .withColumn("watermark", F.lit(int(meta["max_id"])).cast("long"))
+        .withColumn("watermark_lag", F.lit(lag).cast("long"))
+        .drop("_r50", "_r90")
+    )

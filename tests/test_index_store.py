@@ -721,3 +721,92 @@ def test_pq_index_knn_join_unprobed_guard(spark, embeddings, tmp_path):
         topk=3, shortlist=10, max_unprobed_queries=10,
     )
     assert forced.count() == 30
+
+
+def test_ivf_index_stats_health_report(spark, tmp_path):
+    """Index-health report: per-cell sizes, skew vs the balanced design
+    point, rank-based residual quantiles against the sidecar centroids,
+    watermark lag vs a live corpus that grew past the index, and the
+    oversized flag after a drift-shaped refresh piles everything onto
+    one cell."""
+    from kaer_spark.operators.index_store import (
+        build_ivf_index,
+        ivf_index_stats,
+        refresh_ivf_index,
+    )
+
+    # det fit, cells=4: centroids = vectors of ids 0..3 (spread corners)
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+    rows = [(i, c) for i, c in enumerate(cents)]
+    rows += [(4, [1.0, 0.0])]                                  # cell 0
+    rows += [(10 + i, [10.0, float(i + 1)]) for i in range(5)]  # cell 1
+    rows += [(20, [0.0, 9.0]), (21, [10.0, 9.0])]              # cells 2, 3
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, cells=4, fit="deterministic")
+    live = corpus.union(
+        spark.createDataFrame([(99, [0.0, 0.0])], corpus.schema)
+    )
+    stats = {
+        r["cell"]: r
+        for r in ivf_index_stats(spark, path, corpus=live).collect()
+    }
+    assert [stats[c]["n_vectors"] for c in range(4)] == [2, 6, 2, 2]
+    assert abs(stats[0]["size_frac"] - 2 / 12) < 1e-15
+    assert abs(stats[1]["skew"] - 6 * 4 / 12) < 1e-15  # 2.0
+    # skew uses a strict > 2.0 bar: exactly 2.0 is NOT flagged
+    assert not stats[1]["oversized"]
+    # cell 0 residuals {0.0, 1.0}: p50 = rank ceil(2/2)=1 → 0.0,
+    # p90 = rank ceil(1.8)=2 → 1.0
+    assert stats[0]["p50_resid"] == 0.0 and stats[0]["p90_resid"] == 1.0
+    # cell 1 residuals {0,1,4,9,16,25}: p50 = rank 3 → 4.0, p90 = rank 6
+    assert stats[1]["p50_resid"] == 4.0 and stats[1]["p90_resid"] == 25.0
+    assert stats[1]["max_resid"] == 25.0
+    assert stats[0]["watermark"] == 21 and stats[0]["watermark_lag"] == 78
+
+    # drift-shaped refresh: 12 new vectors all land in cell 1 → its skew
+    # rises past the 2.0 bar and the report flags it
+    tail = spark.createDataFrame(
+        [(200 + i, [10.0, 0.5]) for i in range(12)], corpus.schema
+    )
+    refresh_ivf_index(corpus.union(tail), path)
+    stats2 = {r["cell"]: r for r in ivf_index_stats(spark, path).collect()}
+    assert stats2[1]["n_vectors"] == 18
+    assert stats2[1]["oversized"]  # 18*4/24 = 3.0 > 2.0
+    assert not stats2[0]["oversized"]
+    assert "watermark_lag" not in stats2[0].asDict()  # corpus not given
+
+
+def test_pq_index_stats_reconstruction_error(spark, tmp_path):
+    """PQ health report: reconstruction error of the STORED codes against
+    the sidecar codebooks. Vectors that are exact codebook-slice
+    combinations reconstruct at 0; a known off-by-delta vector carries
+    exactly delta² per perturbed dim; watermark lag reflects a corpus
+    that grew past the index."""
+    from kaer_spark.operators.index_store import (
+        build_pq_index,
+        pq_index_stats,
+    )
+
+    # m=2 subspaces of d=2; det codebooks = slices of ids 0,1 (k=2)
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [4.0, 0.0, 0.0, 4.0]),
+        (2, [4.0, 0.0, 0.0, 0.0]),   # book0[1] ++ book1[0] → exact
+        (3, [0.1, 0.0, 0.0, 0.0]),   # 0.1 off book0[0] in dim 1
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pq")
+    build_pq_index(corpus, path, m=2, k=2, cells=None, fit="deterministic")
+    live = corpus.union(
+        spark.createDataFrame([(50, [0.0] * 4)], corpus.schema)
+    )
+    row = pq_index_stats(spark, path, live).collect()
+    assert len(row) == 1 and row[0]["cell"] == -1
+    r = row[0]
+    assert r["n_codes"] == 4
+    # errors: ids 0,1,2 → 0.0; id 3 → 0.1² = 0.01
+    assert r["p50_err"] == 0.0                      # rank ceil(4/2)=2
+    assert abs(r["p90_err"] - 0.01) < 1e-15         # rank ceil(3.6)=4
+    assert abs(r["max_err"] - 0.01) < 1e-15
+    assert r["watermark"] == 3 and r["watermark_lag"] == 47
