@@ -16,8 +16,26 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    """The final (post-AQE-planning) physical plan as text."""
+    """The physical plan as text — NOTE: on an UNEXECUTED AQE query this
+    prints ``AdaptiveSparkPlan isFinalPlan=false`` without the ``*(n)``
+    whole-stage-codegen markers (the r14 PLANS.md regression: 158/191
+    digest rows read 0 spans and the codegen column carried no signal).
+    Use :func:`final_executed_plan` when span counts matter."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_executed_plan(df: DataFrame) -> str:
+    """The FINAL (post-AQE-execution) physical plan: when the plan is not
+    yet final, execute the DataFrame's OWN plan once (``collect`` on the
+    same Dataset drives the same QueryExecution, so AQE finalizes in
+    place — a ``count()`` would execute a different, wrapped plan) and
+    re-read it. The final tree carries real ``*(n)`` codegen spans and
+    the join strategies AQE actually chose at runtime."""
+    plan = executed_plan(df)
+    if "isFinalPlan=false" in plan:
+        df.collect()
+        plan = executed_plan(df)
+    return plan
 
 
 def formatted_plan(df: DataFrame) -> str:
@@ -29,9 +47,12 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
-def explain_summary(df: DataFrame) -> dict[str, object]:
-    """Digest of the physical plan: operators, exchanges, codegen spans."""
-    plan = executed_plan(df)
+def explain_summary(df: DataFrame, materialize: bool = False) -> dict[str, object]:
+    """Digest of the physical plan: operators, exchanges, codegen spans.
+    ``materialize=True`` digests the FINAL AQE plan (executes the query
+    once — see :func:`final_executed_plan`); the default digests the
+    pre-execution plan, whose ``wholestage_spans`` is 0 under AQE."""
+    plan = final_executed_plan(df) if materialize else executed_plan(df)
     return {
         "n_exchanges": plan.count("Exchange"),
         "n_broadcast_joins": plan.count("BroadcastHashJoin"),

@@ -431,3 +431,20 @@ def test_shard_assign_no_global_window(documents):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert has_broadcast_join(df)
+
+
+def test_final_plan_carries_codegen_spans(spark, sf_dir):
+    """The PLANS.md codegen column must carry signal (r14 verdict #6:
+    158/191 rows read 0 spans because the digest read the UNEXECUTED
+    AQE plan, which prints `isFinalPlan=false` without `*(n)` markers —
+    a codegen regression like the r12 flat-unroll incident would have
+    been invisible exactly where the digest should catch it): on the
+    materialized FINAL plan, the TPC-H family shows whole-stage spans."""
+    import __spark_entry__ as entrymod
+
+    from kaer_spark.plans.inspect import explain_summary
+
+    qs = entrymod.queries()
+    for name in ("tpch_q1", "tpch_q6"):
+        s = explain_summary(qs[name](spark, sf_dir), materialize=True)
+        assert s["wholestage_spans"] >= 1, (name, s)
