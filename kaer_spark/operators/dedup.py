@@ -950,6 +950,7 @@ def minhash_near_dups(
     threshold: float = 0.5,
     seed: int = 42,
     unit: str = "char",
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-banded MinHash near-dup pairs, verified by exact Jaccard.
 
@@ -957,6 +958,15 @@ def minhash_near_dups(
     num_hashes/bands). Verification computes true Jaccard on the distinct
     shingle sets, so the output is exact *given* the candidate set —
     identical to what the oracle computes with the same banding.
+
+    ``presigned`` (internal fast path — the streaming ingest batch body):
+    a ``(id, sig, shingles)`` DataFrame already computed by
+    :func:`minhash_signatures` under THE SAME ``(n, num_hashes, seed,
+    unit)`` for exactly ``df``'s rows, ideally checkpointed by the
+    caller. The caller owns that consistency — nothing here can detect a
+    drifted signature. Skips the signature AND shingle recomputation
+    (the batch chain otherwise signs the same documents three times:
+    screen, self-dedup, refresh).
     """
     rows_per_band = num_hashes // bands
     # signatures checkpoint WITHOUT the shingle column: banding needs only
@@ -966,11 +976,14 @@ def minhash_near_dups(
     # candidate mass, not corpus). The checkpoint still serves its two
     # consumers (banding + the candidate self-join) with GC-reclaimed
     # blocks.
-    sigs = (
-        minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit)
-        .select("id", "sig")
-        .localCheckpoint(eager=False)
-    )
+    if presigned is not None:
+        sigs = presigned.select("id", "sig")
+    else:
+        sigs = (
+            minhash_signatures(df, id_col, text_col, n, num_hashes, seed, unit)
+            .select("id", "sig")
+            .localCheckpoint(eager=False)
+        )
     banded = _minhash_banded(sigs, bands, rows_per_band)
     cand = (
         banded.alias("a")
@@ -985,14 +998,19 @@ def minhash_near_dups(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            _shingle_expr(text_col, n, unit).alias("shingles"),
+    if presigned is not None:
+        sh = presigned.select("id", "shingles").join(
+            cand_ids, "id", "left_semi"
         )
-        .join(cand_ids, "id", "left_semi")
-        .localCheckpoint(eager=False)
-    )
+    else:
+        sh = (
+            df.select(
+                F.col(id_col).alias("id"),
+                _shingle_expr(text_col, n, unit).alias("shingles"),
+            )
+            .join(cand_ids, "id", "left_semi")
+            .localCheckpoint(eager=False)
+        )
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
@@ -1273,6 +1291,7 @@ def refresh_minhash_index(
     df: DataFrame,
     path: str,
     advance_to=None,
+    presigned: DataFrame | None = None,
 ) -> dict:
     """Catch-up for the at-rest MinHash reference index — reference O8
     (``updateIndexFromLastId``, ``db/db.go:191-207``) applied to the
@@ -1334,10 +1353,17 @@ def refresh_minhash_index(
         done.select(F.col("id").alias(icol)), [icol], "left_anti"
     )
     rows_per_band = meta["num_hashes"] // meta["bands"]
-    sig = minhash_signatures(
-        tail, icol, meta["text_col"], meta["n"], meta["num_hashes"],
-        meta["seed"], meta["unit"],
-    ).localCheckpoint(eager=False)
+    if presigned is not None:
+        # caller-owned fast path (minhash_near_dups docstring): reuse the
+        # batch's one signature pass, restricted to the guarded tail
+        sig = presigned.join(
+            tail.select(F.col(icol).alias("id")), "id", "left_semi"
+        )
+    else:
+        sig = minhash_signatures(
+            tail, icol, meta["text_col"], meta["n"], meta["num_hashes"],
+            meta["seed"], meta["unit"],
+        ).localCheckpoint(eager=False)
     new_bands = _minhash_banded(
         sig.select("id", "sig"), meta["bands"], rows_per_band
     )
@@ -1373,6 +1399,7 @@ def minhash_near_dups_against_index(
     left_id_col: str = "doc_id",
     text_col: str | None = None,
     threshold: float = 0.5,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`minhash_near_dups_between` with the RIGHT side served from
     the at-rest artifact of :func:`build_minhash_index` — value-identical
@@ -1381,20 +1408,25 @@ def minhash_near_dups_against_index(
     Returns ``(left_id, right_id, jaccard)``. The call pays: one
     signature pass over ``left``, the band equi-join against stored keys,
     and the exact verify against stored shingle sets (semi-bounded to
-    candidates on both sides)."""
+    candidates on both sides). ``presigned``: ``(id, sig, shingles)``
+    for ``left``'s rows computed under the SIDECAR's params — the
+    caller-owned fast path documented on :func:`minhash_near_dups`."""
     import os as _os
 
     meta = read_minhash_index_meta(path)
     tcol = text_col or meta["text_col"]
     rows_per_band = meta["num_hashes"] // meta["bands"]
-    lsig = (
-        minhash_signatures(
-            left, left_id_col, tcol, meta["n"], meta["num_hashes"],
-            meta["seed"], meta["unit"],
+    if presigned is not None:
+        lsig = presigned.select("id", "sig")
+    else:
+        lsig = (
+            minhash_signatures(
+                left, left_id_col, tcol, meta["n"], meta["num_hashes"],
+                meta["seed"], meta["unit"],
+            )
+            .select("id", "sig")
+            .localCheckpoint(eager=False)
         )
-        .select("id", "sig")
-        .localCheckpoint(eager=False)
-    )
     lb = _minhash_banded(lsig, meta["bands"], rows_per_band)
     rb = spark.read.parquet(_os.path.join(path, "bands"))
     cand = (
@@ -1404,10 +1436,15 @@ def minhash_near_dups_against_index(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sh_l = left.select(
-        F.col(left_id_col).alias("left_id"),
-        _shingle_expr(tcol, meta["n"], meta["unit"]).alias("sh_a"),
-    ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
+    if presigned is not None:
+        sh_l = presigned.select(
+            F.col("id").alias("left_id"), F.col("shingles").alias("sh_a")
+        ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
+    else:
+        sh_l = left.select(
+            F.col(left_id_col).alias("left_id"),
+            _shingle_expr(tcol, meta["n"], meta["unit"]).alias("sh_a"),
+        ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
     sh_r = (
         spark.read.parquet(_os.path.join(path, "shingles"))
         .select(F.col("id").alias("right_id"), F.col("shingles").alias("sh_b"))

@@ -628,6 +628,7 @@ def neardup_ingest_batch(
         dedup_representatives,
         minhash_near_dups,
         minhash_near_dups_against_index,
+        minhash_signatures,
         read_minhash_index_meta,
         refresh_minhash_index,
     )
@@ -692,9 +693,19 @@ def neardup_ingest_batch(
         # read as duplicate delivery and wedge the stream.)
         return
     batch = batch_df.localCheckpoint(eager=False)
+    # ONE signature pass per batch, shared by the screen's band keys and
+    # exact verify, the in-batch self-dedup, and the index refresh — the
+    # naive composition signs the same documents three times, and the
+    # signature pass (shingle fingerprints over full text) is the
+    # dominant per-batch CPU. All three consumers hash under the
+    # sidecar's params by construction, so the shared pass cannot drift.
+    sig = minhash_signatures(
+        batch, id_col, text_col, meta["n"], meta["num_hashes"],
+        meta["seed"], meta["unit"],
+    ).localCheckpoint(eager=False)
     hits = minhash_near_dups_against_index(
         spark, index_path, batch, left_id_col=id_col,
-        text_col=text_col, threshold=threshold,
+        text_col=text_col, threshold=threshold, presigned=sig,
     ).filter(F.col("right_id") < F.lit(lo))
     survivors = batch.join(
         hits.select(F.col("left_id").alias(id_col)).distinct(),
@@ -702,11 +713,14 @@ def neardup_ingest_batch(
         "left_anti",
     )
     if self_dedup:
+        ssig = sig.join(
+            survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
         pairs = minhash_near_dups(
             survivors, id_col=id_col, text_col=text_col,
             n=meta["n"], num_hashes=meta["num_hashes"],
             bands=meta["bands"], threshold=threshold,
-            seed=meta["seed"], unit=meta["unit"],
+            seed=meta["seed"], unit=meta["unit"], presigned=ssig,
         )
         survivors = dedup_representatives(
             survivors, dedup_clusters(pairs), id_col=id_col
@@ -716,7 +730,9 @@ def neardup_ingest_batch(
     # advance_to=hi: dropped docs are DECIDED even though never stored —
     # without the floor, a replayed batch whose max id was dropped would
     # straddle the watermark and read as an out-of-order arrival
-    refresh_minhash_index(survivors, index_path, advance_to=hi)
+    refresh_minhash_index(
+        survivors, index_path, advance_to=hi, presigned=sig
+    )
 
 
 def stream_embedding_neardup_ingest(
