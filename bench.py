@@ -169,18 +169,22 @@ SERVE_FROM_ARTIFACT = [
 # Rows measured and recorded in bench_detail.json but EXCLUDED from the
 # stdout line's per-query dict: the driver parses only ~2000 tail chars
 # (the r7 `parsed: null` failure), and the headline set has outgrown the
-# window even at 2-decimal rounding. Keep this list to rows the driver's
-# stdout series was never tracking: serve-from-artifact rows whose
-# from-scratch twins ARE on the line, and rows born at/after the width
-# ceiling (r15: the two ingest rows — the pre-r15 line already sat at
-# 1893 of the 1900-char contract). All DETAIL_ONLY rows still count in
-# value/value_min, the cross-round shared-min ratios, and the committed
-# bench_detail.json, so regressions stay visible round-over-round.
+# window even at 2-decimal rounding. Keep this list to serve-from-artifact
+# rows whose from-scratch/build twins ARE on the stdout line — their
+# sub-second serve constants carry the least stdout signal per char.
+# [r15] three more such rows rotate here (their twins dedup_ngram_jaccard,
+# dedup_cluster_build, and the pq build inside pq_index_catchup stay on
+# the line) to make room for the two NEW ingest rows, which have no twin
+# anywhere on the line and are exactly what the round exists to make
+# bench-visible. All DETAIL_ONLY rows still count in value/value_min, the
+# cross-round shared-min ratios, and the committed bench_detail.json, so
+# regressions stay visible round-over-round.
 DETAIL_ONLY = [
     "dedup_against_indexed",
     "embedding_dups_against_indexed",
-    "streaming_neardup_ingest",
-    "streaming_embedding_ingest",
+    "dedup_ngram_jaccard_indexed",
+    "pq_knn_filtered",
+    "cluster_split",
 ]
 
 
