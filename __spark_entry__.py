@@ -380,6 +380,53 @@ def _ensure_shingle_index_catchup(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _q_shingle_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report for the at-rest shingle index
+    (dedup.shingle_index_stats), run over the CATCH-UP fixture (prefix
+    build + refresh, TWO df segments) so the row exercises exactly the
+    state the serve-time cap reads: posting mass, rank-based per-doc
+    shingle-count quantiles, distinct/over-cap shingle counts from the
+    MERGED segments, watermark + lag. The oracle replays everything from
+    the documents table — a broken segment merge (double-counted or
+    dropped window) lands as an n_hot/n_distinct value mismatch."""
+    from kaer_spark.operators.dedup import shingle_index_stats
+
+    path = _ensure_shingle_index_catchup(spark, sf_dir)
+    return shingle_index_stats(
+        spark, path, corpus=_t(spark, sf_dir, "documents")
+    )
+
+
+def _sql_shingle_index_stats() -> str:
+    n = JACCARD_N
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                              i -> substr(text, i, {n}))) AS shingles
+          FROM documents WHERE length(text) >= {n}
+        ),
+        sz AS (SELECT id, len(shingles) AS s FROM sh),
+        inv AS (SELECT id, unnest(shingles) AS g FROM sh),
+        dfc AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
+        ranked AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn FROM sz),
+        k AS (SELECT count(*) AS n, sum(s) AS tot, max(s) AS mx FROM sz)
+        SELECT CAST(k.n AS BIGINT) AS n_docs,
+               CAST(k.tot AS BIGINT) AS n_postings,
+               CAST(k.mx AS BIGINT) AS max_doc_shingles,
+               (SELECT CAST(count(*) AS BIGINT) FROM dfc) AS n_distinct_shingles,
+               (SELECT CAST(count(*) AS BIGINT) FROM dfc
+                WHERE c > {JACCARD_MAX_DF}) AS n_hot_shingles,
+               (SELECT CAST(s AS BIGINT) FROM ranked
+                WHERE rn = (k.n + 1) // 2) AS p50_doc_shingles,
+               (SELECT CAST(s AS BIGINT) FROM ranked
+                WHERE rn = (9 * k.n + 9) // 10) AS p90_doc_shingles,
+               CAST((SELECT max(doc_id) FROM documents) AS BIGINT) AS watermark,
+               CAST(0 AS BIGINT) AS watermark_lag
+        FROM k
+    """
+
+
 def _q_shingle_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 catch-up (reference updateIndexFromLastId, db/db.go:191-207)
     for the shingle inverted index, proven through the value gate —
@@ -4384,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_embedding_ingest": _q_streaming_embedding_ingest,
         "ivf_index_stats": _q_ivf_index_stats,
         "pq_index_stats": _q_pq_index_stats,
+        "shingle_index_stats": _q_shingle_index_stats,
         "signlsh_index_catchup": _q_signlsh_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -7256,6 +7304,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_embedding_ingest": _sql_embedding_ingest(),
         "ivf_index_stats": _sql_ivf_index_stats(),
         "pq_index_stats": _sql_pq_index_stats(),
+        "shingle_index_stats": _sql_shingle_index_stats(),
         "signlsh_index_catchup": _sql_embedding_dups_between(threshold=SL_CATCHUP_THRESHOLD),
         "embedding_dups_between": _sql_embedding_dups_between(),
         # served from the at-rest reference artifact: identical values by

@@ -547,6 +547,97 @@ def ngram_jaccard_table_pairs(
     )
 
 
+def shingle_index_stats(
+    spark,
+    path: str,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str | None = None,
+) -> DataFrame:
+    """Health report for a v2 shingle index — the dedup-family member of
+    the r15 index-observability set (``index_store.ivf_index_stats`` /
+    ``pq_index_stats``): one summary row from the at-rest tables alone,
+    answering the questions a recurring-dedup operator actually asks —
+    how big is the posting mass (``n_postings`` = the self-join's input),
+    how skewed are documents (rank-based type-1 quantiles of per-doc
+    distinct-shingle counts — bit-exact replayable, no interpolation
+    arithmetic), how many shingles sit over the doc-freq cap
+    (``n_hot_shingles``, computed from the MERGED df segments — exactly
+    the state the serve-time cap reads, so a broken segment merge shows
+    up here and in the oracle gate), and how stale the index is
+    (``watermark``, + ``watermark_lag`` when ``corpus`` is given).
+
+    REBUILD/REFRESH TRIGGER (documented policy): refresh on every ingest
+    (cheap — tail-bound, see ``refresh_shingle_index``); consider raising
+    ``max_doc_freq`` (a rebuild) only when ``n_hot_shingles`` grows to a
+    material fraction of ``n_distinct_shingles`` — the cap then drops
+    real signal, not just boilerplate. Legacy v1 artifacts raise (their
+    capped tables can't answer the uncapped questions).
+
+    Scale note: the doc-size quantiles rank in one global window over
+    ONE ROW PER DOCUMENT (the sizes table) — corpus-cardinality, not
+    posting-cardinality, and selection-only."""
+    import os as _os
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    meta = read_shingle_index_meta(path)
+    if meta.get("version") != 2:
+        raise ValueError(
+            "legacy (v1) shingle-index artifact: stats need the uncapped "
+            "v2 tables — rebuild with build_shingle_index"
+        )
+    sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    segs = [
+        spark.read.parquet(_os.path.join(path, "df", s))
+        for s in meta["df_segments"]
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), segs).groupBy("g").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    cap = meta["max_doc_freq"]
+    hot = (
+        F.sum((F.col("cnt") > F.lit(int(cap))).cast("long"))
+        if cap is not None
+        else F.lit(0).cast("long")
+    )
+    dfstats = merged.agg(
+        F.count("*").alias("n_distinct_shingles"),
+        hot.alias("n_hot_shingles"),
+    )
+    szstats = sizes.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sz").cast("long").alias("n_postings"),
+        F.max("sz").cast("long").alias("max_doc_shingles"),
+    )
+    ranked = sizes.withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.col("sz").asc(), F.col("id").asc())),
+    ).crossJoin(F.broadcast(szstats))
+    p50 = ranked.filter(
+        F.col("_rn") == F.expr("(n_docs + 1) div 2")
+    ).select(F.col("sz").cast("long").alias("p50_doc_shingles"))
+    p90 = ranked.filter(
+        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
+    ).select(F.col("sz").cast("long").alias("p90_doc_shingles"))
+    out = (
+        szstats.crossJoin(F.broadcast(dfstats))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .withColumn("watermark", F.lit(meta["max_id"]).cast("long"))
+    )
+    if corpus is not None:
+        icol = corpus_id_col or meta["id_col"]
+        live_max = corpus.agg(F.max(F.col(icol))).collect()[0][0]
+        lag = (
+            int(live_max) - int(meta["max_id"])
+            if live_max is not None and meta["max_id"] is not None
+            else 0
+        )
+        out = out.withColumn("watermark_lag", F.lit(lag).cast("long"))
+    return out
+
+
 def read_shingle_index_meta(path: str) -> dict:
     import json as _json
     import os as _os

@@ -1970,3 +1970,62 @@ def test_refresh_signlsh_index_equals_rebuild_and_replay(
     )
     with _pytest.raises(ValueError, match="dim"):
         refresh_signlsh_index(wide2, inc)
+
+
+def test_shingle_index_stats_report(spark, tmp_path):
+    """Health report over a prefix-built + refreshed index (two df
+    segments): counts replay from the raw corpus, the hot count reads
+    the MERGED segments, and a v1-style sidecar refuses loudly."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        refresh_shingle_index,
+        shingle_index_stats,
+    )
+
+    docs = _shingle_docs(spark)
+    path = str(tmp_path / "idx")
+    build_shingle_index(_shingle_docs(spark, upto=6), path, n=8, max_doc_freq=6)
+    refresh_shingle_index(docs, path)
+    live = docs.union(
+        spark.createDataFrame(
+            [(500, "a brand new document past the watermark")],
+            "doc_id long, text string",
+        )
+    )
+    r = shingle_index_stats(spark, path, corpus=live).collect()[0]
+    rows = docs.collect()
+    from collections import Counter
+
+    per_doc = {
+        d: len({t[i:i + 8] for i in range(len(t) - 7)})
+        for d, t in ((row["doc_id"], row["text"]) for row in rows)
+        if len(t) >= 8
+    }
+    df_counts = Counter(
+        g for d, t in ((row["doc_id"], row["text"]) for row in rows)
+        if len(t) >= 8
+        for g in {t[i:i + 8] for i in range(len(t) - 7)}
+    )
+    assert r["n_docs"] == len(per_doc)
+    assert r["n_postings"] == sum(per_doc.values())
+    assert r["n_distinct_shingles"] == len(df_counts)
+    assert r["n_hot_shingles"] == sum(1 for c in df_counts.values() if c > 6)
+    assert r["n_hot_shingles"] > 0  # the fixture's shared base is over-cap
+    sizes = sorted(per_doc.values())
+    nd = len(sizes)
+    assert r["p50_doc_shingles"] == sizes[(nd + 1) // 2 - 1]
+    assert r["p90_doc_shingles"] == sizes[(9 * nd + 9) // 10 - 1]
+    assert r["max_doc_shingles"] == sizes[-1]
+    assert r["watermark"] == 101 and r["watermark_lag"] == 399
+
+    legacy = {"id_col": "doc_id", "text_col": "text", "n": 8,
+              "unit": "char", "max_doc_freq": 6}
+    with open(os.path.join(path, "shingle_index.json"), "w") as f:
+        json.dump(legacy, f)
+    with _pytest.raises(ValueError, match="v1"):
+        shingle_index_stats(spark, path)

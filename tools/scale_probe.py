@@ -444,6 +444,48 @@ def main() -> int:
         )
         shutil.rmtree(idx_path, ignore_errors=True)
 
+    # --- round-15 probe: shingle-index refresh is TAIL-bound -------------
+    # refresh_shingle_index appends one fixed-size tail onto a 1x vs 10x
+    # built index: the per-id appends scan only the tail (plus id-pruned
+    # ghost scans of the index above the watermark), the df segment
+    # derives from the on-disk postings window, and only the HOT-set
+    # recompute touches corpus-global state (a groupBy over the df
+    # segments — (g, cnt) rows, far smaller than postings). Cost should
+    # grow far sub-linearly in index size; a refresh that secretly
+    # re-scanned the corpus would go ~10x.
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        refresh_shingle_index,
+    )
+
+    sh_tail = base_docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "text", F.translate("text", "aeiou", "zzzzz")
+    )
+    for label, ref in (
+        ("1x", base_docs), ("10x", amp_docs_distinct(base_docs, TIMES))
+    ):
+        ref_max = ref.agg(F.max("doc_id")).collect()[0][0]
+        sidx = _tf.mkdtemp(prefix=f"kaer_probe_shidx_{label}_")
+        build_shingle_index(ref, sidx, n=8, max_doc_freq=100)
+        tail = sh_tail.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(ref_max + 1)
+        ).localCheckpoint()
+        union = ref.unionByName(tail)
+
+        def refresh_once(u=union, ix=sidx):
+            clone = _tf.mkdtemp(prefix="kaer_probe_shclone_")
+            shutil.rmtree(clone)
+            shutil.copytree(ix, clone)
+            refresh_shingle_index(u, clone)
+            shutil.rmtree(clone, ignore_errors=True)
+            return 0
+
+        refresh_once()  # warm codegen
+        t, _ = timed(refresh_once)
+        results[f"shingle_refresh_{label}"] = {"sec": t}
+        print(f"shingle_refresh {label}: {t}s (fixed tail)", file=sys.stderr)
+        shutil.rmtree(sidx, ignore_errors=True)
+
     # pps: one range shuffle + bounded offsets — ~linear in rows, and the
     # selected count stays ~k regardless of corpus size
     from kaer_spark.operators.sampling import pps_systematic_sample
