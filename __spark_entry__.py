@@ -3326,6 +3326,77 @@ def _q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "bm25")
 
 
+def _q_text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report for the positional BM25 index
+    (text_index.text_index_stats — the fourth member of the r15
+    index-observability set): posting mass, document-frequency and
+    doclen distributions at rank-based quantiles, term-hash bucket skew
+    (the partition-balance of every indexed search), watermark + lag.
+    The oracle replays tokenization, per-term df, the quantile ranks,
+    AND the polynomial term hash (list_reduce fold, bit-exact vs the
+    engine's aggregate fold), so a drifted bucket assignment or a
+    miscounted posting list lands as a value mismatch."""
+    from kaer_spark.operators.text_index import text_index_stats
+
+    path = _build_fixture_text_index(spark, sf_dir)
+    return text_index_stats(
+        spark, path, corpus=_t(spark, sf_dir, "documents")
+    )
+
+
+def _sql_text_index_stats() -> str:
+    from kaer_spark.operators.text_index import HASH_BASE, HASH_MOD
+
+    toks = (
+        "CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+    )
+    bucket = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(term, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) % 64"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+        dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        pd AS (SELECT term, id
+               FROM (SELECT id, unnest(toks) AS term FROM t)
+               GROUP BY term, id),
+        tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM pd GROUP BY term),
+        kdf AS (SELECT count(*) AS nt, sum(df) AS np, max(df) AS mdf
+                FROM tdf),
+        rdf AS (SELECT df, term,
+                       row_number() OVER (ORDER BY df, term) AS rn
+                FROM tdf),
+        kdl AS (SELECT count(*) AS nd, max(dl) AS mdl FROM dl),
+        rdl AS (SELECT dl, id, row_number() OVER (ORDER BY dl, id) AS rn
+                FROM dl),
+        bk AS (SELECT {bucket} AS bucket, count(*) AS bc
+               FROM pd GROUP BY 1),
+        mb AS (SELECT max(bc) AS maxb FROM bk)
+        SELECT CAST(kdl.nd AS BIGINT) AS n_docs,
+               CAST(kdl.mdl AS BIGINT) AS max_dl,
+               CAST(kdf.nt AS BIGINT) AS n_terms,
+               CAST(kdf.np AS BIGINT) AS n_postings,
+               CAST(kdf.mdf AS BIGINT) AS max_df,
+               (SELECT CAST(df AS BIGINT) FROM rdf
+                WHERE rn = (kdf.nt + 1) // 2) AS p50_df,
+               (SELECT CAST(df AS BIGINT) FROM rdf
+                WHERE rn = (9 * kdf.nt + 9) // 10) AS p90_df,
+               (SELECT CAST(dl AS BIGINT) FROM rdl
+                WHERE rn = (kdl.nd + 1) // 2) AS p50_dl,
+               (SELECT CAST(dl AS BIGINT) FROM rdl
+                WHERE rn = (9 * kdl.nd + 9) // 10) AS p90_dl,
+               CAST(mb.maxb * 64 AS DOUBLE) / kdf.np AS bucket_skew,
+               CAST((SELECT max(doc_id) FROM documents) AS BIGINT)
+                   AS watermark,
+               CAST(0 AS BIGINT) AS watermark_lag
+        FROM kdl, kdf, mb
+    """
+
+
 PHRASE_QUERY = "fast table"
 
 
@@ -4432,6 +4503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_stats": _q_ivf_index_stats,
         "pq_index_stats": _q_pq_index_stats,
         "shingle_index_stats": _q_shingle_index_stats,
+        "text_index_stats": _q_text_index_stats,
         "signlsh_index_catchup": _q_signlsh_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
@@ -7305,6 +7377,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_stats": _sql_ivf_index_stats(),
         "pq_index_stats": _sql_pq_index_stats(),
         "shingle_index_stats": _sql_shingle_index_stats(),
+        "text_index_stats": _sql_text_index_stats(),
         "signlsh_index_catchup": _sql_embedding_dups_between(threshold=SL_CATCHUP_THRESHOLD),
         "embedding_dups_between": _sql_embedding_dups_between(),
         # served from the at-rest reference artifact: identical values by

@@ -613,7 +613,7 @@ def shingle_index_stats(
     ranked = sizes.withColumn(
         "_rn",
         F.row_number().over(Window.orderBy(F.col("sz").asc(), F.col("id").asc())),
-    ).crossJoin(F.broadcast(szstats))
+    ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
     p50 = ranked.filter(
         F.col("_rn") == F.expr("(n_docs + 1) div 2")
     ).select(F.col("sz").cast("long").alias("p50_doc_shingles"))

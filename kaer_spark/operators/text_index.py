@@ -174,11 +174,20 @@ def build_text_index(
 
 
 def _json_id(v):
-    """High-water id as stored in the sidecar: ints normalize to Python
-    int, everything else (string ids, dates) passes through as its JSON
-    form — the refresh filter compares with the column's own ordering."""
+    """High-water id as stored in the sidecar: int and string id columns
+    ONLY (both JSON-round-trip losslessly AND order-consistently, which
+    the ``id > watermark`` refresh filter depends on) — anything else
+    fails loud HERE, at build/refresh time, instead of as json.dump's
+    TypeError at the sidecar write after the data tables landed (the
+    same rule as dedup's refreshable indexes)."""
     if v is None:
         return None
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise TypeError(
+            "refreshable index id columns must be int or string "
+            f"(watermark comparisons ride the JSON round-trip); got "
+            f"{type(v).__name__}: {v!r}"
+        )
     return int(v) if isinstance(v, int) else v
 
 
@@ -317,6 +326,115 @@ def refresh_text_index(df: DataFrame, path: str) -> dict:
     meta["max_id"] = _json_id(new_max)
     _write_meta(path, meta)
     return meta
+
+
+def text_index_stats(
+    spark,
+    path: str,
+    corpus: "DataFrame | None" = None,
+    corpus_id_col: str | None = None,
+) -> "DataFrame":
+    """Health report for the at-rest positional text index — the BM25
+    member of the r15 index-observability set (``ivf_index_stats`` /
+    ``pq_index_stats`` / ``shingle_index_stats``): one summary row from
+    the index tables alone.
+
+    * ``n_docs`` / ``n_postings`` / ``n_terms`` — corpus, posting-list
+      mass (the per-query scan cost driver), vocabulary size;
+    * ``p50_df`` / ``p90_df`` / ``max_df`` — document-frequency skew at
+      rank-based type-1 quantiles (bit-exact replayable): a fat head
+      means query terms hit ever-longer posting lists;
+    * ``p50_dl`` / ``p90_dl`` / ``max_dl`` — doclen distribution (BM25's
+      length normalization input);
+    * ``bucket_skew`` — max term-hash bucket's posting share vs the
+      balanced design point (``max_bucket × n_buckets / total``): the
+      postings are partitioned by term-hash bucket, so a skewed bucket
+      is a skewed partition on every indexed search;
+    * ``watermark`` (+ ``watermark_lag`` with ``corpus``) — staleness.
+
+    REFRESH/REBUILD TRIGGER (documented policy): refresh per ingest
+    (``refresh_text_index`` is tail-bound); re-bucket (rebuild with a
+    larger ``n_buckets``) when ``bucket_skew`` grows past ~2 — the hash
+    is content-agnostic, so persistent skew means the bucket count is
+    too small for the vocabulary, not that the hash went bad.
+
+    Scale note: the df quantiles rank in one global window over ONE ROW
+    PER TERM (vocabulary-sized, not posting-sized), the dl quantiles
+    over one row per document; both selection-only."""
+    from pyspark.sql.window import Window
+
+    meta = read_text_index_meta(path)
+    postings = spark.read.parquet(os.path.join(path, POSTINGS_DIR))
+    doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
+    # localCheckpoint (lazy): tdf feeds three consumers (stats, two rank
+    # lookups) and would otherwise re-aggregate the postings per branch
+    tdf = postings.groupBy("term").agg(F.count("*").alias("df")).localCheckpoint(
+        eager=False
+    )
+    dfstats = tdf.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    ranked_df = tdf.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(F.col("df").asc(), F.col("term").asc())
+        ),
+    ).crossJoin(F.broadcast(dfstats)).localCheckpoint(eager=False)
+    p50_df = ranked_df.filter(
+        F.col("_rn") == F.expr("(n_terms + 1) div 2")
+    ).select(F.col("df").cast("long").alias("p50_df"))
+    p90_df = ranked_df.filter(
+        F.col("_rn") == F.expr("(9 * n_terms + 9) div 10")
+    ).select(F.col("df").cast("long").alias("p90_df"))
+    dlstats = doclens.agg(
+        F.count("*").alias("n_docs"), F.max("dl").cast("long").alias("max_dl")
+    )
+    ranked_dl = doclens.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(F.col("dl").asc(), F.col("id").asc())
+        ),
+    ).crossJoin(F.broadcast(dlstats)).localCheckpoint(eager=False)
+    p50_dl = ranked_dl.filter(
+        F.col("_rn") == F.expr("(n_docs + 1) div 2")
+    ).select(F.col("dl").cast("long").alias("p50_dl"))
+    p90_dl = ranked_dl.filter(
+        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
+    ).select(F.col("dl").cast("long").alias("p90_dl"))
+    bmax = (
+        postings.groupBy("bucket")
+        .agg(F.count("*").alias("bc"))
+        .agg(F.max("bc").alias("max_bucket"))
+    )
+    out = (
+        dlstats.crossJoin(F.broadcast(dfstats))
+        .crossJoin(F.broadcast(p50_df))
+        .crossJoin(F.broadcast(p90_df))
+        .crossJoin(F.broadcast(p50_dl))
+        .crossJoin(F.broadcast(p90_dl))
+        .crossJoin(F.broadcast(bmax))
+        .withColumn(
+            "bucket_skew",
+            (F.col("max_bucket") * F.lit(int(meta["n_buckets"]))).cast(
+                "double"
+            )
+            / F.col("n_postings"),
+        )
+        .drop("max_bucket")
+        .withColumn("watermark", F.lit(meta["max_id"]).cast("long"))
+    )
+    if corpus is not None:
+        icol = corpus_id_col or meta["id_col"]
+        live_max = corpus.agg(F.max(F.col(icol))).collect()[0][0]
+        lag = (
+            int(live_max) - int(meta["max_id"])
+            if live_max is not None and meta["max_id"] is not None
+            else 0
+        )
+        out = out.withColumn("watermark_lag", F.lit(lag).cast("long"))
+    return out
 
 
 def read_text_index_meta(path: str) -> dict:
