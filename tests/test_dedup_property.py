@@ -240,3 +240,81 @@ def test_cdc_chunks_match_python(spark, texts, divisor):
         if t
     }
     assert got == want
+
+
+def _py_jaccard_serve_time_cap(rows, n, cap, threshold):
+    """Pure-python reference for the v2 shingle index's serving semantics:
+    distinct char n-grams, doc-freq cap applied over the WHOLE corpus
+    (serve-time), Jaccard over kept shingles."""
+    from collections import Counter
+
+    sh = {
+        d: {t[i:i + n] for i in range(len(t) - n + 1)}
+        for d, t in rows
+        if len(t) >= n
+    }
+    dfc = Counter(g for s in sh.values() for g in s)
+    hot = (
+        {g for g, c in dfc.items() if c > cap} if cap is not None else set()
+    )
+    kept = {d: s - hot for d, s in sh.items()}
+    out = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(kept[a] & kept[b])
+            if inter == 0:
+                continue
+            j = inter / len(kept[a] | kept[b])
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    ),
+    cut=st.integers(0, 8),
+    cap=st.sampled_from([None, 1, 2, 4]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_shingle_refresh_serves_from_text_semantics(spark, texts, cut, cap):
+    """Prefix build + refresh over ANY random corpus/split/cap must serve
+    pairs identical to the from-text semantics over the union with the
+    cap decided on the union's doc frequencies — the exact property the
+    v1 frozen-cap layout could not have (its hot set froze at the
+    prefix). The tight alphabet makes 4-gram collisions constant, so
+    the cap genuinely bites; degenerate cases (empty prefix, all-short
+    docs, empty corpus sides) ride along."""
+    import shutil
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        ngram_jaccard_pairs_indexed,
+        refresh_shingle_index,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = tempfile.mkdtemp(prefix="shprop_")
+    try:
+        build_shingle_index(
+            df.filter(f"doc_id < {cut}"), path, n=4, max_doc_freq=cap
+        )
+        refresh_shingle_index(df, path)
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_indexed(
+                spark, path, threshold=0.2
+            ).collect()
+        }
+        assert got == _py_jaccard_serve_time_cap(rows, 4, cap, 0.2)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
