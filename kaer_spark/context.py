@@ -284,6 +284,12 @@ class Collection:
             self.refresh_index()
         if self.meta.get("has_text_index"):
             self.refresh_text_index()
+        if self.meta.get("has_pq_index"):
+            # r15: the PQ code table rode the O8 catch-up on the STREAM
+            # ingest path (stream_insert pq_index_path=, r14) but batch
+            # insert silently left it stale — all three index families now
+            # refresh on both ingest paths
+            self.refresh_pq_index()
         return next_id
 
     # -- index artifact (reference O7/O8/O10/O14, db/db.go:102-109,176-207)
@@ -421,6 +427,50 @@ class Collection:
         from kaer_spark.operators.text_index import refresh_text_index
 
         return refresh_text_index(self.df(), self.text_index_path)
+
+    def index_health(self) -> dict[str, DataFrame]:
+        """Health reports for every index attached to this collection —
+        observability the reference lacks entirely (kaer's HNSW never
+        reports skew, drift, or staleness; there is no stats surface in
+        ``db/*.go`` at all). One lazy DataFrame per BUILT index family,
+        from the r15 report operators:
+
+        * ``"ivf"``  — per-cell size histogram, skew vs the balanced
+          design point, residual quantiles vs the sidecar centroids
+          (``operators.index_store.ivf_index_stats``);
+        * ``"pq"``   — reconstruction error of the stored codes against
+          the sidecar codebooks (``pq_index_stats``);
+        * ``"text"`` — document-frequency/doclen distributions and
+          term-hash bucket skew (``operators.text_index
+          .text_index_stats``).
+
+        Every report carries ``watermark_lag`` against THIS collection's
+        current rows, so ``index_health()`` after :meth:`insert` shows
+        exactly how far each index trails before the matching
+        ``refresh_*`` call; rebuild-trigger policy lives on each report
+        operator's docstring."""
+        out: dict[str, DataFrame] = {}
+        if self.meta.get("has_index"):
+            from kaer_spark.operators.index_store import ivf_index_stats
+
+            out["ivf"] = ivf_index_stats(
+                self.ctx.spark, self.index_path, corpus=self.df()
+            )
+        if self.meta.get("has_pq_index"):
+            from kaer_spark.operators.index_store import pq_index_stats
+
+            out["pq"] = pq_index_stats(
+                self.ctx.spark, self.pq_index_path, self.df(),
+                corpus_id_col=ID_COL, corpus_vec_col=EMB_COL,
+            )
+        if self.meta.get("has_text_index"):
+            from kaer_spark.operators.text_index import text_index_stats
+
+            out["text"] = text_index_stats(
+                self.ctx.spark, self.text_index_path,
+                corpus=self.df(), corpus_id_col=ID_COL,
+            )
+        return out
 
     def query_phrase(
         self, phrase: str, k: int | None = None

@@ -948,3 +948,55 @@ def test_query_batch_compressed_forwards_nprobe(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="pick one"):
         col.query_batch(queries, k=3, compressed=True, approximate=True)
+
+
+def test_index_health_reports_staleness_and_shape(ctx):
+    """index_health(): one lazy report per BUILT index family, each
+    carrying watermark_lag vs the collection's current rows — stale
+    after an insert, zero after the matching refresh. (Observability the
+    reference lacks: kaer's HNSW reports nothing, db/*.go has no stats
+    surface.)"""
+    coll = ctx.create_collection("health")
+    coll.insert(
+        [f"document number {i} about spark and parquet" for i in range(8)],
+        [{"k": i} for i in range(8)],
+    )
+    assert coll.index_health() == {}  # nothing built yet
+    coll.build_index(cells=2, fit="deterministic")
+    coll.build_pq_index(m=2, k=2)
+    coll.build_text_index(n_buckets=8)
+    h = coll.index_health()
+    assert sorted(h) == ["ivf", "pq", "text"]
+    assert all(r["watermark_lag"] == 0
+               for df in h.values() for r in df.collect())
+    ivf = h["ivf"].collect()
+    assert sum(r["n_vectors"] for r in ivf) == 8
+    assert abs(sum(r["size_frac"] for r in ivf) - 1.0) < 1e-12
+    assert h["pq"].collect()[0]["n_codes"] == 8
+    t = h["text"].collect()[0]
+    assert t["n_docs"] == 8 and t["n_terms"] > 0
+
+    # batch insert auto-refreshes ALL THREE families (r15 closed the PQ
+    # gap: it rode O8 catch-up on stream_insert but not on batch insert),
+    # so the health reports read zero lag right after the insert
+    coll.insert(["a brand new late arrival about shuffles"], [{"k": 99}])
+    lags = {k: df.collect()[0]["watermark_lag"]
+            for k, df in coll.index_health().items()}
+    assert lags == {"ivf": 0, "pq": 0, "text": 0}
+    assert coll.index_health()["pq"].collect()[0]["n_codes"] == 9
+    # manufactured staleness (a sidecar wound back, as a crashed refresh
+    # would leave it) reads as positive lag
+    import json as _json
+    import os as _os
+
+    from kaer_spark.operators.index_store import read_pq_meta
+
+    pm = read_pq_meta(coll.pq_index_path)
+    pm["max_id"] = pm["max_id"] - 1
+    tmp = _os.path.join(coll.pq_index_path, "pq_index.json.tmp")
+    meta_file = [f for f in _os.listdir(coll.pq_index_path)
+                 if f.endswith(".json")][0]
+    with open(tmp, "w") as f:
+        _json.dump(pm, f)
+    _os.replace(tmp, _os.path.join(coll.pq_index_path, meta_file))
+    assert coll.index_health()["pq"].collect()[0]["watermark_lag"] == 1
