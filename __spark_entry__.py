@@ -2918,6 +2918,88 @@ def _q_minhash_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id", "jaccard")
 
 
+def _q_minhash_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report for the at-rest MinHash reference index
+    (dedup.minhash_index_stats — r15 verdict #2: the observability sweep
+    covered IVF/PQ/shingle/text but left the two decontamination-serving
+    band indexes blind), run over the CATCH-UP fixture (odd-id prefix
+    build + full-odd refresh) so the row reports exactly the state the
+    screen serves from. The oracle replays signatures → band keys →
+    bucket histogram from the documents table, so a refresh that
+    duplicated or dropped band/shingle rows lands as a count/quantile
+    value mismatch, not just a served-pairs mismatch."""
+    from kaer_spark.operators.dedup import minhash_index_stats
+
+    path = _ensure_minhash_index_catchup(spark, sf_dir)
+    return minhash_index_stats(
+        spark, path, corpus=_t(spark, sf_dir, "documents"),
+        corpus_id_col="doc_id",
+    )
+
+
+def _sql_minhash_index_stats() -> str:
+    from kaer_spark.operators.dedup import HASH_MOD, minhash_coeffs
+
+    n = JACCARD_N
+    coeffs = minhash_coeffs(MINHASH_HASHES, 42)
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    slots = ", ".join(
+        f"list_min(list_transform(fps, f -> (f * {a} + {b}) % {HASH_MOD})) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, "
+        + " || ',' || ".join(
+            f"CAST(s{bi * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + " AS key FROM sigs"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                              i -> substr(text, i, {n}))) AS shingles
+          FROM documents WHERE length(text) >= {n} AND doc_id % 2 = 1
+        ),
+        fps AS (SELECT id, shingles,
+                       list_transform(shingles, s -> {_sql_poly_hash('s')}) AS fps
+                FROM sh),
+        sigs AS (SELECT id, {slots} FROM fps),
+        banded AS ({band_selects}),
+        bt AS (SELECT band, key, count(*) AS bc FROM banded GROUP BY band, key),
+        bk AS (SELECT count(*) AS nb, sum(bc) AS rows, max(bc) AS mx FROM bt),
+        rb AS (SELECT bc, row_number() OVER (ORDER BY bc, band, key) AS rn FROM bt),
+        sz AS (SELECT id, len(shingles) AS s FROM sh),
+        sk AS (SELECT count(*) AS nd, max(s) AS mxs FROM sz),
+        rs AS (SELECT s, row_number() OVER (ORDER BY s, id) AS rn FROM sz)
+        SELECT CAST(sk.nd AS BIGINT) AS n_docs,
+               CAST(bk.rows AS BIGINT) AS n_band_rows,
+               CAST(bk.nb AS BIGINT) AS n_buckets,
+               CAST(bk.mx AS BIGINT) AS max_bucket,
+               CAST(bk.mx * bk.nb AS DOUBLE) / CAST(bk.rows AS BIGINT)
+                 AS bucket_skew,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rn = (bk.nb + 1) // 2) AS p50_bucket_sz,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rn = (9 * bk.nb + 9) // 10) AS p90_bucket_sz,
+               (SELECT CAST(s AS BIGINT) FROM rs
+                WHERE rn = (sk.nd + 1) // 2) AS p50_doc_shingles,
+               (SELECT CAST(s AS BIGINT) FROM rs
+                WHERE rn = (9 * sk.nd + 9) // 10) AS p90_doc_shingles,
+               CAST(sk.mxs AS BIGINT) AS max_doc_shingles,
+               CAST({MINHASH_HASHES} AS BIGINT) AS num_hashes,
+               CAST({MINHASH_BANDS} AS BIGINT) AS num_bands,
+               CAST((SELECT max(doc_id) FROM documents WHERE doc_id % 2 = 1)
+                    AS BIGINT) AS watermark,
+               CAST((SELECT max(doc_id) FROM documents)
+                    - (SELECT max(doc_id) FROM documents WHERE doc_id % 2 = 1)
+                    AS BIGINT) AS watermark_lag
+        FROM bk, sk
+    """
+
+
 def _ensure_signlsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once-serve-many handle to the at-rest EMBEDDING
     decontamination index (dedup.build_signlsh_index) over the ODD-id
@@ -3025,6 +3107,81 @@ def _q_signlsh_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, embs.filter(F.col("vec_id") % 2 == 0),
         threshold=SL_CATCHUP_THRESHOLD,
     )
+
+
+def _q_signlsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report for the at-rest sign-LSH reference index
+    (dedup.signlsh_index_stats), over the catch-up fixture — the
+    embedding member closing the observability sweep: band-bucket
+    histogram/skew, stored-norm spread (read from the rows the verify
+    actually uses, so provider drift shows here first), geometry echo,
+    watermark + lag vs the full embeddings table. The oracle replays the
+    seeded planes → band keys → bucket histogram and the norm fold
+    bit-exactly from the embeddings table."""
+    from kaer_spark.operators.dedup import signlsh_index_stats
+
+    path = _ensure_signlsh_index_catchup(spark, sf_dir)
+    return signlsh_index_stats(
+        spark, path, corpus=_t(spark, sf_dir, "embeddings"),
+        corpus_id_col="vec_id",
+    )
+
+
+def _sql_signlsh_index_stats() -> str:
+    from kaer_spark.operators.dedup import signlsh_planes
+
+    planes = signlsh_planes(
+        len(QVEC), COSINE_LSH_BANDS * COSINE_LSH_BITS, COSINE_LSH_SEED
+    )
+
+    def band_key(vec: str, band: int) -> str:
+        return _sql_signlsh_band_key(
+            vec, planes[band * COSINE_LSH_BITS : (band + 1) * COSINE_LSH_BITS]
+        )
+
+    inv = "\n          UNION ALL ".join(
+        f"SELECT vec_id AS id, {b} AS band, "
+        f"{band_key('embedding', b)} AS key FROM e"
+        for b in range(COSINE_LSH_BANDS)
+    )
+    nrm = f"sqrt({_sql_dot_cols('embedding', 'embedding')})"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+          WHERE vec_id % 2 = 1
+        ),
+        inv AS (
+          {inv}
+        ),
+        bt AS (SELECT band, key, count(*) AS bc FROM inv GROUP BY band, key),
+        bk AS (SELECT count(*) AS nb, sum(bc) AS rows, max(bc) AS mx FROM bt),
+        rb AS (SELECT bc, row_number() OVER (ORDER BY bc, band, key) AS rn FROM bt),
+        nk AS (SELECT count(*) AS nv, min(nrm) AS mn, max(nrm) AS mx FROM e),
+        rn AS (SELECT nrm, row_number() OVER (ORDER BY nrm, vec_id) AS rn FROM e)
+        SELECT CAST(nk.nv AS BIGINT) AS n_vecs,
+               nk.mn AS min_norm,
+               nk.mx AS max_norm,
+               CAST(bk.nb AS BIGINT) AS n_buckets,
+               CAST(bk.rows AS BIGINT) AS n_band_rows,
+               CAST(bk.mx AS BIGINT) AS max_bucket,
+               CAST(bk.mx * bk.nb AS DOUBLE) / CAST(bk.rows AS BIGINT)
+                 AS bucket_skew,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rb.rn = (bk.nb + 1) // 2) AS p50_bucket_sz,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rb.rn = (9 * bk.nb + 9) // 10) AS p90_bucket_sz,
+               (SELECT nrm FROM rn
+                WHERE rn.rn = (nk.nv + 1) // 2) AS p50_norm,
+               CAST({len(QVEC)} AS BIGINT) AS dim,
+               CAST({COSINE_LSH_BANDS} AS BIGINT) AS num_bands,
+               CAST({COSINE_LSH_BITS} AS BIGINT) AS bits_per_band,
+               CAST((SELECT max(vec_id) FROM embeddings WHERE vec_id % 2 = 1)
+                    AS BIGINT) AS watermark,
+               CAST((SELECT max(vec_id) FROM embeddings)
+                    - (SELECT max(vec_id) FROM embeddings WHERE vec_id % 2 = 1)
+                    AS BIGINT) AS watermark_lag
+        FROM bk, nk
+    """
 
 
 INGEST_ID_SHIFT = 1_000_000  # batch ids provably above any fixture watermark
@@ -4506,6 +4663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_stats": _q_text_index_stats,
         "signlsh_index_catchup": _q_signlsh_index_catchup,
         "embedding_dups_against_indexed": _q_embedding_dups_against_indexed,
+        # r16: health reports for the two decontamination-serving band
+        # indexes (r15 verdict #2) — the observability sweep is complete
+        "minhash_index_stats": _q_minhash_index_stats,
+        "signlsh_index_stats": _q_signlsh_index_stats,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -7375,6 +7536,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_neardup_ingest": _sql_neardup_ingest(),
         "streaming_embedding_ingest": _sql_embedding_ingest(),
         "ivf_index_stats": _sql_ivf_index_stats(),
+        "minhash_index_stats": _sql_minhash_index_stats(),
+        "signlsh_index_stats": _sql_signlsh_index_stats(),
         "pq_index_stats": _sql_pq_index_stats(),
         "shingle_index_stats": _sql_shingle_index_stats(),
         "text_index_stats": _sql_text_index_stats(),

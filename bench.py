@@ -294,8 +294,91 @@ def _machine_load() -> dict:
     return info
 
 
+def _rep_fingerprint() -> dict:
+    """LIGHT per-rep contamination stamp (r15 verdict #1: the committed
+    run started idle and ended at load 5.71 with 35 foreign JVM/python
+    procs — a MID-run spike `loaded_start` structurally cannot flag, so
+    the medians were polluted while the stdout line stamped itself
+    clean). One stamp before every rep: load averages, foreign-proc
+    count, and abbreviated single-/multi-core canaries (~0.2s total —
+    noise against a multi-minute rep, signal enough for a 2× shift)."""
+    import hashlib
+    import threading
+
+    info: dict = {}
+    try:
+        info["load_avg_1m"], info["load_avg_5m"], _ = (
+            round(x, 2) for x in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        others = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() in ("java", "python", "python3"):
+                        others += 1
+            except OSError:
+                continue
+        info["other_jvm_py_procs"] = others
+    except OSError:
+        pass
+    t0 = time.time()
+    h = b"kaer-bench-canary"
+    for _ in range(50_000):
+        h = hashlib.sha256(h).digest()
+    info["cpu_probe_sec"] = round((time.time() - t0) * 4, 4)  # ×4 ≈ full probe
+
+    blk = b"\xa5" * 65536
+    n_threads, iters = 8, 300
+
+    def _mc_work():
+        b = blk
+        for _ in range(iters):
+            b = hashlib.sha256(b).digest() + blk[:-32]
+
+    ts = [threading.Thread(target=_mc_work) for _ in range(n_threads)]
+    t0 = time.time()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    info["cpu_probe_mc_sec"] = round((time.time() - t0) * 5, 4)  # ×5 ≈ full
+    return info
+
+
+def _contaminated_reps(rep_loads: list[dict]) -> list[int]:
+    """Indices of reps whose fingerprint says the box was NOT the box the
+    cleanest rep ran on: loaded by either average (the `_is_loaded` rule),
+    or either canary >2× the run's own best. Flagged reps mean the MEDIAN
+    is polluted; the min usually survives (it comes from the clean rep)."""
+    bad: list[int] = []
+    sc = [r.get("cpu_probe_sec") for r in rep_loads if r.get("cpu_probe_sec")]
+    mc = [
+        r.get("cpu_probe_mc_sec")
+        for r in rep_loads
+        if r.get("cpu_probe_mc_sec")
+    ]
+    sc_min = min(sc) if sc else None
+    mc_min = min(mc) if mc else None
+    for i, r in enumerate(rep_loads):
+        loaded = _is_loaded(r)
+        sc_bad = bool(
+            sc_min and r.get("cpu_probe_sec", 0.0) > 2.0 * sc_min
+        )
+        mc_bad = bool(
+            mc_min and r.get("cpu_probe_mc_sec", 0.0) > 2.0 * mc_min
+        )
+        if loaded or sc_bad or mc_bad:
+            bad.append(i)
+    return bad
+
+
 def _cross_round_ratios(
-    best: dict[str, float], canary: float | None
+    best: dict[str, float], canary: float | None, mc_canary: float | None
 ) -> dict:
     """Shared-min ratio vs the bench_detail.json present at process start
     (= the previous round's committed detail when the driver runs this),
@@ -308,11 +391,19 @@ def _cross_round_ratios(
     between the two assumptions, so when the canary moved, RAW and
     NORMALIZED BRACKET the true code contribution (box faster ⇒ raw
     flatters, normalized penalizes; box slower ⇒ the reverse). Read them
-    as an interval, not a point."""
+    as an interval, not a point.
+
+    [r16] ``_mc`` variants normalize by the MULTICORE canary: r15's
+    forensics proved the two probes DECOUPLE on these virtualized boxes
+    (untouched rows 1.3–1.8× while the single-core probe got FASTER),
+    and Spark wall time rides multicore throughput — so when the two
+    normalized ratios disagree, trust the mc one first."""
     out: dict = {
         "shared_min_ratio": None,
         "canary_ratio": None,
         "shared_min_ratio_normalized": None,
+        "mc_canary_ratio": None,
+        "shared_min_ratio_normalized_mc": None,
     }
     try:
         with open(
@@ -339,6 +430,14 @@ def _cross_round_ratios(
         out["canary_ratio"] = round(canary / prev_canary, 3)
         out["shared_min_ratio_normalized"] = round(
             (cur_sum / prev_sum) / (canary / prev_canary), 3
+        )
+    prev_mc = (prev.get("load") or {}).get("before", {}).get(
+        "cpu_probe_mc_sec"
+    )
+    if mc_canary and prev_mc:
+        out["mc_canary_ratio"] = round(mc_canary / prev_mc, 3)
+        out["shared_min_ratio_normalized_mc"] = round(
+            (cur_sum / prev_sum) / (mc_canary / prev_mc), 3
         )
     return out
 
@@ -417,7 +516,9 @@ def main() -> int:
     # per-query min then reflects the query, not its slot.
     times: dict[str, list[float]] = {name: [] for name in headline}
     rows: dict[str, int] = {}
+    rep_loads: list[dict] = []
     for rep in range(reps):
+        rep_loads.append(_rep_fingerprint())
         order = list(headline)
         random.Random(rep).shuffle(order)
         for name in order:
@@ -454,9 +555,22 @@ def main() -> int:
     # full runs only: a fresh-family child's subset would compare a
     # partial fleet against the full previous round
     ratios = (
-        _cross_round_ratios(best, load_before.get("cpu_probe_sec"))
+        _cross_round_ratios(
+            best,
+            load_before.get("cpu_probe_sec"),
+            load_before.get("cpu_probe_mc_sec"),
+        )
         if not only
         else {}
+    )
+    load_after = _machine_load()
+    contaminated = _contaminated_reps(rep_loads)
+    max_load_seen = max(
+        [
+            s.get("load_avg_1m", 0.0)
+            for s in [load_before, load_after, *rep_loads]
+        ]
+        or [0.0]
     )
     detail = {
         "runs": reps,
@@ -465,11 +579,17 @@ def main() -> int:
         "value": round(sum(med.values()), 3),
         "value_min": round(sum(best.values()), 3),
         "loaded_start": loaded_start,
+        # [r16] per-rep fingerprints + the reps they condemn: a mid-run
+        # load spike (r15: 0.10 → 5.71 while loaded_start stayed false)
+        # now names the polluted reps instead of hiding in the medians
+        "rep_loads": rep_loads,
+        "contaminated_reps": contaminated,
+        "max_load_seen": round(max_load_seen, 2),
         "serve_from_artifact": [
             n for n in SERVE_FROM_ARTIFACT if n in headline
         ],
         "cross_round": ratios,
-        "load": {"before": load_before, "after": _machine_load()},
+        "load": {"before": load_before, "after": load_after},
     }
     if only:
         # child of the fresh-families driver: the parent merges and writes
@@ -518,6 +638,19 @@ def main() -> int:
             "shared_min_ratio_normalized": ratios.get(
                 "shared_min_ratio_normalized"
             ),
+            # [r16] multicore-normalized twin — the PRIMARY cross-round
+            # statistic (the probes decouple on these boxes; Spark wall
+            # time rides multicore throughput, not single-core speed)
+            "mc_canary_ratio": ratios.get("mc_canary_ratio"),
+            "shared_min_ratio_normalized_mc": ratios.get(
+                "shared_min_ratio_normalized_mc"
+            ),
+            # [r16] mid-run contamination, visible ON the parsed line:
+            # max 1-min load seen at any fingerprint point and how many
+            # of the reps a 2×-probe/load test condemns — a clean line
+            # needs BOTH loaded_start=false and contaminated_reps=0
+            "max_load_seen": detail["max_load_seen"],
+            "contaminated_reps": len(contaminated),
             "queries": stdout_queries(med),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 
 from kaer_spark.functions.text import char_shingles, tokens, word_shingles
 from kaer_spark.functions.vector import dot, vector_norm
-from kaer_spark.operators.util import ensure_parallelism
+from kaer_spark.operators.util import ensure_parallelism, watermark_health_cols
 
 HASH_MOD = 1_000_000_007
 HASH_BASE = 31
@@ -624,18 +624,10 @@ def shingle_index_stats(
         szstats.crossJoin(F.broadcast(dfstats))
         .crossJoin(F.broadcast(p50))
         .crossJoin(F.broadcast(p90))
-        .withColumn("watermark", F.lit(meta["max_id"]).cast("long"))
     )
-    if corpus is not None:
-        icol = corpus_id_col or meta["id_col"]
-        live_max = corpus.agg(F.max(F.col(icol))).collect()[0][0]
-        lag = (
-            int(live_max) - int(meta["max_id"])
-            if live_max is not None and meta["max_id"] is not None
-            else 0
-        )
-        out = out.withColumn("watermark_lag", F.lit(lag).cast("long"))
-    return out
+    return watermark_health_cols(
+        out, meta["max_id"], corpus, corpus_id_col or meta["id_col"]
+    )
 
 
 def read_shingle_index_meta(path: str) -> dict:
@@ -1483,6 +1475,111 @@ def read_minhash_index_meta(path: str) -> dict:
         return _json.load(f)
 
 
+def minhash_index_stats(
+    spark,
+    path: str,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str | None = None,
+) -> DataFrame:
+    """Health report for the at-rest MinHash reference index — closing
+    the r15 observability sweep's blind spot (IVF/PQ/shingle/text had
+    stats; the two decontamination-serving band indexes did not, yet
+    they share the same silent-decay modes): one summary row from the
+    index tables alone, answering what a recurring-decontamination
+    operator asks before trusting the screen —
+
+    * ``n_docs`` / ``n_band_rows`` — indexed documents (one shingle-set
+      row each) and stored band keys (``n_docs × num_bands`` when
+      healthy; drift between the two tables is a crash-replay bug);
+    * ``n_buckets`` / ``max_bucket`` / ``bucket_skew`` /
+      ``p50_bucket_sz`` / ``p90_bucket_sz`` — the band-bucket histogram:
+      the screen's candidate join is bucket-bounded, so a hot bucket
+      (boilerplate-heavy corpora collapse many docs onto one band key)
+      is a skewed join partition AND a candidate-pair blowup.
+      ``bucket_skew`` = max vs the uniform design point
+      (``max_bucket × n_buckets / n_band_rows``);
+    * ``p50_doc_shingles`` / ``p90_doc_shingles`` / ``max_doc_shingles``
+      — the exact-verify side's per-doc payload (rank-based type-1
+      quantiles, bit-exact replayable, like every stats operator here);
+    * ``num_hashes`` / ``num_bands`` — sidecar geometry echo;
+    * ``watermark`` (+ ``watermark_lag`` / ``is_stale`` with
+      ``corpus``, typed by the id domain — see
+      :func:`~kaer_spark.operators.util.watermark_health_cols`).
+
+    REBUILD/REFRESH TRIGGER (documented policy): refresh per ingest
+    (:func:`refresh_minhash_index` is tail-bound). Persistent
+    ``bucket_skew`` growth means the corpus's band keys are collapsing
+    (boilerplate); raise ``bands``/``num_hashes`` (a rebuild) or screen
+    boilerplate upstream — the hashing itself is content-agnostic.
+
+    Scale note: bucket quantiles rank ONE ROW PER BUCKET and doc
+    quantiles ONE ROW PER DOCUMENT — both corpus-cardinality global
+    windows, selection-only, never posting-cardinality."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    meta = read_minhash_index_meta(path)
+    bands_t = spark.read.parquet(_os.path.join(path, "bands"))
+    sh = spark.read.parquet(_os.path.join(path, "shingles"))
+    buckets = (
+        bands_t.groupBy("band", "key")
+        .agg(F.count("*").alias("bc"))
+        .localCheckpoint(eager=False)
+    )
+    bstats = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("bc").cast("long").alias("n_band_rows"),
+        F.max("bc").cast("long").alias("max_bucket"),
+    )
+    ranked_b = buckets.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()
+            )
+        ),
+    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
+    p50_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(n_buckets + 1) div 2")
+    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
+    p90_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(9 * n_buckets + 9) div 10")
+    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    szstats = sizes.agg(
+        F.count("*").alias("n_docs"),
+        F.max("sz").cast("long").alias("max_doc_shingles"),
+    )
+    ranked_s = sizes.withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.col("sz").asc(), F.col("id").asc())),
+    ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
+    p50_s = ranked_s.filter(
+        F.col("_rn") == F.expr("(n_docs + 1) div 2")
+    ).select(F.col("sz").cast("long").alias("p50_doc_shingles"))
+    p90_s = ranked_s.filter(
+        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
+    ).select(F.col("sz").cast("long").alias("p90_doc_shingles"))
+    out = (
+        szstats.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(p50_b))
+        .crossJoin(F.broadcast(p90_b))
+        .crossJoin(F.broadcast(p50_s))
+        .crossJoin(F.broadcast(p90_s))
+        .withColumn(
+            "bucket_skew",
+            (F.col("max_bucket") * F.col("n_buckets")).cast("double")
+            / F.col("n_band_rows"),
+        )
+        .withColumn("num_hashes", F.lit(int(meta["num_hashes"])).cast("long"))
+        .withColumn("num_bands", F.lit(int(meta["bands"])).cast("long"))
+    )
+    return watermark_health_cols(
+        out, meta.get("max_id"), corpus, corpus_id_col or meta["id_col"]
+    )
+
+
 def minhash_near_dups_against_index(
     spark,
     path: str,
@@ -2204,6 +2301,114 @@ def read_signlsh_index_meta(path: str) -> dict:
 
     with open(_os.path.join(path, "signlsh_index.json")) as f:
         return _json.load(f)
+
+
+def signlsh_index_stats(
+    spark,
+    path: str,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str | None = None,
+) -> DataFrame:
+    """Health report for the at-rest sign-LSH reference index — the
+    embedding twin of :func:`minhash_index_stats`, finishing the index-
+    observability sweep (every at-rest family now reports): one summary
+    row from the single vector-carrying band table —
+
+    * ``n_vecs`` / ``n_band_rows`` — indexed vectors and stored band
+      rows (``n_vecs × num_bands`` when healthy);
+    * ``n_buckets`` / ``max_bucket`` / ``bucket_skew`` /
+      ``p50_bucket_sz`` / ``p90_bucket_sz`` — band-bucket histogram vs
+      the uniform design point: embedding collapse (many near-identical
+      vectors, the very thing the screen exists to catch) shows up as a
+      hot bucket long before it shows up as screen latency;
+    * ``min_norm`` / ``p50_norm`` / ``max_norm`` — the stored norms'
+      spread (selection-only, bit-exact): a drifting embedding provider
+      moves the norm distribution before it moves cosine hits, and a
+      zero ``min_norm`` names degenerate vectors the cosine verify will
+      silently never match;
+    * ``dim`` / ``num_bands`` / ``bits_per_band`` — sidecar geometry
+      echo;
+    * ``watermark`` (+ ``watermark_lag`` / ``is_stale`` with
+      ``corpus``, typed by the id domain).
+
+    REBUILD/REFRESH TRIGGER (documented policy): refresh per ingest
+    (:func:`refresh_signlsh_index` is tail-bound). Rising
+    ``bucket_skew`` with a stable corpus means the plane geometry is
+    too coarse for the embedding distribution — rebuild with more
+    ``bands × bits_per_band``; a norm-spread shift means re-embedding
+    drifted and the THRESHOLD needs re-calibration, not the index.
+
+    Scale note: bucket quantiles rank one row per bucket, norm
+    quantiles one row per vector — corpus-cardinality, selection-only."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    meta = read_signlsh_index_meta(path)
+    bands_t = spark.read.parquet(_os.path.join(path, "bands"))
+    buckets = (
+        bands_t.groupBy("band", "key")
+        .agg(F.count("*").alias("bc"))
+        .localCheckpoint(eager=False)
+    )
+    bstats = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("bc").cast("long").alias("n_band_rows"),
+        F.max("bc").cast("long").alias("max_bucket"),
+    )
+    ranked_b = buckets.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()
+            )
+        ),
+    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
+    p50_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(n_buckets + 1) div 2")
+    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
+    p90_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(9 * n_buckets + 9) div 10")
+    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    # one (id, norm) row per vector: every band row carries the same
+    # (vr, nr), so band 0's slice IS the vector table — no distinct over
+    # doubles, no re-derivation that could drift from the stored values
+    norms = bands_t.filter(F.col("band") == 0).select(
+        F.col("right_id").alias("id"), F.col("nr").alias("nrm")
+    )
+    nstats = norms.agg(
+        F.count("*").alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+    ranked_n = norms.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(F.col("nrm").asc(), F.col("id").asc())
+        ),
+    ).crossJoin(F.broadcast(nstats)).localCheckpoint(eager=False)
+    p50_n = ranked_n.filter(
+        F.col("_rn") == F.expr("(n_vecs + 1) div 2")
+    ).select(F.col("nrm").alias("p50_norm"))
+    out = (
+        nstats.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(p50_b))
+        .crossJoin(F.broadcast(p90_b))
+        .crossJoin(F.broadcast(p50_n))
+        .withColumn(
+            "bucket_skew",
+            (F.col("max_bucket") * F.col("n_buckets")).cast("double")
+            / F.col("n_band_rows"),
+        )
+        .withColumn("dim", F.lit(int(meta["dim"])).cast("long"))
+        .withColumn("num_bands", F.lit(int(meta["bands"])).cast("long"))
+        .withColumn(
+            "bits_per_band", F.lit(int(meta["bits_per_band"])).cast("long")
+        )
+    )
+    return watermark_health_cols(
+        out, meta.get("max_id"), corpus, corpus_id_col or meta["id_col"]
+    )
 
 
 def embedding_dups_against_index(

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kaer_spark.functions.text import tokens
-from kaer_spark.operators.util import ensure_parallelism
+from kaer_spark.operators.util import ensure_parallelism, watermark_health_cols
 
 META_FILE = "index.json"
 POSTINGS_DIR = "postings"
@@ -423,18 +423,10 @@ def text_index_stats(
             / F.col("n_postings"),
         )
         .drop("max_bucket")
-        .withColumn("watermark", F.lit(meta["max_id"]).cast("long"))
     )
-    if corpus is not None:
-        icol = corpus_id_col or meta["id_col"]
-        live_max = corpus.agg(F.max(F.col(icol))).collect()[0][0]
-        lag = (
-            int(live_max) - int(meta["max_id"])
-            if live_max is not None and meta["max_id"] is not None
-            else 0
-        )
-        out = out.withColumn("watermark_lag", F.lit(lag).cast("long"))
-    return out
+    return watermark_health_cols(
+        out, meta["max_id"], corpus, corpus_id_col or meta["id_col"]
+    )
 
 
 def read_text_index_meta(path: str) -> dict:

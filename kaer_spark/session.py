@@ -30,18 +30,65 @@ _DIAG_DIR = os.environ.get(
 )
 
 
+def _java_major() -> int | None:
+    """Major version of the JVM Spark will launch, or None if undetectable.
+    Reads ``$JAVA_HOME/release`` (present in every JDK image since 7, no
+    subprocess) and falls back to ``java -version``. Needed because the GC
+    diag flag dialect changed at JDK 9: ``-Xlog:gc*`` (unified logging) is
+    an UNRECOGNIZED option on JDK 8 and the driver JVM refuses to start —
+    a diagnosability flag must never itself break session startup."""
+    import re
+    import subprocess
+
+    jh = os.environ.get("JAVA_HOME")
+    if jh:
+        try:
+            with open(os.path.join(jh, "release")) as f:
+                for line in f:
+                    if line.startswith("JAVA_VERSION="):
+                        return _parse_java_major(line.split("=", 1)[1])
+        except (OSError, ValueError):
+            pass
+    java = os.path.join(jh, "bin", "java") if jh else "java"
+    try:
+        out = subprocess.run(
+            [java, "-version"], capture_output=True, text=True, timeout=10
+        ).stderr
+        m = re.search(r'version "([^"]+)"', out)
+        if m:
+            return _parse_java_major(m.group(1))
+    except (OSError, subprocess.SubprocessError, ValueError):
+        pass
+    return None
+
+
+def _parse_java_major(version: str) -> int:
+    """``"17.0.9"`` → 17, ``"1.8.0_392"`` → 8 (the pre-9 ``1.x`` scheme)."""
+    parts = version.strip().strip('"').split(".")
+    return int(parts[1]) if parts[0] == "1" else int(parts[0])
+
+
 def _diag_java_options() -> str:
     """-XX flags ensuring a JVM death is diagnosable: pin the hs_err fatal
     log to a known directory (the JVM default scatters it to the process
     cwd, which under pytest/driver harnesses is wherever the runner
     chdir'd) and keep a small rolling GC log so heap-pressure deaths show
     their run-up. Only applied when the caller hasn't set its own
-    ``spark.driver.extraJavaOptions``."""
+    ``spark.driver.extraJavaOptions``. The GC flag is dialect-gated on the
+    detected Java major version: unified ``-Xlog:gc*`` on 9+, legacy
+    ``-Xloggc`` on 8 (where ``-Xlog`` aborts JVM startup), and 9+ syntax
+    when undetectable (every Spark this engine pins requires 17+, so an
+    undetectable JVM is far likelier modern than JDK 8)."""
     os.makedirs(_DIAG_DIR, exist_ok=True)
-    return (
-        f"-XX:ErrorFile={_DIAG_DIR}/hs_err_pid%p.log "
-        f"-Xlog:gc*:file={_DIAG_DIR}/gc_%p.log:time,uptime:filecount=2,filesize=8m"
-    )
+    major = _java_major()
+    if major is not None and major < 9:
+        gc_flag = f"-Xloggc:{_DIAG_DIR}/gc_%p.log"
+    else:
+        gc_flag = (
+            f"-Xlog:gc*:file={_DIAG_DIR}/gc_%p.log:time,uptime:"
+            "filecount=2,filesize=8m"
+        )
+    return f"-XX:ErrorFile={_DIAG_DIR}/hs_err_pid%p.log {gc_flag}"
 
 
 _DEFAULTS = {

@@ -33,9 +33,27 @@ def _fs_committed(spark: SparkSession, path: str) -> bool:
     any Hadoop-supported filesystem (HDFS/S3A/local), and checked via the
     ``_SUCCESS`` job-commit marker rather than directory existence: a
     crashed write leaves the directory behind without the marker, and a
-    half-written partition must NOT read as a finished epoch."""
+    half-written partition must NOT read as a finished epoch.
+
+    The marker check is only sound when markers are being WRITTEN:
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` (a common
+    S3/object-store tuning) would make every committed epoch read as
+    uncommitted, so a genuine checkpoint replay would raise "duplicate
+    delivery" on every retry and permanently wedge the stream — fail
+    fast HERE instead, before any replay decision rides the marker."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore
+    markers = conf.get(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+    )
+    if str(markers).strip().lower() == "false":
+        raise RuntimeError(
+            "streaming ingest requires _SUCCESS job-commit markers "
+            "(replay-vs-duplicate-delivery discrimination rides them), "
+            "but mapreduce.fileoutputcommitter.marksuccessfuljobs=false "
+            "in this session's Hadoop conf — re-enable markers for the "
+            "ingest output filesystem or route out_dir elsewhere"
+        )
     p = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
         os.path.join(path, "_SUCCESS")
     )
@@ -622,7 +640,21 @@ def neardup_ingest_batch(
     ``text_col``), so the monotone contract holds by construction; epoch
     replay is then discriminated by the committed partition alone, and
     duplicate source delivery fails safe through the content screen
-    instead of the id check."""
+    instead of the id check. To make that screen airtight the index in
+    surrogate mode advances with the FULL batch — survivors AND dropped
+    docs — because a doc dropped as a non-adjacent member of a
+    transitive self-dedup cluster near-dups nothing among the survivors:
+    were only survivors indexed, its re-delivery would re-ingest it
+    under a fresh id. Indexing every screened signature means any
+    re-delivered doc collides with its own prior signature (identical
+    content ⟹ identical bands ⟹ Jaccard 1). In surrogate mode the
+    index is therefore a SEEN-CONTENT screen, not a corpus mirror — by
+    contract, since this mode exists precisely for content-keyed
+    sources. One narrow residual window: a crash between the corpus
+    write and the index refresh heals the index from the committed
+    partition, which holds only survivors, so THAT epoch's dropped-doc
+    signatures are lost and its transitively-dropped members degrade to
+    direct-duplicate screening on later re-delivery."""
     from kaer_spark.operators.dedup import (
         dedup_clusters,
         dedup_representatives,
@@ -646,8 +678,9 @@ def neardup_ingest_batch(
         # means the survivors are final — heal the index from it (no-op
         # if the refresh also landed) and never recompute; a duplicate
         # source delivery gets fresh ids and fails SAFE through the
-        # content screen itself (every re-delivered doc near-dups what
-        # the original delivery put in the index, or what dropped it).
+        # content screen itself (the original delivery indexed the FULL
+        # batch, so every re-delivered doc collides with its own stored
+        # signature — identical content, identical bands, Jaccard 1).
         if committed:
             part = spark.read.parquet(epoch_path)
             mx = part.agg(F.max(F.col(id_col))).collect()[0][0]
@@ -729,9 +762,14 @@ def neardup_ingest_batch(
     survivors.write.mode("overwrite").parquet(epoch_path)
     # advance_to=hi: dropped docs are DECIDED even though never stored —
     # without the floor, a replayed batch whose max id was dropped would
-    # straddle the watermark and read as an out-of-order arrival
+    # straddle the watermark and read as an out-of-order arrival.
+    # Surrogate mode indexes the FULL batch (see the assign_ids contract
+    # above): dropped docs' signatures must stay in the screen or a
+    # transitively-dropped doc's re-delivery slips through. `sig` already
+    # covers the whole batch, so the refresh pays no extra signing.
     refresh_minhash_index(
-        survivors, index_path, advance_to=hi, presigned=sig
+        batch if assign_ids else survivors,
+        index_path, advance_to=hi, presigned=sig,
     )
 
 
@@ -865,7 +903,12 @@ def embedding_neardup_ingest_batch(
         [id_col],
         "left_anti",
     )
-    if self_dedup:
+    # empty-survivor guard: a batch the screen drops ENTIRELY (every
+    # vector near-dups the index — routine under duplicate re-delivery
+    # in surrogate mode) must still commit its empty epoch partition and
+    # advance the watermark, but self-dedup would try to infer the
+    # vector dimension from zero rows and raise
+    if self_dedup and not survivors.isEmpty():
         pairs = embedding_near_dups_lsh(
             survivors, id_col=id_col, vec_col=vec_col,
             threshold=threshold, bands=meta["bands"],
@@ -876,4 +919,10 @@ def embedding_neardup_ingest_batch(
         )
     survivors = survivors.localCheckpoint(eager=False)
     survivors.write.mode("overwrite").parquet(epoch_path)
-    refresh_signlsh_index(survivors, index_path, advance_to=hi)
+    # surrogate mode indexes the FULL batch (seen-content screen, not a
+    # corpus mirror — see neardup_ingest_batch's assign_ids contract):
+    # a vector dropped as a transitive cluster member near-dups no
+    # survivor, so only its own stored signature can catch re-delivery
+    refresh_signlsh_index(
+        batch if assign_ids else survivors, index_path, advance_to=hi
+    )

@@ -2029,3 +2029,143 @@ def test_shingle_index_stats_report(spark, tmp_path):
         json.dump(legacy, f)
     with _pytest.raises(ValueError, match="v1"):
         shingle_index_stats(spark, path)
+
+
+def test_shingle_index_stats_string_ids(spark):
+    """ADVICE r16: stats over a STRING-keyed index (blessed by _json_id)
+    must not int()-coerce the watermark — it reports the watermark in
+    the id column's own type and staleness as an ordering boolean
+    instead of a numeric lag."""
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        shingle_index_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", "the quick brown fox jumps over the lazy dog"),
+            ("doc-b", "catalyst turns logical plans into physical ones"),
+        ],
+        "doc_id string, text string",
+    )
+    with tempfile.TemporaryDirectory() as path:
+        build_shingle_index(docs, path, n=8, max_doc_freq=6)
+        r = shingle_index_stats(spark, path, corpus=docs).collect()[0]
+        assert r["watermark"] == "doc-b"
+        assert "watermark_lag" not in r.asDict()
+        assert r["is_stale"] is False
+        live = docs.union(
+            spark.createDataFrame(
+                [("doc-z", "a new doc past the string watermark")],
+                "doc_id string, text string",
+            )
+        )
+        r2 = shingle_index_stats(spark, path, corpus=live).collect()[0]
+        assert r2["is_stale"] is True
+        # mixed domains refuse loudly instead of comparing garbage
+        import pytest as _pytest
+
+        intcorpus = spark.createDataFrame(
+            [(5, "x")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="different domains"):
+            shingle_index_stats(spark, path, corpus=intcorpus).collect()
+
+
+def test_minhash_index_stats_report(spark, tmp_path):
+    """Health report over a prefix-built + refreshed MinHash reference
+    index: doc counts and shingle-size quantiles replay from the raw
+    corpus in Python; bucket histogram/skew cross-check against a direct
+    aggregation of the stored band table; staleness against a corpus."""
+    from collections import Counter
+
+    from kaer_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_stats,
+        refresh_minhash_index,
+    )
+
+    rows = [
+        (i, f"document number {i} about {'spark' if i % 2 else 'ducks'} "
+            f"and the shared boilerplate tail every doc carries along")
+        for i in range(1, 13)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "mh")
+    build_minhash_index(
+        docs.filter(F.col("doc_id") <= 6), path,
+        n=8, num_hashes=16, bands=4, seed=42,
+    )
+    refresh_minhash_index(docs, path)
+    live = docs.union(
+        spark.createDataFrame([(99, "a doc past the watermark")],
+                              "doc_id long, text string")
+    )
+    r = minhash_index_stats(spark, path, corpus=live).collect()[0]
+    per_doc = {
+        d: len({t[i:i + 8] for i in range(len(t) - 7)}) for d, t in rows
+    }
+    assert r["n_docs"] == len(per_doc)
+    assert r["n_band_rows"] == len(per_doc) * 4
+    sizes = sorted(per_doc.values())
+    nd = len(sizes)
+    assert r["p50_doc_shingles"] == sizes[(nd + 1) // 2 - 1]
+    assert r["p90_doc_shingles"] == sizes[(9 * nd + 9) // 10 - 1]
+    assert r["max_doc_shingles"] == sizes[-1]
+    # bucket histogram vs a direct count over the stored band table
+    bt = Counter(
+        (row["band"], row["key"])
+        for row in spark.read.parquet(str(tmp_path / "mh" / "bands")).collect()
+    )
+    bsizes = sorted(bt.values())
+    nb = len(bsizes)
+    assert r["n_buckets"] == nb
+    assert r["max_bucket"] == bsizes[-1]
+    assert r["bucket_skew"] == bsizes[-1] * nb / (len(per_doc) * 4)
+    assert r["p50_bucket_sz"] == bsizes[(nb + 1) // 2 - 1]
+    assert r["num_hashes"] == 16 and r["num_bands"] == 4
+    assert r["watermark"] == 12 and r["watermark_lag"] == 87
+
+
+def test_signlsh_index_stats_report(spark, tmp_path):
+    """Embedding twin: vector count, norm spread (read from the stored
+    rows, not re-derived), bucket histogram, geometry echo, staleness."""
+    import math
+    from collections import Counter
+
+    from kaer_spark.operators.dedup import (
+        build_signlsh_index,
+        refresh_signlsh_index,
+        signlsh_index_stats,
+    )
+
+    vecs = [
+        (i, [float(i), float(i % 3), 0.5, -1.0]) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "sl")
+    build_signlsh_index(
+        df.filter(F.col("vec_id") <= 4), path,
+        bands=4, bits_per_band=2, seed=7,
+    )
+    refresh_signlsh_index(df, path)
+    r = signlsh_index_stats(spark, path, corpus=df).collect()[0]
+    assert r["n_vecs"] == 8
+    assert r["n_band_rows"] == 8 * 4
+    norms = sorted(
+        math.sqrt(sum(x * x for x in v)) for _, v in vecs
+    )
+    assert r["min_norm"] == pytest.approx(norms[0], abs=0)
+    assert r["max_norm"] == pytest.approx(norms[-1], abs=0)
+    assert r["p50_norm"] == pytest.approx(norms[(8 + 1) // 2 - 1], abs=0)
+    bt = Counter(
+        (row["band"], row["key"])
+        for row in spark.read.parquet(str(tmp_path / "sl" / "bands")).collect()
+    )
+    bsizes = sorted(bt.values())
+    assert r["n_buckets"] == len(bsizes)
+    assert r["max_bucket"] == bsizes[-1]
+    assert r["dim"] == 4 and r["num_bands"] == 4 and r["bits_per_band"] == 2
+    assert r["watermark"] == 8 and r["watermark_lag"] == 0

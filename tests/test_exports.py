@@ -28,3 +28,23 @@ def test_readme_quickstart_imports():
     from kaer_spark.context import Collection
 
     assert callable(Collection.deduplicate_against)
+
+
+def test_diag_java_options_gate_on_jdk_major(monkeypatch, tmp_path):
+    """ADVICE r16: -Xlog:gc* (JDK9+ unified logging) aborts a JDK 8 JVM
+    at startup — the GC diag flag must follow the detected dialect."""
+    from kaer_spark import session as sess
+
+    monkeypatch.setattr(sess, "_DIAG_DIR", str(tmp_path / "diag"))
+    monkeypatch.setattr(sess, "_java_major", lambda: 8)
+    opts = sess._diag_java_options()
+    assert "-Xloggc:" in opts and "-Xlog:gc*" not in opts
+    assert "-XX:ErrorFile=" in opts
+    monkeypatch.setattr(sess, "_java_major", lambda: 17)
+    assert "-Xlog:gc*" in sess._diag_java_options()
+    # undetectable → modern syntax (this engine pins Spark on 17+)
+    monkeypatch.setattr(sess, "_java_major", lambda: None)
+    assert "-Xlog:gc*" in sess._diag_java_options()
+    # version-string parsing: pre-9 "1.x" scheme and modern scheme
+    assert sess._parse_java_major('"1.8.0_392"') == 8
+    assert sess._parse_java_major("17.0.9") == 17

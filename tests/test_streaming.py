@@ -967,3 +967,143 @@ def test_stream_neardup_ingest_surrogate_ids_hash_source(spark, tmp_path):
     assert sorted(
         r["text"] for r in spark.read.parquet(out).collect()
     ) == sorted([tb, tc, td])
+
+
+def test_surrogate_mode_indexes_dropped_docs_transitive_redelivery(
+    spark, tmp_path
+):
+    """The ADVICE r16 hole: a doc dropped as a NON-ADJACENT member of a
+    transitive self-dedup cluster (A~B, B~C, A!~C; min-id keeps A) near-
+    dups nothing among the survivors, so with a survivors-only index its
+    re-delivery under a fresh epoch would silently re-ingest it. In
+    surrogate mode the index now advances with the FULL batch, so the
+    re-delivered doc collides with its own stored signature. Pins: (a)
+    the transitive cluster collapses to its representative, (b) re-
+    delivery of EITHER dropped member (adjacent B, transitive C) under a
+    fresh epoch lands nothing, (c) a genuinely novel doc still ingests."""
+    from kaer_spark.operators.dedup import build_minhash_index
+    from kaer_spark.streaming.ingest import neardup_ingest_batch
+
+    x = "aaa quick brown foxes leap over all lazy dogs"
+    y = "mmm catalyst rewrites logical plans into trees"
+    z = "ttt watermarks bound state in streaming windows"
+    w = "zzz bucketing colocates join keys across tables"
+    ta, tb, tc = x + " " + y, y + " " + z, z + " " + w
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(
+        spark.createDataFrame(
+            [(1, "completely unrelated reference corpus seed document")],
+            "doc_id long, text string",
+        ),
+        idx, n=8, num_hashes=16, bands=16, seed=42,
+    )
+    src_schema = "doc_key string, text string"
+    out = str(tmp_path / "corpus")
+    neardup_ingest_batch(
+        spark.createDataFrame(
+            [("ka", ta), ("kb", tb), ("kc", tc)], src_schema
+        ),
+        0, idx, out, threshold=0.25, assign_ids=True,
+    )
+    # transitive closure: {A,B,C} is ONE cluster, A (lexicographically
+    # first text => min surrogate id) is the representative
+    assert sorted(
+        r["text"] for r in spark.read.parquet(out).collect()
+    ) == [ta]
+    # the index must hold ALL THREE screened signatures, not just A's
+    indexed = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(idx, "shingles")).collect()
+    }
+    assert indexed == {1, 2, 3, 4}
+
+    # re-delivery of the TRANSITIVE member (C, which shares nothing with
+    # stored A) under a fresh epoch: caught by its own signature
+    neardup_ingest_batch(
+        spark.createDataFrame([("kc", tc)], src_schema),
+        7, idx, out, threshold=0.25, assign_ids=True,
+    )
+    # re-delivery of the adjacent member too
+    neardup_ingest_batch(
+        spark.createDataFrame([("kb", tb)], src_schema),
+        8, idx, out, threshold=0.25, assign_ids=True,
+    )
+    assert sorted(
+        r["text"] for r in spark.read.parquet(out).collect()
+    ) == [ta]
+    # novel content still lands
+    neardup_ingest_batch(
+        spark.createDataFrame(
+            [("kn", "qqq a genuinely novel document about parquet readers")],
+            src_schema,
+        ),
+        9, idx, out, threshold=0.25, assign_ids=True,
+    )
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_embedding_surrogate_mode_indexes_dropped_docs(spark, tmp_path):
+    """Embedding twin of the transitive-redelivery pin: in surrogate mode
+    the sign-LSH index advances with the full batch, so a dropped
+    vector's re-delivery collides with its own stored signature."""
+    from kaer_spark.operators.dedup import build_signlsh_index
+    from kaer_spark.streaming.ingest import embedding_neardup_ingest_batch
+
+    # chain at 24° steps: cos(va,vb)=cos(vb,vc)=cos24°≈0.914 ≥ 0.9,
+    # cos(va,vc)=cos48°≈0.669 < 0.9 — a transitive cluster
+    va = [1.0, 0.0, 0.0, 0.0]
+    vb = [0.9135, 0.4067, 0.0, 0.0]
+    vc = [0.6691, 0.7431, 0.0, 0.0]
+    idx = str(tmp_path / "sl_idx")
+    build_signlsh_index(
+        spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        idx, bands=8, bits_per_band=2, seed=7,
+    )
+    schema = "vec_key string, embedding array<double>"
+    out = str(tmp_path / "corpus")
+    embedding_neardup_ingest_batch(
+        spark.createDataFrame(
+            [("ka", va), ("kb", vb), ("kc", vc)], schema
+        ),
+        0, idx, out, threshold=0.9, assign_ids=True, order_col="vec_key",
+    )
+    stored = spark.read.parquet(out).collect()
+    assert len(stored) == 1 and stored[0]["embedding"] == va
+    indexed = {
+        r["right_id"]
+        for r in spark.read.parquet(os.path.join(idx, "bands")).collect()
+    }
+    assert indexed == {1, 2, 3, 4}
+    # transitive member vc re-delivered under a fresh epoch: dropped
+    embedding_neardup_ingest_batch(
+        spark.createDataFrame([("kc", vc)], schema),
+        5, idx, out, threshold=0.9, assign_ids=True, order_col="vec_key",
+    )
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_fs_committed_requires_success_markers(spark, tmp_path):
+    """marksuccessfuljobs=false (common S3 tuning) would make every
+    committed epoch read as uncommitted — every genuine replay would
+    then raise "duplicate delivery" and wedge the stream. The ingest
+    path fails fast instead, at the first marker consultation."""
+    from kaer_spark.streaming.ingest import _fs_committed
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+            _fs_committed(spark, str(tmp_path / "epoch=0"))
+    finally:
+        if prev is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev)
+    # markers back on: the check passes and the marker probe works
+    assert _fs_committed(spark, str(tmp_path / "epoch=0")) is False

@@ -542,3 +542,32 @@ def test_refresh_replay_after_crash_between_appends(spark, tmp_path):
             for r in search_text_index(spark, full_path, terms, k=10).collect()
         ]
         assert got == want, terms
+
+
+def test_text_index_stats_string_ids(spark, tmp_path):
+    """String-keyed text index: watermark reported in the id's own type,
+    staleness as is_stale (ordering), never an int() coercion."""
+    from kaer_spark.operators.text_index import (
+        build_text_index,
+        text_index_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("u-01", "alpha beta gamma"),
+            ("u-02", "beta gamma delta epsilon"),
+        ],
+        "doc_id string, text string",
+    )
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_buckets=4)
+    r = text_index_stats(spark, path, corpus=docs).collect()[0]
+    assert r["watermark"] == "u-02" and r["is_stale"] is False
+    assert "watermark_lag" not in r.asDict()
+    live = docs.union(
+        spark.createDataFrame(
+            [("u-09", "zeta eta theta")], "doc_id string, text string"
+        )
+    )
+    r2 = text_index_stats(spark, path, corpus=live).collect()[0]
+    assert r2["is_stale"] is True
