@@ -3109,6 +3109,93 @@ def _q_signlsh_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FZ_CATCHUP_CUT = 250  # prefix/tail split for the fuzzy catch-up fixture
+FZ_CATCHUP_KEYLEN = 24  # distinct geometry from fuzzy_dups_between (32)
+
+
+def _ensure_fuzzy_index_catchup(spark: SparkSession, sf_dir: str) -> str:
+    """The PassJoin member of the catch-up fixture family
+    (minhash/signlsh/shingle precedent): BUILD the segment index over
+    the odd-id prefix (doc_id < FZ_CATCHUP_CUT), then REFRESH with the
+    full odd-id reference — dedup.refresh_fuzzy_index keys and segments
+    the tail under the sidecar-frozen geometry and appends. The oracle
+    replays the brute-force cross product over the WHOLE reference, so
+    refresh ≡ rebuild is value-checked."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        _write_index_meta,
+        build_fuzzy_index,
+        read_fuzzy_index_meta,
+        refresh_fuzzy_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|fz|k=2|len={FZ_CATCHUP_KEYLEN}|odd|catchup<{FZ_CATCHUP_CUT}"
+        .encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_fuzzy_catchup_{tag}")
+    try:
+        meta = read_fuzzy_index_meta(path)
+        if meta.get("source_fp") == fp and meta.get("caught_up"):
+            return path
+    except (OSError, ValueError):
+        pass
+    odd = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    build_fuzzy_index(
+        odd.filter(F.col("doc_id") < FZ_CATCHUP_CUT), path,
+        max_edits=2, key_len=FZ_CATCHUP_KEYLEN,
+    )
+    meta = refresh_fuzzy_index(odd, path)
+    meta["source_fp"] = fp
+    meta["caught_up"] = True
+    _write_index_meta(path, "fuzzy_index.json", meta)
+    return path
+
+
+def _q_fuzzy_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 catch-up (reference updateIndexFromLastId, db/db.go:191-207)
+    for the at-rest fuzzy (PassJoin) artifact, proven through the value
+    gate — the LAST recurring-decontamination family gets its standing
+    index (r15 verdict #5): built on the odd-id prefix, refreshed with
+    the full odd-id reference, then serving edit-distance pairs for the
+    even-id probe side. The oracle replays the brute-force cross product
+    over the whole reference, so a refresh that missed, duplicated, or
+    re-keyed tail segments lands as a value mismatch. Distinct geometry
+    from fuzzy_dups_between (key_len 24 vs 32)."""
+    from kaer_spark.operators.dedup import fuzzy_dups_against_index
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _ensure_fuzzy_index_catchup(spark, sf_dir)
+    return fuzzy_dups_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+def _sql_fuzzy_index_catchup() -> str:
+    """Brute-force even-probe × odd-reference ground truth at the
+    catch-up geometry (key_len 24, max_edits 2)."""
+    key = (
+        "rpad(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+        f" 1, {FZ_CATCHUP_KEYLEN}), {FZ_CATCHUP_KEYLEN}, ' ')"
+    )
+    return f"""
+        WITH k AS (
+          SELECT doc_id, {key} AS key
+          FROM documents
+          WHERE length(trim(text)) > 0
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
+        FROM k a JOIN k b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        WHERE levenshtein(a.key, b.key) <= 2
+    """
+
+
 def _q_signlsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Health report for the at-rest sign-LSH reference index
     (dedup.signlsh_index_stats), over the catch-up fixture — the
@@ -4667,6 +4754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # indexes (r15 verdict #2) — the observability sweep is complete
         "minhash_index_stats": _q_minhash_index_stats,
         "signlsh_index_stats": _q_signlsh_index_stats,
+        # r16: the last recurring-decontamination family's standing
+        # artifact (r15 verdict #5), proven through the value gate
+        "fuzzy_index_catchup": _q_fuzzy_index_catchup,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -7538,6 +7628,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_stats": _sql_ivf_index_stats(),
         "minhash_index_stats": _sql_minhash_index_stats(),
         "signlsh_index_stats": _sql_signlsh_index_stats(),
+        "fuzzy_index_catchup": _sql_fuzzy_index_catchup(),
         "pq_index_stats": _sql_pq_index_stats(),
         "shingle_index_stats": _sql_shingle_index_stats(),
         "text_index_stats": _sql_text_index_stats(),

@@ -886,7 +886,20 @@ def _fuzzy_pairs(
             f"key_len {key_len} too small for {max_edits + 1} segments"
         )
     bounds = _fuzzy_bounds(key_len, max_edits)
-    idx = index_keyed.select(
+    idx = _fuzzy_segment_rows(index_keyed, bounds)
+    probe = _fuzzy_probe_rows(probe_keyed, bounds, key_len, max_edits)
+    return _fuzzy_join_verify(idx, probe, max_edits, max_key_df, same_corpus)
+
+
+def _fuzzy_segment_rows(
+    index_keyed: DataFrame, bounds: list[tuple[int, int]]
+) -> DataFrame:
+    """The INDEX side's ``(id, key, i, seg)`` rows — the ``k+1``
+    compile-time-position segments per key, the key riding along for the
+    in-join verify. ONE body shared by the per-call operators AND
+    :func:`build_fuzzy_index` (the ``_signlsh_inverted`` shared-body
+    rule: build and serve can never segment differently)."""
+    return index_keyed.select(
         "id",
         "key",
         F.explode(
@@ -901,6 +914,17 @@ def _fuzzy_pairs(
             )
         ).alias("s"),
     ).select("id", "key", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+
+
+def _fuzzy_probe_rows(
+    probe_keyed: DataFrame,
+    bounds: list[tuple[int, int]],
+    key_len: int,
+    max_edits: int,
+) -> DataFrame:
+    """The PROBE side's shifted-substring rows (``<= (k+1)(2k+1)`` per
+    key, boundary-clipped) — shared by the per-call operators and
+    :func:`fuzzy_dups_against_index`."""
     probe_cols = []
     for i, (p, l) in enumerate(bounds):
         for s in range(-max_edits, max_edits + 1):
@@ -913,9 +937,21 @@ def _fuzzy_pairs(
                     F.substring("key", start + 1, l).alias("seg"),
                 )
             )
-    probe = probe_keyed.select(
+    return probe_keyed.select(
         "id", "key", F.explode(F.array(*probe_cols)).alias("s")
     ).select("id", "key", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+
+
+def _fuzzy_join_verify(
+    idx: DataFrame,
+    probe: DataFrame,
+    max_edits: int,
+    max_key_df: int | None,
+    same_corpus: bool,
+) -> DataFrame:
+    """Complete ``(i, seg)`` equi-join + exact ``levenshtein`` verify —
+    the tail of the PassJoin core, shared so the at-rest serving path
+    joins and verifies identically to the from-text operators."""
     if max_key_df is not None:
         hot = (
             probe.groupBy("i", "seg")
@@ -942,6 +978,158 @@ def _fuzzy_pairs(
         )
         .filter(F.col("edit_distance") <= max_edits)
         .select("id_a", "id_b", "edit_distance")
+    )
+
+
+def build_fuzzy_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edits: int = 2,
+    key_len: int = 32,
+) -> dict:
+    """Materialize the REFERENCE side of cross-corpus edit-distance
+    screening at ``path`` — the at-rest artifact for the LAST
+    recurring-decontamination family without one (r15 verdict #5: every
+    other recurring screen — MinHash, sign-LSH, shingle — serves from a
+    standing index; ``fuzzy_dups_between`` re-derived the reference's
+    segment keys per call). Writes
+
+    ``<path>/segments/``  (id, key, i, seg) — the reference's PassJoin
+                          segment rows, key riding along for the in-join
+                          ``levenshtein`` verify (the sign-LSH
+                          vector-carrying layout), and
+    ``<path>/fuzzy_index.json``  the frozen (max_edits, key_len) — the
+                          probe side derives its shifted substrings from
+                          these, so both sides always cut alike.
+
+    :func:`fuzzy_dups_against_index` is then value-identical to
+    :func:`fuzzy_near_dups_between` with the reference as the index side
+    (same shared segment/probe/verify bodies). Growable: every stored
+    row derives from its document alone under the frozen geometry, so
+    :func:`refresh_fuzzy_index` appends the tail — reference O8
+    catch-up (``updateIndexFromLastId``, ``db/db.go:191-207``) for the
+    edit-distance artifact."""
+    import os as _os
+
+    if max_edits < 1:
+        raise ValueError("max_edits must be >= 1 (0 is exact matching)")
+    if key_len < (max_edits + 1) * 2:
+        raise ValueError(
+            f"key_len {key_len} too small for {max_edits + 1} segments"
+        )
+    bounds = _fuzzy_bounds(key_len, max_edits)
+    _fuzzy_segment_rows(
+        _fuzzy_keyed(df, id_col, text_col, key_len), bounds
+    ).write.mode("overwrite").parquet(_os.path.join(path, "segments"))
+    meta = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "max_edits": int(max_edits),
+        "key_len": int(key_len),
+        "max_id": _json_id(df.agg(F.max(F.col(id_col))).collect()[0][0]),
+    }
+    _write_index_meta(path, "fuzzy_index.json", meta)
+    return meta
+
+
+def refresh_fuzzy_index(
+    df: DataFrame,
+    path: str,
+    advance_to=None,
+) -> dict:
+    """Catch-up for the at-rest fuzzy (PassJoin) reference index — the
+    edit-distance member of the engine-wide O8 rule
+    (``updateIndexFromLastId``, ``db/db.go:191-207``): documents with
+    ``id > meta.max_id`` are keyed and segmented through the
+    SIDECAR-frozen geometry (the same :func:`_fuzzy_segment_rows` body
+    the build uses) and appended — row-identical to a from-scratch build
+    over the union. Single-table artifact, so one crash window: a replay
+    anti-joins the tail against ids already above the watermark
+    (id-column-only, predicate-pushed scan of the index). Blank docs are
+    excluded by :func:`_fuzzy_keyed` exactly as at build, but still
+    advance the watermark (``max_id`` covers the full batch — the
+    minhash-index discipline). ``advance_to`` floors the flip for
+    screen-and-drop callers."""
+    import os as _os
+
+    spark = df.sparkSession
+    meta = read_fuzzy_index_meta(path)
+    icol = meta["id_col"]
+    seg_dir = _os.path.join(path, "segments")
+    wm = meta.get("max_id")
+    if wm is None and "max_id" not in meta:
+        wm = spark.read.parquet(seg_dir).agg(F.max("id")).collect()[0][0]
+    tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
+    new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
+    if new_max is None:
+        stamp = wm
+        if advance_to is not None and (stamp is None or advance_to > stamp):
+            stamp = advance_to
+        if meta.get("max_id") != _json_id(stamp) or "max_id" not in meta:
+            meta["max_id"] = _json_id(stamp)
+            _write_index_meta(path, "fuzzy_index.json", meta)
+        return meta
+    ghost = spark.read.parquet(seg_dir).select("id")
+    if wm is not None:
+        ghost = ghost.filter(F.col("id") > F.lit(wm))
+    tail = tail.join(
+        ghost.distinct().select(F.col("id").alias(icol)), [icol], "left_anti"
+    )
+    bounds = _fuzzy_bounds(meta["key_len"], meta["max_edits"])
+    _fuzzy_segment_rows(
+        _fuzzy_keyed(tail, icol, meta["text_col"], meta["key_len"]), bounds
+    ).write.mode("append").parquet(seg_dir)
+    if advance_to is not None and advance_to > new_max:
+        new_max = advance_to
+    meta["max_id"] = _json_id(new_max)
+    _write_index_meta(path, "fuzzy_index.json", meta)
+    return meta
+
+
+def read_fuzzy_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "fuzzy_index.json")) as f:
+        return _json.load(f)
+
+
+def fuzzy_dups_against_index(
+    spark,
+    path: str,
+    left: DataFrame,
+    left_id_col: str = "doc_id",
+    text_col: str | None = None,
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """:func:`fuzzy_near_dups_between` with the INDEX side served from
+    the at-rest artifact of :func:`build_fuzzy_index` — value-identical
+    to the from-text cross call with the built reference as the
+    segmented side (geometry from the sidecar, segment/probe/verify
+    bodies shared, so the two paths cannot cut or verify differently).
+    Returns ``(left_id, right_id, edit_distance)`` with ``left`` as the
+    probe/query corpus and the stored reference on the right; the call
+    pays only the probe side's keying + shifted-substring explode plus
+    the segment equi-join — the reference's segment rows read straight
+    off parquet."""
+    import os as _os
+
+    meta = read_fuzzy_index_meta(path)
+    tcol = text_col or meta["text_col"]
+    bounds = _fuzzy_bounds(meta["key_len"], meta["max_edits"])
+    idx = spark.read.parquet(_os.path.join(path, "segments"))
+    probe = _fuzzy_probe_rows(
+        _fuzzy_keyed(left, left_id_col, tcol, meta["key_len"]),
+        bounds, meta["key_len"], meta["max_edits"],
+    )
+    return _fuzzy_join_verify(
+        idx, probe, meta["max_edits"], max_key_df, same_corpus=False
+    ).select(
+        F.col("id_b").alias("left_id"),
+        F.col("id_a").alias("right_id"),
+        "edit_distance",
     )
 
 

@@ -926,3 +926,250 @@ def embedding_neardup_ingest_batch(
     refresh_signlsh_index(
         batch if assign_ids else survivors, index_path, advance_to=hi
     )
+
+
+# -- closed-epoch compaction --------------------------------------------------
+# The ingest sinks write one `epoch=N/` partition per micro-batch; at
+# production cadence that is the classic small-files failure this repo's
+# own sources/files.py warns about (thousands of tiny partitions, one
+# parquet footer each, NameNode/listing pressure and a scan task per
+# splinter). The compactor below consolidates CLOSED epochs while
+# preserving the replay contract: every absorbed epoch keeps a COMMITTED
+# (`_SUCCESS`-marked) tombstone partition, so `_fs_committed` still
+# discriminates a checkpoint replay from duplicate delivery exactly as
+# before (a replayed tombstone epoch is a no-op in both id modes).
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, Path-class) for ``path_str`` through the Hadoop
+    API — the compactor works on any Hadoop-supported filesystem, same
+    placement contract as the ingest sinks themselves."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore
+    pcls = jvm.org.apache.hadoop.fs.Path  # type: ignore[union-attr]
+    p = pcls(path_str)
+    return p.getFileSystem(conf), p, pcls
+
+
+def _fs_list_committed_epochs(
+    spark: SparkSession, out_dir: str
+) -> dict[int, str]:
+    """``{epoch → path}`` for every COMMITTED ``epoch=N`` partition under
+    ``out_dir`` (the `_SUCCESS` marker decides, exactly as in
+    :func:`_fs_committed`); uncommitted stragglers are skipped, never
+    compacted."""
+    fs, root, pcls = _hadoop_fs(spark, out_dir)
+    if not fs.exists(root):
+        return {}
+    out: dict[int, str] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("epoch=")):
+            continue
+        try:
+            e = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(pcls(st.getPath(), "_SUCCESS")):
+            out[e] = os.path.join(out_dir, name)
+    return out
+
+
+def _swap_in_epoch(fs, pcls, out_dir: str, tmp_dir: str, old_dir: str,
+                   epoch: int) -> None:
+    """One epoch's atomic-ish swap leg, idempotent for the recovery
+    replay: move the live partition aside (skip if a prior attempt
+    already did), then move the prepared replacement in (skip if already
+    in — i.e. the tmp source is gone)."""
+    tsrc = pcls(os.path.join(tmp_dir, f"epoch={epoch}"))
+    if not fs.exists(tsrc):
+        return  # this epoch's swap already completed
+    live = pcls(os.path.join(out_dir, f"epoch={epoch}"))
+    moved = pcls(os.path.join(old_dir, f"epoch={epoch}"))
+    if fs.exists(live):
+        if fs.exists(moved):
+            raise RuntimeError(
+                f"epoch compaction found BOTH a live and a moved-aside "
+                f"partition for epoch {epoch} under {out_dir!r} — refusing "
+                "to guess; resolve manually"
+            )
+        fs.mkdirs(pcls(old_dir))
+        if not fs.rename(live, moved):
+            raise RuntimeError(
+                f"epoch compaction could not move epoch {epoch} aside"
+            )
+    if not fs.rename(tsrc, live):
+        raise RuntimeError(
+            f"epoch compaction could not move the prepared partition for "
+            f"epoch {epoch} into place"
+        )
+
+
+def _fs_read_json(spark: SparkSession, path_str: str) -> dict:
+    """Read a small JSON sidecar through the Hadoop FS stream API —
+    ``spark.read`` can NOT do this: dot/underscore-prefixed names (and
+    everything under a dot-prefixed dir, which is exactly where the
+    compaction manifest hides from partition discovery) are filtered as
+    hidden by Spark's file index even when addressed explicitly."""
+    import json as _json
+
+    fs, p, _ = _hadoop_fs(spark, path_str)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(p)
+    try:
+        body = jvm.org.apache.commons.io.IOUtils.toString(  # type: ignore
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return _json.loads(body)
+
+
+def _fs_write_json(spark: SparkSession, path_str: str, payload: dict) -> None:
+    import json as _json
+
+    fs, p, _ = _hadoop_fs(spark, path_str)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps(payload), "utf-8"))
+    finally:
+        out.close()
+
+
+def recover_epoch_compaction(spark: SparkSession, out_dir: str) -> bool:
+    """Heal an interrupted :func:`compact_ingest_epochs`. The manifest is
+    the commit point: written only after EVERY prepared partition landed
+    committed under ``.compact_tmp``, so its presence means roll FORWARD
+    (finish the swaps — each leg is idempotent), and its absence means
+    the preparation never completed — roll BACK by discarding the tmp
+    dir (the live partitions were never touched; swaps start only after
+    the manifest exists). Leftover ``.compact_old`` with no manifest is
+    the already-swapped originals of a compaction that crashed during
+    final cleanup — safe to drop. Returns True if it found anything to
+    heal."""
+    tmp_dir = os.path.join(out_dir, ".compact_tmp")
+    old_dir = os.path.join(out_dir, ".compact_old")
+    fs, _, pcls = _hadoop_fs(spark, out_dir)
+    manifest = pcls(os.path.join(tmp_dir, "_MANIFEST.json"))
+    if not fs.exists(manifest):
+        healed = False
+        for leftover in (tmp_dir, old_dir):
+            p = pcls(leftover)
+            if fs.exists(p):
+                fs.delete(p, True)
+                healed = True
+        return healed
+    m = _fs_read_json(spark, os.path.join(tmp_dir, "_MANIFEST.json"))
+    for e in m["epochs"]:
+        _swap_in_epoch(fs, pcls, out_dir, tmp_dir, old_dir, int(e))
+    fs.delete(pcls(tmp_dir), True)
+    if fs.exists(pcls(old_dir)):
+        fs.delete(pcls(old_dir), True)
+    return True
+
+
+def compact_ingest_epochs(
+    spark: SparkSession,
+    out_dir: str,
+    max_epoch: int | None = None,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Consolidate CLOSED ingest epochs under ``out_dir`` into one
+    target-file-sized partition plus committed zero-row tombstones —
+    the maintenance half of the streaming ingest contract (r15 verdict
+    #4: the sinks never compacted, so production cadence accumulates
+    one small partition per micro-batch forever).
+
+    What it does: every committed epoch ≤ the horizon (``max_epoch``,
+    default one below the NEWEST committed epoch — the newest stays
+    untouched because it is the only one a checkpoint replay can still
+    redeliver with work attached) is unioned and rewritten as
+    ``epoch=<highest-candidate>`` coalesced to ``ceil(bytes /
+    target_bytes)`` files; every lower candidate becomes a zero-row,
+    ``_SUCCESS``-committed tombstone. Readers of ``out_dir`` see the
+    identical row multiset (pytest-pinned screen equivalence); the
+    ``epoch`` partition value of absorbed rows becomes the consolidated
+    epoch — arrival-epoch lineage is traded for the file count, which is
+    the point of compaction (run it only when you don't need per-epoch
+    provenance anymore).
+
+    Rewrite amplification is bounded by the ``.compact_through.json``
+    sidecar: each run consolidates only epochs above the previous run's
+    horizon, so periodic compaction rewrites one period's data, never
+    the corpus's whole history, and a back-to-back rerun is a no-op.
+
+    Crash safety (the HLL-state / rewrite-swap discipline): everything
+    is PREPARED under ``.compact_tmp`` first (dot-prefixed ⇒ invisible
+    to partition discovery), a manifest is written as the commit point,
+    and only then are live partitions swapped (moved aside to
+    ``.compact_old``, replacement moved in — per-epoch, idempotent).
+    A crash anywhere is healed by :func:`recover_epoch_compaction`
+    (called here first, so back-to-back runs self-heal): forward after
+    the manifest, backward before it; committed data is never the only
+    copy in motion. Run with the stream STOPPED (or between triggers) —
+    a reader racing the swap window can see an epoch mid-move.
+
+    Returns ``{"compacted": n, "into": epoch, "files": k, "bytes": b}``
+    (``compacted=0`` when there's nothing to do)."""
+    from functools import reduce
+
+    healed = recover_epoch_compaction(spark, out_dir)
+    epochs = _fs_list_committed_epochs(spark, out_dir)
+    if not epochs:
+        return {"compacted": 0, "healed": healed}
+    newest = max(epochs)
+    horizon = newest - 1 if max_epoch is None else min(max_epoch, newest - 1)
+    # the compacted-through sidecar bounds rewrite amplification: each run
+    # consolidates only the epochs ABOVE the last run's horizon, so a
+    # corpus compacted weekly rewrites one week of data, not its whole
+    # history, and back-to-back runs are no-ops. Stale-after-crash is
+    # safe: re-merging already-consolidated epochs re-derives the same
+    # rows (tombstones are empty), it just pays the rewrite once more.
+    through_path = os.path.join(out_dir, ".compact_through.json")
+    fs, _, pcls = _hadoop_fs(spark, out_dir)
+    through = -1
+    if fs.exists(pcls(through_path)):
+        through = int(
+            _fs_read_json(spark, through_path)["compacted_through"]
+        )
+    cands = sorted(e for e in epochs if through < e <= horizon)
+    if len(cands) < 2:
+        return {"compacted": 0, "healed": healed}
+    total_bytes = sum(
+        fs.getContentSummary(pcls(epochs[e])).getLength() for e in cands
+    )
+    n_files = max(1, -(-int(total_bytes) // int(target_bytes)))
+    union = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(epochs[e]) for e in cands],
+    )
+    into = cands[-1]
+    tmp_dir = os.path.join(out_dir, ".compact_tmp")
+    old_dir = os.path.join(out_dir, ".compact_old")
+    union.coalesce(n_files).write.mode("overwrite").parquet(
+        os.path.join(tmp_dir, f"epoch={into}")
+    )
+    empty = spark.createDataFrame([], schema=union.schema)
+    for e in cands[:-1]:
+        empty.write.mode("overwrite").parquet(
+            os.path.join(tmp_dir, f"epoch={e}")
+        )
+    # the commit point: manifest lands only after every prepared
+    # partition is committed — recovery rolls forward from here
+    _fs_write_json(
+        spark, os.path.join(tmp_dir, "_MANIFEST.json"),
+        {"epochs": cands, "into": into},
+    )
+    for e in cands:
+        _swap_in_epoch(fs, pcls, out_dir, tmp_dir, old_dir, e)
+    fs.delete(pcls(tmp_dir), True)
+    if fs.exists(pcls(old_dir)):
+        fs.delete(pcls(old_dir), True)
+    _fs_write_json(spark, through_path, {"compacted_through": into})
+    return {
+        "compacted": len(cands),
+        "into": into,
+        "files": n_files,
+        "bytes": int(total_bytes),
+        "healed": healed,
+    }

@@ -1000,3 +1000,59 @@ def test_index_health_reports_staleness_and_shape(ctx):
         _json.dump(pm, f)
     _os.replace(tmp, _os.path.join(coll.pq_index_path, meta_file))
     assert coll.index_health()["pq"].collect()[0]["watermark_lag"] == 1
+
+
+def test_collection_dedup_indexes_health_and_serving(ctx):
+    """[r16] The collection-owned decontamination artifacts: build_minhash
+    /signlsh_index flag the meta, index_health() carries EVERY owned
+    family with zero lag after insert (the O8 parity rule), and
+    deduplicate_against on another collection serves from the standing
+    artifact (kwargs-free call) with the same removals as the from-text
+    pair."""
+    ref = ctx.create_collection("reference")
+    base = [
+        f"reference document number {i} on spark catalyst and parquet "
+        f"pushdown with a long shared boilerplate tail"
+        for i in range(6)
+    ]
+    ref.insert(base, [{"k": i} for i in range(6)])
+    ref.build_minhash_index(n=8, num_hashes=16, bands=4, seed=42)
+    ref.build_signlsh_index(bands=4, bits_per_band=4, seed=7)
+    h = ref.index_health()
+    assert sorted(h) == ["minhash", "signlsh"]
+    mh = h["minhash"].collect()[0]
+    assert mh["n_docs"] == 6 and mh["watermark_lag"] == 0
+    sl = h["signlsh"].collect()[0]
+    assert sl["n_vecs"] == 6 and sl["watermark_lag"] == 0
+
+    # batch insert refreshes BOTH (same parity rule the PQ gap violated)
+    ref.insert(["a late reference arrival about shuffle planning"],
+               [{"k": 99}])
+    lags = {k: df.collect()[0]["watermark_lag"]
+            for k, df in ref.index_health().items()}
+    assert lags == {"minhash": 0, "signlsh": 0}
+    assert ref.index_health()["minhash"].collect()[0]["n_docs"] == 7
+
+    # a new crawl screens against the standing artifact: the near-copy
+    # of a reference doc is removed, the novel doc survives
+    crawl = ctx.create_collection("crawl")
+    crawl.insert(
+        [base[2], "an entirely novel document about streaming watermarks"],
+        [{"k": 0}, {"k": 1}],
+    )
+    removed = crawl.deduplicate_against(ref, method="minhash")
+    assert removed == 1
+    assert crawl.df().count() == 1
+    survivors = [r["_m_doc"] for r in crawl.df().collect()]
+    assert "novel" in survivors[0]
+
+    # a rewrite on the reference REBUILDS its artifacts (append-only
+    # refresh can't express removal) — health stays lag-zero and the
+    # doc count tracks the rewrite
+    n_before = ref.df().count()
+    ref.delete({"k": {"$eq": 99}})
+    assert ref.df().count() == n_before - 1
+    mh2 = ref.index_health()["minhash"].collect()[0]
+    assert mh2["n_docs"] == n_before - 1 and mh2["watermark_lag"] == 0
+    sl2 = ref.index_health()["signlsh"].collect()[0]
+    assert sl2["n_vecs"] == n_before - 1

@@ -2169,3 +2169,90 @@ def test_signlsh_index_stats_report(spark, tmp_path):
     assert r["max_bucket"] == bsizes[-1]
     assert r["dim"] == 4 and r["num_bands"] == 4 and r["bits_per_band"] == 2
     assert r["watermark"] == 8 and r["watermark_lag"] == 0
+
+
+def _fuzzy_corpus(spark, upto=None):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog todaX"),  # 1 edit of 1
+        (3, "completely different text about catalyst optimizers"),
+        (4, "the quick brown fux jumps over the lazy dog today"),  # 1 edit of 1
+        (5, "another unrelated document on watermarks and state"),
+        (6, "completely different text about catalyst optimizerZ"),  # 1 edit of 3
+    ]
+    if upto is not None:
+        rows = [r for r in rows if r[0] <= upto]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fuzzy_index_build_refresh_serve_parity(spark, tmp_path):
+    """[r16] At-rest PassJoin artifact: build over a prefix + refresh
+    with the full reference serves pairs VALUE-identical to the
+    from-text cross operator over the full reference (shared
+    segment/probe/verify bodies + sidecar-frozen geometry); replays of
+    the refresh append nothing twice; a no-op refresh stamps the
+    advance_to floor."""
+    import json as _json
+    import os as _os
+
+    from kaer_spark.operators.dedup import (
+        build_fuzzy_index,
+        fuzzy_dups_against_index,
+        fuzzy_near_dups_between,
+        read_fuzzy_index_meta,
+        refresh_fuzzy_index,
+    )
+
+    ref = _fuzzy_corpus(spark)
+    probe = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog toda7"),
+            (102, "nothing like anything stored in the reference set"),
+            (103, "completely different text about catalyst optimizers"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "fz")
+    build_fuzzy_index(_fuzzy_corpus(spark, upto=3), path,
+                      max_edits=2, key_len=32)
+    meta = refresh_fuzzy_index(ref, path)
+    assert meta["max_id"] == 6
+
+    served = sorted(map(tuple, fuzzy_dups_against_index(
+        spark, path, probe
+    ).collect()))
+    fresh = sorted(map(tuple, fuzzy_near_dups_between(
+        ref, probe, max_edits=2, key_len=32
+    ).select(
+        F.col("right_id").alias("left_id"),
+        F.col("left_id").alias("right_id"),
+        "edit_distance",
+    ).collect()))
+    assert served == fresh and served  # non-empty: 101 and 103 hit
+
+    # replay idempotence: wind the watermark back (crash between append
+    # and flip), re-refresh — segment rows must not double
+    seg_dir = _os.path.join(path, "segments")
+    n_rows = spark.read.parquet(seg_dir).count()
+    meta = read_fuzzy_index_meta(path)
+    meta["max_id"] = 3
+    with open(_os.path.join(path, "fuzzy_index.json"), "w") as f:
+        _json.dump(meta, f)
+    refresh_fuzzy_index(ref, path)
+    assert spark.read.parquet(seg_dir).count() == n_rows
+    assert read_fuzzy_index_meta(path)["max_id"] == 6
+    # served output identical after the replay
+    assert sorted(map(tuple, fuzzy_dups_against_index(
+        spark, path, probe
+    ).collect())) == served
+
+    # no-op refresh stamps the advance_to floor (screen-and-drop caller)
+    refresh_fuzzy_index(ref, path, advance_to=50)
+    assert read_fuzzy_index_meta(path)["max_id"] == 50
+
+    # refresh ≡ rebuild: a from-scratch build over the union matches
+    path2 = str(tmp_path / "fz_full")
+    build_fuzzy_index(ref, path2, max_edits=2, key_len=32)
+    assert sorted(map(tuple, fuzzy_dups_against_index(
+        spark, path2, probe
+    ).collect())) == served

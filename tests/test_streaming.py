@@ -1107,3 +1107,138 @@ def test_fs_committed_requires_success_markers(spark, tmp_path):
             hconf.set(key, prev)
     # markers back on: the check passes and the marker probe works
     assert _fs_committed(spark, str(tmp_path / "epoch=0")) is False
+
+
+def _mk_epochs(spark, out, texts_per_epoch):
+    """Write one committed epoch partition per entry (the ingest sinks'
+    layout: data WITHOUT the epoch column, directory-derived partition)."""
+    for e, rows in texts_per_epoch.items():
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(2).write.mode("overwrite").parquet(f"{out}/epoch={e}")
+
+
+def test_compact_ingest_epochs_preserves_rows_and_replay(spark, tmp_path):
+    """[r16] Closed-epoch compaction: committed epochs below the newest
+    consolidate into one partition + zero-row committed tombstones; the
+    root read returns the identical row multiset; a replayed tombstone
+    epoch is STILL discriminated as a replay (no-op), not duplicate
+    delivery; the newest epoch is never touched."""
+    import glob
+
+    from kaer_spark.operators.dedup import build_minhash_index
+    from kaer_spark.streaming.ingest import (
+        compact_ingest_epochs,
+        neardup_ingest_batch,
+    )
+
+    out = str(tmp_path / "corpus")
+    _mk_epochs(spark, out, {
+        0: [(1, "alpha document one"), (2, "beta document two")],
+        1: [(3, "gamma document three")],
+        2: [(4, "delta document four"), (5, "epsilon document five")],
+        5: [(6, "zeta newest document six")],
+    })
+    before = sorted(
+        (r["doc_id"], r["text"], r["epoch"])
+        for r in spark.read.parquet(out).collect()
+    )
+    res = compact_ingest_epochs(spark, out, target_bytes=1 << 30)
+    assert res["compacted"] == 3 and res["into"] == 2 and res["files"] == 1
+    after = spark.read.parquet(out).collect()
+    # same rows; absorbed rows adopt the consolidated epoch, newest intact
+    assert sorted((r["doc_id"], r["text"]) for r in after) == sorted(
+        (d, t) for d, t, _ in before
+    )
+    assert {r["epoch"] for r in after} == {2, 5}
+    # tombstones: committed, zero rows, still partitions of the root
+    for e in (0, 1):
+        assert os.path.exists(f"{out}/epoch={e}/_SUCCESS")
+        assert spark.read.parquet(f"{out}/epoch={e}").count() == 0
+    # consolidated partition holds everything below the horizon in 1 file
+    assert spark.read.parquet(f"{out}/epoch=2").count() == 5
+    assert len(glob.glob(f"{out}/epoch=2/part-*.parquet")) == 1
+    # idempotent: a second run finds nothing to do
+    assert compact_ingest_epochs(spark, out)["compacted"] == 0
+
+    # replay of a TOMBSTONED epoch still reads as a replay: ids at/below
+    # the index watermark + committed partition → no-op, no wedge
+    idx = str(tmp_path / "mh")
+    build_minhash_index(
+        spark.createDataFrame(
+            [(50, "reference seed document")], "doc_id long, text string"
+        ),
+        idx, n=8, num_hashes=16, bands=4, seed=42,
+    )
+    neardup_ingest_batch(  # replay epoch 1 with long-decided ids
+        spark.createDataFrame([(3, "gamma document three")],
+                              "doc_id long, text string"),
+        1, idx, out, threshold=0.5,
+    )
+    assert spark.read.parquet(out).count() == 6  # nothing re-ingested
+
+
+def test_compact_ingest_epochs_crash_recovery(spark, tmp_path):
+    """Both crash windows heal: BEFORE the manifest the prepared tmp dir
+    is rolled back (live partitions untouched); AFTER the manifest the
+    swap rolls forward — including the half-swapped state where an epoch
+    was moved aside but its replacement not yet moved in."""
+    import json as _json
+    import shutil as _shutil
+
+    from kaer_spark.streaming.ingest import (
+        compact_ingest_epochs,
+        recover_epoch_compaction,
+    )
+
+    out = str(tmp_path / "corpus")
+    epochs = {
+        0: [(1, "alpha"), (2, "beta")],
+        1: [(3, "gamma")],
+        2: [(4, "delta")],
+        7: [(9, "newest")],
+    }
+    _mk_epochs(spark, out, epochs)
+    want = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+
+    # window 1: tmp prepared, NO manifest → roll back, nothing changed
+    spark.createDataFrame([(1, "alpha")], "doc_id long, text string").write \
+        .mode("overwrite").parquet(f"{out}/.compact_tmp/epoch=0")
+    assert recover_epoch_compaction(spark, out) is True
+    assert not os.path.exists(f"{out}/.compact_tmp")
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    ) == want
+
+    # window 2: manifest written, one epoch HALF-swapped (live moved
+    # aside, replacement not moved in), then "crash" → roll forward
+    full = spark.read.parquet(f"{out}/epoch=0").unionByName(
+        spark.read.parquet(f"{out}/epoch=1")
+    ).unionByName(spark.read.parquet(f"{out}/epoch=2"))
+    full.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/.compact_tmp/epoch=2"
+    )
+    empty = spark.createDataFrame([], schema=full.schema)
+    empty.write.mode("overwrite").parquet(f"{out}/.compact_tmp/epoch=0")
+    empty.write.mode("overwrite").parquet(f"{out}/.compact_tmp/epoch=1")
+    with open(f"{out}/.compact_tmp/_MANIFEST.json", "w") as f:
+        _json.dump({"epochs": [0, 1, 2], "into": 2}, f)
+    os.makedirs(f"{out}/.compact_old", exist_ok=True)
+    os.rename(f"{out}/epoch=0", f"{out}/.compact_old/epoch=0")  # half-swap
+    assert recover_epoch_compaction(spark, out) is True
+    assert not os.path.exists(f"{out}/.compact_tmp")
+    assert not os.path.exists(f"{out}/.compact_old")
+    after = spark.read.parquet(out).collect()
+    assert sorted((r["doc_id"], r["text"]) for r in after) == want
+    assert {r["epoch"] for r in after} == {2, 7}
+    # recovery can't know the healed run's horizon (the sidecar is the
+    # RUNNER's bookkeeping), so the next compaction re-merges the healed
+    # epochs once — value-preserving — and only then converges to no-op
+    res = compact_ingest_epochs(spark, out)
+    assert res["compacted"] == 3 and res["into"] == 2
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    ) == want
+    assert compact_ingest_epochs(spark, out)["compacted"] == 0
