@@ -3196,6 +3196,67 @@ def _sql_fuzzy_index_catchup() -> str:
     """
 
 
+def _q_fuzzy_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report for the at-rest fuzzy (PassJoin) reference index
+    (dedup.fuzzy_index_stats), over the catch-up fixture — the seventh
+    family's stats twin, landing in the same round as its artifact so
+    the observability sweep closes for good: blocking-key histogram +
+    skew (sizes the max_key_df escape hatch), geometry echo, typed
+    watermark + lag vs the full documents table. The oracle replays
+    key normalization → compile-time segment cuts → bucket histogram."""
+    from kaer_spark.operators.dedup import fuzzy_index_stats
+
+    path = _ensure_fuzzy_index_catchup(spark, sf_dir)
+    return fuzzy_index_stats(
+        spark, path, corpus=_t(spark, sf_dir, "documents"),
+        corpus_id_col="doc_id",
+    )
+
+
+def _sql_fuzzy_index_stats() -> str:
+    from kaer_spark.operators.dedup import _fuzzy_bounds
+
+    bounds = _fuzzy_bounds(FZ_CATCHUP_KEYLEN, 2)
+    key = (
+        "rpad(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+        f" 1, {FZ_CATCHUP_KEYLEN}), {FZ_CATCHUP_KEYLEN}, ' ')"
+    )
+    seg_selects = " UNION ALL ".join(
+        f"SELECT id, {i} AS i, substr(key, {p + 1}, {l}) AS seg FROM k"
+        for i, (p, l) in enumerate(bounds)
+    )
+    return f"""
+        WITH k AS (
+          SELECT doc_id AS id, {key} AS key
+          FROM documents
+          WHERE length(trim(text)) > 0 AND doc_id % 2 = 1
+        ),
+        seg AS ({seg_selects}),
+        bt AS (SELECT i, seg, count(*) AS bc FROM seg GROUP BY i, seg),
+        bk AS (SELECT count(*) AS nb, sum(bc) AS rows, max(bc) AS mx FROM bt),
+        rb AS (SELECT bc, row_number() OVER (ORDER BY bc, i, seg) AS rn FROM bt),
+        nd AS (SELECT count(*) AS n FROM k)
+        SELECT CAST(nd.n AS BIGINT) AS n_docs,
+               CAST(bk.nb AS BIGINT) AS n_buckets,
+               CAST(bk.rows AS BIGINT) AS n_seg_rows,
+               CAST(bk.mx AS BIGINT) AS max_bucket,
+               CAST(bk.mx * bk.nb AS DOUBLE) / CAST(bk.rows AS BIGINT)
+                 AS bucket_skew,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rn = (bk.nb + 1) // 2) AS p50_bucket_sz,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rn = (9 * bk.nb + 9) // 10) AS p90_bucket_sz,
+               CAST(2 AS BIGINT) AS max_edits,
+               CAST({FZ_CATCHUP_KEYLEN} AS BIGINT) AS key_len,
+               CAST((SELECT max(doc_id) FROM documents WHERE doc_id % 2 = 1)
+                    AS BIGINT) AS watermark,
+               CAST((SELECT max(doc_id) FROM documents)
+                    - (SELECT max(doc_id) FROM documents WHERE doc_id % 2 = 1)
+                    AS BIGINT) AS watermark_lag
+        FROM bk, nd
+    """
+
+
 def _q_signlsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Health report for the at-rest sign-LSH reference index
     (dedup.signlsh_index_stats), over the catch-up fixture — the
@@ -4755,8 +4816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_stats": _q_minhash_index_stats,
         "signlsh_index_stats": _q_signlsh_index_stats,
         # r16: the last recurring-decontamination family's standing
-        # artifact (r15 verdict #5), proven through the value gate
+        # artifact (r15 verdict #5), proven through the value gate,
+        # plus its stats twin (observability sweep stays closed)
         "fuzzy_index_catchup": _q_fuzzy_index_catchup,
+        "fuzzy_index_stats": _q_fuzzy_index_stats,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -7629,6 +7692,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_index_stats": _sql_minhash_index_stats(),
         "signlsh_index_stats": _sql_signlsh_index_stats(),
         "fuzzy_index_catchup": _sql_fuzzy_index_catchup(),
+        "fuzzy_index_stats": _sql_fuzzy_index_stats(),
         "pq_index_stats": _sql_pq_index_stats(),
         "shingle_index_stats": _sql_shingle_index_stats(),
         "text_index_stats": _sql_text_index_stats(),

@@ -503,6 +503,45 @@ class Collection:
 
         return refresh_signlsh_index(self.df(), self.signlsh_index_path)
 
+    def compact_data(self, target_bytes: int = 128 << 20) -> int:
+        """Rewrite the collection's data directory into
+        ``ceil(bytes / target_bytes)`` files — the maintenance half of
+        the append-per-insert ingest model (every :meth:`insert` batch
+        lands its own parquet file set; at production cadence that is
+        the small-files failure ``sources/files.py`` warns about, the
+        batch-collection twin of the streaming corpora's
+        ``compact_ingest_epochs``). Content-preserving: the row set,
+        ids, and schema are untouched, so EVERY attached index stays
+        valid — no rebuild, unlike :meth:`delete`'s rewrite. The swap is
+        the ``_commit_rewrite`` discipline (write to a temp dir, verify
+        the row count, two renames, drop the old) so a crash never
+        leaves the collection without a complete data directory.
+        Returns the resulting file count."""
+        if not self.meta.get("has_data"):
+            return 0
+        total_bytes = 0
+        for root, _dirs, files in os.walk(self.data_path):
+            for fn in files:
+                if not fn.startswith((".", "_")):
+                    total_bytes += os.path.getsize(os.path.join(root, fn))
+        n_files = max(1, -(-total_bytes // int(target_bytes)))
+        tmp = self.data_path + ".rewrite"
+        before = self.df().count()
+        self.df().coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        after = self.ctx.spark.read.parquet(tmp).count()
+        if after != before:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_data row-count check failed ({before} -> "
+                f"{after}) — compacted directory discarded, original "
+                "untouched"
+            )
+        old = self.data_path + ".old"
+        os.rename(self.data_path, old)
+        os.rename(tmp, self.data_path)
+        shutil.rmtree(old)
+        return int(n_files)
+
     def index_health(self) -> dict[str, DataFrame]:
         """Health reports for every index attached to this collection —
         observability the reference lacks entirely (kaer's HNSW never

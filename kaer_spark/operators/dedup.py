@@ -1096,6 +1096,88 @@ def read_fuzzy_index_meta(path: str) -> dict:
         return _json.load(f)
 
 
+def fuzzy_index_stats(
+    spark,
+    path: str,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str | None = None,
+) -> DataFrame:
+    """Health report for the at-rest fuzzy (PassJoin) reference index —
+    the seventh and last at-rest family gets its stats twin in the same
+    round it gets its artifact, so the observability sweep never
+    re-opens: one summary row from the segments table alone —
+
+    * ``n_docs`` / ``n_seg_rows`` — indexed documents and stored segment
+      rows (``n_docs × (max_edits+1)`` when healthy; drift is a
+      crash-replay bug);
+    * ``n_buckets`` / ``max_bucket`` / ``bucket_skew`` /
+      ``p50_bucket_sz`` / ``p90_bucket_sz`` — the ``(i, seg)`` blocking-
+      key histogram: shared prefixes (boilerplate headers — the
+      ``max_key_df`` escape hatch's reason to exist) collapse docs onto
+      hot segment keys, and a hot key is a skewed join partition AND a
+      candidate-pair blowup, visible here before it's visible as probe
+      latency;
+    * ``max_edits`` / ``key_len`` — sidecar geometry echo;
+    * ``watermark`` (+ ``watermark_lag`` / ``is_stale`` with ``corpus``,
+      typed by the id domain).
+
+    REBUILD/REFRESH TRIGGER (documented policy): refresh per ingest
+    (:func:`refresh_fuzzy_index` is tail-bound). Persistent
+    ``bucket_skew`` growth means degenerate shared prefixes — screen
+    boilerplate upstream or serve with ``max_key_df`` (which this report
+    sizes: the over-cap keys are exactly the ``bc > max_key_df``
+    buckets).
+
+    Scale note: bucket quantiles rank one row per distinct blocking key,
+    doc counts aggregate — corpus-cardinality, selection-only."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    meta = read_fuzzy_index_meta(path)
+    seg = spark.read.parquet(_os.path.join(path, "segments"))
+    buckets = (
+        seg.groupBy("i", "seg")
+        .agg(F.count("*").alias("bc"))
+        .localCheckpoint(eager=False)
+    )
+    bstats = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("bc").cast("long").alias("n_seg_rows"),
+        F.max("bc").cast("long").alias("max_bucket"),
+    )
+    ranked_b = buckets.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(F.col("bc").asc(), F.col("i").asc(), F.col("seg").asc())
+        ),
+    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
+    p50_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(n_buckets + 1) div 2")
+    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
+    p90_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(9 * n_buckets + 9) div 10")
+    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    ndocs = seg.filter(F.col("i") == 0).agg(
+        F.count("*").alias("n_docs")
+    )
+    out = (
+        ndocs.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(p50_b))
+        .crossJoin(F.broadcast(p90_b))
+        .withColumn(
+            "bucket_skew",
+            (F.col("max_bucket") * F.col("n_buckets")).cast("double")
+            / F.col("n_seg_rows"),
+        )
+        .withColumn("max_edits", F.lit(int(meta["max_edits"])).cast("long"))
+        .withColumn("key_len", F.lit(int(meta["key_len"])).cast("long"))
+    )
+    return watermark_health_cols(
+        out, meta.get("max_id"), corpus, corpus_id_col or meta["id_col"]
+    )
+
+
 def fuzzy_dups_against_index(
     spark,
     path: str,

@@ -1056,3 +1056,37 @@ def test_collection_dedup_indexes_health_and_serving(ctx):
     assert mh2["n_docs"] == n_before - 1 and mh2["watermark_lag"] == 0
     sl2 = ref.index_health()["signlsh"].collect()[0]
     assert sl2["n_vecs"] == n_before - 1
+
+
+def test_compact_data_preserves_rows_and_indexes(ctx):
+    """[r16] compact_data(): per-insert parquet splinters collapse to
+    ceil(bytes/target) files; rows/ids/schema unchanged, so attached
+    indexes stay valid with zero lag and queries serve identically."""
+    import glob
+
+    coll = ctx.create_collection("compactme")
+    for i in range(6):  # six inserts → six file sets
+        coll.insert([f"document batch {i} item {j} about spark catalyst"
+                     for j in range(4)], [{"k": i}] * 4)
+    coll.build_index(cells=2, fit="deterministic")
+    coll.build_text_index(n_buckets=4)
+    before_files = len(glob.glob(f"{coll.data_path}/part-*"))
+    assert before_files >= 6
+    before_rows = sorted(
+        (r["_m_id"], r["_m_doc"]) for r in coll.df().collect()
+    )
+    top_before = [r["_m_id"] for r in coll.query("document batch 3", k=5)
+                  .collect()]
+
+    n = coll.compact_data(target_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{coll.data_path}/part-*")) == 1
+    assert sorted(
+        (r["_m_id"], r["_m_doc"]) for r in coll.df().collect()
+    ) == before_rows
+    # indexes untouched and still current — no rebuild happened
+    lags = {k: df.collect()[0]["watermark_lag"]
+            for k, df in coll.index_health().items()}
+    assert lags == {"ivf": 0, "text": 0}
+    assert [r["_m_id"] for r in coll.query("document batch 3", k=5)
+            .collect()] == top_before

@@ -2256,3 +2256,51 @@ def test_fuzzy_index_build_refresh_serve_parity(spark, tmp_path):
     assert sorted(map(tuple, fuzzy_dups_against_index(
         spark, path2, probe
     ).collect())) == served
+
+
+def test_fuzzy_index_stats_report(spark, tmp_path):
+    """Stats over a prefix-built + refreshed fuzzy index: doc/segment
+    counts and bucket histogram replay in Python from the raw corpus;
+    geometry echo + staleness typed by the id domain."""
+    from collections import Counter
+
+    from kaer_spark.operators.dedup import (
+        build_fuzzy_index,
+        fuzzy_index_stats,
+        refresh_fuzzy_index,
+    )
+
+    docs = _fuzzy_corpus(spark)
+    path = str(tmp_path / "fz")
+    build_fuzzy_index(_fuzzy_corpus(spark, upto=3), path,
+                      max_edits=2, key_len=24)
+    refresh_fuzzy_index(docs, path)
+    live = docs.union(
+        spark.createDataFrame([(50, "past the watermark")],
+                              "doc_id long, text string")
+    )
+    r = fuzzy_index_stats(spark, path, corpus=live).collect()[0]
+
+    import re
+    keys = {}
+    for d, t in _fuzzy_corpus(spark).collect():
+        norm = re.sub(r"\s+", " ", t).strip().lower()
+        if not norm:
+            continue
+        keys[d] = (norm[:24] + " " * 24)[:24]
+    bounds = [(0, 8), (8, 8), (16, 8)]
+    bt = Counter(
+        (i, k[p:p + l]) for k in keys.values()
+        for i, (p, l) in enumerate(bounds)
+    )
+    bsizes = sorted(bt.values())
+    nb = len(bsizes)
+    assert r["n_docs"] == len(keys)
+    assert r["n_seg_rows"] == len(keys) * 3
+    assert r["n_buckets"] == nb
+    assert r["max_bucket"] == bsizes[-1]
+    assert r["bucket_skew"] == bsizes[-1] * nb / (len(keys) * 3)
+    assert r["p50_bucket_sz"] == bsizes[(nb + 1) // 2 - 1]
+    assert r["p90_bucket_sz"] == bsizes[(9 * nb + 9) // 10 - 1]
+    assert r["max_edits"] == 2 and r["key_len"] == 24
+    assert r["watermark"] == 6 and r["watermark_lag"] == 44

@@ -1242,3 +1242,55 @@ def test_compact_ingest_epochs_crash_recovery(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
     ) == want
     assert compact_ingest_epochs(spark, out)["compacted"] == 0
+
+
+def test_ingest_continues_after_compaction(spark, tmp_path):
+    """End-to-end: ingest batches → compact the closed epochs → keep
+    ingesting. The index is untouched by compaction (it lives beside the
+    corpus), later batches screen correctly against everything ingested
+    before AND after, and the corpus row multiset tracks exactly."""
+    from kaer_spark.operators.dedup import build_minhash_index
+    from kaer_spark.streaming.ingest import (
+        compact_ingest_epochs,
+        neardup_ingest_batch,
+    )
+
+    idx = str(tmp_path / "mh")
+    out = str(tmp_path / "corpus")
+    build_minhash_index(
+        spark.createDataFrame(
+            [(1, "seed reference document about nothing in particular")],
+            "doc_id long, text string",
+        ),
+        idx, n=8, num_hashes=16, bands=4, seed=42,
+    )
+    t = {
+        2: "first streamed document concerning catalyst rewrites",
+        3: "second streamed document on adaptive query execution",
+        4: "third streamed document about shuffle partitioning",
+        5: "fourth streamed document regarding broadcast joins",
+    }
+    for e, (d, txt) in enumerate(t.items()):
+        neardup_ingest_batch(
+            spark.createDataFrame([(d, txt)], "doc_id long, text string"),
+            e, idx, out, threshold=0.5,
+        )
+    assert compact_ingest_epochs(spark, out)["compacted"] == 3
+    # a near-dup of a COMPACTED-away epoch's doc is still screened out
+    # (the screen rides the index, which compaction never touches)
+    neardup_ingest_batch(
+        spark.createDataFrame(
+            [(9, t[2])], "doc_id long, text string"
+        ),
+        9, idx, out, threshold=0.5,
+    )
+    # and a novel doc in the same forward path still lands
+    neardup_ingest_batch(
+        spark.createDataFrame(
+            [(10, "a genuinely new document about columnar storage")],
+            "doc_id long, text string",
+        ),
+        10, idx, out, threshold=0.5,
+    )
+    rows = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert rows == [2, 3, 4, 5, 10]
