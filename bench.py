@@ -142,6 +142,14 @@ HEADLINE = [
     "ngram_novelty",
     "cms_token_counts",
     "pmi_bigrams",
+    # round-16: the PassJoin family's at-rest serving row (from-text twin
+    # stays benched as fuzzy_near_dups / fuzzy_dups_between) and the
+    # three new health reports — observability queries a recurring
+    # pipeline runs per ingest, so their cost belongs on the trend line
+    "fuzzy_index_catchup",
+    "minhash_index_stats",
+    "signlsh_index_stats",
+    "fuzzy_index_stats",
 ]
 
 # Rows that serve from a standing artifact (fixture-fingerprint-memoized
@@ -164,6 +172,11 @@ SERVE_FROM_ARTIFACT = [
                                     # cost stays the dedup_ngram_jaccard row
     "dedup_against_indexed",        # at-rest MinHash reference index
     "embedding_dups_against_indexed",  # at-rest sign-LSH reference index
+    "fuzzy_index_catchup",   # at-rest PassJoin segment index (r16); the
+                             # from-text cost stays the fuzzy_near_dups row
+    "minhash_index_stats",   # read the at-rest band/shingle tables (r16)
+    "signlsh_index_stats",
+    "fuzzy_index_stats",
 ]
 
 # Rows measured and recorded in bench_detail.json but EXCLUDED from the
@@ -185,6 +198,19 @@ DETAIL_ONLY = [
     "dedup_ngram_jaccard_indexed",
     "pq_knn_filtered",
     "cluster_split",
+    # r16: the three health reports and the PassJoin serving row ride the
+    # detail file only (stdout budget — the at-rest serving family was
+    # already detail-only: dedup_against_indexed/embedding_dups_...), and
+    # three more serve-from-artifact rows with build/from-text twins ON
+    # the line rotate down to make room for the r16 line fields
+    "minhash_index_stats",
+    "signlsh_index_stats",
+    "fuzzy_index_stats",
+    "fuzzy_index_catchup",
+    "pq_knn_refined",      # serve constant; pq build cost = pq_index_catchup detail
+    "pq_index_catchup",
+    "dedup_keep_best",     # serves the memoized cluster table; build twin
+                           # dedup_cluster_build stays on the line
 ]
 
 
@@ -634,14 +660,16 @@ def main() -> int:
             # normalized shared-min ratios BRACKET the code's true
             # round-over-round contribution (see _cross_round_ratios)
             "shared_min_ratio": ratios.get("shared_min_ratio"),
-            "canary_ratio": ratios.get("canary_ratio"),
             "shared_min_ratio_normalized": ratios.get(
                 "shared_min_ratio_normalized"
             ),
             # [r16] multicore-normalized twin — the PRIMARY cross-round
             # statistic (the probes decouple on these boxes; Spark wall
-            # time rides multicore throughput, not single-core speed)
-            "mc_canary_ratio": ratios.get("mc_canary_ratio"),
+            # time rides multicore throughput, not single-core speed).
+            # The raw canary ratios moved to detail-only (cross_round in
+            # bench_detail.json): each is derivable on the line as
+            # shared_min_ratio / its normalized twin, and the stdout
+            # budget (driver tail capture ~2000 chars) needed the room.
             "shared_min_ratio_normalized_mc": ratios.get(
                 "shared_min_ratio_normalized_mc"
             ),

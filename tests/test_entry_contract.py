@@ -60,8 +60,13 @@ def test_bench_json_line_fits_driver_tail_buffer():
         "loaded_start": False,
         "cpu_probe_sec": 0.1234,
         "shared_min_ratio": 0.123,
-        "canary_ratio": 0.123,
         "shared_min_ratio_normalized": 0.123,
+        # [r16] mc-normalized twin + mid-run contamination fields; the
+        # raw canary ratios rotated to detail-only (derivable on the
+        # line) exactly to keep this budget
+        "shared_min_ratio_normalized_mc": 0.123,
+        "max_load_seen": 12.34,
+        "contaminated_reps": 3,
         # per-query ceiling 99.99: the heaviest row ever recorded is ~7s
         # median (14x headroom); stdout_queries rounds to 2 decimals, so
         # this is the realistic worst width per entry
