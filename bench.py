@@ -403,6 +403,21 @@ def _contaminated_reps(rep_loads: list[dict]) -> list[int]:
     return bad
 
 
+def _best_probes(*loads: dict) -> tuple[float | None, float | None]:
+    """(sc, mc) = the MIN of each canary across the given full-probe
+    fingerprints (before/after) — the cleanest instant observed. A single
+    instantaneous probe under this box's oscillating foreign-load bursts
+    is a coin flip (r16: two back-to-back runs read mc-normalized 0.73
+    and 1.28 from the same code because one start-probe landed inside a
+    burst); the min is burst-resistant for exactly the reason per-query
+    mins are."""
+    sc = [d.get("cpu_probe_sec") for d in loads if d.get("cpu_probe_sec")]
+    mc = [
+        d.get("cpu_probe_mc_sec") for d in loads if d.get("cpu_probe_mc_sec")
+    ]
+    return (min(sc) if sc else None, min(mc) if mc else None)
+
+
 def _cross_round_ratios(
     best: dict[str, float], canary: float | None, mc_canary: float | None
 ) -> dict:
@@ -449,17 +464,21 @@ def _cross_round_ratios(
         return out
     out["shared_min_ratio"] = round(cur_sum / prev_sum, 3)
     out["n_shared"] = len(shared)
-    prev_canary = (prev.get("load") or {}).get("before", {}).get(
-        "cpu_probe_sec"
+    # best-of-run probes on BOTH sides (r16): prefer the prev detail's
+    # recorded probe_best; fall back to min(before, after) for details
+    # committed before the field existed
+    prev_load = prev.get("load") or {}
+    prev_sc, prev_mc = _best_probes(
+        prev_load.get("before", {}), prev_load.get("after", {})
     )
-    if canary and prev_canary:
-        out["canary_ratio"] = round(canary / prev_canary, 3)
+    pb = prev.get("probe_best") or {}
+    prev_sc = pb.get("cpu_probe_sec") or prev_sc
+    prev_mc = pb.get("cpu_probe_mc_sec") or prev_mc
+    if canary and prev_sc:
+        out["canary_ratio"] = round(canary / prev_sc, 3)
         out["shared_min_ratio_normalized"] = round(
-            (cur_sum / prev_sum) / (canary / prev_canary), 3
+            (cur_sum / prev_sum) / (canary / prev_sc), 3
         )
-    prev_mc = (prev.get("load") or {}).get("before", {}).get(
-        "cpu_probe_mc_sec"
-    )
     if mc_canary and prev_mc:
         out["mc_canary_ratio"] = round(mc_canary / prev_mc, 3)
         out["shared_min_ratio_normalized_mc"] = round(
@@ -580,16 +599,11 @@ def main() -> int:
     # (per-query min, machine load) goes to bench_detail.json + stderr.
     # full runs only: a fresh-family child's subset would compare a
     # partial fleet against the full previous round
-    ratios = (
-        _cross_round_ratios(
-            best,
-            load_before.get("cpu_probe_sec"),
-            load_before.get("cpu_probe_mc_sec"),
-        )
-        if not only
-        else {}
-    )
     load_after = _machine_load()
+    cur_sc, cur_mc = _best_probes(load_before, load_after)
+    ratios = (
+        _cross_round_ratios(best, cur_sc, cur_mc) if not only else {}
+    )
     contaminated = _contaminated_reps(rep_loads)
     max_load_seen = max(
         [
@@ -616,6 +630,9 @@ def main() -> int:
         ],
         "cross_round": ratios,
         "load": {"before": load_before, "after": load_after},
+        # burst-resistant canaries this run's ratios used, recorded so
+        # the NEXT round normalizes against the same statistic
+        "probe_best": {"cpu_probe_sec": cur_sc, "cpu_probe_mc_sec": cur_mc},
     }
     if only:
         # child of the fresh-families driver: the parent merges and writes
@@ -654,8 +671,9 @@ def main() -> int:
             "loaded_start": loaded_start,
             # single-core canary (r12: ~27% host drift measured WITHIN one
             # bench) — in the parsed line so no committed total can claim
-            # idle conditions its own canary contradicts
-            "cpu_probe_sec": load_before.get("cpu_probe_sec"),
+            # idle conditions its own canary contradicts; since r16 the
+            # BEST (min of before/after) probe, matching the ratios
+            "cpu_probe_sec": cur_sc,
             # vs the previous committed detail file: raw and canary-
             # normalized shared-min ratios BRACKET the code's true
             # round-over-round contribution (see _cross_round_ratios)

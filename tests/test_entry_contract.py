@@ -169,3 +169,32 @@ def test_window_rotation_is_stalest_first():
         assert max(indep.get(n, 0) for n in window) <= min(
             indep.get(n, 0) for n in names[50:]
         )
+
+
+def test_cross_round_ratios_use_burst_resistant_probes():
+    """[r16] Cross-round normalization reads the BEST (min) canary of
+    each run, preferring the recorded probe_best and falling back to
+    min(before, after) for pre-r16 details: a single instantaneous probe
+    under this box's foreign-load bursts flipped the mc-normalized
+    reading between 0.73 and 1.28 for the SAME code. Self-comparison
+    must read exactly 1.0 on every ratio."""
+    import json
+    import os
+
+    import bench
+
+    with open(os.path.join(os.path.dirname(bench.__file__),
+                           "bench_detail.json")) as f:
+        prev = json.load(f)
+    sc, mc = bench._best_probes(
+        prev["load"]["before"], prev["load"]["after"]
+    )
+    r = bench._cross_round_ratios(prev["queries_min"], sc, mc)
+    assert r["shared_min_ratio"] == 1.0
+    assert r["shared_min_ratio_normalized"] == 1.0
+    assert r["shared_min_ratio_normalized_mc"] == 1.0
+    # probe_best takes precedence over the before/after fallback
+    assert bench._best_probes(
+        {"cpu_probe_sec": 0.2, "cpu_probe_mc_sec": 2.0},
+        {"cpu_probe_sec": 0.1, "cpu_probe_mc_sec": 1.0},
+    ) == (0.1, 1.0)
