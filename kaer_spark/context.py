@@ -56,6 +56,72 @@ EMB_COL = "_m_embedding"  # reference: db/db.go:20
 META_COL = "_m_meta"  # schemaless mode: the whole metadata doc as JSON
 
 
+#: commit-point sidecar for the data-directory swap (see
+#: :func:`heal_data_swap`) — filename, relative to the collection dir
+SWAP_MANIFEST = ".data_swap.json"
+
+
+def heal_data_swap(coll_path: str) -> bool:
+    """Heal an interrupted data-directory swap for the collection at
+    ``coll_path`` — the batch twin of ``streaming.ingest
+    .recover_epoch_compaction`` (r16 verdict #1: the streaming compactor
+    got the manifest + recover discipline; the Collection swap that
+    ``delete``/``compact``/``deduplicate*`` ride did not, so a crash
+    between the two renames opened a collection with no data directory).
+
+    The manifest (``.data_swap.json``) is the commit point, written only
+    AFTER the rewrite directory is verified complete:
+
+    * manifest present → roll FORWARD: finish the swap from whatever
+      rename the crash interrupted (``data.rewrite`` is complete by
+      contract), drop ``data.old``, drop the manifest;
+    * manifest absent  → roll BACKWARD: an unverified ``data.rewrite``
+      is garbage (the writer died mid-write), a stranded ``data.old``
+      with no ``data`` is a legacy pre-manifest crash (restore it), a
+      stranded ``data.old`` beside a live ``data`` is an interrupted
+      cleanup (drop it).
+
+    Idempotent; called from every collection open. Returns True if
+    anything was healed."""
+    data = os.path.join(coll_path, "data")
+    tmp = data + ".rewrite"
+    old = data + ".old"
+    manifest = os.path.join(coll_path, SWAP_MANIFEST)
+    healed = False
+    if os.path.exists(manifest + ".tmp"):
+        os.remove(manifest + ".tmp")  # died before the manifest's os.replace
+        healed = True
+    if os.path.exists(manifest):
+        if os.path.isdir(tmp):
+            # crash before/between the renames: tmp is verified-complete,
+            # so finish the committed swap
+            if os.path.isdir(data):
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(data, old)
+            os.rename(tmp, data)
+        elif not os.path.isdir(data) and os.path.isdir(old):
+            # defensive: tmp vanished without landing as data (should be
+            # unreachable) — the intact pre-swap directory wins over an
+            # empty collection
+            os.rename(old, data)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.remove(manifest)
+        healed = True
+    else:
+        if os.path.isdir(old) and not os.path.isdir(data):
+            os.rename(old, data)  # legacy (pre-manifest) crash window
+            healed = True
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # unverified partial write
+            healed = True
+        if os.path.isdir(old):
+            shutil.rmtree(old)  # interrupted cleanup leg
+            healed = True
+    return healed
+
+
 class CollectionNotFound(KeyError):
     """Reference: ErrCollectionNotFound, db/db.go:25 (raised db/kaer.go:53)."""
 
@@ -145,6 +211,31 @@ class Collection:
         self.ctx = ctx
         self.name = name
         self.meta = meta
+        # every open heals an interrupted data-directory swap first —
+        # reference O9's recovery contract (db/db.go:209-226) extended to
+        # the rewrite ops the reference doesn't have
+        heal_data_swap(self.path)
+
+    def _swap_data_dir(self, tmp: str) -> None:
+        """Commit a VERIFIED rewrite directory over ``data/``: manifest
+        first (the commit point :func:`heal_data_swap` rolls forward
+        from), then the two renames, then cleanup. After the manifest is
+        durable, a crash at ANY point leaves the collection reopenable
+        with the new data; before it, with the old — there is no window
+        where neither a complete directory nor the recipe to restore one
+        exists (the claim ``compact``'s docstring makes)."""
+        manifest = os.path.join(self.path, SWAP_MANIFEST)
+        mtmp = manifest + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"tmp": os.path.basename(tmp)}, f)
+        os.replace(mtmp, manifest)
+        old = self.data_path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(self.data_path, old)
+        os.rename(tmp, self.data_path)
+        shutil.rmtree(old)
+        os.remove(manifest)
 
     # -- paths -----------------------------------------------------------
     @property
@@ -504,43 +595,12 @@ class Collection:
         return refresh_signlsh_index(self.df(), self.signlsh_index_path)
 
     def compact_data(self, target_bytes: int = 128 << 20) -> int:
-        """Rewrite the collection's data directory into
-        ``ceil(bytes / target_bytes)`` files — the maintenance half of
-        the append-per-insert ingest model (every :meth:`insert` batch
-        lands its own parquet file set; at production cadence that is
-        the small-files failure ``sources/files.py`` warns about, the
-        batch-collection twin of the streaming corpora's
-        ``compact_ingest_epochs``). Content-preserving: the row set,
-        ids, and schema are untouched, so EVERY attached index stays
-        valid — no rebuild, unlike :meth:`delete`'s rewrite. The swap is
-        the ``_commit_rewrite`` discipline (write to a temp dir, verify
-        the row count, two renames, drop the old) so a crash never
-        leaves the collection without a complete data directory.
-        Returns the resulting file count."""
-        if not self.meta.get("has_data"):
-            return 0
-        total_bytes = 0
-        for root, _dirs, files in os.walk(self.data_path):
-            for fn in files:
-                if not fn.startswith((".", "_")):
-                    total_bytes += os.path.getsize(os.path.join(root, fn))
-        n_files = max(1, -(-total_bytes // int(target_bytes)))
-        tmp = self.data_path + ".rewrite"
-        before = self.df().count()
-        self.df().coalesce(n_files).write.mode("overwrite").parquet(tmp)
-        after = self.ctx.spark.read.parquet(tmp).count()
-        if after != before:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise RuntimeError(
-                f"compact_data row-count check failed ({before} -> "
-                f"{after}) — compacted directory discarded, original "
-                "untouched"
-            )
-        old = self.data_path + ".old"
-        os.rename(self.data_path, old)
-        os.rename(tmp, self.data_path)
-        shutil.rmtree(old)
-        return int(n_files)
+        """Byte-sized alias for :meth:`compact` — the two near-duplicate
+        compaction methods r16 shipped (``compact(target_files=)`` /
+        ``compact_data(target_bytes=)``) are merged (r16 verdict #2):
+        one implementation now carries BOTH the row-count verify and the
+        already-compact short-circuit, behind both sizing arguments."""
+        return self.compact(target_bytes=target_bytes)
 
     def index_health(self) -> dict[str, DataFrame]:
         """Health reports for every index attached to this collection —
@@ -989,10 +1049,7 @@ class Collection:
         keep.write.mode("overwrite").parquet(tmp)
         total = int(obs.get["total"])
         kept_n = self.ctx.spark.read.parquet(tmp).count()
-        old = self.data_path + ".old"
-        os.rename(self.data_path, old)
-        os.rename(tmp, self.data_path)
-        shutil.rmtree(old)
+        self._swap_data_dir(tmp)
         if kept_n == 0:
             self.meta["has_data"] = False
         self._save_meta()
@@ -1426,9 +1483,13 @@ class Collection:
             if f.endswith(".parquet")
         )
 
-    def compact(self, target_files: int | None = None) -> int:
-        """Rewrite the data directory into ``target_files`` right-sized
-        parquet files; returns the new file count.
+    def compact(
+        self,
+        target_files: int | None = None,
+        target_bytes: int | None = None,
+    ) -> int:
+        """Rewrite the data directory into right-sized parquet files;
+        returns the resulting file count.
 
         Every small ``insert`` batch appends its own file(s), so an
         insert-heavy collection degrades into thousands of tiny files —
@@ -1436,28 +1497,43 @@ class Collection:
         footer reads all scale with file count, not bytes). ``compact``
         is the maintenance op the reference cannot have (its store is a
         remote FerretDB); here it is a **coalesce** rewrite — no shuffle,
-        executors just concatenate input splits — committed by the same
-        atomic directory swap as ``delete``. Rows, ids, and the index are
-        all unchanged (the index addresses ids, not files).
+        executors just concatenate input splits — committed by the
+        ``_swap_data_dir`` discipline (write to a temp dir, verify the
+        row count, manifest the commit point, two renames, drop the old)
+        so a crash at any point leaves the collection reopenable:
+        :func:`heal_data_swap` rolls forward after the manifest,
+        backward before it. Content-preserving: rows, ids, schema, and
+        every attached index are unchanged (indexes address ids, not
+        files) — no rebuild, unlike :meth:`delete`'s rewrite.
 
-        ``target_files`` defaults to the current on-disk bytes divided by
-        ~128 MB (min 1), so callers can just run ``compact()`` after a
-        burst of small inserts.
-        """
+        Sizing: ``target_files`` wins if given; else ``ceil(on-disk
+        bytes / target_bytes)`` with ``target_bytes`` defaulting to
+        ~128 MB (the HDFS/S3 sweet spot). Already-compact collections
+        short-circuit (a rewrite to MORE files never happens)."""
         if not self.meta.get("has_data"):
             return 0
         files = self.data_files()
         if target_files is None:
             total = sum(os.path.getsize(f) for f in files)
-            target_files = max(1, -(-total // self.COMPACT_TARGET_BYTES))
+            tb = int(target_bytes or self.COMPACT_TARGET_BYTES)
+            target_files = max(1, -(-total // tb))
         if target_files >= len(files):
             return len(files)  # already at least this compact
         tmp = self.data_path + ".rewrite"
-        self.df().coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
-        old = self.data_path + ".old"
-        os.rename(self.data_path, old)
-        os.rename(tmp, self.data_path)
-        shutil.rmtree(old)
+        # the pre-rewrite total rides the rewrite job as an Observation —
+        # verify without a second full scan (the delete-path economics)
+        obs = Observation()
+        src = self.df().observe(obs, F.count(F.lit(1)).alias("total"))
+        src.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
+        before = int(obs.get["total"])
+        after = self.ctx.spark.read.parquet(tmp).count()
+        if after != before:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact row-count check failed ({before} -> {after}) — "
+                "compacted directory discarded, original untouched"
+            )
+        self._swap_data_dir(tmp)
         return len(self.data_files())
 
 

@@ -62,3 +62,62 @@ def watermark_health_cols(out: DataFrame, wm, corpus, corpus_id_col: str):
         f"{corpus_id_col!r} ({type(live_max).__name__}) live in different "
         "domains — staleness comparison would be meaningless"
     )
+
+
+def global_ranked(df: DataFrame, order_cols: list, rank_col: str = "_rn") -> DataFrame:
+    """``df`` + an exact global ``row_number`` under ``order_cols`` —
+    WITHOUT a single-partition sort (r16 verdict wrong #3: the stats
+    operators' quantile selectors ranked one-row-per-doc/bucket sets
+    through ``Window.orderBy(...)``, which funnels the whole set through
+    one reducer; invisible at sf-scale, a billion-skinny-row funnel at
+    10⁹ docs).
+
+    Two-level rank selection: range-repartition by the order columns
+    (partition *i*'s rows all sort before partition *i+1*'s), sort
+    within partitions, then ``rank = per-partition row_number +
+    partition offset``, with the offsets computed from per-partition
+    counts — a driver-side list bounded by the PARTITION count, never
+    the row count. Bit-exact: when the order is total (call sites all
+    carry unique tiebreakers) the ranks are exactly the global window's;
+    with duplicate full keys straddling a range boundary the ranks are
+    still a valid permutation of the tied run, so rank-selection
+    QUANTILE VALUES are unchanged either way.
+
+    The partition assignment is frozen with an eager ``localCheckpoint``
+    before the counting job — ``repartitionByRange`` samples its range
+    boundaries per job, so without the pin the count job and the rank
+    job could disagree about which partition a row lives in."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_gr_pid"]: r["cnt"]
+        for r in part.groupBy("_gr_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    acc = 0
+    offsets: dict[int, int] = {}
+    for pid in sorted(counts):  # range partitions are ordered by pid
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("_gr_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_gr_pid").orderBy(*order_cols)
+    return part.withColumn(
+        rank_col, (F.row_number().over(w) + off).cast("long")
+    ).drop("_gr_pid")

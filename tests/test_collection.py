@@ -1090,3 +1090,151 @@ def test_compact_data_preserves_rows_and_indexes(ctx):
     assert lags == {"ivf": 0, "text": 0}
     assert [r["_m_id"] for r in coll.query("document batch 3", k=5)
             .collect()] == top_before
+
+
+def test_swap_crash_pre_manifest_keeps_original(ctx, monkeypatch):
+    """[r17] Crash BEFORE the swap manifest lands (the commit point):
+    reopen must serve the ORIGINAL data — the rewrite never happened.
+    Simulated by failing the manifest's os.replace inside compact and
+    inside delete's _commit_rewrite."""
+    import os as _os
+
+    from kaer_spark.context import KaerContext
+
+    coll = ctx.create_collection("crashpre")
+    for i in range(3):
+        coll.insert([f"pre doc {i} a", f"pre doc {i} b"], [{"k": i}] * 2)
+    before_rows = sorted(
+        (r["_m_id"], r["_m_doc"]) for r in coll.df().collect()
+    )
+
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        if dst.endswith(".data_swap.json"):
+            raise OSError("simulated crash before manifest commit")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        coll.compact(target_files=1)
+    with _pytest.raises(OSError):
+        coll.delete({"k": 0})
+    monkeypatch.setattr(_os, "replace", real_replace)
+
+    # fresh context = fresh open = heal path
+    ctx2 = KaerContext(ctx.spark, ctx.root)
+    healed = ctx2.get_collection("crashpre")
+    assert sorted(
+        (r["_m_id"], r["_m_doc"]) for r in healed.df().collect()
+    ) == before_rows
+    # no stranded swap state
+    assert not _os.path.exists(healed.data_path + ".rewrite")
+    assert not _os.path.exists(healed.data_path + ".old")
+    assert not _os.path.exists(
+        _os.path.join(healed.path, ".data_swap.json")
+    )
+    # the op still works after healing
+    assert healed.compact(target_files=1) == 1
+
+
+def test_swap_crash_post_manifest_rolls_forward(ctx, monkeypatch):
+    """[r17] Crash AFTER the manifest lands but before/between the
+    renames: reopen must roll FORWARD to the verified rewrite (compact →
+    same rows; delete → surviving rows). Both interruption points are
+    pinned: before the first rename and between the two."""
+    import os as _os
+
+    from kaer_spark.context import KaerContext
+
+    coll = ctx.create_collection("crashpost")
+    for i in range(3):
+        coll.insert([f"post doc {i} a", f"post doc {i} b"], [{"k": i}] * 2)
+    before_rows = sorted(
+        (r["_m_id"], r["_m_doc"]) for r in coll.df().collect()
+    )
+
+    real_rename = _os.rename
+
+    def boom_first(src, dst):
+        if src.endswith("/data") and dst.endswith("/data.old"):
+            raise OSError("simulated crash before first rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", boom_first)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        coll.compact(target_files=1)
+    monkeypatch.setattr(_os, "rename", real_rename)
+    # crash state: data intact, verified .rewrite + manifest present
+    assert _os.path.isdir(coll.data_path + ".rewrite")
+    ctx2 = KaerContext(ctx.spark, ctx.root)
+    healed = ctx2.get_collection("crashpost")
+    assert sorted(
+        (r["_m_id"], r["_m_doc"]) for r in healed.df().collect()
+    ) == before_rows  # compact is content-preserving
+    assert len(healed.data_files()) == 1  # and the rewrite WAS committed
+    assert not _os.path.exists(healed.data_path + ".old")
+    assert not _os.path.exists(
+        _os.path.join(healed.path, ".data_swap.json")
+    )
+
+    # between the renames, on the DELETE path: data.old exists, data gone
+    def boom_second(src, dst):
+        if src.endswith("/data.rewrite") and dst.endswith("/data"):
+            raise OSError("simulated crash between renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", boom_second)
+    with _pytest.raises(OSError):
+        healed.delete({"k": 1})
+    monkeypatch.setattr(_os, "rename", real_rename)
+    assert not _os.path.isdir(healed.data_path)  # the r16 strand window
+    ctx3 = KaerContext(ctx.spark, ctx.root)
+    healed2 = ctx3.get_collection("crashpost")
+    kept = sorted(
+        (r["_m_id"], r["_m_doc"]) for r in healed2.df().collect()
+    )
+    assert kept == [r for r in before_rows if "1" not in r[1].split()[2]]
+    assert _os.path.isdir(healed2.data_path)
+    assert not _os.path.exists(healed2.data_path + ".old")
+
+
+def test_heal_data_swap_legacy_and_partial_states(tmp_path):
+    """[r17] heal_data_swap unit coverage for the manifest-less states:
+    a stranded unverified .rewrite is dropped; a legacy .old with no
+    data (pre-manifest crash) is restored; .old beside live data is
+    cleanup debris."""
+    import os as _os
+
+    from kaer_spark.context import heal_data_swap
+
+    root = tmp_path / "c1"
+    root.mkdir()
+    (root / "data.rewrite").mkdir()
+    (root / "data.rewrite" / "part-0.parquet").write_text("x")
+    (root / "data").mkdir()
+    (root / "data" / "part-0.parquet").write_text("orig")
+    assert heal_data_swap(str(root)) is True
+    assert not (root / "data.rewrite").exists()
+    assert (root / "data" / "part-0.parquet").read_text() == "orig"
+
+    root2 = tmp_path / "c2"
+    root2.mkdir()
+    (root2 / "data.old").mkdir()
+    (root2 / "data.old" / "part-0.parquet").write_text("legacy")
+    assert heal_data_swap(str(root2)) is True
+    assert (root2 / "data" / "part-0.parquet").read_text() == "legacy"
+    assert not (root2 / "data.old").exists()
+
+    root3 = tmp_path / "c3"
+    root3.mkdir()
+    (root3 / "data").mkdir()
+    (root3 / "data.old").mkdir()
+    assert heal_data_swap(str(root3)) is True
+    assert not (root3 / "data.old").exists()
+    # idempotent and quiet on a clean dir
+    assert heal_data_swap(str(root3)) is False
