@@ -270,6 +270,14 @@ class Collection:
     def signlsh_index_path(self) -> str:
         return os.path.join(self.path, "signlsh_index")
 
+    @property
+    def shingle_index_path(self) -> str:
+        return os.path.join(self.path, "shingle_index")
+
+    @property
+    def fuzzy_index_path(self) -> str:
+        return os.path.join(self.path, "fuzzy_index")
+
     def _save_meta(self) -> None:
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:

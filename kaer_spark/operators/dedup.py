@@ -34,7 +34,11 @@ from pyspark.sql.window import Window
 
 from kaer_spark.functions.text import char_shingles, tokens, word_shingles
 from kaer_spark.functions.vector import dot, vector_norm
-from kaer_spark.operators.util import ensure_parallelism, watermark_health_cols
+from kaer_spark.operators.util import (
+    ensure_parallelism,
+    global_ranked,
+    watermark_health_cols,
+)
 
 HASH_MOD = 1_000_000_007
 HASH_BASE = 31
@@ -573,13 +577,12 @@ def shingle_index_stats(
     real signal, not just boilerplate. Legacy v1 artifacts raise (their
     capped tables can't answer the uncapped questions).
 
-    Scale note: the doc-size quantiles rank in one global window over
-    ONE ROW PER DOCUMENT (the sizes table) — corpus-cardinality, not
-    posting-cardinality, and selection-only."""
+    Scale note: the doc-size quantiles use two-level rank selection
+    (``util.global_ranked``: range-partitioned per-partition ranks +
+    partition offsets — bit-exact, no single-reducer sort) over ONE ROW
+    PER DOCUMENT (the sizes table), never posting-cardinality."""
     import os as _os
     from functools import reduce
-
-    from pyspark.sql.window import Window
 
     meta = read_shingle_index_meta(path)
     if meta.get("version") != 2:
@@ -610,9 +613,8 @@ def shingle_index_stats(
         F.sum("sz").cast("long").alias("n_postings"),
         F.max("sz").cast("long").alias("max_doc_shingles"),
     )
-    ranked = sizes.withColumn(
-        "_rn",
-        F.row_number().over(Window.orderBy(F.col("sz").asc(), F.col("id").asc())),
+    ranked = global_ranked(
+        sizes, [F.col("sz").asc(), F.col("id").asc()]
     ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
     p50 = ranked.filter(
         F.col("_rn") == F.expr("(n_docs + 1) div 2")
@@ -765,6 +767,210 @@ def ngram_containment_pairs(
             >= threshold
         )
         .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a")
+    )
+
+
+def _between_pair_counts(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str,
+    right_id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    unit: str,
+) -> DataFrame:
+    """CROSS-corpus twin of :func:`_shingle_pair_counts`:
+    ``(left_id, right_id, inter, sz_a, sz_b)`` from one inverted join
+    strictly across corpora. The doc-freq cap is computed on the RIGHT
+    (reference) corpus only — the side the screen is defined against,
+    matching the indexed twin where the hot set comes from the
+    reference artifact's stored doc-freq state — and both sides' set
+    sizes are recomputed over the kept shingles so intersection and
+    union agree."""
+    lsh = (
+        ensure_parallelism(left)
+        .select(
+            F.col(left_id_col).alias("id"),
+            _shingle_expr(text_col, n, unit).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    rsh = (
+        ensure_parallelism(right)
+        .select(
+            F.col(right_id_col).alias("id"),
+            _shingle_expr(text_col, n, unit).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    linv = lsh.select("id", F.explode("shingles").alias("g"))
+    rinv = rsh.select("id", F.explode("shingles").alias("g"))
+    if max_doc_freq is not None:
+        hot = (
+            rinv.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("g")
+            .localCheckpoint(eager=False)  # three anti-join consumers
+        )
+        linv = linv.join(F.broadcast(hot), "g", "left_anti")
+        rinv = rinv.join(F.broadcast(hot), "g", "left_anti")
+    lsz = linv.groupBy("id").agg(F.count("*").alias("sz"))
+    rsz = rinv.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        linv.alias("a")
+        .join(rinv.alias("b"), on="g")
+        .groupBy(
+            F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return pairs.join(
+        lsz.select(F.col("id").alias("left_id"), F.col("sz").alias("sz_a")),
+        "left_id",
+    ).join(
+        rsz.select(F.col("id").alias("right_id"), F.col("sz").alias("sz_b")),
+        "right_id",
+    )
+
+
+def ngram_jaccard_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    unit: str = "char",
+) -> DataFrame:
+    """CROSS-corpus exact n-gram Jaccard pairs ``(left_id, right_id,
+    jaccard)`` — the deterministic decontamination screen next to the
+    probabilistic :func:`minhash_near_dups_between` (same contract, no
+    hashing approximation: Jaccard is computed from true distinct-
+    shingle intersection counts, so the screen is exactly replayable by
+    a SQL oracle). ``max_doc_freq`` caps on the RIGHT (reference)
+    corpus's doc frequencies — see :func:`_between_pair_counts`. The
+    recurring regime serves the same values from a standing reference
+    artifact via :func:`ngram_jaccard_against_index`."""
+    return (
+        _between_pair_counts(
+            left, right, left_id_col, right_id_col, text_col, n,
+            max_doc_freq, unit,
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def _indexed_between_pair_counts(
+    spark, path: str, left: DataFrame, left_id_col: str, text_col: str | None
+) -> DataFrame:
+    """The cross-corpus pair stage served from the at-rest artifact of
+    :func:`build_shingle_index`: probe documents are shingled under the
+    SIDECAR's frozen geometry (so both sides always cut alike), the
+    stored hot table broadcasts into anti-joins on BOTH sides, and the
+    stored uncapped per-doc sizes are corrected to kept-shingle counts
+    exactly as :func:`_indexed_pair_counts` does for the self-join."""
+    import os as _os
+
+    meta = read_shingle_index_meta(path)
+    if meta.get("version", 1) < 2:
+        raise ValueError(
+            "legacy (v1) shingle-index artifact: cross-corpus serving "
+            "needs the uncapped v2 tables — rebuild with "
+            "build_shingle_index"
+        )
+    tcol = text_col or meta["text_col"]
+    inv = spark.read.parquet(_os.path.join(path, "postings"))
+    sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    lsh = (
+        ensure_parallelism(left)
+        .select(
+            F.col(left_id_col).alias("id"),
+            _shingle_expr(tcol, meta["n"], meta["unit"]).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    linv = lsh.select("id", F.explode("shingles").alias("g"))
+    lsz_src = lsh.select("id", F.size("shingles").alias("sz"))
+    if meta.get("hot_dir"):
+        hot = spark.read.parquet(_os.path.join(path, meta["hot_dir"]))
+        corr = (
+            inv.join(F.broadcast(hot), "g", "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("hot_cnt"))
+        )
+        sizes = sizes.join(corr, "id", "left").select(
+            "id",
+            (F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))).alias("sz"),
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
+        lcorr = (
+            linv.join(F.broadcast(hot), "g", "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("hot_cnt"))
+        )
+        lsz_src = lsz_src.join(lcorr, "id", "left").select(
+            "id",
+            (F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))).alias("sz"),
+        )
+        linv = linv.join(F.broadcast(hot), "g", "left_anti")
+    pairs = (
+        linv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .groupBy(
+            F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return pairs.join(
+        lsz_src.select(
+            F.col("id").alias("left_id"), F.col("sz").alias("sz_a")
+        ),
+        "left_id",
+    ).join(
+        sizes.select(F.col("id").alias("right_id"), F.col("sz").alias("sz_b")),
+        "right_id",
+    )
+
+
+def ngram_jaccard_against_index(
+    spark,
+    path: str,
+    left: DataFrame,
+    left_id_col: str = "doc_id",
+    text_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`ngram_jaccard_between` with the RIGHT side served from the
+    at-rest artifact of :func:`build_shingle_index` — value-identical to
+    the from-text cross call over the built reference with the built
+    parameters (``n``/``unit``/``max_doc_freq`` all come from the
+    sidecar; intersection and kept-set sizes are pure integer arithmetic
+    either way). The call pays only the probe side's shingling plus the
+    cross inverted join — the reference's postings, sizes, and hot table
+    read straight off parquet, which is the whole economics of the
+    recurring screen (reference O8 family, ``db/db.go:176-207``)."""
+    return (
+        _indexed_between_pair_counts(spark, path, left, left_id_col, text_col)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
     )
 
 
@@ -1128,11 +1334,10 @@ def fuzzy_index_stats(
     sizes: the over-cap keys are exactly the ``bc > max_key_df``
     buckets).
 
-    Scale note: bucket quantiles rank one row per distinct blocking key,
-    doc counts aggregate — corpus-cardinality, selection-only."""
+    Scale note: bucket quantiles rank one row per distinct blocking key
+    via two-level rank selection (``util.global_ranked`` — bit-exact,
+    no single-reducer sort); doc counts aggregate."""
     import os as _os
-
-    from pyspark.sql.window import Window
 
     meta = read_fuzzy_index_meta(path)
     seg = spark.read.parquet(_os.path.join(path, "segments"))
@@ -1146,11 +1351,8 @@ def fuzzy_index_stats(
         F.sum("bc").cast("long").alias("n_seg_rows"),
         F.max("bc").cast("long").alias("max_bucket"),
     )
-    ranked_b = buckets.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.orderBy(F.col("bc").asc(), F.col("i").asc(), F.col("seg").asc())
-        ),
+    ranked_b = global_ranked(
+        buckets, [F.col("bc").asc(), F.col("i").asc(), F.col("seg").asc()]
     ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
     p50_b = ranked_b.filter(
         F.col("_rn") == F.expr("(n_buckets + 1) div 2")
@@ -1783,11 +1985,10 @@ def minhash_index_stats(
     boilerplate upstream — the hashing itself is content-agnostic.
 
     Scale note: bucket quantiles rank ONE ROW PER BUCKET and doc
-    quantiles ONE ROW PER DOCUMENT — both corpus-cardinality global
-    windows, selection-only, never posting-cardinality."""
+    quantiles ONE ROW PER DOCUMENT via two-level rank selection
+    (``util.global_ranked`` — bit-exact, no single-reducer sort), never
+    posting-cardinality."""
     import os as _os
-
-    from pyspark.sql.window import Window
 
     meta = read_minhash_index_meta(path)
     bands_t = spark.read.parquet(_os.path.join(path, "bands"))
@@ -1802,13 +2003,8 @@ def minhash_index_stats(
         F.sum("bc").cast("long").alias("n_band_rows"),
         F.max("bc").cast("long").alias("max_bucket"),
     )
-    ranked_b = buckets.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.orderBy(
-                F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()
-            )
-        ),
+    ranked_b = global_ranked(
+        buckets, [F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()]
     ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
     p50_b = ranked_b.filter(
         F.col("_rn") == F.expr("(n_buckets + 1) div 2")
@@ -1821,9 +2017,8 @@ def minhash_index_stats(
         F.count("*").alias("n_docs"),
         F.max("sz").cast("long").alias("max_doc_shingles"),
     )
-    ranked_s = sizes.withColumn(
-        "_rn",
-        F.row_number().over(Window.orderBy(F.col("sz").asc(), F.col("id").asc())),
+    ranked_s = global_ranked(
+        sizes, [F.col("sz").asc(), F.col("id").asc()]
     ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
     p50_s = ranked_s.filter(
         F.col("_rn") == F.expr("(n_docs + 1) div 2")
@@ -2609,10 +2804,9 @@ def signlsh_index_stats(
     drifted and the THRESHOLD needs re-calibration, not the index.
 
     Scale note: bucket quantiles rank one row per bucket, norm
-    quantiles one row per vector — corpus-cardinality, selection-only."""
+    quantiles one row per vector, both via two-level rank selection
+    (``util.global_ranked`` — bit-exact, no single-reducer sort)."""
     import os as _os
-
-    from pyspark.sql.window import Window
 
     meta = read_signlsh_index_meta(path)
     bands_t = spark.read.parquet(_os.path.join(path, "bands"))
@@ -2626,13 +2820,8 @@ def signlsh_index_stats(
         F.sum("bc").cast("long").alias("n_band_rows"),
         F.max("bc").cast("long").alias("max_bucket"),
     )
-    ranked_b = buckets.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.orderBy(
-                F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()
-            )
-        ),
+    ranked_b = global_ranked(
+        buckets, [F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()]
     ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
     p50_b = ranked_b.filter(
         F.col("_rn") == F.expr("(n_buckets + 1) div 2")
@@ -2651,11 +2840,8 @@ def signlsh_index_stats(
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
-    ranked_n = norms.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.orderBy(F.col("nrm").asc(), F.col("id").asc())
-        ),
+    ranked_n = global_ranked(
+        norms, [F.col("nrm").asc(), F.col("id").asc()]
     ).crossJoin(F.broadcast(nstats)).localCheckpoint(eager=False)
     p50_n = ranked_n.filter(
         F.col("_rn") == F.expr("(n_vecs + 1) div 2")

@@ -47,7 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kaer_spark.functions.text import tokens
-from kaer_spark.operators.util import ensure_parallelism, watermark_health_cols
+from kaer_spark.operators.util import (
+    ensure_parallelism,
+    global_ranked,
+    watermark_health_cols,
+)
 
 META_FILE = "index.json"
 POSTINGS_DIR = "postings"
@@ -358,11 +362,11 @@ def text_index_stats(
     is content-agnostic, so persistent skew means the bucket count is
     too small for the vocabulary, not that the hash went bad.
 
-    Scale note: the df quantiles rank in one global window over ONE ROW
-    PER TERM (vocabulary-sized, not posting-sized), the dl quantiles
-    over one row per document; both selection-only."""
-    from pyspark.sql.window import Window
-
+    Scale note: the df quantiles rank ONE ROW PER TERM
+    (vocabulary-sized, not posting-sized), the dl quantiles one row per
+    document — both via two-level rank selection (``util.global_ranked``:
+    range-partitioned per-partition ranks + partition offsets, bit-exact,
+    no single-reducer sort)."""
     meta = read_text_index_meta(path)
     postings = spark.read.parquet(os.path.join(path, POSTINGS_DIR))
     doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
@@ -376,11 +380,8 @@ def text_index_stats(
         F.sum("df").cast("long").alias("n_postings"),
         F.max("df").cast("long").alias("max_df"),
     )
-    ranked_df = tdf.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.orderBy(F.col("df").asc(), F.col("term").asc())
-        ),
+    ranked_df = global_ranked(
+        tdf, [F.col("df").asc(), F.col("term").asc()]
     ).crossJoin(F.broadcast(dfstats)).localCheckpoint(eager=False)
     p50_df = ranked_df.filter(
         F.col("_rn") == F.expr("(n_terms + 1) div 2")
@@ -391,11 +392,8 @@ def text_index_stats(
     dlstats = doclens.agg(
         F.count("*").alias("n_docs"), F.max("dl").cast("long").alias("max_dl")
     )
-    ranked_dl = doclens.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.orderBy(F.col("dl").asc(), F.col("id").asc())
-        ),
+    ranked_dl = global_ranked(
+        doclens, [F.col("dl").asc(), F.col("id").asc()]
     ).crossJoin(F.broadcast(dlstats)).localCheckpoint(eager=False)
     p50_dl = ranked_dl.filter(
         F.col("_rn") == F.expr("(n_docs + 1) div 2")

