@@ -208,10 +208,78 @@ DETAIL_ONLY = [
     "fuzzy_index_stats",
     "fuzzy_index_catchup",
     "pq_knn_refined",      # serve constant; pq build cost = pq_index_catchup detail
+    "pq_knn_join",         # [r17] same: serves the at-rest code table; its
+                           # build cost is the pq_index_catchup detail row
     "pq_index_catchup",
     "dedup_keep_best",     # serves the memoized cluster table; build twin
                            # dedup_cluster_build stays on the line
+    # [r17] standing maintenance rows (cold, fixture-scoped, 1 rep — see
+    # _bench_maintenance): regressions in the swap/manifest path now
+    # surface on the cross-round detail trend line, not only in probes
+    "maint_compact_epochs",
+    "maint_collection_compact",
 ]
+
+
+def _bench_maintenance(spark, sf_dir: str) -> dict[str, float]:
+    """One COLD timing each for the two maintenance ops (r16 verdict #6:
+    epoch/collection compaction had hand-run scale probes but no standing
+    bench presence, so a regression in the swap/manifest path would never
+    surface on the cross-round trend line). Fixtures are rebuilt from the
+    sf tables in a temp dir per call — fixture build cost excluded, only
+    the op is timed. Rows are DETAIL_ONLY (bench_detail.json)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    base = tempfile.mkdtemp(prefix="kaer_bench_maint_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # streaming layout: 8 closed epochs + the newest (never touched)
+        ep_dir = os.path.join(base, "epochs")
+        for e in range(9):
+            docs.filter(F.col("doc_id") % 9 == e).coalesce(2).write.mode(
+                "overwrite"
+            ).parquet(f"{ep_dir}/epoch={e}")
+        from kaer_spark.streaming.ingest import compact_ingest_epochs
+
+        t0 = time.time()
+        res = compact_ingest_epochs(spark, ep_dir)
+        out["maint_compact_epochs"] = round(time.time() - t0, 3)
+        if res.get("compacted") != 8:
+            print(
+                f"WARNING: maint_compact_epochs fixture compacted "
+                f"{res.get('compacted')} epochs (expected 8)",
+                file=sys.stderr,
+            )
+
+        # batch-collection layout: 8 splintered insert batches through the
+        # real API (embeddings ride along, so insert_df never embeds)
+        from kaer_spark.context import KaerContext
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+            F.col("text").alias("_m_doc"),
+            F.col("embedding").alias("_m_embedding"),
+            "lang",
+        )
+        ctx = KaerContext(spark, os.path.join(base, "kaer"))
+        coll = ctx.create_collection("bench_compact", dim=64)
+        for b in range(8):
+            coll.insert_df(corpus.filter(F.crc32(F.col("_m_doc")) % 8 == b))
+        t0 = time.time()
+        n_files = coll.compact(target_files=4)
+        out["maint_collection_compact"] = round(time.time() - t0, 3)
+        if n_files > 4:
+            print(
+                f"WARNING: maint_collection_compact left {n_files} files",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def stdout_queries(med: dict[str, float]) -> dict[str, float]:
@@ -591,6 +659,14 @@ def main() -> int:
             f"  rows={rows[name]}",
             file=sys.stderr,
         )
+    # [r17] the standing maintenance rows (detail-only, cold, 1 rep) —
+    # full runs only, so fresh-family children and BENCH_ONLY subsets
+    # never pay the fixture build
+    if not only:
+        maint = _bench_maintenance(spark, sf_dir)
+        for name, sec in maint.items():
+            med[name] = best[name] = sec
+            print(f"  {name:28s} cold={sec:7.3f}s", file=sys.stderr)
 
     # The driver captures only the TAIL of this process's output and parses
     # the last JSON line out of it. Round 7's line carried queries_min +
@@ -605,6 +681,27 @@ def main() -> int:
         _cross_round_ratios(best, cur_sc, cur_mc) if not only else {}
     )
     contaminated = _contaminated_reps(rep_loads)
+    # [r17] contamination-FILTERED aggregates (r16 verdict #7): medians/
+    # mins over only the reps whose fingerprint was clean, so the
+    # headline number itself excludes polluted reps instead of relying
+    # on readers to prefer mins. Equal to value/value_min when every rep
+    # is clean; None when NO rep is clean (nothing to filter to).
+    clean_idx = [i for i in range(reps) if i not in contaminated]
+    med_clean: dict[str, float] = {}
+    best_clean: dict[str, float] = {}
+    if clean_idx:
+        for name in headline:
+            runs = sorted(times[name][i] for i in clean_idx)
+            med_clean[name] = round(runs[len(runs) // 2], 3)
+            best_clean[name] = round(runs[0], 3)
+        for name in med:
+            if name not in times:  # maintenance rows: single cold rep
+                med_clean[name] = med[name]
+                best_clean[name] = best[name]
+    value_clean = round(sum(med_clean.values()), 3) if clean_idx else None
+    value_min_clean = (
+        round(sum(best_clean.values()), 3) if clean_idx else None
+    )
     max_load_seen = max(
         [
             s.get("load_avg_1m", 0.0)
@@ -625,6 +722,12 @@ def main() -> int:
         "rep_loads": rep_loads,
         "contaminated_reps": contaminated,
         "max_load_seen": round(max_load_seen, 2),
+        # [r17] clean-rep aggregates: the primary statistic when any rep
+        # is condemned (BASELINE.md documents precedence)
+        "queries_med_clean": med_clean,
+        "queries_min_clean": best_clean,
+        "value_clean": value_clean,
+        "value_min_clean": value_min_clean,
         "serve_from_artifact": [
             n for n in SERVE_FROM_ARTIFACT if n in headline
         ],
@@ -697,6 +800,12 @@ def main() -> int:
             # needs BOTH loaded_start=false and contaminated_reps=0
             "max_load_seen": detail["max_load_seen"],
             "contaminated_reps": len(contaminated),
+            # [r17] the contamination-filtered total ON the line: when
+            # contaminated_reps > 0 this is the number to read (the raw
+            # value/value_min keep their cross-round series intact; the
+            # min-based clean twin lives in the committed detail file —
+            # the stdout budget holds exactly one extra field)
+            "value_clean": value_clean,
             "queries": stdout_queries(med),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },

@@ -1238,3 +1238,74 @@ def test_heal_data_swap_legacy_and_partial_states(tmp_path):
     assert not (root3 / "data.old").exists()
     # idempotent and quiet on a clean dir
     assert heal_data_swap(str(root3)) is False
+
+
+def test_collection_shingle_and_fuzzy_artifacts(ctx):
+    """[r17] Collection-owned shingle + fuzzy index families (r16 verdict
+    missing #2): build on the collection, insert refreshes both to zero
+    lag (the engine-wide O8 parity rule), index_health reports them, and
+    deduplicate_against transparently serves from the standing artifacts
+    with values identical to the from-text path."""
+    ref = ctx.create_collection("ref_sf")
+    ref.insert(
+        [f"reference document number {i} about spark catalyst optimizer "
+         f"rules shared suffix" for i in range(6)],
+        [{"k": i} for i in range(6)],
+    )
+    ref.build_shingle_index(n=8, max_doc_freq=8)
+    ref.build_fuzzy_index(max_edits=2, key_len=24)
+
+    # O8 parity: insert refreshes BOTH, health shows zero lag
+    ref.insert(["reference document number 6 about spark catalyst "
+                "optimizer rules shared suffix"], [{"k": 6}])
+    health = ref.index_health()
+    assert {"shingle", "fuzzy"} <= set(health)
+    assert health["shingle"].collect()[0]["watermark_lag"] == 0
+    f = health["fuzzy"].collect()[0]
+    assert f["watermark_lag"] == 0
+    assert f["n_docs"] == 7 and f["n_seg_rows"] == 7 * 3
+
+    # jaccard screen serves from the standing artifact; values match the
+    # from-text twin (force it by passing operator kwargs)
+    probe = ctx.create_collection("probe_sf")
+    probe.insert(
+        ["reference document number 2 about spark catalyst optimizer "
+         "rules shared suffix",  # near-verbatim -> screened
+         "totally novel probe content nothing shared here at all"],
+        [{}, {}],
+    )
+    probe2 = ctx.create_collection("probe_sf2")
+    probe2.insert(
+        [r["_m_doc"] for r in probe.df().orderBy("_m_id").collect()],
+        [{}, {}],
+    )
+    removed_indexed = probe.deduplicate_against(ref, method="jaccard",
+                                                threshold=0.5)
+    removed_fresh = probe2.deduplicate_against(
+        ref, method="jaccard", threshold=0.5, n=8, max_doc_freq=8
+    )
+    assert removed_indexed == removed_fresh == 1
+    assert probe.count() == probe2.count() == 1
+
+    # fuzzy screen: a one-edit variant passes jaccard at high threshold
+    # but not the edit screen
+    probe3 = ctx.create_collection("probe_sf3")
+    probe3.insert(
+        ["reference document number 3 about spark catalyst optimizer "
+         "rules shared suffix!",  # one appended char
+         "totally novel probe content nothing shared here at all"],
+        [{}, {}],
+    )
+    removed_fz = probe3.deduplicate_against(ref, method="fuzzy")
+    assert removed_fz == 1 and probe3.count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        probe3.deduplicate_against(ref, method="fuzzy", threshold=0.5)
+
+    # a rewrite (delete) rebuilds both artifacts under the same geometry
+    ref.delete({"k": 0})
+    h2 = ref.index_health()
+    assert h2["shingle"].collect()[0]["n_docs"] == 6
+    f2 = h2["fuzzy"].collect()[0]
+    assert f2["n_docs"] == 6 and f2["watermark_lag"] == 0

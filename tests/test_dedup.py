@@ -2304,3 +2304,102 @@ def test_fuzzy_index_stats_report(spark, tmp_path):
     assert r["p90_bucket_sz"] == bsizes[(9 * nb + 9) // 10 - 1]
     assert r["max_edits"] == 2 and r["key_len"] == 24
     assert r["watermark"] == 6 and r["watermark_lag"] == 44
+
+
+def test_ngram_jaccard_between_matches_bruteforce(spark):
+    """[r17] Cross-corpus exact Jaccard: from-text values equal a python
+    brute force over distinct shingle sets, capped and uncapped (cap on
+    the RIGHT corpus's doc freq, sizes over kept shingles)."""
+    from kaer_spark.operators.dedup import ngram_jaccard_between
+
+    left_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated text about parquet pruning"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+    ]
+    right_rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "the quick brown fox leaps over the lazy dog"),
+        (12, "another unrelated reference document entirely"),
+    ]
+    left = spark.createDataFrame(left_rows, "doc_id long, text string")
+    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+
+    def shingles(t, n=8):
+        return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+    def expect(max_doc_freq=None, threshold=0.05):
+        rsets = {i: shingles(t) for i, t in right_rows}
+        if max_doc_freq is not None:
+            from collections import Counter
+
+            dfc = Counter(g for s in rsets.values() for g in s)
+            hot = {g for g, c in dfc.items() if c > max_doc_freq}
+        else:
+            hot = set()
+        out = {}
+        for li, lt in left_rows:
+            ls = shingles(lt) - hot
+            for ri in rsets:
+                rs = rsets[ri] - hot
+                inter = len(ls & rs)
+                if not inter:
+                    continue
+                j = inter / (len(ls) + len(rs) - inter)
+                if j >= threshold:
+                    out[(li, ri)] = round(j, 9)
+        return out
+
+    for cap in (None, 1):
+        got = {
+            (r["left_id"], r["right_id"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_between(
+                left, right, threshold=0.05, max_doc_freq=cap
+            ).collect()
+        }
+        assert got == expect(max_doc_freq=cap), f"cap={cap}"
+
+
+def test_ngram_jaccard_against_index_matches_between(spark, tmp_path):
+    """[r17] The at-rest serving path is value-identical to the from-text
+    cross call over the built reference — including after a refresh and
+    with the doc-freq cap engaged (hot set from the stored segments)."""
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        ngram_jaccard_against_index,
+        ngram_jaccard_between,
+        refresh_shingle_index,
+    )
+
+    right = spark.createDataFrame(
+        [(i, f"reference document number {i} about spark catalyst "
+             f"optimizer rules common suffix shared by all docs")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, f"reference document number {i} about spark catalyst "
+                   f"optimizer rules common suffix shared by all docs")
+         for i in range(3)]
+        + [(200, "entirely different probe content")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shidx")
+    build_shingle_index(
+        right.filter("doc_id < 5"), path, n=8, max_doc_freq=6
+    )
+    refresh_shingle_index(right, path)
+
+    fresh = {
+        (r["left_id"], r["right_id"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_between(
+            probe, right, threshold=0.3, max_doc_freq=6
+        ).collect()
+    }
+    served = {
+        (r["left_id"], r["right_id"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_against_index(
+            spark, path, probe, threshold=0.3
+        ).collect()
+    }
+    assert served == fresh and fresh  # non-empty parity

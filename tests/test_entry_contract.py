@@ -67,6 +67,9 @@ def test_bench_json_line_fits_driver_tail_buffer():
         "shared_min_ratio_normalized_mc": 0.123,
         "max_load_seen": 12.34,
         "contaminated_reps": 3,
+        # [r17] the contamination-filtered total rides the line too (its
+        # min-based twin stays detail-only for exactly this budget)
+        "value_clean": 99999.999,
         # per-query ceiling 99.99: the heaviest row ever recorded is ~7s
         # median (14x headroom); stdout_queries rounds to 2 decimals, so
         # this is the realistic worst width per entry
@@ -198,3 +201,34 @@ def test_cross_round_ratios_use_burst_resistant_probes():
         {"cpu_probe_sec": 0.2, "cpu_probe_mc_sec": 2.0},
         {"cpu_probe_sec": 0.1, "cpu_probe_mc_sec": 1.0},
     ) == (0.1, 1.0)
+
+
+def test_every_index_family_has_refresh_and_stats():
+    """[r17] The O8/observability symmetry rule, frozen (r16 verdict #8):
+    every at-rest index family the engine exports — every build_*_index
+    across the operator modules — must export the matching refresh_*
+    catch-up AND the *_index_stats health report in the same module.
+    A new family landing without either fails here, not in a later
+    round's verdict."""
+    import importlib
+
+    modules = [
+        "kaer_spark.operators.dedup",
+        "kaer_spark.operators.index_store",
+        "kaer_spark.operators.text_index",
+    ]
+    families = []
+    for modname in modules:
+        mod = importlib.import_module(modname)
+        for name in dir(mod):
+            if name.startswith("build_") and name.endswith("_index"):
+                stem = name[len("build_"):-len("_index")]
+                families.append((mod, modname, name, stem))
+    assert len(families) >= 7, [f[2] for f in families]
+    missing = []
+    for mod, modname, name, stem in families:
+        if not callable(getattr(mod, f"refresh_{stem}_index", None)):
+            missing.append(f"{modname}.refresh_{stem}_index")
+        if not callable(getattr(mod, f"{stem}_index_stats", None)):
+            missing.append(f"{modname}.{stem}_index_stats")
+    assert not missing, missing
