@@ -84,6 +84,10 @@ JACCARD_THRESHOLD = 0.4
 # rare-shingle cap: shingles present in more docs carry no dedup signal but
 # dominate the inverted join's sum(df²) pair work (561M → 5.7M at sf0.1)
 JACCARD_MAX_DF = 100
+# cross-corpus containment cut: lower than the self-pair 0.8 — the parity
+# split separates near-identical doc pairs across the two sides, and the
+# detector's point is the asymmetric (subset) relation
+CONTAIN_BETWEEN_THRESHOLD = 0.6
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
 # remove_duplicate_lines over the space-separated fixture corpus: token
@@ -2867,6 +2871,41 @@ def _q_jaccard_against_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[r17] Cross-corpus Broder containment (dedup.ngram_containment_
+    between) on the parity split — the subset/quote decontamination
+    detector: a short reference doc embedded in a long probe doc scores
+    containment ≈ 1 where cross-Jaccard stays tiny. Same reference-side
+    cap as jaccard_between (shared pair core)."""
+    from kaer_spark.operators.dedup import ngram_containment_between
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_between(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=JACCARD_N, threshold=CONTAIN_BETWEEN_THRESHOLD,
+        max_doc_freq=JACCARD_MAX_DF,
+    )
+
+
+def _q_containment_against_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[r17] containment_between served from the SAME at-rest odd-corpus
+    shingle artifact as jaccard_against_indexed — one build feeds both
+    cross-corpus scorers (Broder 1997: resemblance and containment are
+    projections over the same pair counts). Same from-text oracle;
+    build/serve drift lands as a value mismatch."""
+    from kaer_spark.operators.dedup import ngram_containment_against_index
+
+    path = _ensure_between_shingle_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=CONTAIN_BETWEEN_THRESHOLD,
+    )
+
+
 def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once-serve-many handle to the at-rest decontamination index
     (dedup.build_minhash_index) over the ODD-id reference corpus — the
@@ -4906,6 +4945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdict missing #2), and these gate the operator layer
         "jaccard_between": _q_jaccard_between,
         "jaccard_against_indexed": _q_jaccard_against_indexed,
+        "containment_between": _q_containment_between,
+        "containment_against_indexed": _q_containment_against_indexed,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -5278,6 +5319,58 @@ def _sql_jaccard_between(
         JOIN rsz sb ON sb.id = p.right_id
         WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter)
               >= {threshold!r}
+    """
+
+
+def _sql_containment_between(
+    max_df: int | None = JACCARD_MAX_DF,
+    threshold: float = CONTAIN_BETWEEN_THRESHOLD,
+) -> str:
+    """[r17] Containment twin of _sql_jaccard_between: identical
+    split/cap/pair CTEs, the projection scores Broder containment both
+    ways and filters on the greater direction."""
+    n = JACCARD_N
+    shingle = (
+        f"list_distinct(list_transform(range(1, length(text) - {n - 2}),"
+        f" i -> substr(text, i, {n})))"
+    )
+    cap = (
+        f"""
+        hot AS (SELECT g FROM rinv0 GROUP BY g HAVING count(*) > {max_df}),
+        linv AS (SELECT id, g FROM linv0 ANTI JOIN hot USING (g)),
+        rinv AS (SELECT id, g FROM rinv0 ANTI JOIN hot USING (g)),"""
+        if max_df is not None
+        else """
+        linv AS (SELECT id, g FROM linv0),
+        rinv AS (SELECT id, g FROM rinv0),"""
+    )
+    return f"""
+        WITH lsh AS (
+          SELECT doc_id AS id, {shingle} AS shingles
+          FROM documents
+          WHERE length(text) >= {n} AND doc_id % 2 = 0
+        ),
+        rsh AS (
+          SELECT doc_id AS id, {shingle} AS shingles
+          FROM documents
+          WHERE length(text) >= {n} AND doc_id % 2 = 1
+        ),
+        linv0 AS (SELECT id, unnest(shingles) AS g FROM lsh),
+        rinv0 AS (SELECT id, unnest(shingles) AS g FROM rsh),{cap}
+        lsz AS (SELECT id, count(*) AS sz FROM linv GROUP BY id),
+        rsz AS (SELECT id, count(*) AS sz FROM rinv GROUP BY id),
+        pairs AS (
+          SELECT a.id AS left_id, b.id AS right_id, count(*) AS inter
+          FROM linv a JOIN rinv b USING (g) GROUP BY 1, 2
+        )
+        SELECT p.left_id, p.right_id,
+               CAST(p.inter AS DOUBLE) / sa.sz AS containment_l_in_r,
+               CAST(p.inter AS DOUBLE) / sb.sz AS containment_r_in_l
+        FROM pairs p
+        JOIN lsz sa ON sa.id = p.left_id
+        JOIN rsz sb ON sb.id = p.right_id
+        WHERE greatest(CAST(p.inter AS DOUBLE) / sa.sz,
+                       CAST(p.inter AS DOUBLE) / sb.sz) >= {threshold!r}
     """
 
 
@@ -7820,6 +7913,8 @@ def oracle_sql() -> dict[str, str]:
         # to the from-text cross call by construction
         "jaccard_between": _sql_jaccard_between(),
         "jaccard_against_indexed": _sql_jaccard_between(),
+        "containment_between": _sql_containment_between(),
+        "containment_against_indexed": _sql_containment_between(),
         "dedup_against": _sql_minhash_between(survivors=True),
         # served from the at-rest reference artifact: identical values by
         # construction, so the oracle IS the from-text replay

@@ -974,6 +974,78 @@ def ngram_jaccard_against_index(
     )
 
 
+def ngram_containment_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "doc_id",
+    right_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    unit: str = "char",
+) -> DataFrame:
+    """CROSS-corpus Broder containment pairs ``(left_id, right_id,
+    containment_l_in_r, containment_r_in_l)`` — the subset/quote
+    detector across corpora: an eval prompt quoted inside a long crawl
+    document has tiny cross-Jaccard (union is document-sized) but
+    containment ≈ 1, which is exactly the decontamination case
+    :func:`ngram_jaccard_between` structurally under-weights. Same
+    shared pair core (one cross inverted join, reference-side doc-freq
+    cap), both directions reported so the caller knows which side is
+    the subset."""
+    counts = _between_pair_counts(
+        left, right, left_id_col, right_id_col, text_col, n,
+        max_doc_freq, unit,
+    )
+    c_lr = F.col("inter").cast("double") / F.col("sz_a")
+    c_rl = F.col("inter").cast("double") / F.col("sz_b")
+    return (
+        counts.withColumn("containment_l_in_r", c_lr)
+        .withColumn("containment_r_in_l", c_rl)
+        .filter(
+            F.greatest("containment_l_in_r", "containment_r_in_l")
+            >= threshold
+        )
+        .select(
+            "left_id", "right_id", "containment_l_in_r",
+            "containment_r_in_l",
+        )
+    )
+
+
+def ngram_containment_against_index(
+    spark,
+    path: str,
+    left: DataFrame,
+    left_id_col: str = "doc_id",
+    text_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`ngram_containment_between` served from the SAME at-rest
+    artifact as :func:`ngram_jaccard_against_index` — one build feeds
+    both cross-corpus scorers (resemblance and containment are
+    projections over the same ``(inter, sz_a, sz_b)`` counts, Broder
+    1997), exactly as the self-join family shares its artifact."""
+    counts = _indexed_between_pair_counts(
+        spark, path, left, left_id_col, text_col
+    )
+    c_lr = F.col("inter").cast("double") / F.col("sz_a")
+    c_rl = F.col("inter").cast("double") / F.col("sz_b")
+    return (
+        counts.withColumn("containment_l_in_r", c_lr)
+        .withColumn("containment_r_in_l", c_rl)
+        .filter(
+            F.greatest("containment_l_in_r", "containment_r_in_l")
+            >= threshold
+        )
+        .select(
+            "left_id", "right_id", "containment_l_in_r",
+            "containment_r_in_l",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # edit-distance similarity join (PassJoin-style segment blocking)
 # ---------------------------------------------------------------------------

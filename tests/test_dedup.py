@@ -2403,3 +2403,27 @@ def test_ngram_jaccard_against_index_matches_between(spark, tmp_path):
         ).collect()
     }
     assert served == fresh and fresh  # non-empty parity
+
+    # [r17] containment rides the same artifact and the same pair cores
+    from kaer_spark.operators.dedup import (
+        ngram_containment_against_index,
+        ngram_containment_between,
+    )
+
+    cfresh = {
+        (r["left_id"], r["right_id"]):
+            (round(r["containment_l_in_r"], 9),
+             round(r["containment_r_in_l"], 9))
+        for r in ngram_containment_between(
+            probe, right, threshold=0.5, max_doc_freq=6
+        ).collect()
+    }
+    cserved = {
+        (r["left_id"], r["right_id"]):
+            (round(r["containment_l_in_r"], 9),
+             round(r["containment_r_in_l"], 9))
+        for r in ngram_containment_against_index(
+            spark, path, probe, threshold=0.5
+        ).collect()
+    }
+    assert cserved == cfresh and cfresh
