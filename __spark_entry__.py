@@ -4060,6 +4060,89 @@ def _q_fuzzy_dups_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WN_CATCHUP_CUT = 250  # prefix/tail split for the winnow catch-up fixture
+
+
+def _ensure_winnow_index_catchup(spark: SparkSession, sf_dir: str) -> str:
+    """The MOSS member of the catch-up fixture family (minhash/signlsh/
+    shingle/fuzzy precedent): BUILD the fingerprint index over the
+    odd-id prefix (doc_id < WN_CATCHUP_CUT), then REFRESH with the full
+    odd-id reference — dedup.refresh_winnow_index selects the tail under
+    the sidecar-frozen (k, window) and appends. The oracle replays the
+    whole selection + pair join over the FULL reference, so refresh ≡
+    rebuild is value-checked."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kaer_spark.operators.dedup import (
+        _write_index_meta,
+        build_winnow_index,
+        read_winnow_index_meta,
+        refresh_winnow_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fixture_fp(src)
+    tag = hashlib.md5(
+        f"{fp}|wn|k=16|w=8|odd|catchup<{WN_CATCHUP_CUT}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kaer_winnow_catchup_{tag}")
+    try:
+        meta = read_winnow_index_meta(path)
+        if meta.get("source_fp") == fp and meta.get("caught_up"):
+            return path
+    except (OSError, ValueError):
+        pass
+    odd = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    build_winnow_index(
+        odd.filter(F.col("doc_id") < WN_CATCHUP_CUT), path, k=16, window=8
+    )
+    meta = refresh_winnow_index(odd, path)
+    meta["source_fp"] = fp
+    meta["caught_up"] = True
+    _write_index_meta(path, "winnow_index.json", meta)
+    return path
+
+
+def _q_winnow_index_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[r17] O8 catch-up for the at-rest winnow (MOSS fingerprint)
+    artifact, proven through the value gate — the EIGHTH standing
+    family, landing complete in one round per the frozen template
+    (build + refresh + stats + serving): built on the odd-id prefix,
+    refreshed with the full odd-id reference, then serving winnowed
+    overlap for the even-id probe side. The oracle replays selection +
+    pair join over the whole reference, so a refresh that missed,
+    duplicated, or re-selected tail fingerprints lands as a value
+    mismatch. Same geometry as winnow_between (k=16, w=8,
+    min_shared=3), so the serving twin's values are directly
+    comparable."""
+    from kaer_spark.operators.dedup import winnow_overlap_against_index
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _ensure_winnow_index_catchup(spark, sf_dir)
+    return winnow_overlap_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0), min_shared=3
+    )
+
+
+def _q_winnow_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[r17] Health report for the at-rest winnow reference index
+    (dedup.winnow_index_stats) over the catch-up fixture — the stats
+    twin in the same round as its artifact: per-fingerprint posting
+    histogram (hot fp = corpus-duplicated passage = skewed screen
+    partition), per-doc selection spread, geometry echo, typed watermark
+    + lag vs the full documents table. The oracle replays the winnow
+    selection from raw text and re-derives every aggregate."""
+    from kaer_spark.operators.dedup import winnow_index_stats
+
+    path = _ensure_winnow_index_catchup(spark, sf_dir)
+    return winnow_index_stats(
+        spark, path, corpus=_t(spark, sf_dir, "documents"),
+        corpus_id_col="doc_id",
+    )
+
+
 def _q_winnow_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus winnowed overlap (dedup.winnow_overlap_between):
     even-id docs sharing ≥3 selected fingerprints with an odd-id doc —
@@ -4947,6 +5030,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_against_indexed": _q_jaccard_against_indexed,
         "containment_between": _q_containment_between,
         "containment_against_indexed": _q_containment_against_indexed,
+        # r17: the EIGHTH at-rest family (winnow/MOSS), landing complete
+        # per the frozen template — catch-up value gate + stats twin in
+        # the same round as the artifact
+        "winnow_index_catchup": _q_winnow_index_catchup,
+        "winnow_index_stats": _q_winnow_index_stats,
         # == (1b) declared r4/r5, never driver-checked (the 15) ===========
         "ivf_knn_det": _q_ivf_knn_det,
         "lsh_knn_det": _q_lsh_knn_det,
@@ -7741,19 +7829,37 @@ def _sql_winnow_overlap(
         WHERE a.id < b.id
         GROUP BY 1, 2
         HAVING count(*) >= {min_shared}"""
+    return f"""
+        WITH {_sql_winnow_sel_ctes(k, w)},
+        sel AS (SELECT DISTINCT id, h AS fp FROM rk WHERE rn = 1)
+        {final}
+    """
+
+
+def _sql_winnow_sel_ctes(k: int, w: int, extra_where: str = "") -> str:
+    """The shared winnow-selection CTE chain (codes → hash grid → window
+    grid → rightmost-min rank) up to ``rk`` — one replay body feeds the
+    overlap oracles AND the [r17] winnow-index stats oracle, so the two
+    can never select differently."""
+    from kaer_spark.operators.dedup import (
+        HASH_BASE,
+        HASH_BASE2,
+        HASH_MOD,
+        HASH_MOD2,
+    )
+
     pw1 = [pow(HASH_BASE, k - 1 - j, HASH_MOD) for j in range(k)]
     pw2 = [pow(HASH_BASE2, k - 1 - j, HASH_MOD2) for j in range(k)]
     h1 = " + ".join(f"codes[CAST(i + {j} AS INT)] * {pw1[j]}" for j in range(k))
     h2 = " + ".join(f"codes[CAST(i + {j} AS INT)] * {pw2[j]}" for j in range(k))
     fp = f"(({h1}) % {HASH_MOD}) * {HASH_MOD2} + (({h2}) % {HASH_MOD2})"
-    return f"""
-        WITH cd AS (
+    return f"""cd AS (
           SELECT doc_id AS id,
                  list_transform(range(1, length(text) + 1),
                    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
                    AS codes,
                  length(text) - {k} + 1 AS nh
-          FROM documents WHERE length(text) >= {k}
+          FROM documents WHERE length(text) >= {k} {extra_where}
         ),
         hs AS (
           SELECT id, nh, unnest(range(1, nh + 1)) AS p,
@@ -7774,9 +7880,51 @@ def _sql_winnow_overlap(
                  row_number() OVER (PARTITION BY id, j
                                     ORDER BY h ASC, p DESC) AS rn
           FROM wp
+        )"""
+
+
+def _sql_winnow_index_stats(k: int = 16, w: int = 8) -> str:
+    """[r17] Replay of dedup.winnow_index_stats over the odd-id reference
+    corpus: the shared selection CTEs re-derive the stored (id, pos0, fp)
+    rows from raw text, then every aggregate — per-fingerprint posting
+    histogram with type-1 rank quantiles, per-doc selection spread,
+    geometry echo, watermark + lag — is plain SQL arithmetic."""
+    return f"""
+        WITH {_sql_winnow_sel_ctes(k, w, "AND doc_id % 2 = 1")},
+        sel AS (
+          SELECT DISTINCT id, p - 1 AS pos0, h AS fp FROM rk WHERE rn = 1
         ),
-        sel AS (SELECT DISTINCT id, h AS fp FROM rk WHERE rn = 1)
-        {final}
+        bt AS (SELECT fp, count(*) AS bc FROM sel GROUP BY fp),
+        bk AS (
+          SELECT count(*) AS nfp, sum(bc) AS nrows, max(bc) AS mx FROM bt
+        ),
+        rb AS (SELECT bc, row_number() OVER (ORDER BY bc, fp) AS rn FROM bt),
+        sz AS (SELECT id, count(*) AS s FROM sel GROUP BY id),
+        sk AS (SELECT count(*) AS nd, max(s) AS mxs FROM sz),
+        rs AS (SELECT s, row_number() OVER (ORDER BY s, id) AS rn FROM sz)
+        SELECT CAST(sk.nd AS BIGINT) AS n_docs,
+               CAST(bk.nrows AS BIGINT) AS n_fp_rows,
+               CAST(bk.nfp AS BIGINT) AS n_distinct_fps,
+               CAST(bk.mx AS BIGINT) AS max_bucket,
+               CAST(bk.mx * bk.nfp AS DOUBLE) / CAST(bk.nrows AS BIGINT)
+                 AS bucket_skew,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rn = (bk.nfp + 1) // 2) AS p50_bucket_sz,
+               (SELECT CAST(bc AS BIGINT) FROM rb
+                WHERE rn = (9 * bk.nfp + 9) // 10) AS p90_bucket_sz,
+               (SELECT CAST(s AS BIGINT) FROM rs
+                WHERE rn = (sk.nd + 1) // 2) AS p50_doc_fps,
+               (SELECT CAST(s AS BIGINT) FROM rs
+                WHERE rn = (9 * sk.nd + 9) // 10) AS p90_doc_fps,
+               CAST(sk.mxs AS BIGINT) AS max_doc_fps,
+               CAST({k} AS BIGINT) AS k,
+               CAST({w} AS BIGINT) AS "window",
+               CAST((SELECT max(doc_id) FROM documents WHERE doc_id % 2 = 1)
+                    AS BIGINT) AS watermark,
+               CAST((SELECT max(doc_id) FROM documents)
+                    - (SELECT max(doc_id) FROM documents WHERE doc_id % 2 = 1)
+                    AS BIGINT) AS watermark_lag
+        FROM bk, sk
     """
 
 
@@ -7915,6 +8063,13 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_against_indexed": _sql_jaccard_between(),
         "containment_between": _sql_containment_between(),
         "containment_against_indexed": _sql_containment_between(),
+        # r17: the winnow family's gates — the catch-up serve replays as
+        # the SAME cross-corpus overlap as winnow_between (refresh ≡
+        # rebuild), the stats replay re-derives the artifact from text
+        "winnow_index_catchup": _sql_winnow_overlap(
+            min_shared=3, between=True
+        ),
+        "winnow_index_stats": _sql_winnow_index_stats(),
         "dedup_against": _sql_minhash_between(survivors=True),
         # served from the at-rest reference artifact: identical values by
         # construction, so the oracle IS the from-text replay

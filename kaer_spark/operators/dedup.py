@@ -3995,6 +3995,243 @@ def winnow_overlap_between(
     )
 
 
+# ---------------------------------------------------------------------------
+# at-rest winnow (MOSS fingerprint) reference index — the 8th standing family
+# ---------------------------------------------------------------------------
+def build_winnow_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+) -> dict:
+    """Materialize the REFERENCE side of cross-corpus winnowed-overlap
+    screening at ``path`` — the eighth at-rest family, landing complete
+    (build + O8 refresh + stats twin, the engine-wide template the r16
+    verdict froze): a recurring eval-decontamination pipeline re-selects
+    the reference corpus's MOSS fingerprints on every
+    :func:`winnow_overlap_between` call although the reference didn't
+    change. Writes
+
+    ``<path>/fps/``  (id, pos0, fp) — the winnowed selections
+                     (:func:`winnow_fingerprints`; per-doc independent,
+                     so append-sound), and
+    ``<path>/winnow_index.json``  the frozen (k, window) — the probe
+                     side derives ITS selections from these, so both
+                     sides always select alike.
+
+    :func:`winnow_overlap_against_index` is then value-identical to
+    :func:`winnow_overlap_between` with the reference as the stored
+    side (same selection body). Growable: every stored row derives from
+    its document alone under the frozen geometry, so
+    :func:`refresh_winnow_index` appends the tail — reference O8
+    catch-up (``updateIndexFromLastId``, ``db/db.go:191-207``)."""
+    import os as _os
+
+    winnow_fingerprints(df, id_col, text_col, k, window).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "fps"))
+    meta = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "k": int(k),
+        "window": int(window),
+        "max_id": _json_id(df.agg(F.max(F.col(id_col))).collect()[0][0]),
+    }
+    _write_index_meta(path, "winnow_index.json", meta)
+    return meta
+
+
+def refresh_winnow_index(
+    df: DataFrame,
+    path: str,
+    advance_to=None,
+) -> dict:
+    """Catch-up for the at-rest winnow reference index — the MOSS member
+    of the engine-wide O8 rule: documents with ``id > meta.max_id`` are
+    fingerprinted through the SIDECAR-frozen (k, window) (the same
+    :func:`winnow_fingerprints` body the build uses) and appended —
+    row-identical to a from-scratch build over the union. Single-table
+    artifact, one crash window: a replay anti-joins the tail against
+    ids already above the watermark (id-column-only, predicate-pushed
+    scan). Sub-``k``-char docs select nothing but still advance the
+    watermark (``max_id`` covers the full batch — the family-wide
+    discipline). ``advance_to`` floors the flip for screen-and-drop
+    callers."""
+    import os as _os
+
+    spark = df.sparkSession
+    meta = read_winnow_index_meta(path)
+    icol = meta["id_col"]
+    fps_dir = _os.path.join(path, "fps")
+    wm = meta.get("max_id")
+    tail = df if wm is None else df.filter(F.col(icol) > F.lit(wm))
+    new_max = tail.agg(F.max(F.col(icol))).collect()[0][0]
+    if new_max is None:
+        stamp = wm
+        if advance_to is not None and (stamp is None or advance_to > stamp):
+            stamp = advance_to
+        if meta.get("max_id") != _json_id(stamp) or "max_id" not in meta:
+            meta["max_id"] = _json_id(stamp)
+            _write_index_meta(path, "winnow_index.json", meta)
+        return meta
+    ghost = spark.read.parquet(fps_dir).select("id")
+    if wm is not None:
+        ghost = ghost.filter(F.col("id") > F.lit(wm))
+    tail = tail.join(
+        ghost.distinct().select(F.col("id").alias(icol)), [icol], "left_anti"
+    )
+    winnow_fingerprints(
+        tail, icol, meta["text_col"], meta["k"], meta["window"]
+    ).write.mode("append").parquet(fps_dir)
+    if advance_to is not None and advance_to > new_max:
+        new_max = advance_to
+    meta["max_id"] = _json_id(new_max)
+    _write_index_meta(path, "winnow_index.json", meta)
+    return meta
+
+
+def read_winnow_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "winnow_index.json")) as f:
+        return _json.load(f)
+
+
+def winnow_index_stats(
+    spark,
+    path: str,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str | None = None,
+) -> DataFrame:
+    """Health report for the at-rest winnow reference index — the stats
+    twin landing in the same round as its artifact (the frozen family
+    template): one summary row from the fps table alone —
+
+    * ``n_docs`` / ``n_fp_rows`` / ``n_distinct_fps`` — fingerprinted
+      documents, stored selections, distinct fingerprint values
+      (selection density ≈ ``2/(window+1)`` of windows when healthy);
+    * ``max_bucket`` / ``bucket_skew`` / ``p50_bucket_sz`` /
+      ``p90_bucket_sz`` — the per-fingerprint posting histogram: a hot
+      fingerprint is a corpus-duplicated passage (boilerplate headers/
+      licenses), a skewed join partition on every screen, AND the rows
+      the ``min_shared`` cut spends its budget on — visible here before
+      it's visible as screen latency;
+    * ``p50_doc_fps`` / ``p90_doc_fps`` / ``max_doc_fps`` — per-doc
+      selection spread (length proxy at fixed density);
+    * ``k`` / ``window`` — sidecar geometry echo;
+    * ``watermark`` (+ ``watermark_lag`` / ``is_stale`` with
+      ``corpus``, typed by the id domain).
+
+    REBUILD/REFRESH TRIGGER (documented policy): refresh per ingest
+    (:func:`refresh_winnow_index` is tail-bound). Persistent
+    ``bucket_skew`` growth means duplicated passages are accumulating —
+    run the passage-removal transform upstream, or raise ``min_shared``
+    at serve time; geometry (k, window) changes are a rebuild.
+
+    Scale note: bucket quantiles rank one row per distinct fingerprint,
+    doc quantiles one row per document, both via two-level rank
+    selection (``util.global_ranked`` — bit-exact, no single-reducer
+    sort)."""
+    import os as _os
+
+    meta = read_winnow_index_meta(path)
+    fps = spark.read.parquet(_os.path.join(path, "fps"))
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("bc"))
+        .localCheckpoint(eager=False)
+    )
+    bstats = buckets.agg(
+        F.count("*").alias("n_distinct_fps"),
+        F.sum("bc").cast("long").alias("n_fp_rows"),
+        F.max("bc").cast("long").alias("max_bucket"),
+    )
+    ranked_b = global_ranked(
+        buckets, [F.col("bc").asc(), F.col("fp").asc()]
+    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
+    p50_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(n_distinct_fps + 1) div 2")
+    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
+    p90_b = ranked_b.filter(
+        F.col("_rn") == F.expr("(9 * n_distinct_fps + 9) div 10")
+    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    sizes = fps.groupBy("id").agg(F.count("*").alias("sz")).localCheckpoint(
+        eager=False
+    )
+    szstats = sizes.agg(
+        F.count("*").alias("n_docs"),
+        F.max("sz").cast("long").alias("max_doc_fps"),
+    )
+    ranked_s = global_ranked(
+        sizes, [F.col("sz").asc(), F.col("id").asc()]
+    ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
+    p50_s = ranked_s.filter(
+        F.col("_rn") == F.expr("(n_docs + 1) div 2")
+    ).select(F.col("sz").cast("long").alias("p50_doc_fps"))
+    p90_s = ranked_s.filter(
+        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
+    ).select(F.col("sz").cast("long").alias("p90_doc_fps"))
+    out = (
+        szstats.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(p50_b))
+        .crossJoin(F.broadcast(p90_b))
+        .crossJoin(F.broadcast(p50_s))
+        .crossJoin(F.broadcast(p90_s))
+        .withColumn(
+            "bucket_skew",
+            (F.col("max_bucket") * F.col("n_distinct_fps")).cast("double")
+            / F.col("n_fp_rows"),
+        )
+        .withColumn("k", F.lit(int(meta["k"])).cast("long"))
+        .withColumn("window", F.lit(int(meta["window"])).cast("long"))
+    )
+    return watermark_health_cols(
+        out, meta.get("max_id"), corpus, corpus_id_col or meta["id_col"]
+    )
+
+
+def winnow_overlap_against_index(
+    spark,
+    path: str,
+    left: DataFrame,
+    left_id_col: str = "doc_id",
+    text_col: str | None = None,
+    min_shared: int = 2,
+) -> DataFrame:
+    """:func:`winnow_overlap_between` with the RIGHT side served from the
+    at-rest artifact of :func:`build_winnow_index` — value-identical to
+    the from-text cross call with the built reference as the stored side
+    (geometry from the sidecar, selection body shared, so the two paths
+    cannot select differently). Returns ``(left_id, right_id,
+    n_shared)``; the call pays only the probe side's winnowing plus the
+    fingerprint equi-join — the reference's selections read straight off
+    parquet."""
+    import os as _os
+
+    meta = read_winnow_index_meta(path)
+    tcol = text_col or meta["text_col"]
+    lsel = winnow_fingerprints(
+        left, left_id_col, tcol, meta["k"], meta["window"]
+    ).select("id", "fp").distinct()
+    rsel = (
+        spark.read.parquet(_os.path.join(path, "fps"))
+        .select("id", "fp")
+        .distinct()
+    )
+    return (
+        lsel.alias("a")
+        .join(rsel.alias("b"), "fp")
+        .groupBy(
+            F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def remove_duplicate_passages(
     df: DataFrame,
     id_col: str = "doc_id",

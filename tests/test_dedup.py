@@ -2427,3 +2427,70 @@ def test_ngram_jaccard_against_index_matches_between(spark, tmp_path):
         ).collect()
     }
     assert cserved == cfresh and cfresh
+
+
+def test_winnow_index_family_contract(spark, tmp_path):
+    """[r17] The eighth at-rest family obeys the engine-wide contract:
+    refresh ≡ rebuild over the union (row-identical fps table), a
+    replayed refresh is a no-op (crash idempotency), blank-tail
+    refreshes still advance the watermark, and the against-index serve
+    equals the from-text cross call."""
+    from kaer_spark.operators.dedup import (
+        build_winnow_index,
+        read_winnow_index_meta,
+        refresh_winnow_index,
+        winnow_index_stats,
+        winnow_overlap_against_index,
+        winnow_overlap_between,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared long passage about spark catalyst rules {i % 4} "
+             f"with unique suffix number {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, f"shared long passage about spark catalyst rules "
+                   f"{i % 4} with unique suffix number {i}")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "wnidx")
+    build_winnow_index(docs.filter("doc_id < 6"), path, k=16, window=4)
+    refresh_winnow_index(docs, path)
+    full = str(tmp_path / "wnfull")
+    build_winnow_index(docs, full, k=16, window=4)
+    rows = lambda p: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(f"{p}/fps").collect())
+    )
+    assert rows(path) == rows(full)
+    assert read_winnow_index_meta(path)["max_id"] == 9
+
+    # replayed refresh: no duplicate rows, watermark stable
+    refresh_winnow_index(docs, path)
+    assert rows(path) == rows(full)
+    # blank tail still advances the watermark
+    blank = docs.union(
+        spark.createDataFrame([(50, "x")], "doc_id long, text string")
+    )
+    refresh_winnow_index(blank, path)
+    assert read_winnow_index_meta(path)["max_id"] == 50
+    assert rows(path) == rows(full)  # sub-k doc selected nothing
+
+    served = sorted(
+        map(tuple, winnow_overlap_against_index(
+            spark, path, probe, min_shared=2
+        ).collect())
+    )
+    fresh = sorted(
+        map(tuple, winnow_overlap_between(
+            probe, docs, k=16, window=4, min_shared=2
+        ).collect())
+    )
+    assert served == fresh and fresh
+
+    st = winnow_index_stats(spark, path, corpus=blank,
+                            corpus_id_col="doc_id").collect()[0]
+    assert st["n_docs"] == 10 and st["watermark_lag"] == 0
+    assert st["k"] == 16 and st["window"] == 4
+    assert st["n_fp_rows"] == sum(1 for _ in rows(path))
