@@ -150,6 +150,13 @@ HEADLINE = [
     "minhash_index_stats",
     "signlsh_index_stats",
     "fuzzy_index_stats",
+    # round-17: the deterministic cross-corpus Jaccard screen (from-text
+    # + at-rest serving) and the winnow family's serving + stats rows —
+    # all DETAIL_ONLY (the stdout line is at its tail-capture budget)
+    "jaccard_between",
+    "jaccard_against_indexed",
+    "winnow_index_catchup",
+    "winnow_index_stats",
 ]
 
 # Rows that serve from a standing artifact (fixture-fingerprint-memoized
@@ -177,6 +184,11 @@ SERVE_FROM_ARTIFACT = [
     "minhash_index_stats",   # read the at-rest band/shingle tables (r16)
     "signlsh_index_stats",
     "fuzzy_index_stats",
+    # r17: at-rest shingle cross-corpus serve + winnow family (first
+    # call per process pays the fixture build, like pq_index_catchup)
+    "jaccard_against_indexed",
+    "winnow_index_catchup",
+    "winnow_index_stats",
 ]
 
 # Rows measured and recorded in bench_detail.json but EXCLUDED from the
@@ -218,6 +230,13 @@ DETAIL_ONLY = [
     # surface on the cross-round detail trend line, not only in probes
     "maint_compact_epochs",
     "maint_collection_compact",
+    # [r17] new detail rows: cross-corpus jaccard screens + the winnow
+    # family (serve + stats); jaccard_between is the from-text twin kept
+    # in detail because the line budget is exhausted
+    "jaccard_between",
+    "jaccard_against_indexed",
+    "winnow_index_catchup",
+    "winnow_index_stats",
 ]
 
 

@@ -1309,3 +1309,60 @@ def test_collection_shingle_and_fuzzy_artifacts(ctx):
     assert h2["shingle"].collect()[0]["n_docs"] == 6
     f2 = h2["fuzzy"].collect()[0]
     assert f2["n_docs"] == 6 and f2["watermark_lag"] == 0
+
+
+def test_collection_winnow_artifact_and_snapshot_families(ctx, tmp_path):
+    """[r17] Winnow joins the collection-owned families with the full
+    contract (build, insert zero-lag, health, winnow-method screening),
+    and export/import carries EVERY owned artifact family — the r17 fix:
+    snapshots copied only index/text_index, so an imported collection's
+    sidecar claimed artifacts whose directories didn't exist."""
+    from kaer_spark.context import KaerContext
+
+    ref = ctx.create_collection("wn_ref")
+    ref.insert(
+        [f"a long shared passage about catalyst optimization {i % 3} "
+         f"plus unique tail {i}" for i in range(6)],
+        [{"k": i} for i in range(6)],
+    )
+    ref.build_winnow_index(k=16, window=4)
+    ref.build_minhash_index(n=6, num_hashes=8, bands=4)
+    ref.insert(["a long shared passage about catalyst optimization 0 "
+                "plus unique tail 6"], [{"k": 6}])
+    h = ref.index_health()
+    assert {"winnow", "minhash"} <= set(h)
+    w = h["winnow"].collect()[0]
+    assert w["watermark_lag"] == 0 and w["n_docs"] == 7
+
+    probe = ctx.create_collection("wn_probe")
+    probe.insert(
+        ["a long shared passage about catalyst optimization 1 "
+         "plus unique tail 99",  # shares the long prefix passage
+         "nothing in common with the reference corpus at all here"],
+        [{}, {}],
+    )
+    removed = probe.deduplicate_against(ref, method="winnow", threshold=2)
+    assert removed == 1 and probe.count() == 1
+
+    # snapshot round-trip carries winnow + minhash artifacts
+    snap = ref.export_to(str(tmp_path / "snap"))
+    ctx2 = KaerContext(ctx.spark, str(tmp_path / "kaer2"))
+    ref2 = ctx2.import_collection("wn_restored", snap)
+    h2 = ref2.index_health()
+    assert {"winnow", "minhash"} <= set(h2)
+    assert h2["winnow"].collect()[0]["n_docs"] == 7
+    # the imported standing artifact SERVES (the pre-fix crash path)
+    probe2 = ctx2.create_collection("wn_probe2")
+    probe2.insert(
+        ["a long shared passage about catalyst optimization 1 "
+         "plus unique tail 99", "nothing in common at all with it"],
+        [{}, {}],
+    )
+    assert probe2.deduplicate_against(ref2, method="winnow",
+                                      threshold=2) == 1
+
+    # delete-path rebuild under sidecar geometry
+    ref.delete({"k": 0})
+    w3 = ref.index_health()["winnow"].collect()[0]
+    assert w3["n_docs"] == 6 and w3["watermark_lag"] == 0
+    assert w3["k"] == 16 and w3["window"] == 4
