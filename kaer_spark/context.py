@@ -1235,6 +1235,26 @@ class Collection:
                 # stale buckets under dynamic partition-overwrite modes)
                 shutil.rmtree(self.text_index_path, ignore_errors=True)
                 self.build_text_index(n_buckets=int(tm.get("n_buckets", 64)))
+        if self.meta.get("has_pq_index"):
+            # [r17] the one family _commit_rewrite silently skipped: a
+            # delete left deleted ids IN the code table, so compressed
+            # serving (query_pq) could shortlist ghost rows. Same
+            # rebuild-under-sidecar-geometry rule as every other family.
+            if kept_n == 0:
+                shutil.rmtree(self.pq_index_path, ignore_errors=True)
+                self.meta["has_pq_index"] = False
+                self._save_meta()
+            else:
+                from kaer_spark.operators.index_store import read_pq_meta
+
+                pm = read_pq_meta(self.pq_index_path)
+                shutil.rmtree(self.pq_index_path, ignore_errors=True)
+                self.build_pq_index(
+                    m=int(pm["m"]), k=int(pm["k"]),
+                    cells=pm.get("cells"),
+                    fit=pm.get("fit", "deterministic"),
+                    seed=int(pm.get("seed", 42)),
+                )
         if self.meta.get("has_minhash_index"):
             if kept_n == 0:
                 shutil.rmtree(self.minhash_index_path, ignore_errors=True)

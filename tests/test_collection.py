@@ -1366,3 +1366,30 @@ def test_collection_winnow_artifact_and_snapshot_families(ctx, tmp_path):
     w3 = ref.index_health()["winnow"].collect()[0]
     assert w3["n_docs"] == 6 and w3["watermark_lag"] == 0
     assert w3["k"] == 16 and w3["window"] == 4
+
+
+def test_delete_rebuilds_pq_index(ctx):
+    """[r17] _commit_rewrite skipped the PQ family: a delete left deleted
+    ids IN the code table, so compressed serving burned shortlist slots
+    on ghost rows (under-filling k after heavy deletion) — every other
+    family already rebuilt. Pin: after deleting most of the corpus, a
+    small-shortlist query_pq still fills k from LIVE rows only, and the
+    code table's row count matches the survivors."""
+    coll = ctx.create_collection("pqdel")
+    coll.insert(
+        [f"pq document number {i} about catalyst" for i in range(30)],
+        [{"grp": "dead" if i >= 6 else "live"} for i in range(30)],
+    )
+    coll.build_pq_index(m=8, k=4, fit="deterministic")
+    removed = coll.delete({"grp": "dead"})
+    assert removed == 24
+    codes = ctx.spark.read.parquet(f"{coll.pq_index_path}/data")
+    assert codes.count() == 6  # rebuilt over survivors, no ghosts
+    got = coll.query_pq("pq document number 3 about catalyst",
+                        k=5, shortlist=6).collect()
+    assert len(got) == 5
+    live = {r["_m_id"] for r in coll.df().collect()}
+    assert {r["_m_id"] for r in got} <= live
+    # and the health report stays consistent
+    lag = coll.index_health()["pq"].collect()[0]["watermark_lag"]
+    assert lag == 0
