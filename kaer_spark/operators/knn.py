@@ -40,6 +40,7 @@ from kaer_spark.functions.vector import (
     l2sq,
     vector_norm,
 )
+from kaer_spark.operators.util import ensure_parallelism
 
 
 def exact_knn(
@@ -121,13 +122,17 @@ def knn_join(
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
     )
-    corpus_side = corpus
+    # widen a single-split corpus scan BEFORE the broadcast cross: every
+    # corpus row evaluates |q| distance folds, and a small parquet input
+    # arrives as one partition, serializing that work onto one core; a
+    # multi-TB scan already has hundreds of splits (no-op — util.py)
+    corpus_side = ensure_parallelism(corpus)
     if metric == "cosine":
         # norms once per side BELOW the join (see similarity.
         # ivf_scored_candidates — the join boundary keeps them out of the
         # per-pair expression); bit-identical to cosine_similarity
         q = q.withColumn("__qn", vector_norm("__qvec"))
-        corpus_side = corpus.withColumn("__cn", vector_norm(corpus_vec_col))
+        corpus_side = corpus_side.withColumn("__cn", vector_norm(corpus_vec_col))
     joined = corpus_side.crossJoin(F.broadcast(q))
     ascending = metric == "l2sq"
     if metric == "l2sq":
@@ -239,6 +244,9 @@ def hard_negatives(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
     )
     corpus_side = corpus if corpus_pred is None else corpus.filter(corpus_pred)
+    # single-split guard before the per-row |q|-fold distance work (see
+    # knn_join above; no-op on a many-split production scan)
+    corpus_side = ensure_parallelism(corpus_side)
     if metric == "cosine":
         # per-side norm precompute (see knn_join / ivf_scored_candidates)
         q = q.withColumn("__qn", vector_norm("__qvec"))

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from kaer_spark.functions.vector import cosine_similarity, dot, l2sq
 from kaer_spark.operators.knn import knn_join
+from kaer_spark.operators.util import ensure_parallelism
 
 
 def brute_force_topk(
@@ -342,7 +343,14 @@ def ivf_scored_candidates(
                 for j, c in enumerate(centroids)
             ]
         )
-        assigned = corpus.withColumn("_cell", F.array_min(arr)["j"])
+        # widen BEFORE the per-row argmin over `cells` centroid distances:
+        # a small parquet corpus arrives as one split and the whole
+        # expression-heavy assignment stage runs on a single core (r17
+        # profile: an 8s one-task stage under contrastive_triplets_mine);
+        # on a multi-TB scan this is a no-op (operators/util.py)
+        assigned = ensure_parallelism(corpus).withColumn(
+            "_cell", F.array_min(arr)["j"]
+        )
     if corpus_pred is not None:
         assigned = assigned.filter(corpus_pred)
     qdists = F.array(
@@ -354,7 +362,11 @@ def ivf_scored_candidates(
     probe = F.transform(
         F.slice(F.array_sort(qdists), 1, nprobe), lambda s: s["j"]
     )
-    qa = queries.select(
+    # same single-split guard for the query side: mining-shaped callers
+    # (contrastive_triplets) pass corpus-derived anchor tables that arrive
+    # on one partition, and the nprobe explode + per-query centroid ranks
+    # would otherwise evaluate single-threaded
+    qa = ensure_parallelism(queries).select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qvec"),
         F.explode(probe).alias("_cell"),
