@@ -613,19 +613,27 @@ def shingle_index_stats(
         F.sum("sz").cast("long").alias("n_postings"),
         F.max("sz").cast("long").alias("max_doc_shingles"),
     )
-    ranked = global_ranked(
-        sizes, [F.col("sz").asc(), F.col("id").asc()]
-    ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
-    p50 = ranked.filter(
-        F.col("_rn") == F.expr("(n_docs + 1) div 2")
-    ).select(F.col("sz").cast("long").alias("p50_doc_shingles"))
-    p90 = ranked.filter(
-        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
-    ).select(F.col("sz").cast("long").alias("p90_doc_shingles"))
-    out = (
-        szstats.crossJoin(F.broadcast(dfstats))
-        .crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p90))
+    # both quantile picks in one conditional-aggregate branch (r17 — see
+    # minhash_index_stats; the single consumer needs no checkpoint)
+    t50 = F.expr("(n_docs + 1) div 2")
+    t90 = F.expr("(9 * n_docs + 9) div 10")
+    sel = (
+        global_ranked(sizes, [F.col("sz").asc(), F.col("id").asc()])
+        .crossJoin(F.broadcast(szstats))
+        .filter((F.col("_rn") == t50) | (F.col("_rn") == t90))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50, F.col("sz")))
+            .cast("long")
+            .alias("p50_doc_shingles"),
+            F.max(F.when(F.col("_rn") == t90, F.col("sz")))
+            .cast("long")
+            .alias("p90_doc_shingles"),
+        )
+        .drop("_g")
+    )
+    out = szstats.crossJoin(F.broadcast(dfstats)).crossJoin(
+        F.broadcast(sel)
     )
     return watermark_health_cols(
         out, meta["max_id"], corpus, corpus_id_col or meta["id_col"]
@@ -1423,22 +1431,33 @@ def fuzzy_index_stats(
         F.sum("bc").cast("long").alias("n_seg_rows"),
         F.max("bc").cast("long").alias("max_bucket"),
     )
-    ranked_b = global_ranked(
-        buckets, [F.col("bc").asc(), F.col("i").asc(), F.col("seg").asc()]
-    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
-    p50_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(n_buckets + 1) div 2")
-    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
-    p90_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(9 * n_buckets + 9) div 10")
-    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    # both quantile picks in one conditional-aggregate branch (r17 — see
+    # minhash_index_stats; the single consumer needs no checkpoint)
+    t50_b = F.expr("(n_buckets + 1) div 2")
+    t90_b = F.expr("(9 * n_buckets + 9) div 10")
+    sel_b = (
+        global_ranked(
+            buckets, [F.col("bc").asc(), F.col("i").asc(), F.col("seg").asc()]
+        )
+        .crossJoin(F.broadcast(bstats))
+        .filter((F.col("_rn") == t50_b) | (F.col("_rn") == t90_b))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_b, F.col("bc")))
+            .cast("long")
+            .alias("p50_bucket_sz"),
+            F.max(F.when(F.col("_rn") == t90_b, F.col("bc")))
+            .cast("long")
+            .alias("p90_bucket_sz"),
+        )
+        .drop("_g")
+    )
     ndocs = seg.filter(F.col("i") == 0).agg(
         F.count("*").alias("n_docs")
     )
     out = (
         ndocs.crossJoin(F.broadcast(bstats))
-        .crossJoin(F.broadcast(p50_b))
-        .crossJoin(F.broadcast(p90_b))
+        .crossJoin(F.broadcast(sel_b))
         .withColumn(
             "bucket_skew",
             (F.col("max_bucket") * F.col("n_buckets")).cast("double")
@@ -2075,35 +2094,57 @@ def minhash_index_stats(
         F.sum("bc").cast("long").alias("n_band_rows"),
         F.max("bc").cast("long").alias("max_bucket"),
     )
-    ranked_b = global_ranked(
-        buckets, [F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()]
-    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
-    p50_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(n_buckets + 1) div 2")
-    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
-    p90_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(9 * n_buckets + 9) div 10")
-    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    # BOTH quantile picks ride one branch (r17: two filter branches per
+    # ranked frame each re-ran the rank subtree into its own broadcast —
+    # a conditional aggregate selects every target rank in one pass, and
+    # with a single consumer the ranked frame needs no checkpoint);
+    # groupBy(lit) keeps the empty-input contract: no rows → no stats row
+    t50_b = F.expr("(n_buckets + 1) div 2")
+    t90_b = F.expr("(9 * n_buckets + 9) div 10")
+    sel_b = (
+        global_ranked(
+            buckets,
+            [F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()],
+        )
+        .crossJoin(F.broadcast(bstats))
+        .filter((F.col("_rn") == t50_b) | (F.col("_rn") == t90_b))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_b, F.col("bc")))
+            .cast("long")
+            .alias("p50_bucket_sz"),
+            F.max(F.when(F.col("_rn") == t90_b, F.col("bc")))
+            .cast("long")
+            .alias("p90_bucket_sz"),
+        )
+        .drop("_g")
+    )
     sizes = sh.select("id", F.size("shingles").alias("sz"))
     szstats = sizes.agg(
         F.count("*").alias("n_docs"),
         F.max("sz").cast("long").alias("max_doc_shingles"),
     )
-    ranked_s = global_ranked(
-        sizes, [F.col("sz").asc(), F.col("id").asc()]
-    ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
-    p50_s = ranked_s.filter(
-        F.col("_rn") == F.expr("(n_docs + 1) div 2")
-    ).select(F.col("sz").cast("long").alias("p50_doc_shingles"))
-    p90_s = ranked_s.filter(
-        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
-    ).select(F.col("sz").cast("long").alias("p90_doc_shingles"))
+    t50_s = F.expr("(n_docs + 1) div 2")
+    t90_s = F.expr("(9 * n_docs + 9) div 10")
+    sel_s = (
+        global_ranked(sizes, [F.col("sz").asc(), F.col("id").asc()])
+        .crossJoin(F.broadcast(szstats))
+        .filter((F.col("_rn") == t50_s) | (F.col("_rn") == t90_s))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_s, F.col("sz")))
+            .cast("long")
+            .alias("p50_doc_shingles"),
+            F.max(F.when(F.col("_rn") == t90_s, F.col("sz")))
+            .cast("long")
+            .alias("p90_doc_shingles"),
+        )
+        .drop("_g")
+    )
     out = (
         szstats.crossJoin(F.broadcast(bstats))
-        .crossJoin(F.broadcast(p50_b))
-        .crossJoin(F.broadcast(p90_b))
-        .crossJoin(F.broadcast(p50_s))
-        .crossJoin(F.broadcast(p90_s))
+        .crossJoin(F.broadcast(sel_b))
+        .crossJoin(F.broadcast(sel_s))
         .withColumn(
             "bucket_skew",
             (F.col("max_bucket") * F.col("n_buckets")).cast("double")
@@ -2892,15 +2933,29 @@ def signlsh_index_stats(
         F.sum("bc").cast("long").alias("n_band_rows"),
         F.max("bc").cast("long").alias("max_bucket"),
     )
-    ranked_b = global_ranked(
-        buckets, [F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()]
-    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
-    p50_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(n_buckets + 1) div 2")
-    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
-    p90_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(9 * n_buckets + 9) div 10")
-    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    # both bucket quantiles in ONE branch over the ranked frame (r17 —
+    # see minhash_index_stats: per-target filter branches re-ran the rank
+    # subtree per broadcast; the single consumer also needs no checkpoint)
+    t50_b = F.expr("(n_buckets + 1) div 2")
+    t90_b = F.expr("(9 * n_buckets + 9) div 10")
+    sel_b = (
+        global_ranked(
+            buckets,
+            [F.col("bc").asc(), F.col("band").asc(), F.col("key").asc()],
+        )
+        .crossJoin(F.broadcast(bstats))
+        .filter((F.col("_rn") == t50_b) | (F.col("_rn") == t90_b))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_b, F.col("bc")))
+            .cast("long")
+            .alias("p50_bucket_sz"),
+            F.max(F.when(F.col("_rn") == t90_b, F.col("bc")))
+            .cast("long")
+            .alias("p90_bucket_sz"),
+        )
+        .drop("_g")
+    )
     # one (id, norm) row per vector: every band row carries the same
     # (vr, nr), so band 0's slice IS the vector table — no distinct over
     # doubles, no re-derivation that could drift from the stored values
@@ -2912,16 +2967,18 @@ def signlsh_index_stats(
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
-    ranked_n = global_ranked(
-        norms, [F.col("nrm").asc(), F.col("id").asc()]
-    ).crossJoin(F.broadcast(nstats)).localCheckpoint(eager=False)
-    p50_n = ranked_n.filter(
-        F.col("_rn") == F.expr("(n_vecs + 1) div 2")
-    ).select(F.col("nrm").alias("p50_norm"))
+    t50_n = F.expr("(n_vecs + 1) div 2")
+    p50_n = (
+        global_ranked(norms, [F.col("nrm").asc(), F.col("id").asc()])
+        .crossJoin(F.broadcast(nstats))
+        .filter(F.col("_rn") == t50_n)
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(F.max(F.col("nrm")).alias("p50_norm"))
+        .drop("_g")
+    )
     out = (
         nstats.crossJoin(F.broadcast(bstats))
-        .crossJoin(F.broadcast(p50_b))
-        .crossJoin(F.broadcast(p90_b))
+        .crossJoin(F.broadcast(sel_b))
         .crossJoin(F.broadcast(p50_n))
         .withColumn(
             "bucket_skew",
@@ -4149,15 +4206,26 @@ def winnow_index_stats(
         F.sum("bc").cast("long").alias("n_fp_rows"),
         F.max("bc").cast("long").alias("max_bucket"),
     )
-    ranked_b = global_ranked(
-        buckets, [F.col("bc").asc(), F.col("fp").asc()]
-    ).crossJoin(F.broadcast(bstats)).localCheckpoint(eager=False)
-    p50_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(n_distinct_fps + 1) div 2")
-    ).select(F.col("bc").cast("long").alias("p50_bucket_sz"))
-    p90_b = ranked_b.filter(
-        F.col("_rn") == F.expr("(9 * n_distinct_fps + 9) div 10")
-    ).select(F.col("bc").cast("long").alias("p90_bucket_sz"))
+    # both quantile picks per ranked frame ride one conditional-aggregate
+    # branch (r17 — see minhash_index_stats; single consumers need no
+    # checkpoint)
+    t50_b = F.expr("(n_distinct_fps + 1) div 2")
+    t90_b = F.expr("(9 * n_distinct_fps + 9) div 10")
+    sel_b = (
+        global_ranked(buckets, [F.col("bc").asc(), F.col("fp").asc()])
+        .crossJoin(F.broadcast(bstats))
+        .filter((F.col("_rn") == t50_b) | (F.col("_rn") == t90_b))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_b, F.col("bc")))
+            .cast("long")
+            .alias("p50_bucket_sz"),
+            F.max(F.when(F.col("_rn") == t90_b, F.col("bc")))
+            .cast("long")
+            .alias("p90_bucket_sz"),
+        )
+        .drop("_g")
+    )
     sizes = fps.groupBy("id").agg(F.count("*").alias("sz")).localCheckpoint(
         eager=False
     )
@@ -4165,21 +4233,27 @@ def winnow_index_stats(
         F.count("*").alias("n_docs"),
         F.max("sz").cast("long").alias("max_doc_fps"),
     )
-    ranked_s = global_ranked(
-        sizes, [F.col("sz").asc(), F.col("id").asc()]
-    ).crossJoin(F.broadcast(szstats)).localCheckpoint(eager=False)
-    p50_s = ranked_s.filter(
-        F.col("_rn") == F.expr("(n_docs + 1) div 2")
-    ).select(F.col("sz").cast("long").alias("p50_doc_fps"))
-    p90_s = ranked_s.filter(
-        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
-    ).select(F.col("sz").cast("long").alias("p90_doc_fps"))
+    t50_s = F.expr("(n_docs + 1) div 2")
+    t90_s = F.expr("(9 * n_docs + 9) div 10")
+    sel_s = (
+        global_ranked(sizes, [F.col("sz").asc(), F.col("id").asc()])
+        .crossJoin(F.broadcast(szstats))
+        .filter((F.col("_rn") == t50_s) | (F.col("_rn") == t90_s))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_s, F.col("sz")))
+            .cast("long")
+            .alias("p50_doc_fps"),
+            F.max(F.when(F.col("_rn") == t90_s, F.col("sz")))
+            .cast("long")
+            .alias("p90_doc_fps"),
+        )
+        .drop("_g")
+    )
     out = (
         szstats.crossJoin(F.broadcast(bstats))
-        .crossJoin(F.broadcast(p50_b))
-        .crossJoin(F.broadcast(p90_b))
-        .crossJoin(F.broadcast(p50_s))
-        .crossJoin(F.broadcast(p90_s))
+        .crossJoin(F.broadcast(sel_b))
+        .crossJoin(F.broadcast(sel_s))
         .withColumn(
             "bucket_skew",
             (F.col("max_bucket") * F.col("n_distinct_fps")).cast("double")

@@ -370,8 +370,8 @@ def text_index_stats(
     meta = read_text_index_meta(path)
     postings = spark.read.parquet(os.path.join(path, POSTINGS_DIR))
     doclens = spark.read.parquet(os.path.join(path, DOCLENS_DIR))
-    # localCheckpoint (lazy): tdf feeds three consumers (stats, two rank
-    # lookups) and would otherwise re-aggregate the postings per branch
+    # localCheckpoint (lazy): tdf feeds two consumers (stats, the rank
+    # branch) and would otherwise re-aggregate the postings per branch
     tdf = postings.groupBy("term").agg(F.count("*").alias("df")).localCheckpoint(
         eager=False
     )
@@ -380,27 +380,46 @@ def text_index_stats(
         F.sum("df").cast("long").alias("n_postings"),
         F.max("df").cast("long").alias("max_df"),
     )
-    ranked_df = global_ranked(
-        tdf, [F.col("df").asc(), F.col("term").asc()]
-    ).crossJoin(F.broadcast(dfstats)).localCheckpoint(eager=False)
-    p50_df = ranked_df.filter(
-        F.col("_rn") == F.expr("(n_terms + 1) div 2")
-    ).select(F.col("df").cast("long").alias("p50_df"))
-    p90_df = ranked_df.filter(
-        F.col("_rn") == F.expr("(9 * n_terms + 9) div 10")
-    ).select(F.col("df").cast("long").alias("p90_df"))
+    # both quantile picks per ranked frame ride one conditional-aggregate
+    # branch (r17 — see dedup.minhash_index_stats; the single consumers
+    # need no checkpoint)
+    t50_df = F.expr("(n_terms + 1) div 2")
+    t90_df = F.expr("(9 * n_terms + 9) div 10")
+    sel_df = (
+        global_ranked(tdf, [F.col("df").asc(), F.col("term").asc()])
+        .crossJoin(F.broadcast(dfstats))
+        .filter((F.col("_rn") == t50_df) | (F.col("_rn") == t90_df))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_df, F.col("df")))
+            .cast("long")
+            .alias("p50_df"),
+            F.max(F.when(F.col("_rn") == t90_df, F.col("df")))
+            .cast("long")
+            .alias("p90_df"),
+        )
+        .drop("_g")
+    )
     dlstats = doclens.agg(
         F.count("*").alias("n_docs"), F.max("dl").cast("long").alias("max_dl")
     )
-    ranked_dl = global_ranked(
-        doclens, [F.col("dl").asc(), F.col("id").asc()]
-    ).crossJoin(F.broadcast(dlstats)).localCheckpoint(eager=False)
-    p50_dl = ranked_dl.filter(
-        F.col("_rn") == F.expr("(n_docs + 1) div 2")
-    ).select(F.col("dl").cast("long").alias("p50_dl"))
-    p90_dl = ranked_dl.filter(
-        F.col("_rn") == F.expr("(9 * n_docs + 9) div 10")
-    ).select(F.col("dl").cast("long").alias("p90_dl"))
+    t50_dl = F.expr("(n_docs + 1) div 2")
+    t90_dl = F.expr("(9 * n_docs + 9) div 10")
+    sel_dl = (
+        global_ranked(doclens, [F.col("dl").asc(), F.col("id").asc()])
+        .crossJoin(F.broadcast(dlstats))
+        .filter((F.col("_rn") == t50_dl) | (F.col("_rn") == t90_dl))
+        .groupBy(F.lit(True).alias("_g"))
+        .agg(
+            F.max(F.when(F.col("_rn") == t50_dl, F.col("dl")))
+            .cast("long")
+            .alias("p50_dl"),
+            F.max(F.when(F.col("_rn") == t90_dl, F.col("dl")))
+            .cast("long")
+            .alias("p90_dl"),
+        )
+        .drop("_g")
+    )
     bmax = (
         postings.groupBy("bucket")
         .agg(F.count("*").alias("bc"))
@@ -408,10 +427,8 @@ def text_index_stats(
     )
     out = (
         dlstats.crossJoin(F.broadcast(dfstats))
-        .crossJoin(F.broadcast(p50_df))
-        .crossJoin(F.broadcast(p90_df))
-        .crossJoin(F.broadcast(p50_dl))
-        .crossJoin(F.broadcast(p90_dl))
+        .crossJoin(F.broadcast(sel_df))
+        .crossJoin(F.broadcast(sel_dl))
         .crossJoin(F.broadcast(bmax))
         .withColumn(
             "bucket_skew",

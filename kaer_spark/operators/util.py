@@ -83,10 +83,25 @@ def global_ranked(df: DataFrame, order_cols: list, rank_col: str = "_rn") -> Dat
     still a valid permutation of the tied run, so rank-selection
     QUANTILE VALUES are unchanged either way.
 
-    The partition assignment is frozen with an eager ``localCheckpoint``
-    before the counting job — ``repartitionByRange`` samples its range
-    boundaries per job, so without the pin the count job and the rank
-    job could disagree about which partition a row lives in."""
+    Offsets are computed IN-PLAN (r17 optimization: the original pinned
+    the partition assignment with an eager ``localCheckpoint`` and pulled
+    per-partition counts to the driver — one blocking materialization job
+    plus a collect round-trip per call, which doubled every index-stats
+    row at fixture scale): the per-partition counts aggregate and the
+    rank window both hang off the SAME range exchange, which Spark
+    executes once and reuses (``ReusedExchange`` — plan-asserted in
+    ``tests/test_plans.py``), so both branches see identical row
+    placement by construction; the cumulative-sum window that turns
+    counts into offsets orders one row PER PARTITION (bounded by the
+    shuffle-partition conf, never by row count), and the offsets join
+    back is an explicit broadcast of that same tiny set.
+
+    Two safety nets make the placement agreement robust rather than
+    lucky: exchange reuse shares the one shuffle, and
+    ``repartitionByRange``'s boundary sampling is seeded per partition
+    index (deterministic given deterministic input — every call site
+    ranks parquet-derived frames). A non-deterministic input (e.g. fresh
+    ``rand()`` keys) is outside this function's contract."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -96,28 +111,26 @@ def global_ranked(df: DataFrame, order_cols: list, rank_col: str = "_rn") -> Dat
         df.repartitionByRange(n_part, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
-    counts = {
-        r["_gr_pid"]: r["cnt"]
-        for r in part.groupBy("_gr_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    acc = 0
-    offsets: dict[int, int] = {}
-    for pid in sorted(counts):  # range partitions are ordered by pid
-        offsets[pid] = acc
-        acc += counts[pid]
-    off = (
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    w_off = Window.orderBy("_gr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        part.groupBy("_gr_pid")
+        .agg(F.count("*").alias("_gr_cnt"))
+        .select(
+            "_gr_pid",
+            F.coalesce(F.sum("_gr_cnt").over(w_off), F.lit(0)).alias(
+                "_gr_off"
             ),
-            F.col("_gr_pid"),
         )
-        if offsets
-        else F.lit(0)
     )
     w = Window.partitionBy("_gr_pid").orderBy(*order_cols)
-    return part.withColumn(
-        rank_col, (F.row_number().over(w) + off).cast("long")
-    ).drop("_gr_pid")
+    return (
+        part.join(F.broadcast(offsets), "_gr_pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.col("_gr_off")).cast("long"),
+        )
+        .drop("_gr_pid", "_gr_off")
+    )
