@@ -2561,9 +2561,15 @@ def embedding_near_dups_lsh(
     seed: int = 7,
     target_bucket_rows: int | None = None,
     recall_target: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold, candidates generated by
     banded sign-LSH instead of a low-cardinality blocking column.
+
+    ``dim``: the vector dimensionality when the caller already knows it
+    (e.g. from an index sidecar) — skips the one-row probe job that
+    would otherwise re-run ``df``'s lineage. Ignored under calibration,
+    whose counting aggregate yields the dimension for free.
 
     Scale shape (the fix for blocking on something like ``label``, which is
     quadratic within block): each vector gets ``bands`` bucket keys, each
@@ -2602,7 +2608,7 @@ def embedding_near_dups_lsh(
         )
         dim = int(nrow["d"])
     else:
-        dim = _vec_dim(df, vec_col)
+        dim = int(dim) if dim is not None else _vec_dim(df, vec_col)
     all_planes = signlsh_planes(dim, bands * bits_per_band, seed)
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

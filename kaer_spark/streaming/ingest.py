@@ -740,11 +740,16 @@ def neardup_ingest_batch(
         spark, index_path, batch, left_id_col=id_col,
         text_col=text_col, threshold=threshold, presigned=sig,
     ).filter(F.col("right_id") < F.lit(lo))
+    # checkpoint the POST-SCREEN survivors: without the barrier the whole
+    # screen chain (band equi-join against the at-rest index + exact
+    # verify + anti-join) is recomputed by every downstream consumer —
+    # the self-dedup semi-join, the pair generation, the representatives
+    # anti-join, and the final write each replay it from the scan
     survivors = batch.join(
         hits.select(F.col("left_id").alias(id_col)).distinct(),
         [id_col],
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
     if self_dedup:
         ssig = sig.join(
             survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
@@ -757,8 +762,7 @@ def neardup_ingest_batch(
         )
         survivors = dedup_representatives(
             survivors, dedup_clusters(pairs), id_col=id_col
-        )
-    survivors = survivors.localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
     survivors.write.mode("overwrite").parquet(epoch_path)
     # advance_to=hi: dropped docs are DECIDED even though never stored —
     # without the floor, a replayed batch whose max id was dropped would
@@ -898,11 +902,18 @@ def embedding_neardup_ingest_batch(
         spark, index_path, batch, left_id_col=id_col,
         vec_col=vec_col, threshold=threshold,
     ).filter(F.col("right_id") < F.lit(lo))
+    # checkpoint the POST-SCREEN survivors: the screen chain (band
+    # equi-join against the at-rest index + exact-cosine verify +
+    # anti-join) is the dominant per-batch cost, and without the barrier
+    # it is recomputed by every downstream consumer — the isEmpty guard,
+    # the self-dedup candidate join (which references survivors three
+    # times: band keys + both verify sides), the representatives
+    # anti-join, and the final write each replay it from the scan
     survivors = batch.join(
         hits.select(F.col("left_id").alias(id_col)).distinct(),
         [id_col],
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
     # empty-survivor guard: a batch the screen drops ENTIRELY (every
     # vector near-dups the index — routine under duplicate re-delivery
     # in surrogate mode) must still commit its empty epoch partition and
@@ -913,11 +924,11 @@ def embedding_neardup_ingest_batch(
             survivors, id_col=id_col, vec_col=vec_col,
             threshold=threshold, bands=meta["bands"],
             bits_per_band=meta["bits_per_band"], seed=meta["seed"],
+            dim=meta["dim"],
         )
         survivors = dedup_representatives(
             survivors, dedup_clusters(pairs), id_col=id_col
-        )
-    survivors = survivors.localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
     survivors.write.mode("overwrite").parquet(epoch_path)
     # surrogate mode indexes the FULL batch (seen-content screen, not a
     # corpus mirror — see neardup_ingest_batch's assign_ids contract):
