@@ -2429,7 +2429,28 @@ def signlsh_band_key(vec_col: Column | str, planes: list[list[float]]) -> Column
     The dot is the engine-wide left-associative float64 fold
     (functions.vector.dot), identical to the oracle's unrolled sum, so the
     sign decision — and therefore the bucket id — replays bit-for-bit.
+    Built as ONE parsed expression when possible (same tree, see
+    ``fold_literal_sql_text``): a calibrated plane set is dozens of
+    folds, and per-fold Python lambda construction is pure driver cost.
     """
+    from kaer_spark.functions.vector import (
+        _literal_fold_args,
+        fold_literal_sql_text,
+    )
+
+    if isinstance(vec_col, str) and all(
+        _literal_fold_args(vec_col, p) is not None for p in planes
+    ):
+        parts = ["cast(0 as bigint)"]
+        for j, plane in enumerate(planes):
+            ds = fold_literal_sql_text(
+                vec_col, [float(x) for x in plane], "x * y"
+            )
+            parts.append(
+                f"cast(case when ({ds}) >= 0.0D then {1 << j} else 0 end"
+                " as bigint)"
+            )
+        return F.expr(" + ".join(parts))
     key = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         bit = F.when(dot(vec_col, plane) >= 0.0, F.lit(1 << j)).otherwise(F.lit(0))

@@ -35,7 +35,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kaer_spark.functions.vector import l2sq
+from kaer_spark.functions.vector import (
+    double_matrix_lit,
+    double_nested_lit,
+    l2sq,
+)
 
 META_FILE = "index.json"
 DATA_DIR = "data"
@@ -589,7 +593,7 @@ def pq_index_topk(
         [py_l2sq(q[j * d : (j + 1) * d], c) for c in meta["codebooks"][j]]
         for j in range(m)
     ]
-    tables_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    tables_lit = double_matrix_lit(tables)
     adc = F.aggregate(
         F.zip_with(F.col("pq_code"), tables_lit, lambda c, t: t[c]),
         F.lit(0.0),
@@ -697,17 +701,7 @@ def pq_index_knn_join(
     m, d = meta["m"], meta["dim"] // meta["m"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     books = meta["codebooks"]
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in code])
-                    for code in book
-                ]
-            )
-            for book in books
-        ]
-    )
+    cb_lit = double_nested_lit(books)
     qv = F.col("__qvec").cast("array<double>")
     # per-(subspace, codeword) squared-L2 of the query slice — left-assoc
     # fold from 0.0, the engine-wide IEEE op order every oracle replays
@@ -848,12 +842,7 @@ def ivf_index_stats(
 
     meta = read_index_meta(path)
     data = spark.read.parquet(os.path.join(path, DATA_DIR))
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c])
-            for c in meta["centroids"]
-        ]
-    )
+    cents = double_matrix_lit(meta["centroids"])
     resid = l2sq(
         meta["vec_col"],
         F.element_at(cents, F.col("_cell").cast("int") + F.lit(1)),
@@ -965,12 +954,7 @@ def pq_index_stats(
     )
     err = None
     for s in range(m):
-        book_s = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in books[s][j]])
-                for j in range(len(books[s]))
-            ]
-        )
+        book_s = double_matrix_lit(books[s])
         cent = F.element_at(
             book_s, F.element_at(F.col("pq_code"), s + 1) + F.lit(1)
         )

@@ -187,11 +187,45 @@ def pca_project(
     left-associated multiply-add chain: scan-shaped whole-stage
     codegen, zero Python, exactly replayable in SQL from the same
     literals."""
+    import math as _math
+    import re as _re
+
     d = len(mean)
     out = df
+    # ONE parsed expression per component when possible: the chain is
+    # k × d terms of ~6 gateway calls each when built per-element (
+    # seconds of driver time at d=64); the parsed tree is the same
+    # fixed left-associated multiply-add chain over the same double
+    # literals, so projections are bit-identical (repr round-trips
+    # binary64 and the parser's double conversion is correctly rounded).
+    finite = all(
+        _math.isfinite(float(x)) for x in mean
+    ) and all(
+        _math.isfinite(float(x)) for comp in components for x in comp
+    ) and (
+        eigenvalues is None
+        or all(
+            _math.isfinite(float(e) ** 0.5) and float(e) ** 0.5 != 0.0
+            for e in eigenvalues
+        )
+    )
+    fast = finite and _re.match(r"[A-Za-z_][A-Za-z0-9_]*\Z", vec_col)
     for c_idx, comp in enumerate(components):
         if len(comp) != d:
             raise ValueError("component/mean length mismatch")
+        if fast:
+            chain = " + ".join(
+                f"(cast(element_at(`{vec_col}`, {i + 1}) as double)"
+                f" - {repr(float(mean[i]))}D) * {repr(float(comp[i]))}D"
+                for i in range(d)
+            )
+            if eigenvalues is not None:
+                chain = (
+                    f"({chain}) / "
+                    f"{repr(float(eigenvalues[c_idx]) ** 0.5)}D"
+                )
+            out = out.withColumn(f"{out_prefix}{c_idx}", F.expr(chain))
+            continue
         acc = None
         for i in range(d):
             term = (

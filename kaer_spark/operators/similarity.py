@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kaer_spark.functions.vector import cosine_similarity, dot, l2sq
+from kaer_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    double_array_lit,
+    double_matrix_lit,
+    l2sq,
+)
 from kaer_spark.operators.knn import knn_join
 from kaer_spark.operators.util import ensure_parallelism
 
@@ -655,9 +661,7 @@ def pq_topk(
         ]
         for j in range(m)
     ]
-    tables_lit = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in tables]
-    )
+    tables_lit = double_matrix_lit(tables)
     dist = F.aggregate(
         F.zip_with(F.col(code_col), tables_lit, lambda c, t: t[c]),
         F.lit(0.0),
@@ -753,7 +757,7 @@ def pq_topk_deterministic(
         [py_l2sq(q[j * d : (j + 1) * d], c) for c in books[j]] for j in range(m)
     ]
     encoded = pq_encode_deterministic(corpus, books, vec_col)
-    tables_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    tables_lit = double_matrix_lit(tables)
     dist = F.aggregate(
         F.zip_with(F.col("pq_code"), tables_lit, lambda c, t: t[c]),
         F.lit(0.0),
@@ -823,7 +827,7 @@ def _pq_adc_refine(
         [py_l2sq(q[j * d : (j + 1) * d], c) for c in books[j]] for j in range(m)
     ]
     encoded = pq_encode_deterministic(rows, books, vec_col)
-    tables_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    tables_lit = double_matrix_lit(tables)
     adc = F.aggregate(
         F.zip_with(F.col("pq_code"), tables_lit, lambda c, t: t[c]),
         F.lit(0.0),
@@ -1022,8 +1026,8 @@ def sq_encode(
     clamped to [0, 255]: 4 bytes/dim → 1, done as a pure Catalyst
     ``transform`` in the scan stage. Clamping only fires for vectors
     outside the fitted range (e.g. out-of-sample inserts)."""
-    mins_l = F.array(*[F.lit(float(m)) for m in mins])
-    scales_l = F.array(*[F.lit(s) for s in _sq_scales(mins, maxs)])
+    mins_l = double_array_lit(mins)
+    scales_l = double_array_lit(_sq_scales(mins, maxs))
     code = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x, i: F.least(
@@ -1059,8 +1063,8 @@ def sq_topk(
         ((M - m) / 255.0) if M > m else 0.0 for m, M in zip(mins, maxs)
     ]
     a = [float(q) - float(m) for q, m in zip(query_vector, mins)]
-    a_l = F.array(*[F.lit(v) for v in a])
-    steps_l = F.array(*[F.lit(s) for s in steps])
+    a_l = double_array_lit(a)
+    steps_l = double_array_lit(steps)
     terms = F.transform(
         F.col(code_col),
         lambda c, i: (
