@@ -1160,11 +1160,19 @@ def compact_ingest_epochs(
     union.coalesce(n_files).write.mode("overwrite").parquet(
         os.path.join(tmp_dir, f"epoch={into}")
     )
+    # one Spark job writes the zero-row tombstone; the remaining epochs
+    # get byte-identical filesystem copies of it (the content is pure
+    # schema), so N tombstones cost one job + N-1 metadata copies
     empty = spark.createDataFrame([], schema=union.schema)
-    for e in cands[:-1]:
-        empty.write.mode("overwrite").parquet(
-            os.path.join(tmp_dir, f"epoch={e}")
-        )
+    tomb0 = os.path.join(tmp_dir, f"epoch={cands[0]}")
+    empty.write.mode("overwrite").parquet(tomb0)
+    futil = spark.sparkContext._jvm.org.apache.hadoop.fs.FileUtil
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for e in cands[1:-1]:
+        dst = pcls(os.path.join(tmp_dir, f"epoch={e}"))
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        futil.copy(fs, pcls(tomb0), fs, dst, False, hconf)
     # the commit point: manifest lands only after every prepared
     # partition is committed — recovery rolls forward from here
     _fs_write_json(
