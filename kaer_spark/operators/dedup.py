@@ -274,9 +274,10 @@ def build_shingle_index(
         F.count("*").alias("cnt")
     ).write.mode("overwrite").parquet(_os.path.join(path, "df", seg))
     hot_dir = None
+    corr_dir = None
     if max_doc_freq is not None:
         hot_dir = "hot/" + _shingle_seg_name("hot", max_id)
-        _write_shingle_hot(spark, path, [seg], max_doc_freq, hot_dir)
+        corr_dir = _write_shingle_hot(spark, path, [seg], max_doc_freq, hot_dir)
     meta = {
         "version": 2,
         "id_col": id_col,
@@ -287,6 +288,7 @@ def build_shingle_index(
         "max_id": max_id,
         "df_segments": [seg],
         "hot_dir": hot_dir,
+        "corr_dir": corr_dir,
     }
     _write_index_meta(path, "shingle_index.json", meta)
     return meta
@@ -307,7 +309,16 @@ def _write_shingle_hot(spark, path: str, segs: list, cap: int, hot_dir: str):
     """Merge the listed df segments (sum per-shingle counts — doc-freq is
     additive across disjoint id windows) and persist the over-cap shingle
     set. The hot table is heavy-hitter-sized by construction (every
-    member needs > cap postings), so serving broadcasts it."""
+    member needs > cap postings), so serving broadcasts it.
+
+    Also materializes the per-doc hot-shingle COUNTS (``corr/<tag>``,
+    ``(id, hot_cnt)``) the serving paths need to correct the stored
+    uncapped sizes: the correction is corpus-static between watermark
+    flips, so computing it here — one postings pass per flip — replaces
+    an aggregation over the full postings table on EVERY serve call
+    (``_indexed_pair_counts`` / ``_indexed_between_pair_counts``). Same
+    deterministic naming and replay-overwrite property as the hot table;
+    activated by the same atomic sidecar flip. Returns the corr dir."""
     import os as _os
     from functools import reduce
 
@@ -316,6 +327,17 @@ def _write_shingle_hot(spark, path: str, segs: list, cap: int, hot_dir: str):
     merged.groupBy("g").agg(F.sum("cnt").alias("cnt")).filter(
         F.col("cnt") > cap
     ).select("g").write.mode("overwrite").parquet(_os.path.join(path, hot_dir))
+    corr_dir = "corr/" + _os.path.basename(hot_dir)
+    hot = spark.read.parquet(_os.path.join(path, hot_dir))
+    (
+        spark.read.parquet(_os.path.join(path, "postings"))
+        .join(F.broadcast(hot), "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("hot_cnt"))
+        .write.mode("overwrite")
+        .parquet(_os.path.join(path, corr_dir))
+    )
+    return corr_dir
 
 
 def refresh_shingle_index(
@@ -428,18 +450,23 @@ def refresh_shingle_index(
     if advance_to is not None and advance_to > wm_new:
         wm_new = advance_to
     hot_dir = meta.get("hot_dir")
+    corr_dir = meta.get("corr_dir")
     if meta["max_doc_freq"] is not None:
         hot_dir = "hot/" + _shingle_seg_name("hot", wm_new)
-        _write_shingle_hot(spark, path, segs, meta["max_doc_freq"], hot_dir)
+        corr_dir = _write_shingle_hot(
+            spark, path, segs, meta["max_doc_freq"], hot_dir
+        )
     meta["max_id"] = _json_id(wm_new)
     meta["df_segments"] = segs
     meta["hot_dir"] = hot_dir
+    meta["corr_dir"] = corr_dir
     _write_index_meta(path, "shingle_index.json", meta)
     # sweep orphans from crashed grown-window replays (safe AFTER the
     # flip: anything not listed in the live sidecar is dead by contract)
     for sub, live in (
         ("df", set(segs)),
         ("hot", {_os.path.basename(hot_dir)} if hot_dir else set()),
+        ("corr", {_os.path.basename(corr_dir)} if corr_dir else set()),
     ):
         root = _os.path.join(path, sub)
         if _os.path.isdir(root):
@@ -669,11 +696,16 @@ def _indexed_pair_counts(spark, path: str) -> DataFrame:
     sizes = spark.read.parquet(_os.path.join(path, "sizes"))
     if meta.get("version", 1) >= 2 and meta.get("hot_dir"):
         hot = spark.read.parquet(_os.path.join(path, meta["hot_dir"]))
-        corr = (
-            inv.join(F.broadcast(hot), "g", "left_semi")
-            .groupBy("id")
-            .agg(F.count("*").alias("hot_cnt"))
-        )
+        if meta.get("corr_dir"):
+            # precomputed at the watermark flip (_write_shingle_hot) —
+            # no postings-wide aggregation on the serve path
+            corr = spark.read.parquet(_os.path.join(path, meta["corr_dir"]))
+        else:
+            corr = (
+                inv.join(F.broadcast(hot), "g", "left_semi")
+                .groupBy("id")
+                .agg(F.count("*").alias("hot_cnt"))
+            )
         sizes = sizes.join(corr, "id", "left").select(
             "id",
             (F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))).alias("sz"),
@@ -914,11 +946,15 @@ def _indexed_between_pair_counts(
     lsz_src = lsh.select("id", F.size("shingles").alias("sz"))
     if meta.get("hot_dir"):
         hot = spark.read.parquet(_os.path.join(path, meta["hot_dir"]))
-        corr = (
-            inv.join(F.broadcast(hot), "g", "left_semi")
-            .groupBy("id")
-            .agg(F.count("*").alias("hot_cnt"))
-        )
+        if meta.get("corr_dir"):
+            # precomputed at the watermark flip (_write_shingle_hot)
+            corr = spark.read.parquet(_os.path.join(path, meta["corr_dir"]))
+        else:
+            corr = (
+                inv.join(F.broadcast(hot), "g", "left_semi")
+                .groupBy("id")
+                .agg(F.count("*").alias("hot_cnt"))
+            )
         sizes = sizes.join(corr, "id", "left").select(
             "id",
             (F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))).alias("sz"),

@@ -1586,6 +1586,40 @@ def test_refresh_shingle_index_equals_rebuild(spark, tmp_path):
         assert _shingle_rows(spark, inc_p) == before
 
 
+def test_shingle_index_corr_table_matches_postings(spark, tmp_path):
+    """The precomputed serve-time size correction (``corr/<tag>``,
+    written with the hot table at every watermark flip) must equal the
+    aggregation it replaces — per-doc hot-shingle counts over the stored
+    postings — after BOTH build and refresh, and the sidecar must point
+    at the live corr dir (orphans swept like hot)."""
+    import os
+
+    from kaer_spark.operators.dedup import (
+        build_shingle_index,
+        read_shingle_index_meta,
+        refresh_shingle_index,
+    )
+
+    path = str(tmp_path / "corr_idx")
+    build_shingle_index(_shingle_docs(spark, upto=6), path, n=8, max_doc_freq=6)
+    refresh_shingle_index(_shingle_docs(spark), path)
+    meta = read_shingle_index_meta(path)
+    assert meta["corr_dir"] and os.path.isdir(os.path.join(path, "corr"))
+    assert os.listdir(os.path.join(path, "corr")) == [
+        os.path.basename(meta["corr_dir"])
+    ]
+    inv = spark.read.parquet(os.path.join(path, "postings"))
+    hot = spark.read.parquet(os.path.join(path, meta["hot_dir"]))
+    expected = sorted(
+        map(tuple, inv.join(F.broadcast(hot), "g", "left_semi")
+            .groupBy("id").agg(F.count("*").alias("hot_cnt")).collect())
+    )
+    stored = sorted(map(tuple, spark.read.parquet(
+        os.path.join(path, meta["corr_dir"])
+    ).collect()))
+    assert stored == expected and expected
+
+
 def test_refresh_shingle_index_replay_windows(spark, tmp_path):
     """Crash-replay idempotence for the list-of-segments state: (a) all
     writes landed but the sidecar flip did not — replay heals without
