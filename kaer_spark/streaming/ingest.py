@@ -665,8 +665,6 @@ def neardup_ingest_batch(
         refresh_minhash_index,
     )
 
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
     meta = read_minhash_index_meta(index_path)
     wm = meta.get("max_id")
@@ -694,6 +692,10 @@ def neardup_ingest_batch(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        # empty batch — the bounds aggregate doubles as the emptiness
+        # guard (one batch scan instead of a separate isEmpty pass)
+        return
     if wm is not None and lo <= wm:
         if hi > wm:
             # a true replay sits ENTIRELY at-or-below the watermark; a
@@ -854,8 +856,6 @@ def embedding_neardup_ingest_batch(
         refresh_signlsh_index,
     )
 
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
     meta = read_signlsh_index_meta(index_path)
     wm = meta.get("max_id")
@@ -878,6 +878,10 @@ def embedding_neardup_ingest_batch(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        # empty batch — the bounds aggregate doubles as the emptiness
+        # guard (one batch scan instead of a separate isEmpty pass)
+        return
     if wm is not None and lo <= wm:
         if hi > wm:
             raise ValueError(
