@@ -2678,14 +2678,49 @@ def embedding_near_dups_lsh(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).withColumn("nrm", vector_norm("v"))
-    cand = _signlsh_candidates(
-        base.select("id", "v"), all_planes, bands, bits_per_band
+    # [r17] vectors + norms RIDE the inverted band index and the exact
+    # cosine verifies INSIDE the band self-join — the r11
+    # embedding_near_dups_between shape (measured 2.3× faster there)
+    # applied to the within-corpus operator, which had kept the old
+    # candidates-then-rejoin plan: distinct over the (larger) candidate
+    # pair table plus TWO vector joins. Here only the SURVIVING pairs
+    # (post-threshold) reach the distinct, and the two joins are gone;
+    # the trade is the band index carrying vec_bytes per row and the
+    # cosine evaluating once per colliding band instead of once per
+    # candidate pair — the same economics the between variant documents
+    # (ride wins when bucket_rows × 16 > vec_bytes). Values identical:
+    # the cosine expression is deterministic per pair (same na×nb denom
+    # order, same dot fold), so band-duplicated survivors collapse
+    # exactly in the final distinct.
+    keys = [
+        signlsh_band_key("v", all_planes[b * bits_per_band : (b + 1) * bits_per_band])
+        for b in range(bands)
+    ]
+    # one checkpoint materializes the plane folds (the dominant
+    # expression cost) for BOTH join sides; it now carries the vectors
+    # the verify needs, so nothing re-derives from the scan
+    keyed = base.select(
+        "id", "v", "nrm",
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), k.alias("key"))
+                for b, k in enumerate(keys)
+            ]
+        ).alias("__bks"),
+    ).localCheckpoint(eager=False)
+    inv = keyed.select("id", "v", "nrm", F.explode("__bks").alias("bk")).select(
+        "id", "v", "nrm",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    ea = base.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    a = inv.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    eb = base.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    b = inv.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     denom = F.col("na") * F.col("nb")
     # HOF dot, deliberately: the flat 64-term unroll (dot_fixed) measured
@@ -2697,11 +2732,12 @@ def embedding_near_dups_lsh(
     # operators/similarity.py: unrolls win only in small stages.
     cos = F.when(denom != 0.0, dot(F.col("va"), F.col("vb")) / denom)
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )
 
 
@@ -4040,7 +4076,12 @@ def winnow_overlap_pairs(
     passage report (the inverted-index join cost scales with postings²
     per key, so the density cut is the whole point at corpus scale).
 
-    Output: ``(id_a < id_b, n_shared)``, descending share count."""
+    Output: ``(id_a < id_b, n_shared)``, descending share count.
+
+    (The ``(id, pos0, fp)`` distinct inside :func:`winnow_fingerprints`
+    does NOT cost this path a second exchange: Catalyst's
+    RemoveRedundantAggregates folds it into the ``(id, fp)`` distinct —
+    plan-verified r17, one aggregate pair per side.)"""
     sel = winnow_fingerprints(df, id_col, text_col, k, window).select(
         "id", "fp"
     ).distinct()
