@@ -1597,21 +1597,23 @@ def minhash_signatures(
             .withColumn("__mh_codes", _codes_col(text_col))
             .withColumn("__mh_fps", fps_all)
         )
-        # ONE transform over the literal (a, b) coefficient table instead
-        # of `num_hashes` independent array_min subtrees: the values are
-        # identical ((f*a+b) % P over the same fps multiset, slot order
-        # preserved by transform), but the expression tree shrinks ~64×
-        # and construction is one parsed expr — the per-slot form made
-        # CATALYST PLANNING the dominant cost of every consumer that
-        # checkpoints a signature frame (measured 2.6s of driver time per
-        # minhash_near_dups call at num_hashes=64, ~0.87s per
-        # localCheckpoint; see OPTIMIZATION_r17.md)
-        params = "array(" + ",".join(
-            f"named_struct('a',{int(a)}L,'b',{int(b)}L)" for a, b in coeffs
-        ) + ")"
-        sig = F.expr(
-            f"transform({params}, p -> array_min(transform(__mh_fps, "
-            f"f -> (f * p.a + p.b) % {int(HASH_MOD)}L)))"
+        # Per-slot array_min subtrees, deliberately: an attempt to
+        # collapse the slots into ONE transform over a literal (a, b)
+        # struct table (smaller tree, cheaper planning) measured 2-3×
+        # SLOWER at runtime in an interleaved same-session A/B at the
+        # declared geometry (num_hashes=16, sf0.1: noop-sink mins 0.52s
+        # per-slot vs 1.39s collapsed) — the literal coefficients fold
+        # into each slot's lambda here, while the collapsed form pays
+        # struct-field extraction per element per slot. Planning the
+        # 16-subtree signature is cheap; revisit only if a consumer
+        # ships a much wider geometry.
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform("__mh_fps", lambda f: (f * a + b) % HASH_MOD)
+                )
+                for a, b in coeffs
+            ]
         )
         return base.select(
             F.col(id_col).alias("id"),
