@@ -2165,7 +2165,14 @@ def minhash_index_stats(
         )
         .drop("_g")
     )
-    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    # checkpoint the narrow (id, sz) frame: THREE consumers evaluate it
+    # (the count/max aggregate, global_ranked's range-boundary sample,
+    # and the range shuffle itself), and without the barrier each one
+    # re-decodes the heavy array<string> shingles column from parquet —
+    # the dominant scan cost of this report (r17 profile)
+    sizes = sh.select("id", F.size("shingles").alias("sz")).localCheckpoint(
+        eager=False
+    )
     szstats = sizes.agg(
         F.count("*").alias("n_docs"),
         F.max("sz").cast("long").alias("max_doc_shingles"),
@@ -3068,9 +3075,14 @@ def signlsh_index_stats(
     # one (id, norm) row per vector: every band row carries the same
     # (vr, nr), so band 0's slice IS the vector table — no distinct over
     # doubles, no re-derivation that could drift from the stored values
+    # checkpointed for the same reason as minhash_index_stats' sizes
+    # frame: three consumers (aggregate + global_ranked's sample +
+    # shuffle) would each re-scan the bands parquet, whose rows carry
+    # the full stored vectors — the narrow (id, nrm) barrier decodes
+    # them once
     norms = bands_t.filter(F.col("band") == 0).select(
         F.col("right_id").alias("id"), F.col("nr").alias("nrm")
-    )
+    ).localCheckpoint(eager=False)
     nstats = norms.agg(
         F.count("*").alias("n_vecs"),
         F.min("nrm").alias("min_norm"),
