@@ -1576,22 +1576,34 @@ def minhash_signatures(
     coeffs = minhash_coeffs(num_hashes, seed)
     if unit == "char":
         N = int(n)
-        pw = [pow(HASH_BASE, N - 1 - k, HASH_MOD) for k in range(N)]
-
-        def winfp(i: Column) -> Column:
-            h = F.lit(0).cast("long")
-            for k in range(N):
-                h = (
-                    h
-                    + F.element_at("__mh_codes", i + F.lit(k)) * F.lit(pw[k])
-                ) % F.lit(HASH_MOD)
-            return h
-
-        fps_all = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(text_col) - N + 1), winfp
+        # parsed-in-one-call transform (see _horner_flat_sql) with the
+        # builder fallback for exotic column names
+        if _WINFP_IDENT.match(text_col):
+            fps_all = F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {N} + 1),"
+                    f" i -> "
+                    f"{_horner_flat_sql('__mh_codes', 'i', N, HASH_BASE, HASH_MOD)})"
+                )
             )
-        )
+        else:
+            pw = [pow(HASH_BASE, N - 1 - k, HASH_MOD) for k in range(N)]
+
+            def winfp(i: Column) -> Column:
+                h = F.lit(0).cast("long")
+                for k in range(N):
+                    h = (
+                        h
+                        + F.element_at("__mh_codes", i + F.lit(k))
+                        * F.lit(pw[k])
+                    ) % F.lit(HASH_MOD)
+                return h
+
+            fps_all = F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text_col) - N + 1), winfp
+                )
+            )
         base = (
             ensure_parallelism(df.filter(F.length(text_col) >= N))
             .withColumn("__mh_codes", _codes_col(text_col))
@@ -1604,16 +1616,17 @@ def minhash_signatures(
         # declared geometry (num_hashes=16, sf0.1: noop-sink mins 0.52s
         # per-slot vs 1.39s collapsed) — the literal coefficients fold
         # into each slot's lambda here, while the collapsed form pays
-        # struct-field extraction per element per slot. Planning the
-        # 16-subtree signature is cheap; revisit only if a consumer
-        # ships a much wider geometry.
-        sig = F.array(
-            *[
-                F.array_min(
-                    F.transform("__mh_fps", lambda f: (f * a + b) % HASH_MOD)
-                )
+        # struct-field extraction per element per slot. The slots are
+        # emitted as ONE parsed expression TEXT (sameSemantics-identical
+        # to the per-slot builder, so runtime is untouched) because the
+        # per-slot builder spent ~0.45s of py4j round-trips per
+        # signature frame on construction alone.
+        sig = F.expr(
+            "array(" + ",".join(
+                f"array_min(transform(__mh_fps, "
+                f"f -> (f * {int(a)} + {int(b)}) % {int(HASH_MOD)}))"
                 for a, b in coeffs
-            ]
+            ) + ")"
         )
         return base.select(
             F.col(id_col).alias("id"),
@@ -1718,26 +1731,24 @@ def minhash_near_dups(
 
 
 def _minhash_banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, key) — the signature's LSH band keys, one row per band."""
+    """(id, band, key) — the signature's LSH band keys, one row per band.
+
+    One parsed expression (sameSemantics-identical to the per-band
+    struct builder — see the signature-slot note in
+    :func:`minhash_signatures`): the builder form cost ~0.18s of py4j
+    round-trips per call."""
+    parts = ",".join(
+        "named_struct('band', {b}, 'key', concat_ws(',', {cols}))".format(
+            b=bi,
+            cols=",".join(
+                f"CAST(sig[{bi * rows_per_band + r}] AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
     return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[bi * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.explode(F.expr(f"array({parts})")).alias("bk")
     ).select("id", "bk.band", "bk.key")
 
 
@@ -3706,10 +3717,7 @@ def duplicate_passages(
     if length <= 0:
         raise ValueError("length must be positive")
     L = int(length)
-    win = F.transform(
-        F.sequence(F.lit(1), F.length(text_col) - L + 1),
-        lambda i: _win_fp("__codes", i, L),
-    )
+    win = _win_fps_transform(text_col, L)
     # ensure_parallelism: the fixture-scale single-file scan would
     # otherwise run the whole O(chars × length) hash in ONE task (measured
     # 63s -> ~3s at sf0.1); at real scale the input has partitions and
@@ -3774,6 +3782,57 @@ def _codes_col(text_col: str) -> Column:
     )
 
 
+_WINFP_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _horner_flat_sql(
+    codes_col: str, ivar: str, length: int, base: int, mod: int
+) -> str:
+    """SQL text of one flat power-basis hash chain — the EXACT tree the
+    ``_win_fp`` builder produces for that modulus (same nesting, same
+    int literal types), emitted as text so the whole window transform
+    parses in ONE ``F.expr`` round-trip instead of ``length × ~16``
+    py4j gateway calls per call site (the r17 ``functions/vector.py``
+    literal-fold pattern applied to the window-fingerprint family:
+    cProfile put ~2.3s of ``cdc_stats``'s construction in these
+    round-trips)."""
+    L = int(length)
+    h = "CAST(0 AS BIGINT)"
+    for k in range(L):
+        pw = pow(base, L - 1 - k, mod)
+        h = (
+            f"(({h} + element_at({codes_col}, ({ivar} + {k})) * {pw})"
+            f" % {mod})"
+        )
+    return h
+
+
+def _win_fp_sql(codes_col: str, ivar: str, length: int) -> str:
+    """SQL text of ``_win_fp`` at lambda variable ``ivar`` — paired
+    moduli packed as ``h1 * MOD2 + h2``, identical tree."""
+    h1 = _horner_flat_sql(codes_col, ivar, length, HASH_BASE, HASH_MOD)
+    h2 = _horner_flat_sql(codes_col, ivar, length, HASH_BASE2, HASH_MOD2)
+    return f"({h1} * {HASH_MOD2} + {h2})"
+
+
+def _win_fps_transform(text_col: str, length: int) -> Column:
+    """The bare window-fingerprint transform
+    ``transform(sequence(1, length(text) - L + 1), i -> <fp>)`` as ONE
+    parsed expression when ``text_col`` is a plain identifier (every
+    driver query; the builder fallback keeps exotic column names
+    working)."""
+    L = int(length)
+    if _WINFP_IDENT.match(text_col):
+        return F.expr(
+            f"transform(sequence(1, length({text_col}) - {L} + 1), "
+            f"i -> {_win_fp_sql('__codes', 'i', L)})"
+        )
+    return F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - L + 1),
+        lambda i: _win_fp("__codes", i, L),
+    )
+
+
 def _window_fp_explode(
     df: DataFrame, id_col: str, text_col: str, length: int
 ) -> DataFrame:
@@ -3784,10 +3843,7 @@ def _window_fp_explode(
     (``_win_fp``, ~60 collision bits), one narrow posexplode carries the
     0-based start position."""
     L = int(length)
-    win = F.transform(
-        F.sequence(F.lit(1), F.length(text_col) - L + 1),
-        lambda i: _win_fp("__codes", i, L),
-    )
+    win = _win_fps_transform(text_col, L)
     return (
         ensure_parallelism(df.filter(F.length(text_col) >= L))
         .withColumn("__codes", _codes_col(text_col))
@@ -4040,13 +4096,21 @@ def winnow_fingerprints(
     if k < 1 or window < 1:
         raise ValueError("k and window must be positive")
     K, w = int(k), int(window)
-    n_h = F.length(text_col) - K + 1
-    hstructs = F.transform(
-        F.sequence(F.lit(1), n_h),
-        lambda i: F.struct(
-            _win_fp("__codes", i, K).alias("h"), (-i).alias("np")
-        ),
-    )
+    # parsed-in-one-call transform (see _horner_flat_sql) with the
+    # builder fallback for exotic column names
+    if _WINFP_IDENT.match(text_col):
+        hstructs = F.expr(
+            f"transform(sequence(1, length({text_col}) - {K} + 1), "
+            f"i -> named_struct("
+            f"'h', {_win_fp_sql('__codes', 'i', K)}, 'np', -i))"
+        )
+    else:
+        hstructs = F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - K + 1),
+            lambda i: F.struct(
+                _win_fp("__codes", i, K).alias("h"), (-i).alias("np")
+            ),
+        )
     sel = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("__h") - w + 1, F.lit(1))),
         lambda j: F.array_min(F.slice("__h", j, w)),
@@ -4771,15 +4835,24 @@ def cdc_chunks(
     if W < 2 or D < 2:
         raise ValueError("w and divisor must be >= 2")
     n_h = F.length(text_col) - W + 1
-    hstructs = F.when(
-        n_h >= 1,
-        F.transform(
+    # parsed-in-one-call transform (see _horner_flat_sql) with the
+    # builder fallback for exotic column names
+    if _WINFP_IDENT.match(text_col):
+        tf = F.expr(
+            f"transform(sequence(1, length({text_col}) - {W} + 1), "
+            f"i -> named_struct("
+            f"'h', {_win_fp_sql('__codes', 'i', W)}, 'i', i))"
+        )
+    else:
+        tf = F.transform(
             F.sequence(F.lit(1), n_h),
             lambda i: F.struct(
                 _win_fp("__codes", i, W).alias("h"), i.alias("i")
             ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<struct<h:bigint,i:int>>)"))
+        )
+    hstructs = F.when(n_h >= 1, tf).otherwise(
+        F.expr("CAST(array() AS array<struct<h:bigint,i:int>>)")
+    )
     base = (
         ensure_parallelism(df.filter(F.length(text_col) > 0))
         .withColumn("__codes", _codes_col(text_col))
