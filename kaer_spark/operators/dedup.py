@@ -1708,8 +1708,14 @@ def minhash_near_dups(
             cand_ids, "id", "left_semi"
         )
     else:
+        # ensure_parallelism (r17 item 12): without it the candidate
+        # re-shingling runs ON the raw scan — one task for a single-split
+        # bench/test input (measured 2.3s serialized in
+        # dedup_cluster_build's profile) — while the signature pass above
+        # was already widened. No-op on many-split production scans.
         sh = (
-            df.select(
+            ensure_parallelism(df)
+            .select(
                 F.col(id_col).alias("id"),
                 _shingle_expr(text_col, n, unit).alias("shingles"),
             )
@@ -1874,11 +1880,14 @@ def minhash_near_dups_between(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sh_l = left.select(
+    # ensure_parallelism on both verify sides (r17 item 12): the exact-
+    # Jaccard re-shingling otherwise runs serialized on the raw scans'
+    # single split at bench/test scale (same fix as minhash_near_dups).
+    sh_l = ensure_parallelism(left).select(
         F.col(left_id_col).alias("left_id"),
         _shingle_expr(text_col, n, unit).alias("sh_a"),
     ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
-    sh_r = right.select(
+    sh_r = ensure_parallelism(right).select(
         F.col(right_id_col).alias("right_id"),
         _shingle_expr(text_col, n, unit).alias("sh_b"),
     ).join(cand.select("right_id").distinct(), "right_id", "left_semi")
@@ -2271,7 +2280,11 @@ def minhash_near_dups_against_index(
             F.col("id").alias("left_id"), F.col("shingles").alias("sh_a")
         ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
     else:
-        sh_l = left.select(
+        # widened for the same single-split reason as minhash_near_dups
+        # (r17 item 12); the stored-shingle side below stays as-read —
+        # its decode feeds a shuffle join, and the artifact's file count
+        # grows with the corpus.
+        sh_l = ensure_parallelism(left).select(
             F.col(left_id_col).alias("left_id"),
             _shingle_expr(tcol, meta["n"], meta["unit"]).alias("sh_a"),
         ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
