@@ -1076,7 +1076,17 @@ def pmi_bigrams(
     corpus total crossJoins as one broadcast row; final cut is
     TakeOrderedAndProject."""
     _, grams = _doc_bigrams(df, id_col, text_col)
-    pair = grams.groupBy("w", "v").agg(F.count("*").cast("long").alias("c"))
+    # localCheckpoint (r17 item 13): four consumers (the support filter
+    # and all three marginals) otherwise EACH re-scan and re-explode the
+    # corpus — profiled as four parallel single-split scan stages; the
+    # checkpointed pair table is vocab²-bounded, so materializing it
+    # turns four corpus passes into one at any scale. eager=False per
+    # the family discipline (folds into the first consuming job).
+    pair = (
+        grams.groupBy("w", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     left = pair.groupBy("w").agg(F.sum("c").cast("long").alias("cl"))
     right = pair.groupBy("v").agg(F.sum("c").cast("long").alias("cr"))
     tot = pair.agg(F.sum("c").cast("long").alias("n"))
