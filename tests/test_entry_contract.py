@@ -59,11 +59,10 @@ def test_bench_json_line_fits_driver_tail_buffer():
         "runs": 3,
         "loaded_start": False,
         "cpu_probe_sec": 0.1234,
-        "shared_min_ratio": 0.123,
-        "shared_min_ratio_normalized": 0.123,
-        # [r16] mc-normalized twin + mid-run contamination fields; the
-        # raw canary ratios rotated to detail-only (derivable on the
-        # line) exactly to keep this budget
+        # [r18] only the PRIMARY mc-normalized ratio rides the line; the
+        # raw and sc-normalized twins moved to detail-only (derivable
+        # from the committed bench_detail.json) to restore pq_knn_join
+        # and keep this budget with headroom
         "shared_min_ratio_normalized_mc": 0.123,
         "max_load_seen": 12.34,
         "contaminated_reps": 3,
@@ -77,7 +76,58 @@ def test_bench_json_line_fits_driver_tail_buffer():
         "sf": 0.1,
     }
     # same serialization bench.py uses (compact separators)
-    assert len(json.dumps(worst, separators=(",", ":"))) < 1900
+    assert (
+        len(json.dumps(worst, separators=(",", ":")))
+        < bench._STDOUT_LINE_BUDGET
+    )
+
+
+# [r18] The stdout line's query-key SET, frozen (r17 verdict #2: a key
+# rotating off the line breaks the driver's per-query cross-round series
+# — it reads as a dropped query; r15, r16, and r17/pq_knn_join each did
+# this). Adding NEW keys is allowed (append here in the same commit);
+# removing or renaming an existing key fails this test by design — make
+# room by shrinking non-query line fields instead (the r18 precedent:
+# the two derivable canary ratios moved to detail-only).
+PINNED_STDOUT_LINE_KEYS = {
+    "tpch_total",
+    "revenue_by_nation", "top_customers", "window_running", "events_json",
+    "events_hourly", "time_bucket_rollup", "events_sessionize",
+    "range_join_clicks", "knn_topk", "knn_filtered_and", "knn_join",
+    "ivf_knn_det", "lsh_knn_det", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "simhash", "doc_fingerprint", "text_stats",
+    "training_corpus_stats", "schemaless_exists", "bm25_scores",
+    "pack_sequences", "shard_manifest", "cohort_retention", "sliding_7d",
+    "top_quality_docs", "training_mix_packed", "ivf_knn_join",
+    "bigram_lm_scores", "token_budget_mix", "subword_budget", "bpe_merges",
+    "embedding_gram", "remove_repeated_lines", "dedup_minhash_between",
+    "embedding_dups_between", "asof_nearest", "training_mix_tokens",
+    "dsir_scores", "perplexity_buckets", "duplicate_passages",
+    "remove_duplicate_passages", "semdedup", "dedup_cluster_build",
+    "ivf_hard_negatives", "pq_knn_join", "contrastive_triplets_mine",
+    "streaming_neardup_ingest", "streaming_embedding_ingest",
+    "fuzzy_near_dups", "winnow_overlap", "pps_sample_chars",
+    "quantiles_sampled", "hard_negatives", "mmr_rerank", "token_divergence",
+    "zipf_profile", "bloom_decontam", "cdc_stats", "hll_orderkeys",
+    "ngram_novelty", "cms_token_counts", "pmi_bigrams",
+}
+
+
+def test_stdout_line_query_keys_are_pinned():
+    """No existing stdout-line per-query key may rotate to DETAIL_ONLY or
+    leave HEADLINE — the driver's cross-round per-query series depends on
+    line membership being stable (see PINNED_STDOUT_LINE_KEYS)."""
+    import bench
+
+    line_keys = set(
+        bench.stdout_queries({n: 1.0 for n in bench.HEADLINE})
+    )
+    missing = PINNED_STDOUT_LINE_KEYS - line_keys
+    assert not missing, (
+        f"stdout-line keys rotated off the line: {sorted(missing)} — "
+        "this breaks the driver's per-query series; shrink a non-query "
+        "field instead"
+    )
 
 
 def test_det_ann_oracle_on_shifted_id_fixture(spark, tmp_path):
