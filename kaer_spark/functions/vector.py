@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import re
+from collections import OrderedDict
 from collections.abc import Sequence
 from typing import Union
 
@@ -27,6 +28,45 @@ ColumnOrName = Union[Column, str]
 
 #: simple (unqualified) column names we can safely backtick into SQL text
 _SIMPLE_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+# [r18] Parsed-expression cache: the literal-vector SQL strings this
+# module emits (ADC distance tables, LSH plane-fold band keys, centroid
+# tables — thousands of double literals each) are identical across calls
+# within a session (the artifact meta they derive from is fixture-
+# stable), yet each F.expr round-trip re-parses the whole string on the
+# DRIVER (guide §7.3: query construction is single-threaded driver work;
+# r17 item 4 cut the per-element py4j storm, this removes the repeated
+# PARSE of the surviving one-call strings). Keyed by the SQL text and
+# scoped to the live SparkContext: a Column is an immutable unresolved
+# expression handle, safe to embed in any number of plans, but its
+# underlying java object dies with the JVM — the context check drops the
+# cache when the session is restarted (tests stop/start sessions).
+# This caches no data and no results — construction only.
+_EXPR_CACHE_MAX = 512
+_expr_cache: OrderedDict[str, Column] = OrderedDict()
+_expr_cache_ctx: object | None = None
+
+
+def cached_expr(sql: str) -> Column:
+    """``F.expr(sql)`` memoized per live SparkContext (see above)."""
+    global _expr_cache_ctx
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return F.expr(sql)
+    if sc is not _expr_cache_ctx:
+        _expr_cache.clear()
+        _expr_cache_ctx = sc
+    col = _expr_cache.get(sql)
+    if col is None:
+        col = F.expr(sql)
+        _expr_cache[sql] = col
+        if len(_expr_cache) > _EXPR_CACHE_MAX:
+            _expr_cache.popitem(last=False)
+    else:
+        _expr_cache.move_to_end(sql)
+    return col
 
 
 def fold_literal_sql_text(
@@ -52,7 +92,7 @@ def fold_literal_sql_text(
 def _fold_literal_sql(
     col_name: str, vals: list[float], zip_body: str
 ) -> Column:
-    return F.expr(fold_literal_sql_text(col_name, vals, zip_body))
+    return cached_expr(fold_literal_sql_text(col_name, vals, zip_body))
 
 
 def _literal_fold_args(
@@ -119,7 +159,7 @@ def double_nested_lit(v: Sequence) -> Column:
     gateway calls per query (see :func:`_as_double_array`)."""
     sql = _lit_tree_sql(v)
     if sql is not None:
-        return F.expr(sql)
+        return cached_expr(sql)
     if v and isinstance(v[0], (list, tuple)):
         return F.array(*[double_nested_lit(r) for r in v])
     return F.array(*[F.lit(float(x)) for x in v])
@@ -148,7 +188,7 @@ def _both_ident(a, b) -> bool:
 def _fold_cols_sql(a: str, b: str, zip_body: str) -> Column:
     """Parsed form of the two-named-column fold (same tree as the
     builder path — see :func:`fold_literal_sql_text`)."""
-    return F.expr(
+    return cached_expr(
         f"aggregate(zip_with(cast(`{a}` as array<double>), "
         f"cast(`{b}` as array<double>), (x, y) -> {zip_body}), 0.0D, "
         "(acc, x) -> acc + x)"
@@ -209,7 +249,7 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName | Sequence[float]) -> Col
             )
             denom_sql = f"(sqrt({selfdot}) * {repr(nb)}D)"
             dot_sql = fold_literal_sql_text(name, vals, "x * y")
-            return F.expr(
+            return cached_expr(
                 f"case when {denom_sql} != 0.0D then "
                 f"({dot_sql}) / {denom_sql} end"
             )

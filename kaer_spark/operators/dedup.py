@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kaer_spark.functions.text import char_shingles, tokens, word_shingles
-from kaer_spark.functions.vector import dot, vector_norm
+from kaer_spark.functions.vector import cached_expr, dot, vector_norm
 from kaer_spark.operators.util import (
     ensure_parallelism,
     global_ranked,
@@ -1580,7 +1580,7 @@ def minhash_signatures(
         # builder fallback for exotic column names
         if _WINFP_IDENT.match(text_col):
             fps_all = F.array_distinct(
-                F.expr(
+                cached_expr(
                     f"transform(sequence(1, length({text_col}) - {N} + 1),"
                     f" i -> "
                     f"{_horner_flat_sql('__mh_codes', 'i', N, HASH_BASE, HASH_MOD)})"
@@ -1621,7 +1621,7 @@ def minhash_signatures(
         # to the per-slot builder, so runtime is untouched) because the
         # per-slot builder spent ~0.45s of py4j round-trips per
         # signature frame on construction alone.
-        sig = F.expr(
+        sig = cached_expr(
             "array(" + ",".join(
                 f"array_min(transform(__mh_fps, "
                 f"f -> (f * {int(a)} + {int(b)}) % {int(HASH_MOD)}))"
@@ -1754,7 +1754,7 @@ def _minhash_banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFram
         for bi in range(bands)
     )
     return sigs.select(
-        "id", F.explode(F.expr(f"array({parts})")).alias("bk")
+        "id", F.explode(cached_expr(f"array({parts})")).alias("bk")
     ).select("id", "bk.band", "bk.key")
 
 
@@ -2527,7 +2527,7 @@ def signlsh_band_key(vec_col: Column | str, planes: list[list[float]]) -> Column
                 f"cast(case when ({ds}) >= 0.0D then {1 << j} else 0 end"
                 " as bigint)"
             )
-        return F.expr(" + ".join(parts))
+        return cached_expr(" + ".join(parts))
     key = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         bit = F.when(dot(vec_col, plane) >= 0.0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -3836,7 +3836,7 @@ def _win_fps_transform(text_col: str, length: int) -> Column:
     working)."""
     L = int(length)
     if _WINFP_IDENT.match(text_col):
-        return F.expr(
+        return cached_expr(
             f"transform(sequence(1, length({text_col}) - {L} + 1), "
             f"i -> {_win_fp_sql('__codes', 'i', L)})"
         )
@@ -4112,7 +4112,7 @@ def winnow_fingerprints(
     # parsed-in-one-call transform (see _horner_flat_sql) with the
     # builder fallback for exotic column names
     if _WINFP_IDENT.match(text_col):
-        hstructs = F.expr(
+        hstructs = cached_expr(
             f"transform(sequence(1, length({text_col}) - {K} + 1), "
             f"i -> named_struct("
             f"'h', {_win_fp_sql('__codes', 'i', K)}, 'np', -i))"
@@ -4851,7 +4851,7 @@ def cdc_chunks(
     # parsed-in-one-call transform (see _horner_flat_sql) with the
     # builder fallback for exotic column names
     if _WINFP_IDENT.match(text_col):
-        tf = F.expr(
+        tf = cached_expr(
             f"transform(sequence(1, length({text_col}) - {W} + 1), "
             f"i -> named_struct("
             f"'h', {_win_fp_sql('__codes', 'i', W)}, 'i', i))"
