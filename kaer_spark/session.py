@@ -101,6 +101,25 @@ _DEFAULTS = {
     # local[32] on 128 GiB: single JVM, driver memory is the only knob.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.ui.enabled": "false",
+    # [r18] Whole-stage-codegen class cache. Spark's default is 100
+    # entries, sized for a handful of hot queries — this engine's wider
+    # operators (index stats, LSH chains, ingest bodies) each generate
+    # 30-95 codegen classes per execution, so at the default EVERY call
+    # re-compiled its whole pipeline: thread dumps showed all 32
+    # executor threads blocked in CodeGenerator.compile, and the
+    # CodegenMetrics counter confirmed 40-53 Janino compiles per WARM
+    # signlsh_index_stats call (wall 4.3-5.9s) vs 0 compiles / 2.0s wall
+    # once the cache holds the working set. NOT a scale-dependent knob:
+    # the cache is per-JVM and generated sources are data-independent —
+    # on a production cluster each executor JVM pays the same compile
+    # per stage shape, and a long-lived engine session serving hundreds
+    # of distinct query shapes wants them compiled once. Memory ceiling
+    # ≈ entries × (source string + class bytecode, typically 10-50 KB)
+    # — a few hundred MB at 8192, right-sized for the 48g driver here;
+    # override downward for small executor JVMs.
+    "spark.sql.codegen.cache.maxEntries": os.environ.get(
+        "SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "8192"
+    ),
 }
 
 
