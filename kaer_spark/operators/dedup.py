@@ -1883,14 +1883,30 @@ def minhash_near_dups_between(
     # ensure_parallelism on both verify sides (r17 item 12): the exact-
     # Jaccard re-shingling otherwise runs serialized on the raw scans'
     # single split at bench/test scale (same fix as minhash_near_dups).
-    sh_l = ensure_parallelism(left).select(
+    # [r18, ADVICE] The candidate semi-join prunes BEFORE the widening
+    # exchange, so only surviving rows (not the whole corpus text) ride
+    # the round-robin repartition — on a mid-size single-split input the
+    # old order shuffled every text row just to drop most of them.
+    sh_l = ensure_parallelism(
+        left.join(
+            cand.select(F.col("left_id").alias(left_id_col)).distinct(),
+            [left_id_col],
+            "left_semi",
+        )
+    ).select(
         F.col(left_id_col).alias("left_id"),
         _shingle_expr(text_col, n, unit).alias("sh_a"),
-    ).join(cand.select("left_id").distinct(), "left_id", "left_semi")
-    sh_r = ensure_parallelism(right).select(
+    )
+    sh_r = ensure_parallelism(
+        right.join(
+            cand.select(F.col("right_id").alias(right_id_col)).distinct(),
+            [right_id_col],
+            "left_semi",
+        )
+    ).select(
         F.col(right_id_col).alias("right_id"),
         _shingle_expr(text_col, n, unit).alias("sh_b"),
-    ).join(cand.select("right_id").distinct(), "right_id", "left_semi")
+    )
     return (
         cand.join(sh_l, "left_id")
         .join(sh_r, "right_id")
