@@ -168,10 +168,28 @@ def _shingle_pair_counts(
     # eager=False everywhere in this family: materialization folds into
     # the first consuming job instead of an up-front blocking pass —
     # measured ~2x faster first call, slightly faster steady-state.
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), _shingle_expr(text_col, n, unit).alias("shingles")
+    # [r18] project to (id, text) BEFORE the widening exchange (guide
+    # §2.3: the round-robin repartition otherwise moves every column of
+    # the caller's frame; documents fixtures carry lang/source/n_chars
+    # that the pair stage never reads) and keep the keyless
+    # repartition's pre-sort payload minimal for the same reason.
+    sh = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id", _shingle_expr("__t", n, unit).alias("shingles")
     ).filter(F.size("shingles") > 0).localCheckpoint(eager=False)
-    inv = sh.select("id", F.explode("shingles").alias("g"))
+    # [r18] the inverted index shuffles/joins an int64 shingle hash, not
+    # the shingle string (guide §2.3 narrower types / §6): every
+    # downstream consumer (doc-freq cap, size aggregate, pair self-join)
+    # only needs shingle IDENTITY, and xxhash64 is collision-free on the
+    # fixtures (verified: distinct shingles == distinct hashes at
+    # sf0.001/0.01/0.1; a test pins hashed-vs-string value equality).
+    # At web scale a 64-bit collision merges two shingles' postings with
+    # probability ~n²/2⁶⁵ — the same trade minhash banding already
+    # makes, and far below the doc-freq cap's own semantic effect.
+    inv = sh.select("id", F.explode("shingles").alias("__g")).select(
+        "id", F.xxhash64("__g").alias("g")
+    )
     if max_doc_freq is not None:
         hot = (
             inv.groupBy("g")
@@ -828,26 +846,38 @@ def _between_pair_counts(
     reference artifact's stored doc-freq state — and both sides' set
     sizes are recomputed over the kept shingles so intersection and
     union agree."""
+    # [r18] same two §2.3 narrowings as _shingle_pair_counts: project to
+    # (id, text) before the widening exchange, and join on the int64
+    # shingle hash instead of the string (collision-free on the
+    # fixtures; equality pinned by test).
     lsh = (
-        ensure_parallelism(left)
-        .select(
-            F.col(left_id_col).alias("id"),
-            _shingle_expr(text_col, n, unit).alias("shingles"),
+        ensure_parallelism(
+            left.select(
+                F.col(left_id_col).alias("id"),
+                F.col(text_col).alias("__t"),
+            )
         )
+        .select("id", _shingle_expr("__t", n, unit).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=False)
     )
     rsh = (
-        ensure_parallelism(right)
-        .select(
-            F.col(right_id_col).alias("id"),
-            _shingle_expr(text_col, n, unit).alias("shingles"),
+        ensure_parallelism(
+            right.select(
+                F.col(right_id_col).alias("id"),
+                F.col(text_col).alias("__t"),
+            )
         )
+        .select("id", _shingle_expr("__t", n, unit).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=False)
     )
-    linv = lsh.select("id", F.explode("shingles").alias("g"))
-    rinv = rsh.select("id", F.explode("shingles").alias("g"))
+    linv = lsh.select("id", F.explode("shingles").alias("__g")).select(
+        "id", F.xxhash64("__g").alias("g")
+    )
+    rinv = rsh.select("id", F.explode("shingles").alias("__g")).select(
+        "id", F.xxhash64("__g").alias("g")
+    )
     if max_doc_freq is not None:
         hot = (
             rinv.groupBy("g")

@@ -67,6 +67,44 @@ def test_ngram_jaccard_pairs(dup_docs):
     assert (0, 1) in got and got[(0, 1)] == 1.0
 
 
+def test_ngram_jaccard_hashed_postings_match_string_semantics(documents):
+    """[r18] The inverted index shuffles xxhash64(shingle) instead of the
+    shingle string (guide §2.3 narrowing). Pin the CAPPED path — doc-freq
+    computed over hashes must keep/drop exactly the shingles the
+    string-keyed semantics keeps/drops — against a pure-Python reference
+    with the cap applied on strings, over the real sf fixture."""
+    from collections import Counter
+
+    n, mdf, th = 8, 20, 0.3
+    rows = documents.limit(200).collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    sets = {
+        i: {t[k : k + n] for k in range(len(t) - n + 1)}
+        for i, t in texts.items()
+        if len(t) >= n
+    }
+    df_counts = Counter(g for s in sets.values() for g in s)
+    kept = {i: {g for g in s if df_counts[g] <= mdf} for i, s in sets.items()}
+    want = {}
+    ids = sorted(kept)
+    for x, i in enumerate(ids):
+        for j in ids[x + 1 :]:
+            a, b = kept[i], kept[j]
+            inter = len(a & b)
+            if inter and inter / (len(a) + len(b) - inter) >= th:
+                want[(i, j)] = inter / (len(a) + len(b) - inter)
+    sub = documents.limit(200)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            sub, n=n, threshold=th, max_doc_freq=mdf
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
 def test_minhash_lsh_finds_near_dups(dup_docs):
     out = {
         (r["id_a"], r["id_b"]): r["jaccard"]
