@@ -1606,58 +1606,23 @@ def minhash_signatures(
     coeffs = minhash_coeffs(num_hashes, seed)
     if unit == "char":
         N = int(n)
-        # parsed-in-one-call transform (see _horner_flat_sql) with the
-        # builder fallback for exotic column names
-        if _WINFP_IDENT.match(text_col):
-            fps_all = F.array_distinct(
-                cached_expr(
-                    f"transform(sequence(1, length({text_col}) - {N} + 1),"
-                    f" i -> "
-                    f"{_horner_flat_sql('__mh_codes', 'i', N, HASH_BASE, HASH_MOD)})"
-                )
-            )
-        else:
-            pw = [pow(HASH_BASE, N - 1 - k, HASH_MOD) for k in range(N)]
+        # [r18] the whole char-path signature — window hashes, distinct,
+        # per-slot (f·a+b) mod P minima — is vectorized in one Arrow
+        # batch per partition chunk (functions.fphash, guide §4.2): the
+        # expression form was an interpreted higher-order transform per
+        # window plus 16 interpreted per-slot array_min transforms.
+        # Bit-identical (stepwise-mod == total-mod residue, int64
+        # overflow-free; pinned by test against the expression twin and
+        # oracle-checked on every riding query).
+        from kaer_spark.functions.fphash import minhash_sig_col
 
-            def winfp(i: Column) -> Column:
-                h = F.lit(0).cast("long")
-                for k in range(N):
-                    h = (
-                        h
-                        + F.element_at("__mh_codes", i + F.lit(k))
-                        * F.lit(pw[k])
-                    ) % F.lit(HASH_MOD)
-                return h
-
-            fps_all = F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(text_col) - N + 1), winfp
-                )
-            )
-        base = (
-            ensure_parallelism(df.filter(F.length(text_col) >= N))
-            .withColumn("__mh_codes", _codes_col(text_col))
-            .withColumn("__mh_fps", fps_all)
-        )
-        # Per-slot array_min subtrees, deliberately: an attempt to
-        # collapse the slots into ONE transform over a literal (a, b)
-        # struct table (smaller tree, cheaper planning) measured 2-3×
-        # SLOWER at runtime in an interleaved same-session A/B at the
-        # declared geometry (num_hashes=16, sf0.1: noop-sink mins 0.52s
-        # per-slot vs 1.39s collapsed) — the literal coefficients fold
-        # into each slot's lambda here, while the collapsed form pays
-        # struct-field extraction per element per slot. The slots are
-        # emitted as ONE parsed expression TEXT (sameSemantics-identical
-        # to the per-slot builder, so runtime is untouched) because the
-        # per-slot builder spent ~0.45s of py4j round-trips per
-        # signature frame on construction alone.
-        sig = cached_expr(
-            "array(" + ",".join(
-                f"array_min(transform(__mh_fps, "
-                f"f -> (f * {int(a)} + {int(b)}) % {int(HASH_MOD)}))"
-                for a, b in coeffs
-            ) + ")"
-        )
+        # (History: r17 measured a JVM-expression slot-collapse 2-3×
+        # SLOWER than per-slot array_min subtrees and reverted it — that
+        # measurement was about two EXPRESSION forms; the Arrow/numpy
+        # path replaces the whole interpreted family, not the tree
+        # shape, and was A/B-measured against the surviving form.)
+        base = ensure_parallelism(df.filter(F.length(text_col) >= N))
+        sig = minhash_sig_col(text_col, N, coeffs, HASH_BASE, HASH_MOD)
         return base.select(
             F.col(id_col).alias("id"),
             _shingle_expr(text_col, n, unit).alias("shingles"),
@@ -3776,15 +3741,26 @@ def duplicate_passages(
     if length <= 0:
         raise ValueError("length must be positive")
     L = int(length)
-    win = _win_fps_transform(text_col, L)
+    # [r18] vectorized window hashing (functions.fphash — guide §4.2):
+    # the expression form is an interpreted higher-order transform
+    # (~70 tree nodes per window per modulus); the Arrow/numpy twin is
+    # bit-identical (pinned by test) and evaluates whole batches.
+    from kaer_spark.functions.fphash import window_fps_col
+
     # ensure_parallelism: the fixture-scale single-file scan would
     # otherwise run the whole O(chars × length) hash in ONE task (measured
     # 63s -> ~3s at sf0.1); at real scale the input has partitions and
     # this is a no-op
     exploded = (
         ensure_parallelism(df.filter(F.length(text_col) >= L))
-        .withColumn("__codes", _codes_col(text_col))
-        .select(F.col(id_col).alias("id"), F.explode(win).alias("fp"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                window_fps_col(
+                    text_col, L, HASH_BASE, HASH_MOD, HASH_BASE2, HASH_MOD2
+                )
+            ).alias("fp"),
+        )
     )
     # two-level aggregation instead of groupBy(fp).agg(countDistinct(id),
     # count, min): mixing a distinct agg with plain aggs makes Catalyst
@@ -3902,11 +3878,20 @@ def _window_fp_explode(
     (``_win_fp``, ~60 collision bits), one narrow posexplode carries the
     0-based start position."""
     L = int(length)
-    win = _win_fps_transform(text_col, L)
+    # [r18] vectorized window hashing (functions.fphash — guide §4.2,
+    # bit-identical twin of _win_fps_transform, pinned by test)
+    from kaer_spark.functions.fphash import window_fps_col
+
     return (
         ensure_parallelism(df.filter(F.length(text_col) >= L))
-        .withColumn("__codes", _codes_col(text_col))
-        .select(F.col(id_col).alias("id"), F.posexplode(win).alias("pos0", "fp"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                window_fps_col(
+                    text_col, L, HASH_BASE, HASH_MOD, HASH_BASE2, HASH_MOD2
+                )
+            ).alias("pos0", "fp"),
+        )
     )
 
 
@@ -4155,43 +4140,35 @@ def winnow_fingerprints(
     if k < 1 or window < 1:
         raise ValueError("k and window must be positive")
     K, w = int(k), int(window)
-    # parsed-in-one-call transform (see _horner_flat_sql) with the
-    # builder fallback for exotic column names
-    if _WINFP_IDENT.match(text_col):
-        hstructs = cached_expr(
-            f"transform(sequence(1, length({text_col}) - {K} + 1), "
-            f"i -> named_struct("
-            f"'h', {_win_fp_sql('__codes', 'i', K)}, 'np', -i))"
-        )
-    else:
-        hstructs = F.transform(
-            F.sequence(F.lit(1), F.length(text_col) - K + 1),
-            lambda i: F.struct(
-                _win_fp("__codes", i, K).alias("h"), (-i).alias("np")
-            ),
-        )
-    sel = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__h") - w + 1, F.lit(1))),
-        lambda j: F.array_min(F.slice("__h", j, w)),
-    )
-    # the checkpoint is a PLAN BARRIER, not just lineage hygiene: the
-    # selection transform references __h exactly once, so CollapseProject
-    # would inline the whole hash-array expression into every per-window
-    # slice — O(n_hashes² · k) per document, measured 20× slower at
-    # sf0.01. Materializing (id, __h) pins one-hash-evaluation-per-window
-    # the way the passage family's multi-reference __codes pattern does.
-    hashed = (
-        ensure_parallelism(df.filter(F.length(text_col) >= K))
-        .withColumn("__codes", _codes_col(text_col))
-        .select(F.col(id_col).alias("id"), hstructs.alias("__h"))
-        .localCheckpoint(eager=False)
+    # [r18] hash + winnowing selection vectorized in one Arrow batch
+    # per partition chunk (functions.fphash — guide §4.2): the r17
+    # expression form (interpreted per-window Horner trees + a
+    # per-window array_min over struct slices, plus the checkpoint
+    # needed to stop CollapseProject inlining the hash array into every
+    # slice) profiled at ~20s executor CPU + ~30s allocation stall for
+    # 1.5 MB of text. The numpy twin is bit-identical — same paired
+    # moduli, same MOSS rightmost-tie rule, same truncated-window
+    # convention — pinned by test and oracle-checked on every winnow
+    # query. No checkpoint needed: the UDF output is a single struct of
+    # parallel (pos0, fp) arrays, exploded once.
+    from kaer_spark.functions.fphash import winnow_selections_col
+
+    sel = winnow_selections_col(
+        text_col, K, w, HASH_BASE, HASH_MOD, HASH_BASE2, HASH_MOD2
     )
     return (
-        hashed.select("id", F.explode(sel).alias("s"))
+        ensure_parallelism(df.filter(F.length(text_col) >= K))
+        .select(F.col(id_col).alias("id"), sel.alias("__s"))
         .select(
             "id",
-            (-F.col("s.np") - 1).cast("long").alias("pos0"),
-            F.col("s.h").alias("fp"),
+            F.explode(F.arrays_zip(F.col("__s.p"), F.col("__s.f"))).alias(
+                "__e"
+            ),
+        )
+        .select(
+            "id",
+            F.col("__e.p").cast("long").alias("pos0"),
+            F.col("__e.f").alias("fp"),
         )
         .distinct()
     )
